@@ -1,0 +1,121 @@
+"""Parquet snapshot source.
+
+The reference's serving side reads one immutable snapshot file from object
+storage (``/root/reference/api-service/src/query_engine.py:78-96``). The
+Spark-native equivalent is a snapshot *directory* of Parquet tables read
+directly — columnar, splittable, predicate-pushdown-friendly — with no
+download step: at cluster scale the path is simply ``s3a://...`` instead of
+a local directory, and every executor reads its own split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The test fixture tables (TESTDATA.md). The engine itself is
+#: schema-agnostic — like the reference, whatever the source provides
+#: becomes the table's schema (``etl-service/src/database.py:87``).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one table inside a snapshot directory.
+
+    Accepts both layouts: ``<dir>/<name>.parquet`` (single file, the test
+    fixtures) and ``<dir>/<name>/`` (directory of part files, what
+    ``df.write.parquet`` produces).
+    """
+    file_style = os.path.join(sf_dir, f"{name}.parquet")
+    dir_style = os.path.join(sf_dir, name)
+    # Prefer the explicit .parquet path; fall back to directory layout.
+    if "://" in sf_dir:  # object store: cannot stat cheaply, use file style
+        return file_style
+    return file_style if os.path.exists(file_style) else dir_style
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    Spark's TimestampType is microsecond-precision and Spark 4 rejects
+    nanosecond parquet columns outright (PARQUET_TYPE_ILLEGAL), while DuckDB
+    silently truncates ns->us. To keep both engines on identical values we
+    read ns columns as raw int64 and truncate to micros ourselves.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        target = path
+        if not path.endswith(".parquet") and os.path.isdir(path):
+            parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not parts:
+                return []
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one snapshot table as a DataFrame (lazy; columnar scan).
+
+    Nanosecond timestamp columns are normalized to Spark's native
+    microsecond TimestampType (truncation, matching DuckDB's cast).
+    """
+    path = table_path(sf_dir, name)
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # TIMESTAMP_NTZ, built arithmetically from the raw int64 so the
+        # value is identical under any session timezone (parquet NTZ ms
+        # columns also surface as timestamp_ntz — keeps the type system
+        # consistent across tables).
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each snapshot table as a temp view (reference op A6).
+
+    Mirrors ``conn.register(name, df)`` at
+    ``/root/reference/etl-service/src/sync.py:81`` — exposing DataFrames to
+    the SQL surface. Missing tables are skipped so partial snapshots load.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        try:
+            df = load_table(spark, sf_dir, name)
+        except Exception:
+            continue
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
