@@ -1,0 +1,131 @@
+"""Snapshot materialization (reference A6-A10, A18).
+
+The reference materializes extracted tables into an embedded DB file with
+unique/secondary indexes and an aggregate view
+(``/root/reference/etl-service/src/sync.py:58-121``). Spark has no
+secondary indexes, so the *write layout* replaces them:
+
+- sort/range-partition by the index column on write
+  (``repartitionByRange(id).sortWithinPartitions(id)``) so every Parquet
+  row group carries tight min/max stats -> point/range scans skip data,
+  which is what the index bought the reference;
+- uniqueness (the PK-ness of ``id``) becomes a QA assertion at build time
+  (``count == countDistinct(id)``) — Spark can't enforce constraints, so
+  we verify instead;
+- the aggregate summary view (A10) is recorded as a SQL definition in the
+  snapshot metadata and registered at read time — Catalyst computes it on
+  demand; at 100 TB one would flip it to a materialized rollup without
+  changing readers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class UniquenessViolation(ValueError):
+    """A column declared unique has duplicate values (reference A8's
+    UNIQUE INDEX would have failed to build)."""
+
+
+@dataclass(frozen=True)
+class TableLayout:
+    """Write layout policy for one table — the index replacement."""
+
+    #: column whose uniqueness is asserted and which drives the sorted
+    #: range layout (the reference's `id` PK, sync.py:90-94)
+    unique_key: str | None = None
+    #: additional sort column for range-scan skipping (the reference's
+    #: `updated_at` secondary index, sync.py:96-100)
+    sort_col: str | None = None
+    #: target output files; at cluster scale set from data volume
+    num_files: int = 4
+
+
+@dataclass(frozen=True)
+class BuildReport:
+    tables: dict[str, int] = field(default_factory=dict)
+    skipped: tuple[str, ...] = ()
+    views: dict[str, str] = field(default_factory=dict)
+
+
+#: Summary views recorded into the snapshot (reference A10:
+#: v_inventory_summary over the fact table, sync.py:105-114).
+DEFAULT_VIEWS: dict[str, str] = {
+    "v_lineitem_summary": (
+        "SELECT COUNT(*) AS total_rows, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS total_quantity, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, "
+        "MIN(l_shipdate) AS oldest_record, "
+        "MAX(l_shipdate) AS newest_record "
+        "FROM lineitem"
+    ),
+}
+
+
+def _apply_layout(df: DataFrame, layout: TableLayout) -> DataFrame:
+    key = layout.unique_key
+    sort_cols = [c for c in (key, layout.sort_col) if c and c in df.columns]
+    if not sort_cols:
+        return df.coalesce(layout.num_files)
+    return df.repartitionByRange(layout.num_files, *sort_cols[:1]).sortWithinPartitions(
+        *sort_cols
+    )
+
+
+def check_unique(df: DataFrame, column: str) -> int:
+    """QA gate replacing the unique index: raises on duplicates, returns
+    row count otherwise. One aggregate pass (no extra job per check)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(column)).alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise UniquenessViolation(
+            f"column {column!r}: {row['n']} rows but {row['d']} distinct values"
+        )
+    return row["n"]
+
+
+def build_snapshot(
+    dataframes: dict[str, DataFrame],
+    out_dir: str,
+    layouts: dict[str, TableLayout] | None = None,
+    views: dict[str, str] | None = None,
+) -> BuildReport:
+    """Materialize extracted tables as a snapshot directory.
+
+    Mirrors the reference's build loop (register -> CTAS -> indexes ->
+    view, sync.py:69-121): per table, apply the sorted layout, enforce
+    uniqueness, write parquet. Empty inputs are skipped (A18,
+    sync.py:44-46). Returns per-table row counts for the manifest (A13).
+    """
+    layouts = layouts or {}
+    counts: dict[str, int] = {}
+    skipped: list[str] = []
+    for name, df in dataframes.items():
+        layout = layouts.get(name, TableLayout(unique_key="id"))
+        key = layout.unique_key if layout.unique_key in df.columns else None
+        n = check_unique(df, key) if key else df.count()
+        if n == 0:
+            skipped.append(name)
+            continue
+        shaped = _apply_layout(df, layout)
+        shaped.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        counts[name] = n
+    view_defs = DEFAULT_VIEWS if views is None else views
+    active_views = {
+        vname: sql
+        for vname, sql in view_defs.items()
+        if _view_tables_present(sql, counts)
+    }
+    return BuildReport(tables=counts, skipped=tuple(skipped), views=active_views)
+
+
+def _view_tables_present(sql: str, counts: dict[str, int]) -> bool:
+    lowered = sql.lower()
+    return any(f"from {t}" in lowered for t in counts)

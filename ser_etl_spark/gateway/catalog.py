@@ -1,0 +1,114 @@
+"""Snapshot catalog: resolve + register the latest published snapshot.
+
+Plays the role of the reference API's snapshot resolution
+(``/root/reference/api-service/src/query_engine.py:78-115``): serve queries
+from the most recently *published* snapshot, re-resolving when a TTL
+expires (120 s) or the manifest version changes. Instead of downloading an
+embedded DB file, we point temp views at the snapshot's Parquet directory —
+on a cluster that is an object-store prefix and executors read splits
+directly, so "refresh" is a metadata-only operation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from ser_etl_spark.sources.parquet import register_views
+
+DEFAULT_TTL_S = 120.0
+
+
+class SnapshotCatalog:
+    """Registers the tables of the current snapshot as temp views."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ttl_s: float = DEFAULT_TTL_S,
+        tables: tuple[str, ...] | None = None,
+    ) -> None:
+        """``root`` is either a published snapshot store (containing
+        ``current/manifest.json`` pointing at a versioned snapshot dir, as
+        written by :mod:`ser_etl_spark.etl.publish`) or a plain directory
+        of parquet tables (the test fixtures)."""
+        self.spark = spark
+        self.root = root
+        self.ttl_s = ttl_s
+        self.tables = tables
+        self._resolved_dir: str | None = None
+        self._version: str | None = None
+        self._loaded_at: float = 0.0
+
+    # -- manifest resolution ------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "current", "manifest.json")
+
+    def read_manifest(self) -> dict:
+        """Reference A14: fetch current manifest, ``{}`` if missing
+        (``etl-service/src/s3_uploader.py:96-106``)."""
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _resolve(self) -> tuple[str, str | None]:
+        """Return (snapshot_dir, version) for the current snapshot."""
+        manifest = self.read_manifest()
+        if manifest.get("snapshot_dir"):
+            return manifest["snapshot_dir"], str(manifest.get("version"))
+        return self.root, None  # plain directory layout
+
+    def _register_manifest_views(self) -> None:
+        """Register summary views recorded in the manifest (reference A10:
+        the snapshot ships v_inventory_summary; here view *definitions*
+        travel in the manifest and Catalyst computes them on demand)."""
+        for name, sql in self.read_manifest().get("views", {}).items():
+            try:
+                self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+            except Exception:  # pragma: no cover - malformed view def
+                continue
+
+    # -- refresh ------------------------------------------------------------
+
+    def _stale(self) -> bool:
+        if self._resolved_dir is None:
+            return True
+        return (time.monotonic() - self._loaded_at) > self.ttl_s
+
+    def refresh(self, force: bool = False) -> str:
+        """Re-resolve and re-register views if stale; returns snapshot dir.
+
+        Readers always resolve through the manifest — never by listing the
+        store — preserving the reference's snapshot atomicity (readers see
+        only fully published versions, ``s3_uploader.py:44-55``).
+        """
+        if not force and not self._stale():
+            return self._resolved_dir  # type: ignore[return-value]
+        snapshot_dir, version = self._resolve()
+        if force or snapshot_dir != self._resolved_dir or version != self._version:
+            kwargs = {"tables": self.tables} if self.tables else {}
+            register_views(self.spark, snapshot_dir, **kwargs)
+            self._register_manifest_views()
+        self._resolved_dir, self._version = snapshot_dir, version
+        self._loaded_at = time.monotonic()
+        return snapshot_dir
+
+    # -- introspection (B9/B10) --------------------------------------------
+
+    def schema(self) -> dict[str, list[str]]:
+        """SHOW TABLES + DESCRIBE per table, as ``{table: [column, ...]}``
+        (``api-service/src/query_engine.py:151-165``)."""
+        self.refresh()
+        out: dict[str, list[str]] = {}
+        for t in self.spark.catalog.listTables():
+            if t.tableType == "TEMPORARY" or t.isTemporary:
+                cols = self.spark.catalog.listColumns(t.name)
+                out[t.name] = [c.name for c in cols]
+        return out

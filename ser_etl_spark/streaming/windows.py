@@ -1,0 +1,123 @@
+"""Structured Streaming windowed aggregation over the events stream.
+
+The reference's only stream is the implicit 60 s micro-batch sync loop;
+the idiomatic Spark upgrade (SURVEY.md §7.2-5) is a real event-time
+pipeline: file/Kafka source -> watermark for late data -> tumbling or
+sliding windows -> sink. State is partitioned by (window, key) across
+executors — at 100 TB/day this scales horizontally; nothing here is
+driver-resident.
+
+Watermark note: event-time columns must be TIMESTAMP (LTZ) for
+Structured Streaming state tracking; the NTZ fixture column is converted
+with ``to_utc_timestamp`` (explicitly, not via session-tz coercion) so
+window boundaries are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.sources.parquet import _ns_timestamp_cols, table_path
+
+
+def streaming_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as a file-source stream.
+
+    Schema comes from a batch read of the same path (file streams require
+    a declared schema). In production the same transformations attach to
+    a Kafka source instead — the plan below the source is identical.
+    """
+    path = table_path(sf_dir, "events")
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams need the raw on-disk schema (ns columns arrive as int64)
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet"):
+        # file streams want a directory; a single-file fixture streams via
+        # its parent directory with a glob filter selecting just that file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for c in ns_cols:
+        # ns-since-epoch -> microsecond instant (session-tz independent)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if "ts" not in ns_cols:
+        # NTZ column -> instant, pinned to UTC explicitly
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return df
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts/sums with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key),
+            "events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Sliding event-time windows (overlapping)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key),
+            "events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "append"
+) -> "object":
+    """Drive a streaming plan to completion against current files
+    (availableNow trigger) into an in-memory sink table ``name``.
+    Returns the finished StreamingQuery."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,188 @@
+"""ETL pipeline tests: extraction, watermarks, snapshot build/publish,
+retention, full sync cycle, and serving from a published snapshot."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from ser_etl_spark.etl import (
+    ParquetSource,
+    SyncManager,
+    WatermarkStore,
+    build_snapshot,
+    cleanup_old_versions,
+    extract_table,
+    max_updated_at,
+    publish_snapshot,
+)
+from ser_etl_spark.etl.build import TableLayout, UniquenessViolation
+from ser_etl_spark.etl.extract import table_schema
+from ser_etl_spark.etl.sync import SyncConfig
+from ser_etl_spark.gateway import SnapshotCatalog, SparkQueryEngine
+
+
+@pytest.fixture()
+def source(sf_small):
+    return ParquetSource(sf_small)
+
+
+LAYOUTS = {
+    "orders": TableLayout(unique_key="o_orderkey", sort_col="o_orderdate"),
+    "customer": TableLayout(unique_key="c_custkey"),
+    "events": TableLayout(unique_key="event_id", sort_col="ts"),
+    "lineitem": TableLayout(unique_key=None, sort_col="l_shipdate"),
+}
+
+
+class TestExtract:
+    def test_full_extraction(self, spark, source):
+        df = extract_table(spark, source, "orders")
+        assert df.count() == 1500
+
+    def test_incremental_predicate(self, spark, source):
+        since = dt.datetime(2024, 1, 25)
+        full = extract_table(spark, source, "events", ts_col="ts")
+        inc = extract_table(spark, source, "events", since=since, ts_col="ts")
+        n_full, n_inc = full.count(), inc.count()
+        assert 0 < n_inc < n_full
+        # the predicate reaches the scan (pushdown visible in the plan)
+        plan = inc._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan or "Filter" in plan
+
+    def test_watermark_aggregate(self, spark, source):
+        df = extract_table(spark, source, "events", ts_col="ts")
+        wm = max_updated_at(df, "ts")
+        assert wm is not None and wm.year == 2024
+
+    def test_schema_introspection(self, spark, source):
+        cols = table_schema(extract_table(spark, source, "orders"))
+        names = [c["column_name"] for c in cols]
+        assert "o_orderkey" in names and "o_orderdate" in names
+        assert all({"column_name", "data_type", "is_nullable"} <= set(c) for c in cols)
+
+
+class TestWatermarkStore:
+    def test_roundtrip_and_monotonic(self, tmp_path):
+        store = WatermarkStore(str(tmp_path / "wm.json"))
+        t1 = dt.datetime(2024, 1, 10)
+        t2 = dt.datetime(2024, 1, 20)
+        store.advance("events", t2)
+        store.advance("events", t1)  # must not move backwards
+        assert store.get("events") == t2
+        # survives reload
+        again = WatermarkStore(str(tmp_path / "wm.json"))
+        assert again.get("events") == t2
+
+
+class TestBuild:
+    def test_build_writes_sorted_layout(self, spark, source, tmp_path):
+        out = str(tmp_path / "build")
+        report = build_snapshot(
+            {"orders": extract_table(spark, source, "orders")},
+            out,
+            layouts=LAYOUTS,
+        )
+        assert report.tables["orders"] == 1500
+        # each written file is sorted by the unique key (index replacement:
+        # row-group min/max stats become selective)
+        import pyarrow.parquet as pq
+
+        files = [
+            f for f in os.listdir(os.path.join(out, "orders")) if f.endswith(".parquet")
+        ]
+        assert files
+        for f in files:
+            keys = pq.read_table(
+                os.path.join(out, "orders", f), columns=["o_orderkey"]
+            )["o_orderkey"].to_pylist()
+            assert keys == sorted(keys)
+
+    def test_uniqueness_gate(self, spark, tmp_path):
+        dup = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"])
+        with pytest.raises(UniquenessViolation):
+            build_snapshot({"t": dup}, str(tmp_path / "b2"))
+
+    def test_empty_input_skipped(self, spark, tmp_path):
+        empty = spark.createDataFrame([], "id long, v string")
+        report = build_snapshot({"t": empty}, str(tmp_path / "b3"))
+        assert report.skipped == ("t",)
+        assert "t" not in report.tables
+
+
+class TestPublish:
+    def _build(self, spark, source, tmp_path, n=1):
+        manifests = []
+        for i in range(n):
+            out = str(tmp_path / f"build{i}")
+            report = build_snapshot(
+                {"customer": extract_table(spark, source, "customer")},
+                out,
+                layouts=LAYOUTS,
+            )
+            manifests.append(
+                publish_snapshot(
+                    out,
+                    str(tmp_path / "store"),
+                    tables=report.tables,
+                    views=report.views,
+                    version=f"2024010{i+1}_000000",
+                )
+            )
+        return manifests
+
+    def test_manifest_and_atomic_repoint(self, spark, source, tmp_path):
+        m1, m2 = self._build(spark, source, tmp_path, n=2)
+        store = str(tmp_path / "store")
+        with open(os.path.join(store, "current", "manifest.json")) as f:
+            current = json.load(f)
+        assert current["version"] == m2["version"]
+        assert current["tables"] == {"customer": 150}
+        # both versions remain readable (time travel) until retention
+        assert os.path.isdir(m1["snapshot_dir"])
+        assert os.path.isdir(m2["snapshot_dir"])
+
+    def test_retention_keeps_newest(self, spark, source, tmp_path):
+        m1, m2 = self._build(spark, source, tmp_path, n=2)
+        deleted = cleanup_old_versions(str(tmp_path / "store"), keep_count=1)
+        assert deleted == 1
+        assert not os.path.isdir(m1["snapshot_dir"])
+        assert os.path.isdir(m2["snapshot_dir"])
+
+
+class TestSyncCycle:
+    def test_full_cycle_and_serve(self, spark, source, tmp_path):
+        store = str(tmp_path / "store")
+        mgr = SyncManager(
+            spark,
+            source,
+            store,
+            SyncConfig(
+                tables=("orders", "customer", "lineitem", "events"),
+                ts_col="ts",
+                layouts=LAYOUTS,
+            ),
+        )
+        out = mgr.run_sync()
+        assert out.success
+        assert out.manifest["tables"]["orders"] == 1500
+        assert out.changed_rows["events"] == 1000
+
+        # serve queries from the published snapshot through the gateway
+        catalog = SnapshotCatalog(spark, store)
+        engine = SparkQueryEngine(spark, catalog)
+        res = engine.execute_query("SELECT COUNT(*) FROM orders")
+        assert res.data[0][res.columns[0]] == 1500
+        # the summary view travelled via the manifest (A10)
+        view = engine.execute_query("SELECT * FROM v_lineitem_summary")
+        assert view.row_count == 1
+        assert view.data[0]["total_rows"] == 6000
+
+        # second cycle: full refresh, watermark already advanced -> 0 changed
+        out2 = mgr.run_sync()
+        assert out2.success
+        assert out2.changed_rows["events"] == 0
+        assert out2.manifest["version"] != out.manifest["version"]

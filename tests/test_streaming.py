@@ -1,0 +1,96 @@
+"""Streaming tests: scheduler semantics + Structured Streaming windows
+driven end-to-end into a memory sink and checked against the batch plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from ser_etl_spark.streaming.scheduler import run_scheduled
+from ser_etl_spark.streaming.windows import (
+    run_to_memory,
+    sliding_window_agg,
+    streaming_events,
+    tumbling_window_agg,
+)
+
+
+class TestScheduler:
+    def test_immediate_first_run_and_count(self):
+        runs = []
+        n = run_scheduled(lambda: runs.append(1), interval_s=0.01, max_cycles=3)
+        assert n == 3 and len(runs) == 3
+
+    def test_overrun_coalesces(self):
+        """A cycle longer than the interval fires the next cycle
+        immediately — exactly once, not once per missed tick."""
+        now = [0.0]
+        sleeps: list[float] = []
+
+        def clock():
+            return now[0]
+
+        def sleep(s):
+            sleeps.append(s)
+            now[0] += s
+
+        def slow():
+            now[0] += 2.5  # 2.5x the interval
+
+        run_scheduled(slow, interval_s=1.0, max_cycles=3, sleep=sleep, clock=clock)
+        # no sleep between overrunning cycles (coalesced catch-up)
+        assert sleeps == []
+
+    def test_fast_cycles_sleep_to_tick(self):
+        now = [0.0]
+        sleeps: list[float] = []
+
+        def clock():
+            return now[0]
+
+        def sleep(s):
+            sleeps.append(s)
+            now[0] += s
+
+        run_scheduled(lambda: None, interval_s=1.0, max_cycles=3, sleep=sleep, clock=clock)
+        assert sleeps == [1.0, 1.0]
+
+
+@pytest.mark.usefixtures("spark")
+class TestWindows:
+    def test_tumbling_matches_batch(self, spark, sf_small):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.sources.parquet import load_table
+
+        # complete mode emits open windows too; append would (correctly)
+        # withhold windows the watermark hasn't closed yet
+        stream = tumbling_window_agg(streaming_events(spark, sf_small))
+        run_to_memory(stream, "tumbling_out", mode="complete")
+        got = {
+            (r["window_start"], r["event_type"]): (r["events"], r["sum_value"])
+            for r in spark.table("tumbling_out").collect()
+        }
+
+        batch = (
+            load_table(spark, sf_small, "events")
+            .withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("events"), F.sum("value").alias("sum_value"))
+            .collect()
+        )
+        want = {
+            (r["w"]["start"], r["event_type"]): (r["events"], r["sum_value"])
+            for r in batch
+        }
+        assert got == want
+        assert len(got) > 100  # ~30 days x 24h x types — real window spread
+
+    def test_sliding_windows_overlap(self, spark, sf_small):
+        stream = sliding_window_agg(
+            streaming_events(spark, sf_small), window="2 hours", slide="1 hour"
+        )
+        run_to_memory(stream, "sliding_out", mode="complete")
+        rows = spark.table("sliding_out").collect()
+        # every event lands in exactly window/slide = 2 windows
+        total_events = sum(r["events"] for r in rows)
+        assert total_events == 2 * 1000
