@@ -1,1 +1,413 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators: exact, normalized, n-gram Jaccard,
+MinHash+LSH, and SimHash.
+
+Training-data pipeline dedup (BASELINE.json north star), each designed as
+a shuffle-conscious distributed plan:
+
+- **exact / normalized**: one hash-aggregate on the text (or its
+  normalized fingerprint) — the canonical groupBy dedup; at 100 TB group
+  on a fixed-width digest rather than the raw text so shuffle rows stay
+  small.
+- **n-gram Jaccard**: exact similarity join via an inverted shingle
+  index — explode distinct shingles, self-join on shingle, count shared
+  per pair, Jaccard from set sizes. Only pairs sharing >= 1 shingle are
+  ever materialized, which is what makes this feasible at scale (plus a
+  document-frequency cap dropping ubiquitous shingles, the standard
+  bound on candidate blowup).
+- **MinHash+LSH**: 64-permutation signatures (xxhash64, JVM codegen) ->
+  banded LSH bucketing -> candidate pairs from bucket joins -> exact
+  Jaccard verification. Sub-quadratic: cost scales with bucket
+  collisions, not n^2.
+- **SimHash**: 64-bit weighted-vote fingerprints; near-dup = small
+  Hamming distance, candidates blocked on 16-bit chunks (any pair at
+  Hamming distance <= 3 shares an identical chunk by pigeonhole).
+
+Everything is built-in Spark functions — higher-order array ops, no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.operators.text import fingerprint
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# exact + normalized dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, key: Column | str = "text") -> DataFrame:
+    """Group identical texts: survivor (min doc_id) + copy count."""
+    return docs.groupBy(key).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("copies"),
+    ).select("doc_id", "copies")
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep one row per identical text (lowest doc_id wins) — the
+    distributed ``dropDuplicates`` with a deterministic survivor."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text."""
+    toks = F.split(F.trim(F.lower(text)), " +")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity join over word n-gram shingle sets.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (only co-shingled pairs appear), aggregate shared counts,
+    then Jaccard = shared / (|a| + |b| - shared). ``max_shingle_df``
+    drops shingles appearing in more than that many docs before pairing
+    — the standard guard against ubiquitous-shingle candidate blowup at
+    scale (off by default to keep oracle parity exact).
+    """
+    sets = docs.select(
+        "doc_id", _shingles(F.col("text"), n).alias("s")
+    ).filter(F.size("s") > 0)
+    sizes = sets.select("doc_id", F.size("s").alias("n"))
+    exploded = sets.select("doc_id", F.explode("s").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(rare, "sh")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 64, n: int = 3
+) -> DataFrame:
+    """64-permutation MinHash signatures over word n-gram shingles.
+
+    Each "permutation" is xxhash64 of the shingle concatenated with a
+    seed index — computed entirely in codegen, one row pass, no shuffle.
+    """
+    sets = docs.select(
+        "doc_id", _shingles(F.col("text"), n).alias("s")
+    ).filter(F.size("s") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("s"),
+                    lambda sh, k=k: F.xxhash64(F.concat(sh, F.lit(f"#{k}"))),
+                )
+            )
+            for k in range(num_perm)
+        ]
+    )
+    return sets.select("doc_id", "s", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    ``bands`` bands of ``num_perm/bands`` rows: pairs agreeing on any
+    full band become candidates (S-curve threshold ~= (1/b)^(1/r) ~ 0.5
+    for 16x4); candidates are then verified with *exact* Jaccard on the
+    shingle sets, so false positives are eliminated and the output is a
+    subset of the exact similarity join — recall, not precision, is the
+    LSH trade-off.
+    """
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signatures(docs, num_perm, n)
+    band_entries = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = with_sig.select("doc_id", "s")
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints from unigram token hashes.
+
+    Per token, xxhash64 supplies the bit pattern; each bit position
+    votes +1/-1 across the document's tokens; the sign vector is the
+    fingerprint. Expressed as an aggregate over exploded tokens — one
+    shuffle on doc_id with map-side partial aggregation.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64, chunks: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= ``max_hamming``.
+
+    Blocking: by pigeonhole, any pair within distance ``chunks - 1``
+    agrees exactly on at least one ``bits/chunks``-bit chunk, so
+    candidates come from equality joins on chunks — never a cross join.
+    Raise ``chunks`` to widen the guaranteed radius (at the cost of more
+    candidate collisions per block).
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fps = simhash(docs, bits)
+    keyed = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# registry entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+    FROM documents GROUP BY text
+    """,
+    description="exact dedup: hash-aggregate on text, deterministic survivor",
+    covers=("N-dedup",),
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS copies
+    FROM documents GROUP BY 1
+    """,
+    description="normalized dedup: group on md5 content fingerprint "
+    "(fixed-width shuffle keys at scale)",
+    covers=("N-dedup",),
+)
+def dedup_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
+        .select("fp", "doc_id", "copies")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM shared
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+    description="exact n-gram Jaccard similarity join via inverted "
+    "shingle index (co-shingled pairs only — no cross join)",
+    covers=("N-dedup",),
+)
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=None,  # LSH bucketing is not SQL-expressible; verified in
+    # tests against the exact ngram_jaccard_pairs join (subset + recall)
+    description="MinHash(64)+LSH(16x4) near-dup candidates with exact "
+    "Jaccard verification — sub-quadratic dedup at scale",
+    covers=("N-dedup",),
+)
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "simhash_pairs",
+    oracle=None,  # bit-vote fingerprint + Hamming blocking, not in SQL
+    description="SimHash(64) near-dup pairs at Hamming distance <= 3 "
+    "with pigeonhole chunk blocking",
+    covers=("N-dedup",),
+)
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), 3)

@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video handling for training-data pipelines: media travels as
+an opaque ``binary`` column plus a typed metadata struct; decode /
+feature-extraction / frame-sampling run as Arrow-batched ``mapInPandas``
+transforms so Python touches columnar batches, never rows.
+
+The decode step itself is STUBBED: media codec libraries are not in this
+environment, so ``decode_media`` raises ``NotImplementedError`` unless
+the deterministic fake decoder is requested. Everything around the stub —
+schema contracts, batch shapes, partitioning, the UDF signatures — is
+real and tested; swapping in Pillow/ffmpeg is a one-function change.
+
+Scale notes: payload columns dominate bytes, so transforms keep them
+out of shuffles (features are computed map-side and payloads dropped as
+early as possible); Arrow batch size is bounded by the session's
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+#: metadata struct carried alongside every payload
+MEDIA_META_FIELDS = (
+    ("media_type", "string"),
+    ("width", "int"),
+    ("height", "int"),
+    ("n_frames", "int"),
+)
+
+FEATURE_DIM = 8
+
+
+def with_fake_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic fake binary payload + media metadata.
+
+    Stands in for reading real media bytes from object storage: payload
+    = sha256 stream keyed by the row id (stable across runs/executors),
+    metadata derived from the id. Gives tests a real binary column with
+    realistic per-row sizes.
+    """
+    idc = F.col(id_col)
+    payload = F.unhex(
+        F.concat(
+            *[F.sha2(F.concat(idc.cast("string"), F.lit(f":{i}")), 256) for i in range(4)]
+        )
+    )  # 128 bytes per row
+    meta = F.struct(
+        F.when(idc % 3 == 0, "image")
+        .when(idc % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        (F.lit(64) + (idc % 8) * 32).cast("int").alias("width"),
+        (F.lit(64) + (idc % 5) * 32).cast("int").alias("height"),
+        (F.lit(1) + (idc % 16) * 30).cast("int").alias("n_frames"),
+    )
+    return docs.withColumn("payload", payload).withColumn("media", meta)
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> bytes:
+    """Decode a media payload to raw samples/pixels.
+
+    Real decoding needs codec libraries absent from this environment;
+    ``fake=True`` returns a deterministic digest-stream standing in for
+    decoded bytes so downstream plumbing can be exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries (Pillow/ffmpeg); "
+            "pass fake=True for the deterministic test decoder"
+        )
+    return hashlib.sha256(b"decoded:" + payload).digest()
+
+
+def feature_schema(id_col: str = "doc_id") -> StructType:
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+
+def extract_features(
+    media_df: DataFrame, id_col: str = "doc_id", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; the
+    (stubbed) decoder runs per payload and a ``dim``-float feature vector
+    is emitted. The payload column is consumed here and *not* returned —
+    features, not media bytes, flow into any downstream shuffle.
+    """
+
+    # NOTE: this closure must stay self-contained (stdlib/pandas only, no
+    # references to package globals) — cloudpickle ships it by value, so
+    # executors never need ser_etl_spark importable on their PYTHONPATH.
+    # The inline digest mirrors decode_media(..., fake=True).
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                decoded = hashlib.sha256(b"decoded:" + bytes(payload)).digest()
+                feats.append(
+                    [
+                        int.from_bytes(decoded[4 * i : 4 * i + 4], "big")
+                        / float(2**32)
+                        for i in range(dim)
+                    ]
+                )
+            yield _pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return media_df.select(id_col, "payload", "media").mapInPandas(
+        batches, feature_schema(id_col)
+    )
+
+
+def sample_frames(
+    media_df: DataFrame, every_n: int = 30, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled
+    frame index (0, n, 2n, ...) — pure column math, the decode of each
+    sampled frame would attach via ``extract_features`` downstream."""
+    frames = F.sequence(
+        F.lit(0), F.col("media.n_frames") - 1, F.lit(every_n)
+    )
+    return (
+        media_df.filter(F.col("media.media_type") == "video")
+        .select(id_col, F.explode(frames).alias("frame_idx"))
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas feature extraction is not SQL-expressible
+    description="binary media payload -> Arrow-batched (stub) feature "
+    "extraction via mapInPandas; deterministic fake decoder",
+    covers=("N-multimodal",),
+)
+def multimodal_features_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(with_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )

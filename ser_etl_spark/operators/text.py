@@ -1,1 +1,213 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table. Everything
+here is built-in-function Spark (JVM, whole-stage codegen) — no Python
+in the hot path — and aggregates/derives per row, so it parallelizes
+embarrassingly at any scale.
+
+Each operator has an exactly-equivalent DuckDB oracle; expressions are
+written with identical operation order on both sides so results are
+bit-deterministic (integer-derived double divisions, md5 hex digests,
+regex token counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+#: BPE-ish tokenizer: word runs or single non-space punctuation — the
+#: standard pre-tokenization regex shape used before byte-pair merges.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+#: Tiny multilingual stopword table for the language-ID heuristic.
+_LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "is")),
+    ("es", ("el", "la", "los", "que")),
+    ("de", ("der", "die", "und", "nicht")),
+    ("fr", ("le", "les", "et", "est")),
+)
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (split on space runs)."""
+    return F.split(F.trim(col), " +")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document counting stats: chars, whitespace tokens, BPE-ish
+    tokens, punctuation chars, mean token length."""
+    text = F.col("text")
+    toks = _ws_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("chars"),
+        n_tokens.alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("bpe_tokens"),
+        F.length(F.regexp_replace(text, r"[\w\s]", "")).alias("punct_chars"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword language-ID heuristic (deterministic CASE chain).
+
+    Counts per-language marker stopwords among the whitespace tokens and
+    picks the first language (in fixed order) with the strictly highest
+    count; ``und`` (undetermined) when no marker appears.
+    """
+    toks = _ws_tokens(F.lower(F.col("text")))
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # real closure: F.filter introspects the lambda's arity, so the
+        # marker list must not appear as a lambda parameter
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    counts = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    guess = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lang, _ in reversed(_LANG_MARKERS):
+        guess = F.when((counts[lang] == best) & (best > 0), lang).otherwise(guess)
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1]: favors mid-length docs with
+    low punctuation density and a sane stopword ratio (the classic
+    pre-training corpus filters, each a cheap columnar expression)."""
+    text = F.col("text")
+    toks = _ws_tokens(F.lower(text))
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", "")).cast("double")
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    length_term = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of case/punctuation-normalized text.
+
+    The normalized form (lowercase, non-alphanumeric runs collapsed to
+    single spaces) makes the fingerprint stable under formatting-only
+    edits — the key for normalized exact-dedup.
+    """
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# registry entries (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS chars,
+           len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct_chars,
+           CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS avg_token_len
+    FROM documents
+    """,
+    description="token counting / char stats (north-star text analysis)",
+    covers=("N-text",),
+)
+def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    count_exprs = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(lower(text)), ' +'), "
+            f"t -> list_contains({list(markers)}, t)))"
+        )
+        for lang, markers in _LANG_MARKERS
+    }
+    best = "greatest(" + ", ".join(count_exprs.values()) + ")"
+    case = "'und'"
+    for lang, _ in reversed(_LANG_MARKERS):
+        case = (
+            f"CASE WHEN {count_exprs[lang]} = best AND best > 0 "
+            f"THEN '{lang}' ELSE {case} END"
+        )
+    return f"""
+    WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents)
+    SELECT doc_id, {case} AS lang_guess FROM scored
+    """
+
+
+@register(
+    "lang_id",
+    oracle=_lang_oracle(),
+    description="stopword-marker language identification heuristic",
+    covers=("N-text",),
+)
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) AS stop_ratio,
+           0.4 * least(CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+           + 0.3 * least(CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) * 4.0, 1.0) AS quality
+    FROM documents
+    """,
+    description="pre-training quality filter heuristic (length, punct "
+    "density, stopword ratio)",
+    covers=("N-text",),
+)
+def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    description="normalized md5 content fingerprint",
+    covers=("N-text",),
+)
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))

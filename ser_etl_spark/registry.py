@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import ser_etl_spark` stays cheap.
     from ser_etl_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text,

@@ -1,0 +1,174 @@
+"""Property tests for the training-data pipeline operators: fuzzy dedup
+recall/precision vs the exact similarity join, SimHash behavior on
+synthetic near-duplicates, LSH ANN recall vs brute force, and the
+multimodal plumbing contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ser_etl_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ser_etl_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    with_fake_payload,
+)
+from ser_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from ser_etl_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Corpus + synthetic near-duplicates: copies of 5 docs with the
+    first token changed (very high but not perfect jaccard)."""
+    perturbed = (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.lit("zzz "), F.col("text")))
+    )
+    return docs.unionByName(perturbed)
+
+
+class TestFuzzyDedup:
+    def test_minhash_subset_of_exact_join(self, docs):
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, 0.5).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, 0.5).collect()
+        }
+        # verification makes LSH precise: no false positives possible
+        assert lsh <= exact
+
+    def test_minhash_recall_on_high_similarity(self, docs):
+        exact_high = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, 0.8).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, 0.5).collect()
+        }
+        # 16x4 banding: P(candidate) at j=0.8 is ~1-(1-0.8^4)^16 ~ 0.9996
+        assert exact_high, "fixture should contain high-sim pairs"
+        assert exact_high <= lsh
+
+    def test_minhash_finds_synthetic_neardups(self, docs_with_dups):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs_with_dups, 0.5).collect()
+        }
+        for i in range(5):
+            assert (i, i + 100000) in pairs
+
+    def test_simhash_finds_synthetic_neardups(self, docs_with_dups):
+        # one added token flips 4-8 of 64 bits on these short docs
+        # (measured); 8 chunks guarantee blocking recall at hamming <= 7
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_pairs(
+                docs_with_dups, max_hamming=8, chunks=8
+            ).collect()
+        }
+        found = sum((i, i + 100000) in pairs for i in range(5))
+        assert found >= 4
+
+    def test_dedup_exact_keeps_lowest_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (5, "same"), (3, "other")], ["doc_id", "text"]
+        )
+        kept = {r["doc_id"] for r in dedup_exact(df).collect()}
+        assert kept == {1, 3}
+        groups = {
+            r["doc_id"]: r["copies"] for r in exact_duplicates(df).collect()
+        }
+        assert groups == {1: 2, 3: 1}
+
+
+class TestSimilarity:
+    def test_topk_self_is_nearest(self, vectors):
+        vec = list(
+            vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+        )
+        top = cosine_topk(vectors, vec, k=5).collect()
+        assert top[0]["vec_id"] == 0
+        assert top[0]["cos_sim"] == pytest.approx(1.0, abs=1e-4)
+        sims = [r["cos_sim"] for r in top]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_ann_contains_query_and_subsets_corpus(self, vectors):
+        vec = list(
+            vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+        )
+        approx = lsh_ann_topk(vectors, vec, k=10, planes=8)
+        rows = approx.collect()
+        # the query vector's own bucket always contains itself -> rank 1
+        assert rows[0]["vec_id"] == 0
+        # single-probe bucket at 8 planes shrinks the scanned corpus
+        assert 1 <= len(rows) <= 10
+
+    def test_neardup_blocks_by_label(self, vectors):
+        pairs = embedding_neardup_pairs(vectors, threshold=0.35).collect()
+        labels = {
+            r["label"]
+            for r in pairs
+        }
+        by_id = {r["vec_id"]: r["label"] for r in vectors.collect()}
+        for r in pairs:
+            assert by_id[r["id_a"]] == by_id[r["id_b"]] == r["label"]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"abc", "image")
+
+    def test_features_deterministic_and_shaped(self, spark, docs):
+        media = with_fake_payload(docs.select("doc_id").limit(50))
+        a = extract_features(media).collect()
+        b = extract_features(media).collect()
+        assert len(a) == 50
+        assert all(len(r["features"]) == 8 for r in a)
+        assert sorted(map(str, a)) == sorted(map(str, b))
+        # features are unit-interval floats
+        assert all(0.0 <= v < 1.0 for r in a for v in r["features"])
+
+    def test_payload_dropped_from_feature_output(self, spark, docs):
+        media = with_fake_payload(docs.select("doc_id").limit(5))
+        out = extract_features(media)
+        assert set(out.columns) == {"doc_id", "features"}
+
+    def test_frame_sampling(self, spark, docs):
+        media = with_fake_payload(docs.select("doc_id").limit(60))
+        frames = sample_frames(media, every_n=30).collect()
+        assert frames  # fixture ids include video rows (id % 3 == 2)
+        by_doc: dict[int, list[int]] = {}
+        for r in frames:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        for doc_id, idxs in by_doc.items():
+            assert idxs == sorted(idxs)
+            assert all(i % 30 == 0 for i in idxs)
