@@ -66,18 +66,52 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text."""
-    toks = F.split(F.trim(F.lower(text)), " +")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
+def shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, s)`` where ``s`` is the distinct word n-gram shingle set.
+
+    Tokens are materialized as a projected column *before* the
+    higher-order transform: referencing the raw ``split(...)`` expression
+    inside the lambda would splice the whole split subtree into the lambda
+    body and re-run the regex split once per shingle index (quadratic —
+    HOF lambdas get no common-subexpression elimination).
+    """
+    rows = shingle_rows(docs, n, text_col, id_col)
+    return rows.groupBy(id_col).agg(F.collect_set("sh").alias("s"))
+
+
+def shingle_rows(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct ``(doc_id, sh)`` shingle rows — the scalable flat form.
+
+    Built without array-valued expressions in the hot path: explode the
+    *index* sequence (a cheap generator), then assemble each shingle as a
+    flat per-row projection that whole-stage codegen compiles. Array
+    higher-order transforms execute interpreted and get spliced (and
+    re-evaluated) into downstream generators/filters by projection
+    collapse — measured ~20x slower. ``distinct`` is one shuffle on
+    (doc_id, sh), which the downstream inverted-index join needs
+    partitioned that way regardless.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), " +").alias("_t"),
+    ).filter(F.size("_t") >= n)
+    t = F.col("_t")
+    idx = toks.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size(t) - (n - 1))).alias("_i"),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    i = F.col("_i")
+    sh = F.concat_ws(
+        " ",
+        F.element_at(t, i),
+        *[F.element_at(t, i + k) for k in range(1, n)],
     )
+    return idx.select(id_col, sh.alias("sh")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -95,11 +129,8 @@ def ngram_jaccard_pairs(
     — the standard guard against ubiquitous-shingle candidate blowup at
     scale (off by default to keep oracle parity exact).
     """
-    sets = docs.select(
-        "doc_id", _shingles(F.col("text"), n).alias("s")
-    ).filter(F.size("s") > 0)
-    sizes = sets.select("doc_id", F.size("s").alias("n"))
-    exploded = sets.select("doc_id", F.explode("s").alias("sh"))
+    exploded = shingle_rows(docs, n)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is not None:
         rare = (
             exploded.groupBy("sh")
@@ -137,24 +168,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """64-permutation MinHash signatures over word n-gram shingles.
 
-    Each "permutation" is xxhash64 of the shingle concatenated with a
-    seed index — computed entirely in codegen, one row pass, no shuffle.
+    Each "permutation" is the min over shingles of xxhash64(shingle + seed
+    index). Computed by exploding shingles and taking ``num_perm`` hash
+    columns through a grouped MIN — flat columns stay inside whole-stage
+    codegen, an order of magnitude faster than per-row higher-order array
+    transforms (which execute interpreted), at the cost of one doc_id
+    shuffle with map-side partial MINs.
     """
-    sets = docs.select(
-        "doc_id", _shingles(F.col("text"), n).alias("s")
-    ).filter(F.size("s") > 0)
-    sig = F.array(
+    exploded = shingle_rows(docs, n)
+    hashed = exploded.select(
+        "doc_id",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("s"),
-                    lambda sh, k=k: F.xxhash64(F.concat(sh, F.lit(f"#{k}"))),
-                )
-            )
+            F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{k}"))).alias(f"_h{k}")
             for k in range(num_perm)
-        ]
+        ],
     )
-    return sets.select("doc_id", "s", sig.alias("sig"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{k}").alias(f"_h{k}") for k in range(num_perm)]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{k}") for k in range(num_perm)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -210,7 +245,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = with_sig.select("doc_id", "s")
+    sets = shingle_sets(docs, n)
     jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )

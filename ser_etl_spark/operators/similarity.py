@@ -49,6 +49,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _prepped(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Project the double-cast vector and its norm ONCE per row — column
+    references keep HOF lambdas from splicing (and re-evaluating) the
+    cast/norm subtrees at every use."""
+    return vectors.select(
+        "*", _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_nv", _norm(F.col("_v")))
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -58,9 +67,10 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest by cosine to a literal query vector."""
     q = _as_double(F.array(*[F.lit(float(v)) for v in query_vec]))
-    sim = cosine(_as_double(F.col(vec_col)), q)
+    p = _prepped(vectors, vec_col, id_col)
+    sim = _dot(F.col("_v"), q) / (F.col("_nv") * _norm(q))
     return (
-        vectors.select(
+        p.select(
             F.col(id_col),
             F.round(sim, 4).alias("cos_sim"),
         )
@@ -152,17 +162,21 @@ def embedding_neardup_pairs(
     block id comes from a k-means coarse quantizer and the same plan
     applies unchanged.
     """
-    lhs = vectors.select(
+    p = _prepped(vectors, vec_col, id_col)
+    lhs = p.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        F.col("_v").alias("va"),
+        F.col("_nv").alias("na"),
     )
-    rhs = vectors.select(
+    rhs = p.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+        F.col("_v").alias("vb"),
+        F.col("_nv").alias("nb"),
     )
-    sim = cosine(_as_double(F.col("va")), _as_double(F.col("vb")))
+    # per pair only the dot remains; norms were computed once per row
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         lhs.join(
             rhs,
