@@ -1,0 +1,376 @@
+"""Multi-join analytics and window-function extensions.
+
+TPC-H-shaped workloads over the star schema — the "joins and subqueries
+implicitly admitted" surface (SURVEY.md §2.B B11: the reference's loose
+allow-pattern ``^SELECT\\s+.+\\s+FROM\\s+\\w+``,
+``/root/reference/api-service/src/config.py:34``, admits arbitrary joins
+straight through to the executor) — plus window functions and
+sessionization, which the reference surface *excludes* and we provide as
+extensions (SURVEY.md §2.B "Explicitly blocked / out of surface").
+
+Scale design per query:
+- Fact-side scans project only needed columns and carry pushed-down
+  date/flag predicates; dims broadcast (``F.broadcast``) so the only
+  shuffles are fact⋈fact joins on their natural keys and final
+  aggregations.
+- Top-k always rides ``TakeOrderedAndProject`` (ORDER BY + LIMIT) — no
+  global sort materializes.
+- Window functions shuffle once on the partition key; running
+  aggregates use decimal accumulation (``functions.numeric``) so
+  results are bit-identical to the DuckDB oracle under any
+  parallelism.
+- Sessionization is the batch twin of the streaming stateful operator
+  (``streaming.sessions``): same gap rule, expressed with lag + a
+  running break-count — one shuffle on ``user_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ser_etl_spark.functions.numeric import PRECISION, dsum, sql_dsum
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ntz(lit: str):
+    """Session-timezone-independent timestamp literal (NTZ columns)."""
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def _revenue():
+    """Lazy: classic-mode Columns need the live JVM, so no module-level Column."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join analytics (B11 surface, stress joins at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shape: segment-filtered customer broadcasts into "
+    "orders, orders⋈lineitem shuffles on orderkey, top-10 revenue via "
+    "TakeOrderedAndProject",
+    covers=("B11",),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > _ntz("1998-01-01 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_revenue(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    description="TPC-H Q5 shape: 6-way join — lineitem⋈orders shuffles on "
+    "orderkey; supplier/nation/region and the customer nation-equality leg "
+    "broadcast; revenue per nation",
+    covers=("B11",),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "top_returned_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS lost_revenue,
+           COUNT(*) AS returned_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item revenue per customer; "
+    "returnflag predicate pushes to the lineitem scan, customer broadcasts, "
+    "top-20 via TakeOrderedAndProject",
+    covers=("B11",),
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(_revenue(), 4).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (extension beyond the reference's blocked surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+    description="extension: top-3 customers per market segment via "
+    "ROW_NUMBER — one shuffle on the partition key, rank filter prunes "
+    "before any downstream work",
+    covers=("X-window",),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL({PRECISION},2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    description="extension: per-customer running spend (cumulative window "
+    "sum, decimal-exact so order of accumulation can't skew doubles)",
+    covers=("X-window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        F.sum(F.col("o_totalprice").cast(f"decimal({PRECISION},2)"))
+        .over(w)
+        .cast("double")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            running.alias("running_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of the streaming stateful operator)
+# ---------------------------------------------------------------------------
+
+#: Gap that closes a session, in seconds.
+SESSION_GAP_S = 1800
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_s``.
+
+    lag → break flag → running count of breaks = session index; then one
+    aggregate per (user, session). Two window passes over the same
+    ``user_id`` partitioning — Catalyst reuses a single shuffle. The
+    deterministic (ts, event_id) ordering makes the session ids stable
+    across engines and runs.
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # timestampdiff on NTZ pairs is timezone-pure (floor of elapsed
+    # seconds) — unlike unix_timestamp, which detours through the session
+    # timezone; the oracle mirrors with floor(epoch(ts) - epoch(prev)).
+    with_prev = events.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("_prev_ts")
+    )
+    is_break = F.when(
+        F.col("_prev_ts").isNull()
+        | (F.expr("timestampdiff(SECOND, _prev_ts, ts)") > gap_s),
+        1,
+    ).otherwise(0)
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_session = with_prev.select(
+        "user_id", "event_id", "ts",
+        F.sum(is_break).over(cum).alias("session_id"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "events",
+            "session_start",
+            "session_end",
+            F.expr(
+                "timestampdiff(SECOND, session_start, session_end)"
+            ).alias("duration_s"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR floor(epoch(CAST(ts AS TIMESTAMP))
+                             - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w))
+                       > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_break) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    description="extension: gap-based sessionization (30 min) of the events "
+    "stream — batch twin of the stateful streaming operator; one user_id "
+    "shuffle reused across both window passes",
+    covers=("X-session", "A16"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))

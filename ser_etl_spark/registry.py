@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module and return the full registry."""
     # Imports are deferred so `import ser_etl_spark` stays cheap.
     from ser_etl_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,

@@ -94,3 +94,45 @@ class TestWindows:
         # every event lands in exactly window/slide = 2 windows
         total_events = sum(r["events"] for r in rows)
         assert total_events == 2 * 1000
+
+
+@pytest.mark.usefixtures("spark")
+class TestStatefulSessions:
+    def test_streaming_sessions_match_batch_closed(self, spark, sf_small):
+        """Streamed closed sessions == batch sessions minus each user's
+        last (still-open) session, with identical boundaries/counts."""
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators.analytics import sessionize
+        from ser_etl_spark.sources.parquet import load_table
+        from ser_etl_spark.streaming.sessions import streaming_sessions
+        from ser_etl_spark.streaming.windows import run_to_memory, streaming_events
+
+        stream = streaming_sessions(streaming_events(spark, sf_small))
+        run_to_memory(stream, "sessions_out", mode="update")
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["events"])
+            for r in spark.table("sessions_out").collect()
+        }
+
+        batch_all = sessionize(load_table(spark, sf_small, "events"))
+        last = batch_all.groupBy("user_id").agg(
+            F.max("session_id").alias("session_id")
+        )
+        closed = batch_all.join(last, ["user_id", "session_id"], "left_anti")
+        # batch ts is NTZ; the stream pins instants to UTC — compare in UTC
+        want = {
+            (
+                r["user_id"],
+                r["session_start"],
+                r["session_end"],
+                r["events"],
+            )
+            for r in closed.withColumn(
+                "session_start", F.to_utc_timestamp("session_start", "UTC")
+            )
+            .withColumn("session_end", F.to_utc_timestamp("session_end", "UTC"))
+            .collect()
+        }
+        assert got == want
+        assert len(got) > 50  # real session spread across 150 users
