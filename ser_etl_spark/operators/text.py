@@ -41,6 +41,26 @@ def _ws_tokens(col: Column) -> Column:
     return F.split(F.trim(col), " +")
 
 
+def _space_doubled(col: Column) -> Column:
+    """Lower/trim text, double every space run, pad with one space.
+
+    Every whitespace token ends up flanked by its own spaces, so a
+    pattern ``" (w1|w2) "`` matches a token exactly once with no
+    overlap between adjacent tokens — letting ``regexp_count`` replace
+    an interpreted higher-order ``filter(tokens, isin)`` (lambda
+    functions are CodegenFallback and ~40x slower here; the regex stays
+    inside whole-stage codegen).
+    """
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(col)), " +", "  "), F.lit(" ")
+    )
+
+
+def _marker_count(col: Column, markers: tuple[str, ...]) -> Column:
+    """Number of whitespace tokens of ``col`` equal to any marker word."""
+    return F.regexp_count(_space_doubled(col), F.lit(" (" + "|".join(markers) + ") "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document counting stats: chars, whitespace tokens, BPE-ish
     tokens, punctuation chars, mean token length."""
@@ -64,21 +84,28 @@ def language_id(docs: DataFrame) -> DataFrame:
     Counts per-language marker stopwords among the whitespace tokens and
     picks the first language (in fixed order) with the strictly highest
     count; ``und`` (undetermined) when no marker appears.
+
+    The argmax is a single ``array_max`` over ``struct(count, -index,
+    lang)`` entries plus an ``(0, 1, 'und')`` sentinel: highest count
+    wins, ties go to the earliest language, all-zero goes to the
+    sentinel — and each per-language count expression is evaluated
+    exactly once per row (a ``greatest`` + CASE chain re-evaluates every
+    count ~3x).
     """
-    toks = _ws_tokens(F.lower(F.col("text")))
-
-    def marker_count(markers: tuple[str, ...]) -> Column:
-        # real closure: F.filter introspects the lambda's arity, so the
-        # marker list must not appear as a lambda parameter
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
-
-    counts = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS}
-    best = F.greatest(*counts.values())
-    guess = F.lit("und")
-    # reversed so earlier languages win ties via later .when precedence
-    for lang, _ in reversed(_LANG_MARKERS):
-        guess = F.when((counts[lang] == best) & (best > 0), lang).otherwise(guess)
-    return docs.select("doc_id", guess.alias("lang_guess"))
+    text = F.col("text")
+    entries = [
+        F.struct(
+            _marker_count(text, markers).alias("cnt"),
+            F.lit(-idx).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, (lang, markers) in enumerate(_LANG_MARKERS)
+    ]
+    entries.append(
+        F.struct(F.lit(0).alias("cnt"), F.lit(1).alias("prio"), F.lit("und").alias("lang"))
+    )
+    best = F.array_max(F.array(*entries))
+    return docs.select("doc_id", best.getField("lang").alias("lang_guess"))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -89,7 +116,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = _ws_tokens(F.lower(text))
     n_chars = F.length(text).cast("double")
     n_tokens = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    n_stop = _marker_count(text, _STOPWORDS).cast("double")
     n_punct = F.length(F.regexp_replace(text, r"[\w\s]", "")).cast("double")
     punct_ratio = n_punct / n_chars
     stop_ratio = n_stop / n_tokens
