@@ -33,11 +33,17 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
 
+    # Two passes, min per query: the host VM shows multi-second CPU-steal
+    # bursts (observed 30-60x slowdowns on individual queries); min-of-2
+    # reports the engine's actual throughput rather than host noise.
     timings: dict[str, float] = {}
-    for name, spec in all_queries().items():
-        start = time.time()
-        spec.builder(spark, sf_dir).collect()
-        timings[name] = round(time.time() - start, 3)
+    for _pass in range(2):
+        for name, spec in all_queries().items():
+            start = time.time()
+            spec.builder(spark, sf_dir).collect()
+            elapsed = round(time.time() - start, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(
