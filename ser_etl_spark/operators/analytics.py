@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ser_etl_spark.functions.numeric import PRECISION, dsum, sql_dsum
+from ser_etl_spark.functions.numeric import (
+    PRECISION,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -199,6 +205,254 @@ def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_davg('l_quantity', 2)} AS avg_qty,
+           {sql_davg('l_extendedprice', 2)} AS avg_price,
+           {sql_davg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: scan-heavy multi-aggregate pricing summary "
+    "— one hash aggregate over the fact table with partial (map-side) "
+    "combine on 6 low-cardinality groups; decimal-exact sums",
+    covers=("B4", "B5", "B11"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ntz("2001-09-01 00:00:00")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(_revenue(), 4).alias("sum_disc_price"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "revenue_forecast",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pure filter+aggregate — every predicate "
+    "(date range, discount band, quantity) lands in PushedFilters on the "
+    "parquet scan; no shuffle beyond the 1-row final agg",
+    covers=("B4", "B6", "B11"),
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ntz("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue_increase"
+        )
+    )
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI "
+    "join on orderkey — the probe side deduplicates during the join, no "
+    "distinct needed; returnflag predicate pushes into the lineitem scan",
+    covers=("B11",),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                             "THEN l.l_extendedprice * (1 - l.l_discount) "
+                             "ELSE 0.0 END", 4)}
+           / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    description="TPC-H Q14 shape: promo revenue share — date-pruned fact "
+    "scan, part dimension broadcasts, conditional aggregate ratio in one "
+    "pass (no second scan for the denominator)",
+    covers=("B11",),
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1997-03-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1997-04-01 00:00:00"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * dsum(promo, 4) / dsum(_revenue(), 4)
+            ).alias("promo_pct")
+        )
+    )
+
+
+#: Q18-style "large order" quantity threshold (sf-independent semantics).
+LARGE_ORDER_QTY = 250
+
+
+@register(
+    "large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum('l.l_quantity', 2)} AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+             > {LARGE_ORDER_QTY}
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    description="TPC-H Q18 shape: IN-subquery over an aggregate — the "
+    "qualifying orderkey set comes from a grouped HAVING and semi-joins "
+    "back into the fact; both lineitem passes share the orderkey shuffle "
+    "partitioning; top-100 via TakeOrderedAndProject",
+    covers=("B11",),
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("_qty"))
+        .filter(F.col("_qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big_o = o.join(
+        qualifying, o.o_orderkey == qualifying.l_orderkey, "left_semi"
+    )
+    return (
+        li.join(big_o, li.l_orderkey == big_o.o_orderkey)
+        .join(F.broadcast(c), big_o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "idle_customers",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS idle_customers,
+           {sql_dsum('c_acctbal', 2)} AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {sql_davg('c_acctbal', 2)}
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    description="TPC-H Q22 shape: NOT EXISTS (no recent orders) as a LEFT "
+    "ANTI join plus an uncorrelated scalar subquery (global avg balance) "
+    "broadcast as a 1-row literal — no per-row recompute, no correlated "
+    "execution",
+    covers=("B11",),
+)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", 2).alias("_avg_bal"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ntz("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("idle_customers"),
+            dsum("c_acctbal", 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
