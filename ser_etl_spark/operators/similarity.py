@@ -193,6 +193,164 @@ def embedding_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> per-list exact search
+# ---------------------------------------------------------------------------
+
+#: Number of coarse-quantizer centroids for the IVF stand-in.
+IVF_CENTROIDS = 8
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the vectors with the
+    ``num_centroids`` lowest ids.
+
+    Stand-in for a k-means training job (whose output is likewise a tiny
+    centroid table collected to the driver and shipped to executors —
+    collecting K rows is how real IVF indexes distribute their
+    quantizer; it is O(K), not O(data)).
+    """
+    rows = (
+        vectors.filter(F.col(id_col) < num_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def _nearest_centroid(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Argmax-cosine centroid id for a double-array vector column.
+
+    Single ``array_max`` over ``struct(round(cos,4), -cid, cid)`` — each
+    centroid similarity is evaluated exactly once per row; rounding to 4
+    decimals keeps the argmax (and its tie-break on lowest cid)
+    bit-reproducible against other engines.
+    """
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cs = F.round(cosine(vec, _as_double(c)), 4)
+        entries.append(
+            F.struct(
+                cs.alias("cs"), F.lit(-cid).alias("prio"), F.lit(cid).alias("cid")
+            )
+        )
+    return F.array_max(F.array(*entries)).getField("cid")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF build step: assign every vector to its nearest centroid list.
+
+    One narrow scan — K dot products per row, no shuffle, no Python. At
+    100 TB this is the embarrassingly-parallel "index build" pass; the
+    output would be written partitioned by ``centroid_id`` so each
+    inverted list is a contiguous partition for the probe step.
+    """
+    p = _prepped(vectors, vec_col, id_col)
+    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    return p.select(
+        F.col(id_col),
+        _nearest_centroid(F.col("_v"), cents).alias("centroid_id"),
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact search over the query's ``nprobe``
+    nearest inverted lists only.
+
+    Probing more lists trades scan cost for recall (nprobe=K degenerates
+    to brute force). With centroid-partitioned storage the filter below
+    becomes partition pruning — only ``nprobe`` of ``num_centroids``
+    partitions are read at all.
+    """
+    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    q = [float(v) for v in query_vec]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb)
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            cents, key=lambda cv: (-round(cos_py(q, cv[1]), 4), cv[0])
+        )[:nprobe]
+    ]
+    p = _prepped(vectors, vec_col, id_col)
+    qcol = _as_double(F.array(*[F.lit(v) for v in q]))
+    sim = _dot(F.col("_v"), qcol) / (F.col("_nv") * _norm(qcol))
+    return (
+        p.withColumn("_cid", _nearest_centroid(F.col("_v"), cents))
+        .filter(F.col("_cid").isin(probes))
+        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding aggregation: per-label centroid components
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean-vector components: ``(group, dim, centroid_val)``.
+
+    ``posexplode`` the embedding, then one hash aggregate on
+    ``(group, dim)`` — map-side partial sums make the shuffle carry one
+    row per group-dim, not per vector.
+
+    Determinism: double addition is order-sensitive, and decimal casts
+    of doubles differ across engines in the last ulp (DuckDB converts
+    via an inexact ``x * 10^scale`` in double space). So components are
+    quantized to 1e-9 with pure IEEE double ops (identical everywhere),
+    summed exactly as BIGINT (associative — partitioning can't change
+    the result), and divided back out once at the end.
+    """
+    exploded = vectors.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    q = F.round(F.col("_x").cast("double") * F.lit(1.0e9), 0).cast("long")
+    return (
+        exploded.groupBy("grp", "dim")
+        .agg(
+            (
+                F.sum(q).cast("double") / (F.lit(1.0e9) * F.count("_x"))
+            ).alias("centroid_val")
+        )
+        .select(F.col("grp").alias(group_col), "dim", "centroid_val")
+        .orderBy(group_col, "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry entries
 # ---------------------------------------------------------------------------
 
@@ -257,3 +415,64 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), vec, k=10)
+
+
+@register(
+    "ivf_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 4)
+               AS cs
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cid AS centroid_id
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+    """,
+    description="IVF index build: every vector assigned to its nearest of "
+    "8 coarse centroids (argmax cosine, ties to lowest id) — K dot "
+    "products per row, no shuffle; output would be written partitioned by "
+    "centroid_id so ANN probes become partition pruning",
+    covers=("N-sim",),
+)
+def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=None,  # approximate; tests measure recall vs the exact top-k
+    description="IVF ANN: exact cosine top-10 over the query's 2 nearest "
+    "inverted lists only (centroid-partitioned storage -> partition "
+    "pruning at scale)",
+    covers=("N-sim",),
+)
+def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vector(spark, sf_dir)
+    return ivf_ann_topk(load_table(spark, sf_dir, "embeddings"), vec, k=10)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+             / (1e9 * COUNT(x)) AS centroid_val
+    FROM ex GROUP BY label, dim
+    """,
+    description="per-label mean-embedding components via posexplode + one "
+    "hash aggregate (map-side partial sums; exact BIGINT accumulation of "
+    "1e-9-quantized components for order-independent bit determinism)",
+    covers=("N-sim",),
+)
+def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_centroids(load_table(spark, sf_dir, "embeddings"))

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         dedup,
         multimodal,
+        packing,
         relational,
         similarity,
         text,

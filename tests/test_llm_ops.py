@@ -21,9 +21,13 @@ from ser_etl_spark.operators.multimodal import (
     sample_frames,
     with_fake_payload,
 )
+from ser_etl_spark.operators.packing import greedy_pack, pack_sequences
 from ser_etl_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_centroids,
     lsh_ann_topk,
 )
 from ser_etl_spark.sources.parquet import load_table
@@ -140,6 +144,83 @@ class TestSimilarity:
         by_id = {r["vec_id"]: r["label"] for r in vectors.collect()}
         for r in pairs:
             assert by_id[r["id_a"]] == by_id[r["id_b"]] == r["label"]
+
+
+class TestIVF:
+    def test_assignment_covers_corpus_once(self, vectors):
+        assigned = ivf_assign(vectors).collect()
+        assert len(assigned) == vectors.count()
+        cids = {r["centroid_id"] for r in assigned}
+        assert cids <= set(range(8))
+
+    def test_centroid_vectors_assign_to_themselves(self, vectors):
+        assigned = {
+            r["vec_id"]: r["centroid_id"] for r in ivf_assign(vectors).collect()
+        }
+        for cid in range(8):
+            assert assigned[cid] == cid  # cos(v, v) = 1 is the max
+
+    def test_ann_recall_vs_bruteforce(self, vectors):
+        vec = list(vectors.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = [r["vec_id"] for r in cosine_topk(vectors, vec, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ivf_ann_topk(vectors, vec, k=10, nprobe=4).collect()
+        ]
+        assert approx[0] == 0  # the query's own list is always probed
+        # probing half the lists should recover most of the true top-10
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.5
+
+    def test_nprobe_full_equals_bruteforce(self, vectors):
+        vec = list(vectors.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = [r["vec_id"] for r in cosine_topk(vectors, vec, k=10).collect()]
+        full = [
+            r["vec_id"]
+            for r in ivf_ann_topk(vectors, vec, k=10, nprobe=8).collect()
+        ]
+        assert full == exact  # nprobe = num_centroids degenerates to exact
+
+    def test_centroids_are_deterministic(self, vectors):
+        assert ivf_centroids(vectors) == ivf_centroids(vectors)
+
+
+class TestPacking:
+    def test_greedy_reference(self):
+        # items: 600+300 fit; 500 opens bin 1; 2000 oversized -> own bin
+        assert greedy_pack([600, 300, 500, 2000, 10], 1024) == [
+            (0, 0), (0, 600), (1, 0), (2, 0), (3, 0),
+        ]
+
+    def test_every_doc_packed_once(self, docs):
+        packed = pack_sequences(docs).collect()
+        assert len(packed) == docs.count()
+        assert len({r["doc_id"] for r in packed}) == len(packed)
+
+    def test_bins_respect_budget(self, docs):
+        packed = pack_sequences(docs, budget=1024).collect()
+        bins: dict[tuple, list] = {}
+        for r in packed:
+            bins.setdefault((r["source"], r["shard"], r["bin_id"]), []).append(r)
+        for members in bins.values():
+            total = sum(r["n_tokens"] for r in members)
+            assert total <= 1024 or len(members) == 1  # oversized solo doc
+
+    def test_matches_reference_packer_per_group(self, docs):
+        packed = pack_sequences(docs, budget=1024).collect()
+        groups: dict[tuple, list] = {}
+        for r in packed:
+            groups.setdefault((r["source"], r["shard"]), []).append(r)
+        for members in groups.values():
+            members.sort(key=lambda r: r["doc_id"])
+            expect = greedy_pack([r["n_tokens"] for r in members], 1024)
+            got = [(r["bin_id"], r["bin_pos"]) for r in members]
+            assert got == expect
+
+    def test_deterministic_across_runs(self, docs):
+        a = sorted(map(str, pack_sequences(docs).collect()))
+        b = sorted(map(str, pack_sequences(docs.repartition(7)).collect()))
+        assert a == b
 
 
 class TestMultimodal:
