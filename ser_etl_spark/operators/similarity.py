@@ -2,9 +2,10 @@
 hyperplane LSH ANN, and blocked embedding near-duplicate detection.
 
 Over an ``embeddings(vec_id, embedding array<float>, label)`` table
-(BASELINE.json north star). Vector math uses Spark higher-order array
-functions (``zip_with`` + ``aggregate``) in double precision — JVM-side,
-no Python. Scale design:
+(BASELINE.json north star). Vector math is expanded into flat
+per-component double expressions that stay inside whole-stage codegen
+(higher-order lambdas execute interpreted — measured ~8x slower); no
+Python in any per-row path. Scale design:
 
 - **brute-force top-k**: one scan, per-partition top-k heaps via
   ORDER BY + LIMIT (TakeOrderedAndProject) — the exact baseline; linear
@@ -20,42 +21,81 @@ no Python. Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
-
-def _as_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# Vector math is *expanded* into flat per-component expressions
+# (element_at products summed left-to-right) rather than higher-order
+# ``zip_with``/``aggregate`` lambdas: HOFs are CodegenFallback and run
+# interpreted (~8x slower here), while the expanded form stays inside
+# whole-stage codegen. Accumulation order (left-to-right) is identical
+# to both the HOF form and DuckDB's list_cosine_similarity, so results
+# are bit-equal. Requires a known dimension — probed O(1) from the
+# first row, never from data volume.
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dim(vectors: DataFrame, vec_col: str) -> int:
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
+def _elem(col: Column, i: int) -> Column:
+    return F.element_at(col, i + 1).cast("double")
+
+
+def _dot_lit(col: Column, vals: list[float]) -> Column:
+    """Dot product of an array column with a Python-literal vector —
+    the coefficients fold into the generated code as constants."""
+    s = _elem(col, 0) * float(vals[0])
+    for i in range(1, len(vals)):
+        s = s + _elem(col, i) * float(vals[i])
+    return s
+
+
+def _dot_cols(a: Column, b: Column, dim: int) -> Column:
+    """Dot product of two array columns of known dimension."""
+    s = _elem(a, 0) * _elem(b, 0)
+    for i in range(1, dim):
+        s = s + _elem(a, i) * _elem(b, i)
+    return s
+
+
+def _norm_col(col: Column, dim: int) -> Column:
+    return F.sqrt(_dot_cols(col, col, dim))
+
+
+def _pynorm(vals: list[float]) -> float:
+    """Driver-side norm with the same left-to-right double accumulation
+    as the engine expressions (Python floats are IEEE doubles)."""
+    s = 0.0
+    for v in vals:
+        s = s + float(v) * float(v)
+    return math.sqrt(s)
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays (sequential accumulation —
-    same operation order as the DuckDB oracle for bit parity)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two double arrays via higher-order functions
+    (dimension-agnostic API form; the registered operators use the
+    expanded codegen form instead — same accumulation order, same bits)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
+    def norm(c: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
 
-def _prepped(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Project the double-cast vector and its norm ONCE per row — column
-    references keep HOF lambdas from splicing (and re-evaluating) the
-    cast/norm subtrees at every use."""
-    return vectors.select(
-        "*", _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_nv", _norm(F.col("_v")))
+    return dot / (norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -66,11 +106,13 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k nearest by cosine to a literal query vector."""
-    q = _as_double(F.array(*[F.lit(float(v)) for v in query_vec]))
-    p = _prepped(vectors, vec_col, id_col)
-    sim = _dot(F.col("_v"), q) / (F.col("_nv") * _norm(q))
+    q = [float(v) for v in query_vec]
+    dim = len(q)
+    sim = _dot_lit(F.col(vec_col), q) / (
+        _norm_col(F.col(vec_col), dim) * F.lit(_pynorm(q))
+    )
     return (
-        p.select(
+        vectors.select(
             F.col(id_col),
             F.round(sim, 4).alias("cos_sim"),
         )
@@ -89,24 +131,20 @@ def _srp_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
 
     Plane p's component i is a deterministic pseudo-random value in
     [-1, 1) derived from xxhash64(p, i) — regenerated identically
-    anywhere, so the "model" ships as code, not data.
+    anywhere, so the "model" ships as code, not data. Each projection is
+    an expanded multiply-add chain whose ``xxhash64(literal)``
+    coefficients Catalyst constant-folds — the whole bucket expression
+    compiles into straight-line codegen.
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        comps = F.array(
-            *[
-                (
-                    F.xxhash64(F.lit(f"plane:{p}:{i}")).cast("double")
-                    / F.lit(float(2**63))
-                )
-                for i in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = None
+        for i in range(dim):
+            coeff = F.xxhash64(F.lit(f"plane:{p}:{i}")).cast("double") / F.lit(
+                float(2**63)
+            )
+            term = _elem(vec, i) * coeff
+            proj = term if proj is None else proj + term
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -130,16 +168,17 @@ def lsh_ann_topk(
     for clarity). The bucketed table would be precomputed/persisted in
     a real deployment.
     """
-    dim = len(query_vec)
-    dvec = _as_double(F.col(vec_col))
-    bucketed = vectors.withColumn("_bucket", _srp_bucket(dvec, dim, planes))
-    qcol = _as_double(F.array(*[F.lit(float(v)) for v in query_vec]))
+    q = [float(v) for v in query_vec]
+    dim = len(q)
+    vec = F.col(vec_col)
+    bucketed = vectors.withColumn("_bucket", _srp_bucket(vec, dim, planes))
+    qcol = F.array(*[F.lit(v) for v in q])
     qbucket = (
         vectors.sparkSession.range(1)
         .select(_srp_bucket(qcol, dim, planes).alias("b"))
         .first()["b"]
     )
-    sim = cosine(dvec, qcol)
+    sim = _dot_lit(vec, q) / (_norm_col(vec, dim) * F.lit(_pynorm(q)))
     return (
         bucketed.filter(F.col("_bucket") == F.lit(qbucket))
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
@@ -162,21 +201,27 @@ def embedding_neardup_pairs(
     block id comes from a k-means coarse quantizer and the same plan
     applies unchanged.
     """
-    p = _prepped(vectors, vec_col, id_col)
+    dim = _dim(vectors, vec_col)
+    p = vectors.select(
+        F.col(block_col),
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_col(F.col(vec_col), dim).alias("_nv"),
+    )
     lhs = p.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
-        F.col("_v").alias("va"),
+        F.col(vec_col).alias("va"),
         F.col("_nv").alias("na"),
     )
     rhs = p.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("id_b"),
-        F.col("_v").alias("vb"),
+        F.col(vec_col).alias("vb"),
         F.col("_nv").alias("nb"),
     )
     # per pair only the dot remains; norms were computed once per row
-    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = _dot_cols(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return (
         lhs.join(
             rhs,
@@ -224,19 +269,21 @@ def ivf_centroids(
 
 
 def _nearest_centroid(
-    vec: Column, centroids: list[tuple[int, list[float]]]
+    vec: Column, vec_norm: Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
-    """Argmax-cosine centroid id for a double-array vector column.
+    """Argmax-cosine centroid id for an array vector column.
 
     Single ``array_max`` over ``struct(round(cos,4), -cid, cid)`` — each
     centroid similarity is evaluated exactly once per row; rounding to 4
     decimals keeps the argmax (and its tie-break on lowest cid)
-    bit-reproducible against other engines.
+    bit-reproducible against other engines. Centroid norms fold to
+    driver-side constants; the row norm is computed once and shared.
     """
     entries = []
     for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        cs = F.round(cosine(vec, _as_double(c)), 4)
+        cs = F.round(
+            _dot_lit(vec, cvec) / (vec_norm * F.lit(_pynorm(cvec))), 4
+        )
         entries.append(
             F.struct(
                 cs.alias("cs"), F.lit(-cid).alias("prio"), F.lit(cid).alias("cid")
@@ -258,11 +305,18 @@ def ivf_assign(
     output would be written partitioned by ``centroid_id`` so each
     inverted list is a contiguous partition for the probe step.
     """
-    p = _prepped(vectors, vec_col, id_col)
     cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    dim = len(cents[0][1])
+    p = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_col(F.col(vec_col), dim).alias("_nv"),
+    )
     return p.select(
         F.col(id_col),
-        _nearest_centroid(F.col("_v"), cents).alias("centroid_id"),
+        _nearest_centroid(F.col(vec_col), F.col("_nv"), cents).alias(
+            "centroid_id"
+        ),
     )
 
 
@@ -298,11 +352,14 @@ def ivf_ann_topk(
             cents, key=lambda cv: (-round(cos_py(q, cv[1]), 4), cv[0])
         )[:nprobe]
     ]
-    p = _prepped(vectors, vec_col, id_col)
-    qcol = _as_double(F.array(*[F.lit(v) for v in q]))
-    sim = _dot(F.col("_v"), qcol) / (F.col("_nv") * _norm(qcol))
+    dim = len(q)
+    vec = F.col(vec_col)
+    p = vectors.select(
+        F.col(id_col), vec, _norm_col(vec, dim).alias("_nv")
+    )
+    sim = _dot_lit(vec, q) / (F.col("_nv") * F.lit(_pynorm(q)))
     return (
-        p.withColumn("_cid", _nearest_centroid(F.col("_v"), cents))
+        p.withColumn("_cid", _nearest_centroid(vec, F.col("_nv"), cents))
         .filter(F.col("_cid").isin(probes))
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
