@@ -136,3 +136,50 @@ class TestStatefulSessions:
         }
         assert got == want
         assert len(got) > 50  # real session spread across 150 users
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingDedup:
+    def test_duplicated_stream_dedups_to_distinct(self, spark, sf_small):
+        """A stream unioned with itself (every event arrives twice)
+        dedups back to exactly the distinct event_ids."""
+        from ser_etl_spark.sources.parquet import load_table
+        from ser_etl_spark.streaming.dedup import streaming_dedup
+
+        s = streaming_events(spark, sf_small)
+        doubled = s.union(s)
+        run_to_memory(
+            streaming_dedup(doubled, key="event_id"), "dedup_out"
+        )
+        got = spark.table("dedup_out")
+        distinct_ids = (
+            load_table(spark, sf_small, "events").select("event_id").distinct()
+        )
+        assert got.count() == distinct_ids.count()
+        assert got.select("event_id").distinct().count() == got.count()
+
+    def test_enrich_stream_broadcasts_dimension(self, spark, sf_small):
+        """Stream-static join: every event picks up its user's segment;
+        row count is preserved (left join, unique dim keys)."""
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.sources.parquet import load_table
+        from ser_etl_spark.streaming.dedup import enrich_stream
+
+        events = load_table(spark, sf_small, "events")
+        dim = (
+            events.select("user_id")
+            .distinct()
+            .withColumn("segment", F.pmod(F.col("user_id"), F.lit(4)))
+        )
+        enriched = enrich_stream(
+            streaming_events(spark, sf_small), F.broadcast(dim)
+        )
+        run_to_memory(enriched, "enriched_out")
+        out = spark.table("enriched_out")
+        assert out.count() == events.count()
+        assert "segment" in out.columns
+        bad = out.filter(
+            F.pmod(F.col("user_id"), F.lit(4)) != F.col("segment")
+        )
+        assert bad.count() == 0
