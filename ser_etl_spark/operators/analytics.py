@@ -456,6 +456,31 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sales_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP hierarchy aggregate: per (flag,status), per flag, "
+    "and grand total in one pass — Catalyst expands the grouping sets "
+    "with a single shuffle, partial aggregation intact",
+    covers=("B5", "B11"),
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(_revenue(), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (extension beyond the reference's blocked surface)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Temporal operators: as-of join (point-in-time lookup).
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The classic
+range-join rewrite (join on key + ts inequality, then keep the max) is
+quadratic within a key; the implementation here is the *union trick* —
+a single shuffle, linear state:
+
+1. Tag right rows side=0 and left rows side=1, union them aligned.
+2. One window pass per key ordered by ``(ts, side)``: ``last(right_row,
+   ignoreNulls)`` over the unbounded-preceding frame gives every left
+   row the most recent right row with ``right.ts <= left.ts``
+   (right-before-left at equal ts makes the match inclusive).
+3. Keep the left rows; unmatched lefts carry NULLs (left-join
+   semantics).
+
+One shuffle on the key, sort within partitions, O(1) running state per
+key — the same cost class as sessionization, at any scale. Skewed keys
+hit the same window-shuffle limits as any keyed window; salting the key
+and merging boundary matches is the standard escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (NULLs when no
+    prior right row exists).
+
+    Right-side columns come back under a ``matched`` struct column;
+    callers project fields out (keeps the operator generic over any
+    right schema with zero column-name collisions).
+    """
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right.columns).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("matched", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(F.col("_l").alias("left"), "matched")
+        .select("left.*", "matched")
+    )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_id, c.click_ts,
+           CAST(floor(epoch(p.ts) - epoch(c.click_ts)) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    description="as-of join: each purchase attributed to the user's most "
+    "recent prior click — union trick (one keyed shuffle + running "
+    "last-non-null window, linear state) vs DuckDB's native ASOF JOIN "
+    "as the oracle",
+    covers=("X-asof",),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched.event_id").alias("click_id"),
+        F.col("matched.ts").alias("click_ts"),
+        F.expr("timestampdiff(SECOND, matched.ts, ts)").alias("gap_s"),
+    )

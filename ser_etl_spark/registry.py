@@ -61,7 +61,9 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         packing,
         relational,
+        semistructured,
         similarity,
+        temporal,
         text,
     )
 

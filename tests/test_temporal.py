@@ -1,0 +1,53 @@
+"""As-of join unit semantics on synthetic frames (edge cases the
+oracle-parity fixture can't pin down: no-match NULLs, inclusive equal
+timestamps, latest-of-several)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ser_etl_spark.operators.temporal import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_matches_latest_prior_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "p1"),
+            (1, _ts("2024-01-01 12:00:00"), "p2"),
+            (2, _ts("2024-01-01 09:00:00"), "p3"),  # before any right row
+        ],
+        "k bigint, ts timestamp_ntz, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), "c-early"),
+            (1, _ts("2024-01-01 10:00:00"), "c-equal"),   # ties with p1
+            (1, _ts("2024-01-01 11:30:00"), "c-late"),
+            (2, _ts("2024-01-01 23:00:00"), "c-future"),  # after p3
+        ],
+        "k bigint, ts timestamp_ntz, tag string",
+    )
+    out = {
+        r["name"]: (r["matched"]["tag"] if r["matched"] else None)
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out == {
+        "p1": "c-equal",   # equal ts is inclusive
+        "p2": "c-late",    # latest of several priors
+        "p3": None,        # no prior right row -> NULL (left join)
+    }
+
+
+def test_asof_left_rows_preserved(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), i) for i in range(5)],
+        "k bigint, ts timestamp_ntz, i bigint",
+    )
+    right = spark.createDataFrame([], "k bigint, ts timestamp_ntz, tag string")
+    rows = asof_join(left, right, on="k").collect()
+    assert len(rows) == 5
+    assert all(r["matched"] is None for r in rows)
