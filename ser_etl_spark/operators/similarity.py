@@ -30,13 +30,20 @@ from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
 # Vector math is *expanded* into flat per-component expressions
-# (element_at products summed left-to-right) rather than higher-order
+# (element products summed left-to-right) rather than higher-order
 # ``zip_with``/``aggregate`` lambdas: HOFs are CodegenFallback and run
 # interpreted (~8x slower here), while the expanded form stays inside
 # whole-stage codegen. Accumulation order (left-to-right) is identical
 # to both the HOF form and DuckDB's list_cosine_similarity, so results
 # are bit-equal. Requires a known dimension — probed O(1) from the
 # first row, never from data volume.
+#
+# Each expanded expression is generated as ONE SQL string handed to a
+# single ``F.expr`` call: composing hundreds of Column objects in Python
+# costs a py4j round-trip per node (measured: several seconds per query
+# just building the tree), while string assembly is free and the server
+# parses it in one call. Float literals use ``repr`` — the shortest
+# round-trip form, parsed back to the bit-identical double.
 
 
 def _dim(vectors: DataFrame, vec_col: str) -> int:
@@ -44,29 +51,32 @@ def _dim(vectors: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def _elem(col: Column, i: int) -> Column:
-    return F.element_at(col, i + 1).cast("double")
+def _elem_sql(arr: str, i: int) -> str:
+    """SQL for component i (0-based) of an array expression, as double."""
+    return f"CAST(({arr})[{i}] AS DOUBLE)"
 
 
-def _dot_lit(col: Column, vals: list[float]) -> Column:
-    """Dot product of an array column with a Python-literal vector —
-    the coefficients fold into the generated code as constants."""
-    s = _elem(col, 0) * float(vals[0])
-    for i in range(1, len(vals)):
-        s = s + _elem(col, i) * float(vals[i])
-    return s
+def _dot_lit_sql(arr: str, vals: list[float]) -> str:
+    """SQL dot product of an array expression with a literal vector —
+    coefficients fold into the generated code as constants."""
+    return "(" + " + ".join(
+        f"{_elem_sql(arr, i)}*({float(v)!r})" for i, v in enumerate(vals)
+    ) + ")"
 
 
-def _dot_cols(a: Column, b: Column, dim: int) -> Column:
-    """Dot product of two array columns of known dimension."""
-    s = _elem(a, 0) * _elem(b, 0)
-    for i in range(1, dim):
-        s = s + _elem(a, i) * _elem(b, i)
-    return s
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    """SQL dot product of two array expressions of known dimension."""
+    return "(" + " + ".join(
+        f"{_elem_sql(a, i)}*{_elem_sql(b, i)}" for i in range(dim)
+    ) + ")"
 
 
-def _norm_col(col: Column, dim: int) -> Column:
-    return F.sqrt(_dot_cols(col, col, dim))
+def _norm_sql(arr: str, dim: int) -> str:
+    return f"sqrt({_dot_cols_sql(arr, arr, dim)})"
+
+
+def _norm_col(col_name: str, dim: int) -> Column:
+    return F.expr(_norm_sql(col_name, dim))
 
 
 def _pynorm(vals: list[float]) -> float:
@@ -108,8 +118,9 @@ def cosine_topk(
     """Exact top-k nearest by cosine to a literal query vector."""
     q = [float(v) for v in query_vec]
     dim = len(q)
-    sim = _dot_lit(F.col(vec_col), q) / (
-        _norm_col(F.col(vec_col), dim) * F.lit(_pynorm(q))
+    sim = F.expr(
+        f"{_dot_lit_sql(vec_col, q)}"
+        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
     )
     return (
         vectors.select(
@@ -126,29 +137,63 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
-def _srp_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
-    """Sign-random-projection bucket id (int) for a double-array vector.
+#: (planes, dim) -> hyperplane coefficient matrix, resolved once per
+#: session via one O(planes*dim) JVM job.
+_PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
 
-    Plane p's component i is a deterministic pseudo-random value in
-    [-1, 1) derived from xxhash64(p, i) — regenerated identically
-    anywhere, so the "model" ships as code, not data. Each projection is
-    an expanded multiply-add chain whose ``xxhash64(literal)``
-    coefficients Catalyst constant-folds — the whole bucket expression
-    compiles into straight-line codegen.
+
+def _plane_matrix(
+    spark: SparkSession, dim: int, planes: int
+) -> list[list[float]]:
+    """Deterministic hyperplane components in [-1, 1).
+
+    Derived from ``xxhash64('plane:p:i')`` — the same values regenerate
+    on any engine, so the "model" ships as code. Materialized once per
+    session (a 1-row jobless-scale select) and embedded as plain float
+    literals thereafter: queries get straight-line codegen with no hash
+    calls, and the driver can compute a query vector's bucket in pure
+    Python with bit-identical IEEE arithmetic.
     """
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = None
-        for i in range(dim):
-            coeff = F.xxhash64(F.lit(f"plane:{p}:{i}")).cast("double") / F.lit(
-                float(2**63)
-            )
-            term = _elem(vec, i) * coeff
-            proj = term if proj is None else proj + term
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    key = (planes, dim)
+    if key not in _PLANE_CACHE:
+        denom = repr(float(2**63))
+        flat = ",".join(
+            f"CAST(xxhash64('plane:{p}:{i}') AS DOUBLE)/{denom}"
+            for p in range(planes)
+            for i in range(dim)
         )
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
+        row = spark.range(1).select(F.expr(f"array({flat})").alias("m")).first()
+        m = [float(x) for x in row["m"]]
+        _PLANE_CACHE[key] = [m[p * dim : (p + 1) * dim] for p in range(planes)]
+    return _PLANE_CACHE[key]
+
+
+def _srp_bucket(vec: str, matrix: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id (long) for an array expression —
+    one SQL string of expanded multiply-add chains per plane."""
+    plane_sqls = []
+    for p, coeffs in enumerate(matrix):
+        proj = " + ".join(
+            f"{_elem_sql(vec, i)}*({c!r})" for i, c in enumerate(coeffs)
+        )
+        bit = f"(CASE WHEN ({proj}) >= 0 THEN 1L ELSE 0L END)"
+        plane_sqls.append(f"shiftleft({bit}, {p})")
+    bucket = plane_sqls[0]
+    for term in plane_sqls[1:]:
+        bucket = f"({bucket} ^ {term})"
+    return F.expr(bucket)
+
+
+def _srp_bucket_py(vec: list[float], matrix: list[list[float]]) -> int:
+    """Driver-side bucket of a literal vector — same left-to-right IEEE
+    accumulation as the SQL form, so the bits agree."""
+    bucket = 0
+    for p, coeffs in enumerate(matrix):
+        proj = 0.0
+        for i, c in enumerate(coeffs):
+            proj = proj + float(vec[i]) * c
+        if proj >= 0:
+            bucket ^= 1 << p
     return bucket
 
 
@@ -170,15 +215,13 @@ def lsh_ann_topk(
     """
     q = [float(v) for v in query_vec]
     dim = len(q)
-    vec = F.col(vec_col)
-    bucketed = vectors.withColumn("_bucket", _srp_bucket(vec, dim, planes))
-    qcol = F.array(*[F.lit(v) for v in q])
-    qbucket = (
-        vectors.sparkSession.range(1)
-        .select(_srp_bucket(qcol, dim, planes).alias("b"))
-        .first()["b"]
+    matrix = _plane_matrix(vectors.sparkSession, dim, planes)
+    bucketed = vectors.withColumn("_bucket", _srp_bucket(vec_col, matrix))
+    qbucket = _srp_bucket_py(q, matrix)
+    sim = F.expr(
+        f"{_dot_lit_sql(vec_col, q)}"
+        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
     )
-    sim = _dot_lit(vec, q) / (_norm_col(vec, dim) * F.lit(_pynorm(q)))
     return (
         bucketed.filter(F.col("_bucket") == F.lit(qbucket))
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
@@ -206,7 +249,7 @@ def embedding_neardup_pairs(
         F.col(block_col),
         F.col(id_col),
         F.col(vec_col),
-        _norm_col(F.col(vec_col), dim).alias("_nv"),
+        _norm_col(vec_col, dim).alias("_nv"),
     )
     lhs = p.select(
         F.col(block_col).alias("blk"),
@@ -221,7 +264,7 @@ def embedding_neardup_pairs(
         F.col("_nv").alias("nb"),
     )
     # per pair only the dot remains; norms were computed once per row
-    sim = _dot_cols(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    sim = F.expr(f"{_dot_cols_sql('va', 'vb', dim)} / (na * nb)")
     return (
         lhs.join(
             rhs,
@@ -269,9 +312,9 @@ def ivf_centroids(
 
 
 def _nearest_centroid(
-    vec: Column, vec_norm: Column, centroids: list[tuple[int, list[float]]]
+    vec: str, vec_norm: str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
-    """Argmax-cosine centroid id for an array vector column.
+    """Argmax-cosine centroid id for an array expression.
 
     Single ``array_max`` over ``struct(round(cos,4), -cid, cid)`` — each
     centroid similarity is evaluated exactly once per row; rounding to 4
@@ -281,15 +324,14 @@ def _nearest_centroid(
     """
     entries = []
     for cid, cvec in centroids:
-        cs = F.round(
-            _dot_lit(vec, cvec) / (vec_norm * F.lit(_pynorm(cvec))), 4
+        cs = (
+            f"round({_dot_lit_sql(vec, cvec)}"
+            f" / (({vec_norm}) * ({_pynorm(cvec)!r})), 4)"
         )
         entries.append(
-            F.struct(
-                cs.alias("cs"), F.lit(-cid).alias("prio"), F.lit(cid).alias("cid")
-            )
+            f"named_struct('cs', {cs}, 'prio', {-cid}, 'cid', {cid})"
         )
-    return F.array_max(F.array(*entries)).getField("cid")
+    return F.expr(f"array_max(array({', '.join(entries)})).cid")
 
 
 def ivf_assign(
@@ -310,13 +352,11 @@ def ivf_assign(
     p = vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        _norm_col(F.col(vec_col), dim).alias("_nv"),
+        _norm_col(vec_col, dim).alias("_nv"),
     )
     return p.select(
         F.col(id_col),
-        _nearest_centroid(F.col(vec_col), F.col("_nv"), cents).alias(
-            "centroid_id"
-        ),
+        _nearest_centroid(vec_col, "_nv", cents).alias("centroid_id"),
     )
 
 
@@ -353,13 +393,12 @@ def ivf_ann_topk(
         )[:nprobe]
     ]
     dim = len(q)
-    vec = F.col(vec_col)
     p = vectors.select(
-        F.col(id_col), vec, _norm_col(vec, dim).alias("_nv")
+        F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim).alias("_nv")
     )
-    sim = _dot_lit(vec, q) / (F.col("_nv") * F.lit(_pynorm(q)))
+    sim = F.expr(f"{_dot_lit_sql(vec_col, q)} / (_nv * ({_pynorm(q)!r}))")
     return (
-        p.withColumn("_cid", _nearest_centroid(vec, F.col("_nv"), cents))
+        p.withColumn("_cid", _nearest_centroid(vec_col, "_nv", cents))
         .filter(F.col("_cid").isin(probes))
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
