@@ -264,6 +264,72 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over ``(doc_a, doc_b)`` duplicate pairs:
+    ``(doc_id, cluster_id, is_survivor)`` with ``cluster_id`` = the
+    component's minimum doc_id and the survivor = that minimum doc.
+
+    Pairwise dedup output is not actionable until transitive closure
+    groups a~b, b~c into one cluster with one survivor — this operator
+    is that step, as iterative min-label propagation:
+
+    - each node starts labeled with itself;
+    - each round every node takes the min of its own and its neighbors'
+      labels (one join + one aggregate — all shuffles on the node key);
+    - stop when a round changes nothing.
+
+    Rounds needed = component diameter; duplicate clusters are shallow
+    (near-cliques), so a handful of rounds suffices at any corpus size.
+    ``localCheckpoint`` truncates the lineage each round so plans stay
+    flat; the driver loop is control flow only — per-round data never
+    leaves the executors (the convergence check is a count).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -423,6 +489,51 @@ def dedup_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           CAST(node = MIN(r) AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+    description="transitive closure of the exact Jaccard near-dup pairs: "
+    "iterative min-label propagation (per-round join+agg on the node "
+    "key, lineage truncated per round) vs a recursive-CTE reachability "
+    "oracle — one survivor per duplicate cluster",
+    covers=("N-dedup",),
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return duplicate_clusters(pairs)
 
 
 @register(

@@ -253,3 +253,33 @@ class TestMultimodal:
         for doc_id, idxs in by_doc.items():
             assert idxs == sorted(idxs)
             assert all(i % 30 == 0 for i in idxs)
+
+
+class TestDuplicateClusters:
+    def test_transitive_chain_collapses(self, spark):
+        from ser_etl_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {
+            1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+            10: (10, True), 11: (10, False),
+            20: (20, True), 21: (20, False), 22: (20, False),
+        }
+
+    def test_synthetic_neardups_cluster_with_original(self, spark, docs_with_dups):
+        from ser_etl_spark.operators.dedup import duplicate_clusters
+
+        pairs = ngram_jaccard_pairs(docs_with_dups, 0.5)
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        for i in range(5):
+            assert clusters.get(i + 100000) == clusters.get(i)
