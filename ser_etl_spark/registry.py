@@ -63,6 +63,8 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         semistructured,
         similarity,
+        sketches,
+        skew,
         temporal,
         text,
     )

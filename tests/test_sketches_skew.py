@@ -1,0 +1,63 @@
+"""Sketch accuracy bounds and salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ser_etl_spark.operators.sketches import approx_distinct, approx_quantiles
+from ser_etl_spark.operators.skew import salted_join
+from ser_etl_spark.sources.parquet import load_table
+
+
+class TestSketches:
+    def test_hll_within_rsd(self, spark, sf_small):
+        li = load_table(spark, sf_small, "lineitem")
+        exact = li.select("l_orderkey").distinct().count()
+        approx = approx_distinct(li, "l_orderkey", rsd=0.01).first()[
+            "approx_distinct"
+        ]
+        assert abs(approx - exact) / exact < 0.05  # 5 sigma of rsd=1%
+
+    def test_quantiles_bracket_exact_median(self, spark, sf_small):
+        li = load_table(spark, sf_small, "lineitem")
+        [q50] = approx_quantiles(li, "l_extendedprice", [0.5]).first()[
+            "quantiles"
+        ]
+        n = li.count()
+        below = li.filter(F.col("l_extendedprice") <= q50).count()
+        assert 0.45 <= below / n <= 0.55
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain_join(self, spark, sf_small):
+        o = load_table(spark, sf_small, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+        )
+        c = load_table(spark, sf_small, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        plain = sorted(
+            map(str, o.join(c, "c_custkey").collect())
+        )
+        salted = sorted(
+            map(str, salted_join(o, c, on=["c_custkey"]).collect())
+        )
+        assert salted == plain
+
+    def test_salt_spreads_hot_key(self, spark):
+        # one key carrying every left row still spreads across salts
+        left = spark.range(1000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        )
+        right = spark.createDataFrame([(7, "dim")], "k bigint, name string")
+        out = salted_join(left, right, on=["k"])
+        assert out.count() == 1000
+        salts = (
+            left.withColumn(
+                "_salt", F.pmod(F.xxhash64("payload"), F.lit(8)).cast("int")
+            )
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert salts == 8  # all salt buckets populated
