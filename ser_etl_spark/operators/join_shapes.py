@@ -1,0 +1,319 @@
+"""Outer-join / subquery join shapes completing the B11 surface.
+
+The reference's loose allow-pattern
+(``/root/reference/api-service/src/config.py:34``) admits every join
+variant DuckDB supports straight through to the executor; ``analytics.py``
+covers inner / broadcast / semi / anti joins, and this module adds the
+remaining shapes: LEFT OUTER (TPC-H Q13), FULL OUTER, DISTINCT
+aggregation with NOT IN (Q16), correlated scalar subqueries (Q17),
+disjunctive join predicates (Q19), and conditional counts (Q12) —
+adapted to the fixture schema (no partsupp / l_shipmode columns,
+TESTDATA.md).
+
+Scale design:
+- Q13 aggregates orders down to per-customer counts *before* the outer
+  join, so the shuffle carries one row per customer instead of one per
+  order; customers with no orders come back via the LEFT join +
+  ``coalesce(0)``.
+- Q16's NOT IN becomes a broadcast LEFT ANTI join (suppkey is non-null,
+  so the semantics coincide); the distinct aggregation rides Catalyst's
+  two-phase partial/final distinct expansion.
+- Q17 evaluates the correlated AVG as a grouped aggregate over only the
+  brand's lineitems (the broadcast part filter prunes first), joined
+  back on partkey — one shuffle instead of a per-row subquery.
+- Q19's common bounds (size/quantity envelopes) are pre-pushed into the
+  scans so the parquet reader skips row groups before the disjunction
+  runs.
+- The FULL OUTER reconciliation pre-aggregates the fact side to
+  distinct keys, keeping both join inputs key-unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ntz(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN (
+        SELECT o_custkey, o_orderkey FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+      ) o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape: LEFT OUTER JOIN customer→orders, orders "
+    "count per customer (zero-order customers retained), then the "
+    "distribution of counts; orders pre-aggregated per custkey before the "
+    "join so the shuffle carries one row per customer",
+    covers=("B11",),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    counts = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13, 17)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC
+    LIMIT 100
+    """,
+    description="TPC-H Q16 shape: COUNT(DISTINCT suppkey) per brand/type "
+    "with a NOT IN exclusion subquery — broadcast LEFT ANTI join (suppkey "
+    "non-null makes the semantics identical), distinct agg via Catalyst's "
+    "partial/final expand",
+    covers=("B11", "B5"),
+)
+def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 5, 9, 13, 17))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "small_order_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice', 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * ({sql_davg('l2.l_quantity', 2)})
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    description="TPC-H Q17 shape: correlated scalar subquery (20% of the "
+    "per-part average quantity) de-correlated into a grouped aggregate "
+    "over the brand's lineitems joined back on partkey — one shuffle, no "
+    "per-row re-execution; decimal-exact AVG keeps the threshold "
+    "bit-identical to the oracle",
+    covers=("B11", "B4"),
+)
+def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = (
+        brand_li.groupBy(F.col("l_partkey").alias("_tp"))
+        .agg((F.lit(0.2) * davg("l_quantity", 2)).alias("_max_qty"))
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds), brand_li.l_partkey == F.col("_tp")
+        )
+        .filter(F.col("l_quantity") < F.col("_max_qty"))
+        .agg((dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS line_count,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19 shape: disjunctive (OR-of-conjunction) join "
+    "predicate over part⋈lineitem; the common envelopes (size 1-15, "
+    "quantity 1-30, the three brands) are pre-pushed into both scans so "
+    "row groups are skipped before the residual disjunction evaluates",
+    covers=("B11", "B6"),
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        # envelope of the disjunction — pushed to the parquet scan
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            dsum(revenue, 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "priority_shipping",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    description="TPC-H Q12 shape: conditional counts (CASE inside SUM) of "
+    "high- vs low-priority orders per returnflag; the date range prunes "
+    "lineitem at the scan, the orderkey join shuffles only the surviving "
+    "year",
+    covers=("B11", "B5"),
+)
+def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "order_reconciliation",
+    oracle="""
+    SELECT COUNT(*) AS total_keys,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS lineitem_only,
+           COUNT(CASE WHEN f.l_orderkey IS NULL THEN 1 END) AS orders_only,
+           COUNT(CASE WHEN o.o_orderkey IS NOT NULL
+                       AND f.l_orderkey IS NOT NULL THEN 1 END) AS matched
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o
+    FULL OUTER JOIN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    ) f ON o.o_orderkey = f.l_orderkey
+    """,
+    description="FULL OUTER JOIN reconciliation: finished orders vs the "
+    "distinct orderkeys present in the fact table, counting keys on each "
+    "side only vs matched — the fact side is pre-aggregated to distinct "
+    "keys so both inputs are key-unique (audit pattern for snapshot QA)",
+    covers=("B11",),
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    f = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    j = o.join(f, o.o_orderkey == f.l_orderkey, "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+            "lineitem_only"
+        ),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("orders_only"),
+        F.count(
+            F.when(
+                F.col("o_orderkey").isNotNull()
+                & F.col("l_orderkey").isNotNull(),
+                1,
+            )
+        ).alias("matched"),
+    )

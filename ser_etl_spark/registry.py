@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from ser_etl_spark.operators import (  # noqa: F401
         analytics,
         dedup,
+        join_shapes,
         multimodal,
         packing,
         relational,
