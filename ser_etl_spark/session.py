@@ -71,6 +71,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def explain_string(df, mode: str = "formatted") -> str:
+    """The plan ``df.explain(mode)`` would print, as a string.
+
+    Used by the plan-assertion tests (and handy interactively) to verify
+    physical properties — pushed filters, pruned read schemas, broadcast
+    vs shuffle joins, partial aggregation — instead of eyeballing stdout.
+    """
+    jqe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
 def get_spark(
     app_name: str = "ser-etl-spark",
     master: str | None = None,

@@ -1,0 +1,138 @@
+"""Physical-plan assertions: the plans we designed for, not just plans
+that happen to pass.
+
+Correctness is covered by the DuckDB differential suite; these tests pin
+the *scale* properties SURVEY.md §4 calls out — predicate pushdown into
+the parquet scan, column pruning to the read schema, broadcast joins for
+dimensions, top-k without a global sort, partial (map-side) aggregation,
+and shuffle-free co-located joins over the bucketed write layout.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ser_etl_spark.etl.build import TableLayout, write_bucketed_table
+from ser_etl_spark.registry import all_queries
+from ser_etl_spark.session import explain_string
+from ser_etl_spark.sources.parquet import load_table
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_small, name: str, mode: str = "formatted") -> str:
+    return explain_string(QUERIES[name].builder(spark, sf_small), mode)
+
+
+def test_filter_reaches_parquet_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "where_filter")
+    m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+
+def test_projection_prunes_read_schema(spark, sf_small):
+    plan = _plan(spark, sf_small, "select_columns")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the projected columns reach the scan — no SELECT * smuggled in
+    assert read_cols == {"p_partkey", "p_name", "p_brand",
+                         "p_retailprice"}, read_cols
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_small):
+    plan = _plan(spark, sf_small, "top_k")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_broadcast_dims", "shipping_priority", "supplier_variety",
+     "disjunctive_revenue", "small_order_revenue"],
+)
+def test_dimension_joins_broadcast(spark, sf_small, name):
+    plan = _plan(spark, sf_small, name)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_group_by_has_partial_aggregation(spark, sf_small):
+    plan = _plan(spark, sf_small, "group_by")
+    assert re.search(r"Functions \[\d+\]: \[partial_", plan), plan
+
+
+def test_pricing_summary_stays_in_codegen(spark, sf_small):
+    # AQE reports codegen subtrees only after execution; plan without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, sf_small, "pricing_summary", "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1, plan[:2000]
+
+
+def test_q13_preaggregates_orders_before_outer_join(spark, sf_small):
+    """The orders side must collapse to one row per customer *below* the
+    outer join — the shuffle carries |customer| rows, not |orders|."""
+    plan = _plan(spark, sf_small, "customer_order_distribution", "simple")
+    join_pos = plan.find("Join")
+    agg_positions = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert join_pos != -1 and agg_positions, plan
+    # plan text is printed root-first: an aggregate *below* the join
+    # appears after it in the string
+    assert any(p > join_pos for p in agg_positions), plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_small, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    layout = dict(num_buckets=8)
+    write_bucketed_table(
+        load_table(spark, sf_small, "orders"),
+        "b_orders", str(base / "orders"),
+        TableLayout(bucket_by="o_orderkey", **layout),
+    )
+    write_bucketed_table(
+        load_table(spark, sf_small, "lineitem"),
+        "b_lineitem", str(base / "lineitem"),
+        TableLayout(bucket_by="l_orderkey", sort_col="l_orderkey", **layout),
+    )
+    yield "b_orders", "b_lineitem"
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    """Co-located fact⋈fact join over the bucketed layout: zero Exchange.
+
+    Broadcast is disabled so the test proves bucketing (not dim size)
+    eliminated the shuffle — at 100 TB neither side broadcasts.
+    """
+    orders_t, lineitem_t = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(orders_t)
+        li = spark.table(lineitem_t)
+        j = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = explain_string(j, "simple")
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_aggregation_is_shuffle_free(spark, bucketed_tables):
+    """groupBy on the bucket key reuses the bucketing — no Exchange."""
+    _, lineitem_t = bucketed_tables
+    from pyspark.sql import functions as F
+
+    agg = spark.table(lineitem_t).groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = explain_string(agg, "simple")
+    assert "Exchange" not in plan, plan
