@@ -53,6 +53,11 @@ class TableLayout:
     #: worth of data (e.g. 100 TB / 256 MB ≈ 400k is too many files —
     #: pick per-table from volume, typically 1-16k for a large fact).
     num_buckets: int = 8
+    #: directory-partition column (typically a derived date, the
+    #: reference's `updated_at` index turned into a layout:
+    #: `partitionBy(to_date(updated_at))` — time-range queries prune
+    #: whole directories before any I/O happens). Must be low-cardinality.
+    partition_by: str | None = None
 
 
 @dataclass(frozen=True)
@@ -124,7 +129,10 @@ def build_snapshot(
             skipped.append(name)
             continue
         shaped = _apply_layout(df, layout)
-        shaped.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        writer = shaped.write.mode("overwrite")
+        if layout.partition_by and layout.partition_by in df.columns:
+            writer = writer.partitionBy(layout.partition_by)
+        writer.parquet(os.path.join(out_dir, name))
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

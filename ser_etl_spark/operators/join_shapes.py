@@ -277,6 +277,101 @@ def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sole_returning_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 100
+    """,
+    description="TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the "
+    "same fact with an inequality (another supplier / no other returning "
+    "supplier) — de-correlated into ONE grouped pass over lineitem "
+    "(distinct suppliers, distinct returning suppliers per order) joined "
+    "back on orderkey, instead of two correlated self-joins; supplier "
+    "broadcasts",
+    covers=("B11",),
+)
+def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # EXISTS(other supplier) <=> n_supp > 1; NOT EXISTS(other returning
+    # supplier), given l1 itself has flag R <=> n_ret_supp == 1 (suppkey
+    # is non-null, so the <> correlation reduces to distinct counts).
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(per_order, l1.l_orderkey == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
+        .join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             AS median_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+             AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="extension: exact percentiles (PERCENTILE_CONT) of order "
+    "value per priority class — Spark's exact `percentile` aggregate uses "
+    "the same linear interpolation as the SQL spec; the approximate "
+    "scale path for wide groups is the quantile sketch in "
+    "operators/sketches.py",
+    covers=("B4",),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "order_reconciliation",
     oracle="""
     SELECT COUNT(*) AS total_keys,

@@ -126,6 +126,36 @@ def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_date_partitioned_layout_prunes_directories(spark, sf_small, tmp_path):
+    """A9's partition-pruning half: a snapshot partitioned by a derived
+    month column answers time-range queries by skipping directories —
+    PartitionFilters carries the predicate, not the row-level scan."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.etl.build import build_snapshot
+
+    li = load_table(spark, sf_small, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    report = build_snapshot(
+        {"lineitem_bymonth": li},
+        str(tmp_path),
+        layouts={
+            "lineitem_bymonth": TableLayout(
+                num_files=1, partition_by="ship_month"
+            )
+        },
+    )
+    assert report.tables["lineitem_bymonth"] > 0
+    read = spark.read.parquet(str(tmp_path / "lineitem_bymonth")).filter(
+        F.col("ship_month") == "1997-03"
+    )
+    plan = explain_string(read)
+    m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
+    assert m and "ship_month" in m.group(1), plan
+    assert read.count() > 0
+
+
 def test_bucketed_aggregation_is_shuffle_free(spark, bucketed_tables):
     """groupBy on the bucket key reuses the bucketing — no Exchange."""
     _, lineitem_t = bucketed_tables
