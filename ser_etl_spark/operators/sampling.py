@@ -1,0 +1,99 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+A training-data pipeline needs reproducible, engine-independent
+train/val/test assignment: the same document must land in the same split
+on every run, on any engine, under any partitioning — which rules out
+``rand()`` and engine-specific hash functions. We use a Knuth
+multiplicative hash on the stable document id (golden-ratio constant
+2654435761 = floor(2^32 / phi)); it is pure int64 arithmetic, so the
+DuckDB oracle reproduces it bit-for-bit, and it decorrelates the split
+from any ordering or locality in the id space.
+
+Scale design: the assignment is a stateless per-row projection — no
+shuffle, no sampling pass, no driver coordination; it composes with any
+downstream filter (``split = 'train'``) which pushes down to the scan of
+a snapshot written with ``partitionBy(split)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.functions.numeric import dsum, sql_dsum
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+#: floor(2^32 / golden ratio) — Knuth's multiplicative hashing constant.
+_KNUTH = 2654435761
+_MOD = 2**32
+
+#: (split, lower-percent-bound, upper-percent-bound), ordered.
+DEFAULT_SPLITS: tuple[tuple[str, int, int], ...] = (
+    ("train", 0, 80),
+    ("val", 80, 90),
+    ("test", 90, 100),
+)
+
+
+def split_bucket(id_col: Column | str) -> Column:
+    """Deterministic bucket in [0, 100) from a stable integer id.
+
+    ``(id * 2654435761) mod 2^32 mod 100`` — for ids beyond ~3.4e9 the
+    multiplication would overflow int64, so the id is folded mod 2^32
+    first (keeps the product < 2^63 for any bigint id).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    folded = F.pmod(c, F.lit(_MOD))
+    return F.pmod(F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD)), F.lit(100))
+
+
+def sql_split_bucket(id_expr: str) -> str:
+    """Oracle-side rendering of :func:`split_bucket`."""
+    return f"((({id_expr} % {_MOD}) * {_KNUTH}) % {_MOD}) % 100"
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int, int], ...] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named bucket range."""
+    bucket = split_bucket(id_col)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(splits):
+        expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN {sql_split_bucket('doc_id')} < 80 THEN 'train'
+             WHEN {sql_split_bucket('doc_id')} < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           {sql_dsum('n_chars', 0)} AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="training-pipeline op: reproducible train/val/test "
+    "assignment via a Knuth multiplicative hash of doc_id — stateless "
+    "per-row projection, engine-independent (oracle reproduces it "
+    "exactly), no sampling pass",
+    covers=("X-split",),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("n_chars", 0).alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -1,0 +1,111 @@
+"""Time-series extensions over the events stream table: PIVOT and
+hypertable-style multi-granularity rollup.
+
+Both are extensions beyond the reference's whitelisted surface (SURVEY.md
+§2.B blocks nothing join/aggregate-shaped, and its 60 s micro-batch loop,
+``/root/reference/etl-service/src/main.py:80-91``, is the only stream
+abstraction) — these are the batch analytics a time-partitioned event
+store serves.
+
+Scale design:
+- Pivot uses an *explicit* value list: ``df.groupBy().pivot(col)`` without
+  values runs a distinct-collect job first, a driver round-trip that
+  stalls a 1000-executor cluster; with values it is a single conditional
+  aggregation pass (one shuffle, partial aggs intact).
+- The rollup computes hourly and daily grains in ONE shuffle via
+  ``rollup`` (Catalyst expands the grouping sets map-side) instead of two
+  jobs over the fact; at 100 TB pair it with the date-partitioned layout
+  (``etl/build.TableLayout.partition_by``) so each grain prunes to its
+  time range.
+- All truncation stays in TIMESTAMP_NTZ space (timestampdiff arithmetic)
+  — ``F.date_trunc`` would coerce through the session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.functions.numeric import dsum, sql_dsum
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+#: The fixture's closed event-type domain — the explicit pivot value list.
+EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _trunc(unit: str, col: str = "ts"):
+    """NTZ-pure truncation to ``unit`` boundaries (no session-tz detour)."""
+    return F.expr(
+        f"timestampadd({unit}, "
+        f"timestampdiff({unit}, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}), "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+@register(
+    "event_value_pivot",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {sql_dsum("CASE WHEN event_type = 'click' THEN value END", 4)} AS click,
+           {sql_dsum("CASE WHEN event_type = 'error' THEN value END", 4)} AS error,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END", 4)} AS purchase,
+           {sql_dsum("CASE WHEN event_type = 'signup' THEN value END", 4)} AS signup,
+           {sql_dsum("CASE WHEN event_type = 'view' THEN value END", 4)} AS view,
+           COUNT(*) AS total_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="extension: PIVOT — daily value matrix, one column per "
+    "event type; explicit value list keeps it a single conditional-agg "
+    "pass (no distinct-collect pre-job)",
+    covers=("X-pivot",),
+)
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        _trunc("DAY").alias("day"), "event_type", "value"
+    )
+    pivoted = (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value", 4))
+    )
+    totals = ev.groupBy("day").agg(F.count(F.lit(1)).alias("total_events"))
+    # join back on the (tiny, post-agg) day key so pivot stays single-agg
+    return (
+        pivoted.join(totals, "day")
+        .orderBy("day")
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           COUNT(*) AS events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+    description="extension: hypertable-style continuous-aggregate rollup — "
+    "hourly, daily, and grand-total grains of the event stream in one "
+    "shuffle via grouping-set expansion; the day level prunes with the "
+    "date-partitioned layout at scale",
+    covers=("X-timeseries", "B5"),
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        _trunc("DAY").alias("bucket_day"),
+        _trunc("HOUR").alias("bucket_hour"),
+        "value",
+    )
+    return ev.rollup("bucket_day", "bucket_hour").agg(
+        F.count(F.lit(1)).alias("events"),
+        dsum("value", 4).alias("sum_value"),
+    )

@@ -62,12 +62,14 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         packing,
         relational,
+        sampling,
         semistructured,
         similarity,
         sketches,
         skew,
         temporal,
         text,
+        timeseries,
     )
 
     return dict(REGISTRY)

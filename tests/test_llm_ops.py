@@ -283,3 +283,35 @@ class TestDuplicateClusters:
         }
         for i in range(5):
             assert clusters.get(i + 100000) == clusters.get(i)
+
+
+class TestDatasetSplit:
+    def test_split_is_complete_disjoint_and_deterministic(self, spark, sf_small):
+        from ser_etl_spark.operators.sampling import assign_split
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents").select("doc_id")
+        a = dict(assign_split(docs, "doc_id").collect())
+        b = dict(assign_split(docs.repartition(7), "doc_id").collect())
+        # every doc assigned, same answer under any partitioning
+        assert set(a.values()) <= {"train", "val", "test"}
+        assert None not in a.values()
+        assert a == b
+
+    def test_split_proportions_near_targets(self, spark, sf_medium):
+        from ser_etl_spark.operators.sampling import assign_split
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_medium, "documents").select("doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in assign_split(docs, "doc_id")
+            .groupBy("split")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        total = sum(counts.values())
+        assert abs(counts["train"] / total - 0.80) < 0.03
+        assert abs(counts["val"] / total - 0.10) < 0.02
+        assert abs(counts["test"] / total - 0.10) < 0.02
