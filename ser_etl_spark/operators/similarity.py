@@ -251,12 +251,18 @@ def embedding_neardup_pairs(
         F.col(vec_col),
         _norm_col(vec_col, dim).alias("_nv"),
     )
+    # Spread the probe side across the cluster BEFORE the broadcast join:
+    # a small-file input arrives as one partition, and a broadcast join
+    # inherits the probe side's parallelism — without this the whole
+    # quadratic pair evaluation runs in a single task. Hashing on the id
+    # (not the block) keeps skewed blocks spread over many tasks.
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
     lhs = p.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         F.col("_nv").alias("na"),
-    )
+    ).repartition(parallelism, F.col("id_a"))
     rhs = p.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("id_b"),
