@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ser_etl_spark.registry import register
-from ser_etl_spark.sources.parquet import load_table
+from ser_etl_spark.sources.parquet import load_table, spread_small_input
 
 # Vector math is *expanded* into flat per-component expressions
 # (element products summed left-to-right) rather than higher-order
@@ -254,15 +254,17 @@ def embedding_neardup_pairs(
     # Spread the probe side across the cluster BEFORE the broadcast join:
     # a small-file input arrives as one partition, and a broadcast join
     # inherits the probe side's parallelism — without this the whole
-    # quadratic pair evaluation runs in a single task. Hashing on the id
-    # (not the block) keeps skewed blocks spread over many tasks.
-    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    lhs = p.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_nv").alias("na"),
-    ).repartition(parallelism, F.col("id_a"))
+    # quadratic pair evaluation runs in a single task. No-op on a
+    # well-partitioned input, and row-hash (not block) distribution keeps
+    # skewed blocks spread over many tasks.
+    lhs = spread_small_input(
+        p.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_nv").alias("na"),
+        )
+    )
     rhs = p.select(
         F.col(block_col).alias("blk_b"),
         F.col(id_col).alias("id_b"),

@@ -101,6 +101,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_input(df: DataFrame, min_partitions: int = 16) -> DataFrame:
+    """Raise map-stage parallelism when the scan under-partitions.
+
+    A small input (one parquet file under ``maxPartitionBytes``) arrives
+    as a single partition, serializing every expensive narrow
+    transformation built on it — shingling, hashing, vector math — into
+    one task. When the plan has fewer partitions than the cluster has
+    slots, repartition up to ``defaultParallelism``; on a real multi-split
+    input (the 100 TB case) this is a no-op, so well-partitioned data is
+    never shuffled.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, min_partitions):
+        return df
+    return df.repartition(target)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
