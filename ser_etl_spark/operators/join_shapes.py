@@ -341,6 +341,55 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    description="TPC-H Q15 shape: aggregate view (quarterly revenue per "
+    "supplier) joined against its own scalar MAX — the 1-row max "
+    "broadcasts as a literal; equality on the decimal-exact sum is "
+    "deterministic on both engines",
+    covers=("B11", "B4"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1997-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "price_percentiles",
     oracle="""
     SELECT o_orderpriority,

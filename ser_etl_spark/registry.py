@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         sampling,
         semistructured,
+        setops,
         similarity,
         sketches,
         skew,
