@@ -421,6 +421,227 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 shape: bilateral trade volume between two "
+    "nations per year — 6-way join where both nation dims broadcast and "
+    "the cross-nation disjunction evaluates as a post-join residual; "
+    "YEAR() stays pure on NTZ timestamps",
+    covers=("B11",),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2") & (
+        F.col("supp_nation") != F.col("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("_nk1"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("_nk1"),
+        )
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("_nk2"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("_nk2"),
+        )
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", 4)}
+             / {sql_dsum('volume', 4)} AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    description="TPC-H Q8 shape: one nation's market share of a part "
+    "type's revenue in a region per year — 8-way star join (all dims "
+    "broadcast), conditional-over-total ratio of two decimal-exact sums",
+    covers=("B11",),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    # customer-side nations restricted to the region (broadcast chain)
+    n1 = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("_ck_nk"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_sk_nk"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck_nk"),
+              "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk_nk"))
+    )
+    target = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(target, 4) / dsum(volume, 4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount', 4)} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - ((0.6 * p.p_retailprice) * l.l_quantity) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%green%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    description="TPC-H Q9 shape: profit (revenue minus synthesized "
+    "supply cost, 60% of retail) per supplier nation per year for parts "
+    "matching a name pattern — LIKE prunes at the part scan and "
+    "broadcasts into the fact; the cost expression mirrors the oracle's "
+    "association order so the doubles are bit-identical before the "
+    "decimal-exact sum",
+    covers=("B11", "B6"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        (F.lit(0.6) * F.col("p_retailprice")) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
     "order_reconciliation",
     oracle="""
     SELECT COUNT(*) AS total_keys,
