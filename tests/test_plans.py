@@ -50,7 +50,8 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_small):
 @pytest.mark.parametrize(
     "name",
     ["join_broadcast_dims", "shipping_priority", "supplier_variety",
-     "disjunctive_revenue", "small_order_revenue"],
+     "disjunctive_revenue", "small_order_revenue", "nation_trade_volume",
+     "nation_market_share", "product_type_profit"],
 )
 def test_dimension_joins_broadcast(spark, sf_small, name):
     plan = _plan(spark, sf_small, name)
