@@ -558,6 +558,109 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             floor(epoch(CAST(o_orderdate AS TIMESTAMP))
+                   - epoch(LAG(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ))) AS gap_s
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_s) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    LIMIT 1000
+    """,
+    description="extension: LAG — seconds between consecutive orders per "
+    "customer, aggregated to per-customer gap stats; one shuffle on the "
+    "partition key, NTZ-pure second arithmetic (same floor-of-epoch rule "
+    "as sessionization)",
+    covers=("X-window",),
+)
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaps = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "timestampdiff(SECOND, "
+                "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate)"
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("o_custkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "moving_spend_90d",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL({PRECISION},2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_s ASC
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_90d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+               AS epoch_s
+      FROM orders WHERE o_custkey < 200
+    )
+    """,
+    description="extension: RANGE window frame — per-customer trailing "
+    "90-day spend ordered by event time (epoch seconds so the range frame "
+    "is numeric and peer rows group identically on both engines); "
+    "decimal-exact accumulation",
+    covers=("X-window",),
+)
+def moving_spend_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                "o_orderdate)"
+            ).alias("epoch_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("epoch_s").asc())
+        .rangeBetween(-7776000, 0)
+    )
+    spend = (
+        F.sum(F.col("o_totalprice").cast(f"decimal({PRECISION},2)"))
+        .over(w)
+        .cast("double")
+    )
+    return base.select(
+        "o_custkey", "o_orderkey", spend.alias("spend_90d")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (batch twin of the streaming stateful operator)
 # ---------------------------------------------------------------------------
