@@ -238,3 +238,46 @@ def quality_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def token_frequencies(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k corpus token frequencies — the vocabulary-building pass.
+
+    Explode whitespace tokens, hash-aggregate counts, take the global
+    top-k via ORDER BY + LIMIT (``TakeOrderedAndProject`` — partial
+    top-k per partition, no global sort). One shuffle on the token;
+    at 100 TB the partial map-side counts collapse the long tail before
+    it ever crosses the network, and skewed stop-tokens stay single-key
+    cheap because the payload is just a count.
+    """
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "token_frequencies",
+    oracle="""
+    SELECT tok, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY freq DESC, tok ASC
+    LIMIT 100
+    """,
+    description="corpus vocabulary statistics: global top-100 token "
+    "frequencies (explode -> hash agg -> top-k, no global sort)",
+    covers=("N-text",),
+)
+def token_frequencies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequencies(load_table(spark, sf_dir, "documents"))
