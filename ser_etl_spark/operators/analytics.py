@@ -481,6 +481,31 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sales_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE hierarchy aggregate: all 2^2 grouping combinations "
+    "(per pair, per flag, per status, grand total) in one grouping-set "
+    "expansion — single shuffle, partial aggregation intact",
+    covers=("B5", "B11"),
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(_revenue(), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (extension beyond the reference's blocked surface)
 # ---------------------------------------------------------------------------
