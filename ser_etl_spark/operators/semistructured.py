@@ -36,7 +36,7 @@ def extract_props(events: DataFrame, fields: dict[str, str]) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS events,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events

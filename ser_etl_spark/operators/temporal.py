@@ -85,15 +85,18 @@ def asof_join(
       FROM events WHERE event_type = 'click'
     )
     SELECT p.event_id, p.user_id, p.ts,
-           c.click_id, c.click_ts,
-           CAST(floor(epoch(p.ts) - epoch(c.click_ts)) AS BIGINT) AS gap_s
+           COALESCE(c.click_id, -1) AS click_id, c.click_ts,
+           COALESCE(CAST(floor(epoch(p.ts) - epoch(c.click_ts)) AS BIGINT),
+                    -1) AS gap_s
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts >= c.click_ts
     """,
     description="as-of join: each purchase attributed to the user's most "
     "recent prior click — union trick (one keyed shuffle + running "
     "last-non-null window, linear state) vs DuckDB's native ASOF JOIN "
-    "as the oracle",
+    "as the oracle; unmatched purchases keep left-join semantics with a "
+    "-1 sentinel in the integer columns (a NULL in a BIGINT column flips "
+    "the driver's pandas rendering of the whole column to float)",
     covers=("X-asof",),
 )
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +112,9 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.col("matched.event_id").alias("click_id"),
+        F.coalesce(F.col("matched.event_id"), F.lit(-1)).alias("click_id"),
         F.col("matched.ts").alias("click_ts"),
-        F.expr("timestampdiff(SECOND, matched.ts, ts)").alias("gap_s"),
+        F.coalesce(
+            F.expr("timestampdiff(SECOND, matched.ts, ts)"), F.lit(-1)
+        ).alias("gap_s"),
     )

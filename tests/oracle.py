@@ -64,9 +64,47 @@ def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+#: DuckDB output types whose pandas (``fetchdf``) rendering diverges from the
+#: native-Python ``fetchall`` values this harness compares: HUGEINT and
+#: DECIMAL both become float64 in a pandas frame, so the driver's value hash
+#: (it uses the pandas path) sees "1085.0" where we see "1085". Oracles must
+#: CAST such outputs (round-1 lesson: priority_shipping / sessionize_events).
+_PANDAS_DIVERGENT = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+_INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+              "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def oracle_type_problems(name: str, con, sql: str) -> list[str]:
+    """Flag oracle output columns whose dtype the driver renders differently."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    problems = [
+        f"{name}: oracle column {col!r} has driver-divergent type {typ} — "
+        f"CAST it (e.g. AS BIGINT / AS DOUBLE) in the oracle SQL"
+        for col, typ, *_ in desc
+        if any(typ.upper().startswith(p) for p in _PANDAS_DIVERGENT)
+    ]
+    # Second divergence class (round-2 lesson, purchase_attribution): an
+    # integer column CONTAINING A NULL becomes float64 in a pandas frame,
+    # so the driver hashes 1 as "1.0". Detect by comparing declared types
+    # with the dtypes fetchdf actually produces.
+    pdf = con.execute(sql).fetchdf()
+    for col, typ, *_ in desc:
+        if typ.upper() in _INT_TYPES and col in pdf.columns:
+            if str(pdf[col].dtype).startswith("float"):
+                problems.append(
+                    f"{name}: oracle column {col!r} is {typ} but contains "
+                    f"NULLs, so the driver's pandas path renders the whole "
+                    f"column as float — COALESCE to a sentinel or cast to "
+                    f"DOUBLE on both sides"
+                )
+    return problems
+
+
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
-    problems: list[str] = []
+    problems: list[str] = list(oracle_type_problems(name, con, sql))
     s_cols, s_rows = spark_result(spark_df)
     d_cols, d_rows = duckdb_result(con, sql)
     if sorted(s_cols) != sorted(d_cols):
