@@ -52,8 +52,39 @@ def register(
     return deco
 
 
+#: Queries with a green CORRECTNESS row in a prior round (hash-pass or
+#: rows-only for oracle-less ops). The driver verifies only the FIRST ~50
+#: registry entries per round, so ``all_queries`` orders these LAST: the
+#: verification window is spent on queries that still need a row — the 19
+#: never-checked round-1 entries, the 2 round-1 hash failures (fixed, need
+#: re-proof), and anything newly added this round.
+VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 1 (CORRECTNESS_r01.json)
+    "shipping_priority", "local_supplier_volume", "top_returned_customers",
+    "pricing_summary", "revenue_forecast", "order_priority_check",
+    "promo_revenue", "large_orders", "idle_customers", "sales_rollup",
+    "sales_cube", "window_topn_per_group", "window_running_total",
+    "order_gap_stats", "moving_spend_90d", "text_stats", "lang_id",
+    "quality_score", "fingerprint", "token_frequencies", "dedup_exact",
+    "dedup_fingerprint", "ngram_jaccard_pairs",
+    # "dedup_clusters" was green in r01 but its pair-generation switched
+    # to the guarded path in r02 — back to the front for re-verification.
+    "minhash_lsh_pairs", "simhash_pairs", "customer_order_distribution",
+    "supplier_variety", "small_order_revenue", "disjunctive_revenue",
+    "sole_returning_supplier", "top_supplier_revenue", "price_percentiles",
+    "nation_trade_volume", "nation_market_share", "product_type_profit",
+    "order_reconciliation", "multimodal_features", "pack_sequences",
+    "select_all", "select_columns", "count_star", "summary_view",
+    "group_by", "where_filter", "order_by", "top_k", "join_fact_dim",
+})
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import every operator module and return the full registry."""
+    """Import every operator module and return the full registry.
+
+    Order matters: unverified-first (see ``VERIFIED_PRIOR_ROUNDS``), then
+    the already-verified tail in registration order.
+    """
     # Imports are deferred so `import ser_etl_spark` stays cheap.
     from ser_etl_spark.operators import (  # noqa: F401
         analytics,
@@ -61,6 +92,7 @@ def all_queries() -> dict[str, QuerySpec]:
         join_shapes,
         multimodal,
         packing,
+        ranges,
         relational,
         sampling,
         semistructured,
@@ -68,9 +100,12 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         sketches,
         skew,
+        statistics,
         temporal,
         text,
         timeseries,
     )
 
-    return dict(REGISTRY)
+    pending = {n: s for n, s in REGISTRY.items() if n not in VERIFIED_PRIOR_ROUNDS}
+    verified = {n: s for n, s in REGISTRY.items() if n in VERIFIED_PRIOR_ROUNDS}
+    return {**pending, **verified}
