@@ -43,26 +43,76 @@ class JdbcSource:
     parallel range reads — the scale-out replacement for the reference's
     single SQLAlchemy connection pool
     (``etl-service/src/database.py:28-41``).
+
+    Spark's JDBC reader requires ``lowerBound``/``upperBound`` whenever
+    ``partitionColumn`` is set ("Partitioning incompletely specified"
+    otherwise). Bounds can be given statically (``lower_bound``/
+    ``upper_bound``) or probed from the source with one
+    ``SELECT MIN(col), MAX(col)`` round-trip (``probe_bounds=True`` —
+    the same pattern Spark's own docs recommend; cost is one scalar
+    query per sync cycle).
     """
 
     url: str
     properties: dict
     partition_column: str | None = None
     num_partitions: int = 8
+    lower_bound: int | str | None = None
+    upper_bound: int | str | None = None
+    probe_bounds: bool = False
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        reader = (
+    def reader_options(self, table: str) -> dict[str, str]:
+        """The complete option dict handed to ``spark.read.format("jdbc")``
+        — separated from ``read`` so partitioning completeness is unit-
+        testable without a live endpoint."""
+        opts = {"url": self.url, "dbtable": table}
+        opts.update({k: str(v) for k, v in self.properties.items()})
+        if self.partition_column:
+            if self.lower_bound is None or self.upper_bound is None:
+                raise ValueError(
+                    "JdbcSource: partition_column requires lower_bound and "
+                    "upper_bound (or probe_bounds=True to derive them via "
+                    "a MIN/MAX probe); Spark refuses incompletely "
+                    "specified partitioning"
+                )
+            opts.update(
+                partitionColumn=self.partition_column,
+                numPartitions=str(self.num_partitions),
+                lowerBound=str(self.lower_bound),
+                upperBound=str(self.upper_bound),
+            )
+        return opts
+
+    def _with_probed_bounds(self, spark: SparkSession, table: str) -> "JdbcSource":
+        """One-row MIN/MAX probe (non-partitioned read of an aggregate
+        pushdown query) to fill the range bounds."""
+        probe = (
             spark.read.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", table)
+            .option(
+                "dbtable",
+                f"(SELECT MIN({self.partition_column}) AS lo, "
+                f"MAX({self.partition_column}) AS hi FROM {table}) b",
+            )
         )
         for k, v in self.properties.items():
+            probe = probe.option(k, str(v))
+        row = probe.load().first()
+        import dataclasses
+
+        return dataclasses.replace(
+            self, lower_bound=row["lo"], upper_bound=row["hi"], probe_bounds=False
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        src = self
+        if self.partition_column and self.probe_bounds and (
+            self.lower_bound is None or self.upper_bound is None
+        ):
+            src = self._with_probed_bounds(spark, table)
+        reader = spark.read.format("jdbc")
+        for k, v in src.reader_options(table).items():
             reader = reader.option(k, v)
-        if self.partition_column:
-            reader = (
-                reader.option("partitionColumn", self.partition_column)
-                .option("numPartitions", str(self.num_partitions))
-            )
         return reader.load()
 
 

@@ -118,16 +118,18 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 50,
 ) -> DataFrame:
-    """Exact Jaccard similarity join over word n-gram shingle sets.
+    """Jaccard similarity join over word n-gram shingle sets.
 
     Inverted-index plan: explode distinct shingles, self-join on the
     shingle (only co-shingled pairs appear), aggregate shared counts,
     then Jaccard = shared / (|a| + |b| - shared). ``max_shingle_df``
     drops shingles appearing in more than that many docs before pairing
-    — the standard guard against ubiquitous-shingle candidate blowup at
-    scale (off by default to keep oracle parity exact).
+    — the guard that keeps the self-join sub-quadratic when one
+    stop-word shingle appears in millions of docs, and therefore the
+    PRODUCTION default. Pass ``None`` only for exact-Jaccard oracle
+    parity on bounded corpora (candidate fan-out is then unbounded).
     """
     exploded = shingle_rows(docs, n)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -297,6 +299,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -322,6 +325,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # Returning silently would hand back WRONG (partially propagated)
+        # cluster labels; a component with diameter > max_iter is the only
+        # way here, which real near-dup graphs (shallow near-cliques)
+        # never produce — so treat it as the caller's bug/misuse.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a duplicate graph this "
+            f"deep is pathological — raise max_iter or pre-split the input"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -484,11 +497,59 @@ def dedup_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
     """,
     description="exact n-gram Jaccard similarity join via inverted "
-    "shingle index (co-shingled pairs only — no cross join)",
+    "shingle index (co-shingled pairs only — no cross join); exact "
+    "variant (no shingle-DF guard) kept for oracle parity — production "
+    "path is ngram_jaccard_guarded",
     covers=("N-dedup",),
 )
 def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=None
+    )
+
+
+@register(
+    "ngram_jaccard_guarded",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 50
+    ), exg AS (
+      SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM shared
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+    description="PRODUCTION n-gram Jaccard join: shingles appearing in "
+    "> 50 docs are dropped from the inverted index before pairing "
+    "(bounds per-shingle candidate fan-out, so the self-join stays "
+    "sub-quadratic at any corpus size); denominators still use full "
+    "shingle-set sizes. Trade-off: a pair whose overlap is ONLY "
+    "ubiquitous shingles is missed — by construction such pairs are "
+    "boilerplate, not duplicates. Oracle mirrors the guard exactly.",
+    covers=("N-dedup",),
+)
+def ngram_jaccard_guarded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=50
+    )
 
 
 @register(
@@ -504,9 +565,13 @@ def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 3
     ), ex AS (
       SELECT doc_id, unnest(s) AS g FROM sh
+    ), rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 50
+    ), exg AS (
+      SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT doc_a, doc_b FROM shared
@@ -525,14 +590,17 @@ def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(node = MIN(r) AS BOOLEAN) AS is_survivor
     FROM reach GROUP BY node
     """,
-    description="transitive closure of the exact Jaccard near-dup pairs: "
-    "iterative min-label propagation (per-round join+agg on the node "
-    "key, lineage truncated per round) vs a recursive-CTE reachability "
-    "oracle — one survivor per duplicate cluster",
+    description="transitive closure of the GUARDED Jaccard near-dup "
+    "pairs (shingle-DF cap 50, the production pair path): iterative "
+    "min-label propagation (per-round join+agg on the node key, lineage "
+    "truncated per round) vs a recursive-CTE reachability oracle — one "
+    "survivor per duplicate cluster",
     covers=("N-dedup",),
 )
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=50
+    )
     return duplicate_clusters(pairs)
 
 

@@ -30,6 +30,12 @@ from ser_etl_spark.functions.numeric import dsum, sql_dsum
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
+#: Join types for which salting is semantics-preserving. With
+#: 'right'/'full_outer' the replicated right side emits each UNMATCHED
+#: right row once per salt value (num_salts copies), so those are
+#: rejected rather than silently wrong.
+_SALTABLE_JOINS = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
 
 def salted_join(
     left: DataFrame,
@@ -40,7 +46,14 @@ def salted_join(
 ) -> DataFrame:
     """Join with the left (skewed) side salted and the right side
     replicated ``num_salts`` times; result is row-identical to the
-    unsalted join."""
+    unsalted join for ``how`` in ``_SALTABLE_JOINS`` (right/full outer
+    joins would duplicate unmatched right rows and are refused)."""
+    if how not in _SALTABLE_JOINS:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving under "
+            f"salting (unmatched right rows replicate {num_salts}x); "
+            f"use one of {sorted(_SALTABLE_JOINS)}"
+        )
     non_key = [c for c in left.columns if c not in on] or on
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in non_key]), F.lit(num_salts)

@@ -61,3 +61,46 @@ class TestSaltedJoin:
             .count()
         )
         assert salts == 8  # all salt buckets populated
+
+    def test_left_join_preserves_unmatched_left_rows(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (99, "orphan")], "k bigint, v string"
+        )
+        right = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, w string")
+        rows = {r["k"]: r["w"] for r in salted_join(left, right, ["k"], how="left").collect()}
+        assert rows == {1: "x", 2: "y", 99: None}
+
+    def test_non_saltable_join_types_are_refused(self, spark):
+        import pytest
+
+        left = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        right = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, w string")
+        for how in ("right", "full_outer", "full", "right_outer"):
+            with pytest.raises(ValueError, match="not semantics-preserving"):
+                salted_join(left, right, ["k"], how=how)
+
+
+class TestClusterConvergence:
+    def test_deep_chain_raises_instead_of_wrong_labels(self, spark):
+        import pytest
+
+        from ser_etl_spark.operators.dedup import duplicate_clusters
+
+        # a 12-node path graph has diameter 11 > max_iter=2
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "doc_a bigint, doc_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(pairs, max_iter=2).collect()
+
+    def test_chain_converges_with_enough_rounds(self, spark):
+        from ser_etl_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "doc_a bigint, doc_b bigint"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, max_iter=15).collect()
+        }
+        assert set(labels.values()) == {0}

@@ -75,3 +75,41 @@ def test_interchange_source_feeds_etl_extraction(
         spark, src, "lineitem", since=since, ts_col="l_shipdate"
     )
     assert inc.count() == 0
+
+
+class TestJdbcReaderOptions:
+    """A1 parallel-extraction options, validated without a live endpoint."""
+
+    def _src(self, **kw):
+        from ser_etl_spark.etl.extract import JdbcSource
+
+        return JdbcSource(
+            url="jdbc:sqlserver://db:1433;databaseName=analytics",
+            properties={"user": "etl", "fetchsize": 10000},
+            **kw,
+        )
+
+    def test_unpartitioned_options_complete(self):
+        opts = self._src().reader_options("inventory")
+        assert opts["dbtable"] == "inventory"
+        assert "partitionColumn" not in opts
+        assert opts["fetchsize"] == "10000"
+
+    def test_partitioned_requires_bounds(self):
+        import pytest
+
+        src = self._src(partition_column="id")
+        with pytest.raises(ValueError, match="lower_bound and.*upper_bound"):
+            src.reader_options("inventory")
+
+    def test_partitioned_with_bounds_emits_all_four_options(self):
+        opts = self._src(
+            partition_column="id",
+            num_partitions=16,
+            lower_bound=1,
+            upper_bound=9_999_999,
+        ).reader_options("inventory")
+        assert opts["partitionColumn"] == "id"
+        assert opts["numPartitions"] == "16"
+        assert opts["lowerBound"] == "1"
+        assert opts["upperBound"] == "9999999"
