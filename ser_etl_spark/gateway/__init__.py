@@ -5,6 +5,16 @@ blocklist validation, row caps, timeouts, result envelopes, schema
 introspection — reimplemented over ``spark.sql``.
 """
 
+from ser_etl_spark.gateway.access import (
+    AuthError,
+    GatewayFront,
+    JwksAuthenticator,
+    RateLimiter,
+    RateLimitExceeded,
+    ScopeError,
+    StaticTokenAuthenticator,
+    require_scope,
+)
 from ser_etl_spark.gateway.catalog import SnapshotCatalog
 from ser_etl_spark.gateway.executor import (
     QueryResult,
@@ -18,11 +28,19 @@ from ser_etl_spark.gateway.validator import (
 )
 
 __all__ = [
+    "AuthError",
+    "GatewayFront",
+    "JwksAuthenticator",
     "QueryResult",
     "QueryRejected",
     "QueryTimeoutError",
     "QueryValidator",
+    "RateLimiter",
+    "RateLimitExceeded",
+    "ScopeError",
     "SnapshotCatalog",
     "SparkQueryEngine",
+    "StaticTokenAuthenticator",
+    "require_scope",
     "sanitize_query",
 ]

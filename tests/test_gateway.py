@@ -144,3 +144,219 @@ class TestCatalogRefresh:
         assert cat.refresh() == sf_small
         # second call within TTL is a no-op returning the cached dir
         assert cat.refresh() == sf_small
+
+
+class TestRateLimiter:
+    """C12 — reference defaults: 50 req/min per client
+    (api-service/src/rate_limiter.py:15-24, config.py:22-23)."""
+
+    def _limiter(self, max_requests=3, window_s=60.0):
+        from ser_etl_spark.gateway.access import RateLimiter
+
+        t = {"now": 1000.0}
+        lim = RateLimiter(max_requests, window_s, clock=lambda: t["now"])
+        return lim, t
+
+    def test_allows_up_to_budget_then_rejects(self):
+        from ser_etl_spark.gateway.access import RateLimitExceeded
+
+        lim, _ = self._limiter(3)
+        for _ in range(3):
+            lim.check("1.2.3.4")
+        with pytest.raises(RateLimitExceeded):
+            lim.check("1.2.3.4")
+
+    def test_window_slides(self):
+        from ser_etl_spark.gateway.access import RateLimitExceeded
+
+        lim, t = self._limiter(2, window_s=60)
+        lim.check("c")
+        t["now"] += 30
+        lim.check("c")
+        with pytest.raises(RateLimitExceeded):
+            lim.check("c")
+        t["now"] += 31  # first hit ages out (61s old), second is 31s old
+        lim.check("c")
+        with pytest.raises(RateLimitExceeded):
+            lim.check("c")
+
+    def test_clients_are_independent(self):
+        from ser_etl_spark.gateway.access import RateLimitExceeded
+
+        lim, _ = self._limiter(1)
+        lim.check("a")
+        lim.check("b")
+        with pytest.raises(RateLimitExceeded):
+            lim.check("a")
+
+    def test_rejected_requests_do_not_consume_budget(self):
+        from ser_etl_spark.gateway.access import RateLimitExceeded
+
+        lim, t = self._limiter(1, window_s=60)
+        lim.check("c")
+        for _ in range(5):
+            with pytest.raises(RateLimitExceeded):
+                lim.check("c")
+        t["now"] += 61
+        lim.check("c")  # would fail if rejections had been recorded
+
+
+class TestAuth:
+    """C10/C11 — JWT flow + scope check in the reference's shape
+    (api-service/src/auth.py:27-120)."""
+
+    def _jwks_auth(self):
+        from ser_etl_spark.gateway.access import JwksAuthenticator
+
+        jwks = {"keys": [{"kid": "k1", "n": "modulus"}]}
+        fetches = []
+
+        def fetch():
+            fetches.append(1)
+            return jwks
+
+        def decode(token, jwk, audience, issuer):
+            # fake of pyjwt's verified decode: the token IS its payload
+            payload = dict(item.split("=") for item in token.split(";") if "=" in item)
+            if payload.pop("sig", None) != jwk["n"]:
+                raise ValueError("bad signature")
+            if payload.get("aud") != audience or payload.get("iss") != issuer:
+                raise ValueError("bad aud/iss")
+            return payload
+
+        def header(token):
+            if "kid=" not in token:
+                raise ValueError("no header")
+            return {"kid": dict(i.split("=") for i in token.split(";") if "=" in i)["kid"]}
+
+        auth = JwksAuthenticator(
+            fetch_jwks=fetch,
+            decode=decode,
+            header_reader=header,
+            audience="analytics-api",
+            issuer="https://tenant.example/",
+        )
+        return auth, fetches
+
+    def _token(self, **over):
+        base = {
+            "kid": "k1", "sig": "modulus", "aud": "analytics-api",
+            "iss": "https://tenant.example/", "sub": "user1",
+            "scope": "read:analytics openid",
+        }
+        base.update(over)
+        return ";".join(f"{k}={v}" for k, v in base.items())
+
+    def test_valid_token_yields_claims(self):
+        auth, _ = self._jwks_auth()
+        claims = auth.authenticate(self._token())
+        assert claims["sub"] == "user1"
+
+    def test_jwks_fetched_once_and_cached(self):
+        auth, fetches = self._jwks_auth()
+        auth.authenticate(self._token())
+        auth.authenticate(self._token())
+        assert len(fetches) == 1
+
+    def test_unknown_kid_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        auth, _ = self._jwks_auth()
+        with pytest.raises(AuthError, match="signing key"):
+            auth.authenticate(self._token(kid="nope"))
+
+    def test_bad_signature_audience_issuer_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        auth, _ = self._jwks_auth()
+        for bad in (
+            self._token(sig="forged"),
+            self._token(aud="other-api"),
+            self._token(iss="https://evil.example/"),
+        ):
+            with pytest.raises(AuthError, match="Invalid token"):
+                auth.authenticate(bad)
+
+    def test_garbage_token_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        auth, _ = self._jwks_auth()
+        with pytest.raises(AuthError, match="header"):
+            auth.authenticate("not-a-jwt")
+
+    def test_scope_check_accepts_and_rejects(self):
+        from ser_etl_spark.gateway.access import ScopeError, require_scope
+
+        claims = {"scope": "read:analytics openid", "sub": "u"}
+        assert require_scope(claims, "read:analytics") is claims
+        with pytest.raises(ScopeError, match="write:analytics"):
+            require_scope(claims, "write:analytics")
+        with pytest.raises(ScopeError):
+            require_scope({}, "read:analytics")
+
+
+class TestGatewayFront:
+    """The composed stack: auth -> scope -> rate limit -> engine, with a
+    structured log line per request (C13, main.py:57-75)."""
+
+    def _front(self, engine, max_requests=100):
+        from ser_etl_spark.gateway.access import (
+            GatewayFront,
+            RateLimiter,
+            StaticTokenAuthenticator,
+        )
+
+        auth = StaticTokenAuthenticator(tokens={
+            "good": {"sub": "u1", "scope": "read:analytics"},
+            "noscope": {"sub": "u2", "scope": "openid"},
+        })
+        return GatewayFront(
+            engine=engine,
+            authenticator=auth,
+            limiter=RateLimiter(max_requests=max_requests),
+        )
+
+    def test_authorized_query_executes(self, engine):
+        front = self._front(engine)
+        res = front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+        assert res.row_count == 1
+
+    def test_invalid_token_is_401_before_execution(self, engine):
+        from ser_etl_spark.gateway.access import AuthError
+
+        front = self._front(engine)
+        with pytest.raises(AuthError):
+            front.query("bad", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+
+    def test_missing_scope_is_403(self, engine):
+        from ser_etl_spark.gateway.access import ScopeError
+
+        front = self._front(engine)
+        with pytest.raises(ScopeError):
+            front.query("noscope", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+
+    def test_rate_limit_is_429_and_skips_engine(self, engine):
+        from ser_etl_spark.gateway.access import RateLimitExceeded
+
+        front = self._front(engine, max_requests=1)
+        front.query("good", "9.9.9.9", "SELECT COUNT(*) FROM lineitem")
+        with pytest.raises(RateLimitExceeded):
+            front.query("good", "9.9.9.9", "SELECT COUNT(*) FROM lineitem")
+
+    def test_every_outcome_logs_one_structured_line(self, engine, caplog):
+        import json as _json
+        import logging
+
+        from ser_etl_spark.gateway.access import AuthError
+
+        front = self._front(engine)
+        with caplog.at_level(logging.INFO, logger="ser_etl_spark.gateway"):
+            front.query("good", "1.1.1.1", "SELECT COUNT(*) FROM lineitem")
+            with pytest.raises(AuthError):
+                front.query("bad", "1.1.1.1", "SELECT COUNT(*) FROM lineitem")
+        lines = [_json.loads(r.message) for r in caplog.records]
+        assert len(lines) == 2
+        ok, denied = lines
+        assert ok["status"] == "ok" and ok["client"] == "1.1.1.1"
+        assert ok["duration_ms"] >= 0 and ok["pattern"]
+        assert denied["status"] == "401"
