@@ -48,9 +48,38 @@ def davg(col: Column | str, scale: int = 2) -> Column:
     return F.sum(_dec(c, scale)).cast("double") / F.count(c)
 
 
+#: Operand precision for exact decimal products: DECIMAL(12,s) operands give
+#: a DECIMAL(25,2s) product, under both engines' 38-digit cap with exact
+#: multiply semantics (Spark result precision = p1+p2+1 = 25, no clamping).
+_PROD_PRECISION = 12
+
+
+def dsum_prod(x: Column | str, y: Column | str, scale: int = 2) -> Column:
+    """Deterministic SUM(x*y) where both doubles hold <= ``scale`` true
+    decimals: exact decimal multiply then exact decimal sum, cast to
+    double once at the end (the second-moment building block —
+    sum-of-squares, cross products for variance/correlation)."""
+    cx = (F.col(x) if isinstance(x, str) else x).cast(
+        f"decimal({_PROD_PRECISION},{scale})"
+    )
+    cy = (F.col(y) if isinstance(y, str) else y).cast(
+        f"decimal({_PROD_PRECISION},{scale})"
+    )
+    return F.sum((cx * cy).cast(f"decimal({PRECISION},{2 * scale})")).cast("double")
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """Oracle-side rendering of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+
+
+def sql_dsum_prod(x: str, y: str, scale: int = 2) -> str:
+    """Oracle-side rendering of :func:`dsum_prod`."""
+    return (
+        f"CAST(SUM(CAST(CAST({x} AS DECIMAL({_PROD_PRECISION},{scale})) * "
+        f"CAST({y} AS DECIMAL({_PROD_PRECISION},{scale})) "
+        f"AS DECIMAL({PRECISION},{2 * scale}))) AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

@@ -584,6 +584,50 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_spend_quartiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             {sql_dsum('o.o_totalprice', 2)} AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, spend,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY spend ASC, c_custkey ASC)
+    """,
+    description="extension: ranking-window breadth — NTILE(4) quartile, "
+    "PERCENT_RANK and CUME_DIST of per-customer spend within each market "
+    "segment (custkey tie-break keeps NTILE deterministic). Windows are "
+    "partitioned by segment, never global: a global ranking at 100 TB "
+    "would serialize into one task — the scale path is approx-quantile "
+    "boundaries + bucket assignment",
+    covers=("X-window",),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dsum("o_totalprice", 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").asc(), F.col("c_custkey").asc()
+    )
+    return spend.select(
+        "c_custkey", "c_mktsegment", "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "order_gap_stats",
     oracle="""
     WITH gaps AS (
@@ -760,10 +804,10 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), numbered AS (
       SELECT user_id, event_id, ts,
-             SUM(is_break) OVER (
+             CAST(SUM(is_break) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

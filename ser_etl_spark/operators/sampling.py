@@ -27,6 +27,12 @@ from ser_etl_spark.sources.parquet import load_table
 #: floor(2^32 / golden ratio) — Knuth's multiplicative hashing constant.
 _KNUTH = 2654435761
 _MOD = 2**32
+#: Fold modulus for the id BEFORE the multiply. Must satisfy
+#: (_FOLD - 1) * _KNUTH < 2^63 - 1 or the int64 product overflows —
+#: Spark would wrap silently while DuckDB raises, silently diverging the
+#: split. 2^31 gives (2^31 - 1) * 2654435761 ~= 5.7e18 < 9.22e18. A 2^32
+#: fold (round-1 version) overflowed for ids with id % 2^32 > ~3.47e9.
+_FOLD = 2**31
 
 #: (split, lower-percent-bound, upper-percent-bound), ordered.
 DEFAULT_SPLITS: tuple[tuple[str, int, int], ...] = (
@@ -39,18 +45,19 @@ DEFAULT_SPLITS: tuple[tuple[str, int, int], ...] = (
 def split_bucket(id_col: Column | str) -> Column:
     """Deterministic bucket in [0, 100) from a stable integer id.
 
-    ``(id * 2654435761) mod 2^32 mod 100`` — for ids beyond ~3.4e9 the
-    multiplication would overflow int64, so the id is folded mod 2^32
-    first (keeps the product < 2^63 for any bigint id).
+    ``((id mod 2^31) * 2654435761) mod 2^32 mod 100`` — the id is folded
+    mod 2^31 before the multiply so the product stays below 2^63 - 1 for
+    ANY bigint id (see ``_FOLD``); both engines then compute identical
+    pure-int64 arithmetic.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    folded = F.pmod(c, F.lit(_MOD))
+    folded = F.pmod(c, F.lit(_FOLD))
     return F.pmod(F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD)), F.lit(100))
 
 
 def sql_split_bucket(id_expr: str) -> str:
     """Oracle-side rendering of :func:`split_bucket`."""
-    return f"((({id_expr} % {_MOD}) * {_KNUTH}) % {_MOD}) % 100"
+    return f"((({id_expr} % {_FOLD}) * {_KNUTH}) % {_MOD}) % 100"
 
 
 def assign_split(
@@ -64,6 +71,70 @@ def assign_split(
     for name, lo, hi in reversed(splits):
         expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_pct: int | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: keep ``fractions[stratum]``
+    percent of each stratum, chosen by the same Knuth-hash bucket as
+    :func:`split_bucket` — reproducible on any engine, no sampling pass,
+    no ``rand()``. Rows whose stratum has no entry keep ``default_pct``
+    percent (dropped entirely when ``default_pct`` is None).
+
+    At scale this is a stateless filter (predicate-pushdown friendly);
+    contrast ``df.sampleBy``, whose Bernoulli draws are seed- and
+    partitioning-dependent and therefore irreproducible across engines.
+    """
+    bucket = split_bucket(id_col)
+    pct = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(strata_col)]
+    if default_pct is not None:
+        pct = F.coalesce(pct, F.lit(default_pct))
+    return df.filter(bucket < pct)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_dsum('n_chars', 0)} AS total_chars
+    FROM documents
+    WHERE {sql_split_bucket('doc_id')} <
+          CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+                    WHEN 'fr' THEN 50 ELSE 100 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="training-pipeline op: deterministic per-language "
+    "stratified downsampling (10% en, 50% de/fr, 100% rest) via the "
+    "Knuth-hash bucket — the reproducible, engine-independent analog of "
+    "sampleBy for corpus rebalancing",
+    covers=("X-sample",),
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    pick = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 10, "de": 50, "fr": 50},
+        default_pct=100,
+    )
+    return (
+        pick.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("n_chars", 0).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(

@@ -1,0 +1,116 @@
+"""Statistical aggregates: variance / stddev / correlation, cross-engine
+deterministic.
+
+Extends the reference's scalar-aggregate surface (B4 — SUM/AVG/MIN/MAX/
+COUNT, ``/root/reference/shared/schemas/query_whitelist.json:21-26``) with
+second-moment statistics, the next thing an analytics user reaches for.
+
+Built-in ``stddev``/``corr`` are order-dependent in both engines (their
+running-merge accumulators round differently under different partition
+orders), so a value-hash oracle comparison would flake. Instead the
+moments are assembled from *exact decimal sums* (see
+:mod:`ser_etl_spark.functions.numeric`): n, Σx, Σx², Σy, Σy², Σxy are
+bit-exact on any engine at any parallelism, and the final double
+arithmetic is the same expression tree on both sides — so even the
+round-off is identical. Textbook caveat (catastrophic cancellation of
+E[x²]-E[x]²) does not apply: the sums are exact decimals, cancellation
+happens once in double space, identically on both engines.
+
+Scale design: one partial+final hash aggregate over six decimal sums —
+same shuffle profile as any GROUP BY; no second pass, no window, no
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.functions.numeric import (
+    dsum,
+    dsum_prod,
+    sql_dsum,
+    sql_dsum_prod,
+)
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+
+def moment_columns(x: str, y: str, scale: int = 2) -> list[Column]:
+    """The six exact sufficient statistics for mean/var/corr of (x, y)."""
+    return [
+        F.count(F.col(x)).alias("n"),
+        dsum(x, scale).alias("sx"),
+        dsum_prod(x, x, scale).alias("sxx"),
+        dsum(y, scale).alias("sy"),
+        dsum_prod(y, y, scale).alias("syy"),
+        dsum_prod(x, y, scale).alias("sxy"),
+    ]
+
+
+def derive_stats(df: DataFrame) -> DataFrame:
+    """mean/var_samp/stddev_samp/corr from the sufficient statistics.
+
+    The expressions mirror ``_SQL_STATS`` token-for-token so both engines
+    run the identical double-precision expression tree.
+    """
+    n = F.col("n")
+    mean_x = F.col("sx") / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1))
+    cov_xy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1))
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1))
+    # Round the derived moments to 9 decimals: the sufficient statistics
+    # are bit-exact, but the final double expression differs by ~2 ulp
+    # across engines (FMA contraction in native codegen fuses mul+sub
+    # differently than the JVM) — rounding collapses that last-bit noise
+    # while the sums pin the first ~15 significant digits.
+    return df.select(
+        *[c for c in df.columns if c not in {"sx", "sxx", "sy", "syy", "sxy"}],
+        F.round(mean_x, 9).alias("mean_qty"),
+        F.round(var_x, 9).alias("var_qty"),
+        F.round(F.sqrt(var_x), 9).alias("stddev_qty"),
+        F.round(cov_xy / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
+    )
+
+
+_SQL_STATS = f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(l_quantity) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum_prod('l_quantity', 'l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum_prod('l_extendedprice', 'l_extendedprice')} AS syy,
+             {sql_dsum_prod('l_quantity', 'l_extendedprice')} AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(sx / n, 9) AS mean_qty,
+           ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
+           ROUND(((sxy - sx * sy / n) / (n - 1))
+             / sqrt(((sxx - sx * sx / n) / (n - 1))
+                    * ((syy - sy * sy / n) / (n - 1))), 9) AS corr_qty_price
+    FROM sums
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "stats_moments",
+    oracle=_SQL_STATS,
+    description="B4 extension: per-returnflag mean/variance/stddev of "
+    "quantity and corr(quantity, extendedprice) from exact decimal "
+    "sufficient statistics — deterministic under any partitioning, one "
+    "partial+final aggregate",
+    covers=("B4", "B5"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        *moment_columns("l_quantity", "l_extendedprice")
+    )
+    return derive_stats(sums).orderBy("l_returnflag")

@@ -59,7 +59,7 @@ class TestFuzzyDedup:
     def test_minhash_subset_of_exact_join(self, docs):
         exact = {
             (r["doc_a"], r["doc_b"])
-            for r in ngram_jaccard_pairs(docs, 0.5).collect()
+            for r in ngram_jaccard_pairs(docs, 0.5, max_shingle_df=None).collect()
         }
         lsh = {
             (r["doc_a"], r["doc_b"])
@@ -71,7 +71,7 @@ class TestFuzzyDedup:
     def test_minhash_recall_on_high_similarity(self, docs):
         exact_high = {
             (r["doc_a"], r["doc_b"])
-            for r in ngram_jaccard_pairs(docs, 0.8).collect()
+            for r in ngram_jaccard_pairs(docs, 0.8, max_shingle_df=None).collect()
         }
         lsh = {
             (r["doc_a"], r["doc_b"])
@@ -276,7 +276,7 @@ class TestDuplicateClusters:
     def test_synthetic_neardups_cluster_with_original(self, spark, docs_with_dups):
         from ser_etl_spark.operators.dedup import duplicate_clusters
 
-        pairs = ngram_jaccard_pairs(docs_with_dups, 0.5)
+        pairs = ngram_jaccard_pairs(docs_with_dups, 0.5, max_shingle_df=None)
         clusters = {
             r["doc_id"]: r["cluster_id"]
             for r in duplicate_clusters(pairs).collect()
@@ -315,3 +315,29 @@ class TestDatasetSplit:
         assert abs(counts["train"] / total - 0.80) < 0.03
         assert abs(counts["val"] / total - 0.10) < 0.02
         assert abs(counts["test"] / total - 0.10) < 0.02
+
+    def test_split_bucket_no_overflow_on_extreme_ids(self, spark):
+        """Ids near int64 max must hash without wrapping (and match DuckDB,
+        which raises on BIGINT overflow rather than wrapping)."""
+        import duckdb
+
+        from ser_etl_spark.operators.sampling import (
+            sql_split_bucket,
+            split_bucket,
+        )
+
+        ids = [0, 1, 2**31 - 1, 2**31, 2**32 - 1, 2**32,
+               2**62, 2**63 - 1, 123456789012345]
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        got = {
+            r["id"]: r["b"]
+            for r in df.select("id", split_bucket("id").alias("b")).collect()
+        }
+        con = duckdb.connect()
+        for i in ids:
+            (want,) = con.execute(
+                f"SELECT {sql_split_bucket(str(i))}"
+            ).fetchone()
+            assert got[i] == want, f"id={i}: spark={got[i]} duckdb={want}"
+            assert 0 <= got[i] < 100
+        con.close()
