@@ -45,6 +45,8 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    etl_cycle_s = _bench_etl_cycle(spark, sf_dir)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(
         json.dumps(
@@ -54,9 +56,54 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # one full extract->build->publish->vacuum cycle over every
+                # table at this SF; the reference's operational envelope is a
+                # 60 s sync interval (BASELINE.md) — this must stay under it.
+                "etl_cycle_seconds": etl_cycle_s,
+                "etl_cycle_budget_seconds": 60,
             }
         )
     )
+
+
+def _bench_etl_cycle(spark, sf_dir: str) -> float:
+    """Time one full-refresh sync cycle (A1-A18) at this scale factor."""
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.etl.build import TableLayout
+    from ser_etl_spark.etl.extract import ParquetSource
+    from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+
+    store = tempfile.mkdtemp(prefix="bench_etl_store_")
+    try:
+        mgr = SyncManager(
+            spark,
+            ParquetSource(sf_dir),
+            store,
+            SyncConfig(
+                tables=(
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                ),
+                ts_col="ts",
+                layouts={
+                    "orders": TableLayout(unique_key="o_orderkey", sort_col="o_orderdate"),
+                    "customer": TableLayout(unique_key="c_custkey"),
+                    "events": TableLayout(unique_key="event_id", sort_col="ts"),
+                    "lineitem": TableLayout(unique_key=None, sort_col="l_shipdate"),
+                    "documents": TableLayout(unique_key="doc_id"),
+                },
+            ),
+        )
+        start = time.time()
+        outcome = mgr.run_sync()
+        elapsed = round(time.time() - start, 3)
+        if not outcome.success:
+            raise RuntimeError("bench ETL cycle failed")
+        return elapsed
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 if __name__ == "__main__":
