@@ -10,6 +10,14 @@ atomically replaced to point at it. Readers resolve only through the
 manifest (never by listing), so they see fully-written snapshots only —
 the same isolation the reference gets from S3 object atomicity. Older
 versions stay readable (time travel) until retention removes them (A15).
+
+Object-store status: paths are plain strings, so an ``s3a://`` store
+root composes with ``df.write.parquet`` in principle, but THIS SANDBOX
+HAS NO OBJECT STORE — the S3 path is untested here. The manifest
+replace below uses a same-filesystem ``os.replace`` for atomicity; on
+S3 the equivalent is a single-key PUT of ``manifest.json`` (atomic
+last-writer-wins, exactly the reference's mechanism), which a production
+deployment must substitute.
 """
 
 from __future__ import annotations
