@@ -186,3 +186,60 @@ class TestSyncCycle:
         assert out2.success
         assert out2.changed_rows["events"] == 0
         assert out2.manifest["version"] != out.manifest["version"]
+
+
+class TestIncrementalMerge:
+    """A17 upgrade path: apply the changed slice instead of full refresh."""
+
+    def _frames(self, spark):
+        import datetime as dt
+
+        from ser_etl_spark.etl.merge import merge_incremental
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 1, 2)
+        current = spark.createDataFrame(
+            [(1, "a", t0), (2, "b", t0), (3, "c", t0)],
+            "id bigint, v string, updated_at timestamp_ntz",
+        )
+        changes = spark.createDataFrame(
+            [(2, "b2", t1), (4, "d", t1)],
+            "id bigint, v string, updated_at timestamp_ntz",
+        )
+        return merge_incremental, current, changes
+
+    def test_upsert_updates_and_inserts(self, spark):
+        merge, current, changes = self._frames(spark)
+        got = {r["id"]: r["v"] for r in merge(current, changes, "id").collect()}
+        assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+    def test_idempotent_reapply(self, spark):
+        merge, current, changes = self._frames(spark)
+        once = merge(current, changes, "id")
+        twice = merge(once, changes, "id")
+        assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+    def test_equal_timestamp_change_wins(self, spark):
+        import datetime as dt
+
+        from ser_etl_spark.etl.merge import merge_incremental
+
+        t0 = dt.datetime(2024, 1, 1)
+        current = spark.createDataFrame(
+            [(1, "old", t0)], "id bigint, v string, updated_at timestamp_ntz"
+        )
+        changes = spark.createDataFrame(
+            [(1, "new", t0)], "id bigint, v string, updated_at timestamp_ntz"
+        )
+        got = merge_incremental(current, changes, "id").collect()
+        assert len(got) == 1 and got[0]["v"] == "new"
+
+    def test_schema_mismatch_rejected(self, spark):
+        import pytest as _pytest
+
+        from ser_etl_spark.etl.merge import merge_incremental
+
+        a = spark.createDataFrame([(1,)], "id bigint")
+        b = spark.createDataFrame([(1, "x")], "id bigint, v string")
+        with _pytest.raises(ValueError, match="schema mismatch"):
+            merge_incremental(a, b, "id")
