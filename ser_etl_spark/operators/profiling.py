@@ -1,0 +1,99 @@
+"""Table profiling: per-column statistics in one pass.
+
+Extends schema introspection (reference A5 — INFORMATION_SCHEMA column
+metadata, ``/root/reference/etl-service/src/database.py:95-108``) with
+the *data* profile an ETL operator needs before trusting a snapshot:
+row count, null count, distinct count, min/max per column. The reference
+computes none of this (its QA is limited to the unique index build,
+``sync.py:90-94``); here it generalizes the ``check_unique`` gate.
+
+Scale design: ONE aggregate pass computes every column's statistics
+simultaneously (a single partial+final hash aggregate, no per-column
+jobs); output is then unpivoted to one row per column. ``COUNT(DISTINCT
+a), COUNT(DISTINCT b), ...`` in one aggregate triggers Spark's expand
+(one input-row replica per distinct aggregate) — fine for a bounded
+column list; for very wide tables swap in ``approx_count_distinct``,
+which needs no expand (the sketch path of ``operators/sketches.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — min/max rendered as strings so
+    heterogeneous column types fit one output schema."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in columns
+    ]
+    return (
+        one.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+             COUNT(DISTINCT o_custkey) AS dist_custkey,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+             COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS null_status,
+             COUNT(DISTINCT o_orderstatus) AS dist_status,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+             COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_date,
+             COUNT(DISTINCT o_orderdate) AS dist_date,
+             CAST(MIN(o_orderdate) AS VARCHAR) AS min_date,
+             CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+      FROM orders
+    )
+    SELECT 'o_custkey' AS "column", n AS n_rows, null_custkey AS n_nulls,
+           dist_custkey AS n_distinct, min_custkey AS min_value,
+           max_custkey AS max_value
+    FROM one
+    UNION ALL
+    SELECT 'o_orderdate', n, null_date, dist_date, min_date, max_date FROM one
+    UNION ALL
+    SELECT 'o_orderstatus', n, null_status, dist_status, min_status,
+           max_status FROM one
+    ORDER BY "column"
+    """,
+    description="ETL QA extension of A5/A8: per-column profile (rows, "
+    "nulls, distinct, min/max) for orders in ONE aggregate pass — "
+    "generalizes the unique-index QA gate; sketch variant is the "
+    "wide-table path",
+    covers=("A5", "A8"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_custkey", "o_orderdate", "o_orderstatus"]
+    )

@@ -167,3 +167,20 @@ def test_bucketed_aggregation_is_shuffle_free(spark, bucketed_tables):
     )
     plan = explain_string(agg, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_quartiles_broadcasts_customer_dim(spark, sf_small):
+    """customer (dim) must broadcast into the orders aggregate; the
+    ranking window then shuffles once on the segment key."""
+    plan = _plan(spark, sf_small, "customer_spend_quartiles")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_table_profile_is_single_pass(spark, sf_small):
+    """All per-column statistics must come from ONE scan of orders —
+    a per-column loop of jobs would show multiple parquet scans."""
+    plan = _plan(spark, sf_small, "table_profile")
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
