@@ -506,6 +506,41 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sales_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    description="explicit GROUPING SETS (neither ROLLUP nor CUBE): "
+    "marginal totals per flag and per status only, with GROUPING() ids "
+    "disambiguating which dimension each row aggregates — completes the "
+    "grouping-set surface; one shuffle, partial aggregation intact",
+    covers=("B5",),
+)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag")
+                + F.lit(2) * F.grouping("l_linestatus")
+            ).alias("gid"),
+            dsum(_revenue(), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (extension beyond the reference's blocked surface)
 # ---------------------------------------------------------------------------

@@ -151,6 +151,29 @@ def sample_frames(
 
 
 @register(
+    "frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 1 + (doc_id % 16) * 30 AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+    FROM vids
+    """,
+    description="multimodal plumbing: every-Nth-frame sampling plan for "
+    "video rows (one output row per sampled frame, pure column math — "
+    "sequence + explode; decode attaches downstream via mapInPandas). "
+    "Metadata is deterministic id arithmetic, so the oracle reproduces "
+    "the exact sampling plan",
+    covers=("N-multimodal",),
+)
+def frame_sample_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(with_fake_payload(docs), every_n=30)
+
+
+@register(
     "multimodal_features",
     oracle=None,  # mapInPandas feature extraction is not SQL-expressible
     description="binary media payload -> Arrow-batched (stub) feature "

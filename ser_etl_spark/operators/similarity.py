@@ -580,3 +580,51 @@ def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (storage/bandwidth scale path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = round(x[i] *
+    127 / max_abs)``, carrying the reconstruction ``scale = max_abs /
+    127`` alongside.
+
+    The storage scale path for ANN at 100 TB: int8 vectors are 4x
+    smaller than float32 (16x vs float64), which cuts shuffle and cache
+    pressure for every downstream similarity op; reconstruction error is
+    bounded by ``scale / 2`` per component. Expanded flat-column SQL —
+    one expression string, whole-stage codegen, no Python per row.
+    """
+    dim = _dim(vectors, vec_col)
+    mx = "greatest(" + ", ".join(
+        f"abs({_elem_sql(vec_col, i)})" for i in range(dim)
+    ) + ")"
+    qvec = "array(" + ", ".join(
+        f"CAST(round({_elem_sql(vec_col, i)} * 127.0 / _mx) AS INT)"
+        for i in range(dim)
+    ) + ")"
+    return (
+        vectors.withColumn("_mx", F.expr(mx))
+        .withColumn("qvec", F.expr(qvec))
+        .withColumn("scale", (F.col("_mx") / F.lit(127.0)))
+        .drop("_mx")
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle=None,  # array-valued output; reconstruction-error invariants
+    # are tested against the float vectors in tests/test_llm_ops.py
+    description="symmetric per-vector int8 quantization (q = round(x * "
+    "127 / max_abs) + reconstruction scale): 4x smaller vectors for "
+    "storage/shuffle at 100 TB; flat expanded SQL, codegen-resident",
+    covers=("N-sim",),
+)
+def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select("vec_id", "qvec", "scale")

@@ -341,3 +341,42 @@ class TestDatasetSplit:
             assert got[i] == want, f"id={i}: spark={got[i]} duckdb={want}"
             assert 0 <= got[i] < 100
         con.close()
+
+
+class TestEmbeddingQuantize:
+    def test_reconstruction_error_bounded(self, spark, sf_small):
+        from ser_etl_spark.operators.similarity import quantize_embeddings
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        q = quantize_embeddings(emb).select("vec_id", "embedding", "qvec", "scale")
+        rows = q.collect()
+        assert rows
+        for r in rows:
+            assert len(r["qvec"]) == len(r["embedding"])
+            assert all(-127 <= v <= 127 for v in r["qvec"])
+            # dequantized component within half a quantization step
+            for x, qv in zip(r["embedding"], r["qvec"]):
+                assert abs(qv * r["scale"] - x) <= r["scale"] / 2 + 1e-9
+
+    def test_quantized_cosine_close_to_exact(self, spark, sf_small):
+        """Ranking-quality sanity: int8 cosine tracks float cosine."""
+        import math
+
+        from ser_etl_spark.operators.similarity import quantize_embeddings
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings").limit(50)
+        rows = quantize_embeddings(emb).select("embedding", "qvec").collect()
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        base = rows[0]
+        for other in rows[1:6]:
+            exact = cos(base["embedding"], other["embedding"])
+            approx = cos(base["qvec"], other["qvec"])
+            assert abs(exact - approx) < 0.02
