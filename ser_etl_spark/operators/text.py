@@ -281,3 +281,63 @@ def token_frequencies(docs: DataFrame, k: int = 100) -> DataFrame:
 )
 def token_frequencies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Dialect-portable PII patterns: every construct here (classes, +, {m,n},
+#: alternation) parses identically under Java regex (Spark) and RE2-style
+#: (DuckDB) — no backrefs, no lookaround, so both engines match the same
+#: spans. Email stays deliberately simple (the training-data scrub goal is
+#: recall on obvious PII, not RFC 5322).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact obvious PII (emails, phone-shaped numbers).
+
+    Adds per-doc match counts and a ``clean_text`` column with matches
+    replaced by type tags — the standard pre-training scrub pass. All
+    regexp work is JVM-side columnar (regexp_count / regexp_replace);
+    no Python per row, stateless, so it composes with any partitioning
+    at any corpus size.
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.length(cleaned).alias("clean_chars"),
+        F.md5(cleaned).alias("clean_fp"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{PII_EMAIL}',
+                  '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g'))
+             AS clean_chars,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}',
+               '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g')) AS clean_fp
+    FROM documents
+    """,
+    description="training-pipeline op: PII detection + redaction (emails, "
+    "phone shapes) with per-doc counts and a fingerprint of the redacted "
+    "text proving both engines produce byte-identical scrubbed output; "
+    "dialect-portable regexes, all JVM-side columnar",
+    covers=("N-text",),
+)
+def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"))

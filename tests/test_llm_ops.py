@@ -380,3 +380,48 @@ class TestEmbeddingQuantize:
             exact = cos(base["embedding"], other["embedding"])
             approx = cos(base["qvec"], other["qvec"])
             assert abs(exact - approx) < 0.02
+
+
+class TestPiiScrub:
+    def test_detects_and_redacts_synthetic_pii(self, spark):
+        from ser_etl_spark.operators.text import pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (1, "contact me at jane.doe+x@example.co.uk or call +1-555-123-4567 today"),
+                (2, "no pii here, just text about 42 things"),
+                (3, "two mails: a@b.io c.d@e-f.org and phone 310 555 0199"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+        assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+        assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
+        # redaction replaces the longer PII with shorter tags
+        assert got[1]["clean_chars"] < len(
+            "contact me at jane.doe+x@example.co.uk or call +1-555-123-4567 today"
+        )
+
+    def test_redaction_matches_duckdb_on_synthetic_rows(self, spark):
+        """The corpus contains no PII, so prove cross-engine scrub
+        equality on rows that do."""
+        import duckdb
+
+        from ser_etl_spark.operators.text import PII_EMAIL, PII_PHONE, pii_scrub
+
+        rows = [
+            (1, "mail x@y.zz and +44-207-946-0958 plus tail"),
+            (2, "a@b.cc a@b.cc twice"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        spark_fp = {r["doc_id"]: r["clean_fp"] for r in pii_scrub(docs).collect()}
+        con = duckdb.connect()
+        for doc_id, text in rows:
+            (fp,) = con.execute(
+                f"SELECT md5(regexp_replace(regexp_replace(?, '{PII_EMAIL}', "
+                f"'<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g'))",
+                [text],
+            ).fetchone()
+            assert spark_fp[doc_id] == fp
+        con.close()
