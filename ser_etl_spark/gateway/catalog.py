@@ -100,6 +100,30 @@ class SnapshotCatalog:
         self._loaded_at = time.monotonic()
         return snapshot_dir
 
+    # -- time travel (A12) --------------------------------------------------
+
+    def versions(self) -> list[str]:
+        """Published snapshot versions, newest first (reference A12:
+        ``history/`` copies are the version history)."""
+        from ser_etl_spark.etl.publish import list_versions
+
+        return [v.removeprefix("snapshot_") for v in list_versions(self.root)]
+
+    def read_version(self, version: str, table: str):
+        """Read one table AS OF a historic snapshot — versioned dirs stay
+        immutable until retention removes them, so this is zero-copy time
+        travel: just a scan of the old prefix. Raises ``FileNotFoundError``
+        for unknown/retained-away versions."""
+        from ser_etl_spark.sources.parquet import load_table, table_path
+
+        snapshot_dir = os.path.join(self.root, "history", f"snapshot_{version}")
+        if not os.path.exists(table_path(snapshot_dir, table)):
+            raise FileNotFoundError(
+                f"no table {table!r} in snapshot version {version!r} "
+                f"(retained versions: {self.versions()[:5]}...)"
+            )
+        return load_table(self.spark, snapshot_dir, table)
+
     # -- introspection (B9/B10) --------------------------------------------
 
     def schema(self) -> dict[str, list[str]]:

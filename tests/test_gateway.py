@@ -360,3 +360,44 @@ class TestGatewayFront:
         assert ok["status"] == "ok" and ok["client"] == "1.1.1.1"
         assert ok["duration_ms"] >= 0 and ok["pattern"]
         assert denied["status"] == "401"
+
+
+class TestTimeTravel:
+    """A12: versioned snapshots stay readable until retention (zero-copy
+    time travel through the catalog)."""
+
+    def test_read_version_sees_historic_data(self, spark, sf_small, tmp_path):
+        import shutil
+
+        from ser_etl_spark.etl.build import build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+        from ser_etl_spark.sources.parquet import load_table
+
+        store = str(tmp_path / "store")
+        orders = load_table(spark, sf_small, "orders")
+
+        build1 = str(tmp_path / "b1")
+        build_snapshot({"orders": orders.limit(100)}, build1, views={})
+        m1 = publish_snapshot(build1, store, tables={"orders": 100}, views={})
+
+        build2 = str(tmp_path / "b2")
+        build_snapshot({"orders": orders.limit(200)}, build2, views={})
+        m2 = publish_snapshot(build2, store, tables={"orders": 200}, views={})
+
+        cat = SnapshotCatalog(spark, store)
+        assert cat.versions()[0] == m2["version"]
+        assert m1["version"] in cat.versions()
+        # current serves v2; time travel reads v1 unchanged
+        cat.refresh(force=True)
+        assert spark.table("orders").count() == 200
+        assert cat.read_version(m1["version"], "orders").count() == 100
+
+    def test_unknown_version_raises(self, spark, sf_small, tmp_path):
+        import pytest as _pytest
+
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "nostore"))
+        with _pytest.raises(FileNotFoundError):
+            cat.read_version("19990101_000000_000000", "orders")
