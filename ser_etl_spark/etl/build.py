@@ -184,3 +184,68 @@ def write_bucketed_table(
 def _view_tables_present(sql: str, counts: dict[str, int]) -> bool:
     lowered = sql.lower()
     return any(f"from {t}" in lowered for t in counts)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-column data skipping
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> "Column":
+    """Morton (Z-order) key over ``cols``: each column is normalized to a
+    ``bits``-bit bucket by its min/max, then bucket bits are interleaved.
+
+    Sorting the write by this key clusters rows so that EVERY indexed
+    column's values are locally narrow — parquet row-group min/max stats
+    then skip effectively for predicates on ANY of the columns, where a
+    plain sort only serves its leading column. This is the multi-column
+    completion of the A8/A9 index replacement (sort-on-write covers one
+    column; Z-order covers k).
+
+    The min/max normalization stats are two scalars per column — one
+    aggregate pass at write time, never per row on the driver. Bit
+    interleaving is a flat codegen-resident integer expression.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_buckets = (1 << bits) - 1
+    terms = []
+    k = len(cols)
+    for j, c in enumerate(cols):
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucket = (
+            f"CAST(least({n_buckets}, floor((CAST({c} AS DOUBLE) - {mn!r})"
+            f" / {span!r} * {n_buckets})) AS BIGINT)"
+        )
+        for i in range(bits):
+            # bit i of column j lands at interleaved position i*k + j
+            terms.append(
+                f"shiftleft((shiftright({bucket}, {i}) & 1), {i * k + j})"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 16,
+) -> None:
+    """Materialize ``df`` Z-ordered on ``cols``: range-partition by the
+    Morton key (balanced output files), sort within partitions, drop the
+    key, write parquet. Readers need nothing special — row-group min/max
+    skipping applies to plain scans with predicates on any of ``cols``."""
+    keyed = df.withColumn("_zkey", zorder_key(df, cols, bits))
+    (
+        keyed.repartitionByRange(num_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

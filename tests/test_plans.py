@@ -184,3 +184,47 @@ def test_table_profile_is_single_pass(spark, sf_small):
     # formatted mode prints each node once in the tree and once in the
     # detail section — count the numbered detail headers only
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_zorder_layout_narrows_file_spans_on_both_columns(spark, sf_small, tmp_path):
+    """Z-order vs single-column sort: per-file min/max spans must be
+    narrow on BOTH keys under Z-order, while a plain sort leaves its
+    non-leading column's spans wide — the property parquet row-group
+    skipping feeds on."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.etl.build import write_zordered_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered_table(li, zpath, ["l_partkey", "l_suppkey"], num_files=8)
+
+    spath = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    import glob
+
+    def avg_span(path: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).first()
+            spans.append(row["mx"] - row["mn"])
+        return sum(spans) / len(spans)
+
+    full = li.agg((F.max("l_suppkey") - F.min("l_suppkey")).alias("s")).first()["s"]
+    z_supp = avg_span(zpath, "l_suppkey")
+    s_supp = avg_span(spath, "l_suppkey")
+    # plain sort on partkey leaves suppkey spans ~the full domain;
+    # z-order must do meaningfully better on the second column
+    assert s_supp > 0.8 * full
+    assert z_supp < 0.7 * full, (z_supp, s_supp, full)
