@@ -39,6 +39,13 @@ class SyncConfig:
     keep_versions: int = 24
     layouts: dict[str, TableLayout] = field(default_factory=dict)
     views: dict[str, str] | None = None
+    #: When True, tables with a ``unique_key`` layout are built by merging
+    #: the changed slice (since the watermark) into the previous published
+    #: snapshot instead of full re-extraction — the A17 upgrade path the
+    #: reference declares but never implements. Tables without a key (or
+    #: on the first cycle, with no prior snapshot) fall back to full
+    #: refresh automatically.
+    incremental: bool = False
 
 
 @dataclass
@@ -81,14 +88,46 @@ class SyncManager:
             self.state.advance(table, max_updated_at(df, self.config.ts_col))
         return n
 
+    def _previous_snapshot_dir(self) -> str | None:
+        """Snapshot dir the current manifest points at (None if never
+        published) — resolved through the manifest only, like readers."""
+        import json
+
+        try:
+            with open(os.path.join(self.store_root, "current", "manifest.json")) as f:
+                return json.load(f).get("snapshot_dir")
+        except (OSError, ValueError):
+            return None
+
+    def _build_frame(self, table: str, since, prev_dir: str | None):
+        """One table's next-snapshot content: incremental merge when
+        possible (prior snapshot + watermark + unique key), else full."""
+        layout = self.config.layouts.get(table)
+        key = layout.unique_key if layout else None
+        if not (self.config.incremental and prev_dir and key and since):
+            return extract_table(self.spark, self.source, table)
+        from ser_etl_spark.etl.merge import merge_incremental
+        from ser_etl_spark.sources.parquet import load_table
+
+        prev = load_table(self.spark, prev_dir, table)
+        if self.config.ts_col not in prev.columns:
+            return extract_table(self.spark, self.source, table)
+        delta = extract_table(
+            self.spark, self.source, table, since=since, ts_col=self.config.ts_col
+        )
+        return merge_incremental(prev, delta, key, self.config.ts_col)
+
     def run_sync(self) -> SyncOutcome:
         start = time.time()
         try:
+            # capture pre-cycle watermarks BEFORE counting advances them
+            since_map = {t: self.state.get(t) for t in self.config.tables}
+            prev_dir = self._previous_snapshot_dir()
             changed = {t: self.changed_row_count(t) for t in self.config.tables}
-            # Full-refresh semantics (A17): re-extract everything, build a
-            # brand-new snapshot, publish atomically.
+            # A17 semantics: snapshot isolation either way — full refresh
+            # by default, watermark-merge when incremental is enabled.
             frames = {
-                t: extract_table(self.spark, self.source, t)
+                t: self._build_frame(t, since_map[t], prev_dir)
                 for t in self.config.tables
             }
             build_dir = tempfile.mkdtemp(prefix="snapshot_build_")

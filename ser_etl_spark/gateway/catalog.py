@@ -93,7 +93,13 @@ class SnapshotCatalog:
             return self._resolved_dir  # type: ignore[return-value]
         snapshot_dir, version = self._resolve()
         if force or snapshot_dir != self._resolved_dir or version != self._version:
-            kwargs = {"tables": self.tables} if self.tables else {}
+            # Explicit table list > manifest-declared tables > the default
+            # fixture set: the manifest is the publish-time contract of
+            # what a snapshot contains, so readers follow it.
+            tables = self.tables or tuple(
+                self.read_manifest().get("tables", {})
+            )
+            kwargs = {"tables": tables} if tables else {}
             register_views(self.spark, snapshot_dir, **kwargs)
             self._register_manifest_views()
         self._resolved_dir, self._version = snapshot_dir, version

@@ -243,3 +243,62 @@ class TestIncrementalMerge:
         b = spark.createDataFrame([(1, "x")], "id bigint, v string")
         with _pytest.raises(ValueError, match="schema mismatch"):
             merge_incremental(a, b, "id")
+
+
+class TestIncrementalSync:
+    """incremental=True: cycle 2+ merges the changed slice into the prior
+    snapshot instead of re-extracting the world."""
+
+    def test_incremental_cycle_merges_changes(self, spark, tmp_path):
+        import datetime as dt
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        src_dir = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "a", t0), (2, "b", t0)],
+            "id bigint, v string, updated_at timestamp_ntz",
+        ).write.parquet(f"{src_dir}/items.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("items",),
+            ts_col="updated_at",
+            layouts={"items": TableLayout(unique_key="id")},
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        out1 = mgr.run_sync()
+        assert out1.success and out1.manifest["tables"]["items"] == 2
+
+        # source evolves: id=2 updated, id=3 new (later watermark)
+        spark.createDataFrame(
+            [(1, "a", t0), (2, "b2", t1), (3, "c", t1)],
+            "id bigint, v string, updated_at timestamp_ntz",
+        ).write.mode("overwrite").parquet(f"{src_dir}/items.parquet")
+
+        out2 = mgr.run_sync()
+        assert out2.success
+        assert out2.changed_rows["items"] == 2  # only the t1 rows
+        cat = SnapshotCatalog(spark, store)
+        cat.refresh(force=True)
+        got = {r["id"]: r["v"] for r in spark.table("items").collect()}
+        assert got == {1: "a", 2: "b2", 3: "c"}
+
+    def test_first_cycle_falls_back_to_full(self, spark, source, tmp_path):
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+
+        cfg = SyncConfig(
+            tables=("orders",),
+            ts_col="o_orderdate",
+            layouts={"orders": TableLayout(unique_key="o_orderkey")},
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, source, str(tmp_path / "s2"), cfg)
+        out = mgr.run_sync()
+        assert out.success and out.manifest["tables"]["orders"] == 1500
