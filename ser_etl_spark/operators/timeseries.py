@@ -109,3 +109,39 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events"),
         dsum("value", 4).alias("sum_value"),
     )
+
+
+@register(
+    "order_seasonality",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           COUNT(*) AS orders,
+           {sql_dsum('o_totalprice', 2)} AS total_sales
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+    """,
+    description="calendar-field extraction surface (year/quarter/month/"
+    "day-of-week) aggregated over orders — pure NTZ field extraction, no "
+    "session-tz detour (DuckDB dow is 0=Sunday; Spark dayofweek is "
+    "1=Sunday, bridged by -1); one hash aggregate",
+    covers=("B5", "X-time"),
+)
+def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mth"),
+            (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            dsum("o_totalprice", 2).alias("total_sales"),
+        )
+        .orderBy("yr", "qtr", "mth", "dow")
+    )

@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sketches,
         skew,
         statistics,
+        streaming_bridge,
         temporal,
         text,
         timeseries,
