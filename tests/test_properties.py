@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the algebraic operators.
+
+Each property batches all generated rows into ONE Spark job per example
+and caps example counts, so the suite stays fast while still exploring
+the input space far beyond the handcrafted cases.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=9),  # key
+    st.text(alphabet="abc", min_size=1, max_size=3),  # value
+    st.integers(min_value=0, max_value=5),  # day offset = timestamp
+)
+
+
+def _df(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, v, base + dt.timedelta(days=d)) for k, v, d in rows],
+        "id bigint, v string, updated_at timestamp_ntz",
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    current=st.lists(ROW, min_size=0, max_size=6, unique_by=lambda r: r[0]),
+    batch1=st.lists(ROW, min_size=0, max_size=4, unique_by=lambda r: r[0]),
+    batch2=st.lists(ROW, min_size=0, max_size=4, unique_by=lambda r: r[0]),
+)
+def test_merge_sequential_batches_equal_one_merged_batch(
+    spark, current, batch1, batch2
+):
+    """Applying change batches one-by-one must equal applying their
+    union-with-latest-timestamp-per-key in one shot — the property that
+    makes catch-up after downtime (one big batch) equivalent to live
+    incremental syncs (many small ones). Ties within a batch pair are
+    broken identically because the merged batch keeps the max-ts row."""
+    from ser_etl_spark.etl.merge import merge_incremental
+
+    cur = _df(spark, current)
+    b1, b2 = _df(spark, batch1), _df(spark, batch2)
+
+    sequential = merge_incremental(
+        merge_incremental(cur, b1, "id"), b2, "id"
+    )
+    # one-shot: b2 wins over b1 on ties (later batch), so pre-merge the
+    # batches with the same operator before applying
+    combined = merge_incremental(b1, b2, "id")
+    one_shot = merge_incremental(cur, combined, "id")
+
+    assert sorted(map(str, sequential.collect())) == sorted(
+        map(str, one_shot.collect())
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_split_bucket_matches_pure_python_model(spark, ids):
+    """The Knuth-hash bucket must equal the arithmetic model for ANY
+    bigint id — the engine-independence contract behind dataset_split."""
+    from ser_etl_spark.operators.sampling import _FOLD, _KNUTH, _MOD, split_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", split_bucket("id").alias("b")).collect()
+    }
+    for i in ids:
+        expect = ((i % _FOLD) * _KNUTH) % _MOD % 100
+        assert got[i] == expect
