@@ -92,6 +92,7 @@ def all_queries() -> dict[str, QuerySpec]:
         join_shapes,
         multimodal,
         packing,
+        pipeline,
         profiling,
         ranges,
         relational,
