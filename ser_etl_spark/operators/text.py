@@ -341,3 +341,90 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term salience
+# ---------------------------------------------------------------------------
+
+
+def top_terms(docs: DataFrame, min_token_len: int = 4) -> DataFrame:
+    """Most salient term per document by a TF-IDF-style score.
+
+    Score = tf / (df + 1): term frequency within the doc, discounted by
+    corpus document frequency. The classic ``tf * ln(N/df)`` is avoided
+    deliberately — ``ln`` is libm-dependent and not correctly-rounded,
+    so cross-engine results could differ in the last ulp and flip
+    rankings; the rational surrogate is exact integer arithmetic until
+    one final division, bit-identical everywhere, and induces the same
+    ordering for fixed N. Short tokens (< ``min_token_len`` chars) are
+    dropped as stopword-ish noise.
+
+    Scale: explode -> two hash aggregates (per-doc-term tf, per-term df)
+    -> broadcast-friendly df join -> per-doc top-1 via ROW_NUMBER. The
+    df table is vocabulary-sized (zipf-bounded), far smaller than the
+    corpus; the window partitions by doc_id — no global sort.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    ).filter(F.length("tok") >= min_token_len)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / (F.col("df") + F.lit(1))).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tf", "df", "score")
+    )
+
+
+@register(
+    "top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), toks4 AS (
+      SELECT doc_id, tok FROM toks WHERE length(tok) >= 4
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks4 GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM toks4) GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / (df.df + 1) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / (df.df + 1) DESC, tf.tok ASC
+             ) AS rn
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, tok AS top_term, tf, df, score
+    FROM scored WHERE rn = 1
+    """,
+    description="TF-IDF-style term salience: most distinctive term per "
+    "document via tf/(df+1) — a deterministic rational idf surrogate "
+    "(ln is libm-dependent across engines); explode -> tf/df aggregates "
+    "-> vocabulary join -> per-doc top-1 window",
+    covers=("N-text",),
+)
+def top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms(load_table(spark, sf_dir, "documents"))
