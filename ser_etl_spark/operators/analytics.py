@@ -860,3 +860,109 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: funnel + retention (events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchased_after_click
+    """,
+    description="ordered conversion funnel (view -> click -> purchase, "
+    "each step strictly after the previous step's first occurrence): "
+    "per-step keyed aggregates chained by user_id joins — every join "
+    "and aggregate shares the user_id shuffle key, and each stage's "
+    "input is type-pruned at the scan",
+    covers=("X-funnel", "B11"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS active_week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(a.active_week - f.cohort_week AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="retention cohort matrix: users bucketed by first-seen "
+    "epoch-week, counted distinct per week offset — two user_id-keyed "
+    "aggregates + one join reusing the same shuffle key; epoch-week "
+    "arithmetic is pure integer math (no session-tz detour)",
+    covers=("X-retention", "B11"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(F.col(c).cast("timestamp")) / F.lit(604800)
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id", week("first_ts").alias("cohort_week")
+    )
+    activity = ev.select("user_id", week("ts").alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
