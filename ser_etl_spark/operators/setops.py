@@ -74,3 +74,69 @@ def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _buyers(spark, sf_dir, 1996).subtract(_buyers(spark, sf_dir, 1997))
+
+
+@register(
+    "matched_order_counts",
+    oracle="""
+    SELECT custkey, COUNT(*) AS matched_orders
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY custkey
+    ORDER BY custkey
+    """,
+    description="extension: INTERSECT ALL (bag semantics) — each customer "
+    "kept min(orders_1996, orders_1997) times, i.e. the year-over-year "
+    "matched order count; Spark plans multiset intersection as one "
+    "count-tagged hash aggregate, no sort, no join",
+    covers=("X-setop",),
+)
+def matched_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = _buyers(spark, sf_dir, 1996).intersectAll(
+        _buyers(spark, sf_dir, 1997)
+    )
+    return (
+        matched.groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("matched_orders"))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "excess_order_counts",
+    oracle="""
+    SELECT custkey, COUNT(*) AS excess_orders
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY custkey
+    ORDER BY custkey
+    """,
+    description="extension: EXCEPT ALL (bag semantics) — each customer "
+    "kept max(0, orders_1996 - orders_1997) times: how many more orders "
+    "they placed in 1996 than 1997; multiset difference as one hash "
+    "aggregate",
+    covers=("X-setop",),
+)
+def excess_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    excess = _buyers(spark, sf_dir, 1996).exceptAll(
+        _buyers(spark, sf_dir, 1997)
+    )
+    return (
+        excess.groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("excess_orders"))
+        .orderBy("custkey")
+    )
