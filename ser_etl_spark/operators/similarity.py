@@ -601,7 +601,9 @@ def quantize_embeddings(
     one expression string, whole-stage codegen, no Python per row.
     """
     dim = _dim(vectors, vec_col)
-    mx = "greatest(" + ", ".join(
+    # the 1e-30 floor makes the all-zero vector quantize to zeros with
+    # scale ~0 instead of dividing by zero (NULL components)
+    mx = "greatest(1e-30, " + ", ".join(
         f"abs({_elem_sql(vec_col, i)})" for i in range(dim)
     ) + ")"
     qvec = "array(" + ", ".join(

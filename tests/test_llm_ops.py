@@ -381,6 +381,17 @@ class TestEmbeddingQuantize:
             approx = cos(base["qvec"], other["qvec"])
             assert abs(exact - approx) < 0.02
 
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        from ser_etl_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id bigint, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert rows[1]["qvec"] == [0, 0, 0]
+        assert all(v is not None for v in rows[2]["qvec"])
+
 
 class TestPiiScrub:
     def test_detects_and_redacts_synthetic_pii(self, spark):
