@@ -966,3 +966,136 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+             AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 9) AS share_of_total
+    FROM rev
+    ORDER BY region, nation
+    """,
+    description="ratio-to-report windows: each nation's revenue share of "
+    "its region and of the grand total — partition-wide window aggregates "
+    "(no ORDER BY frame) over an already-aggregated 25-row input, so the "
+    "unpartitioned total window is trivially cheap at any fact size; "
+    "shares rounded to 9 decimals (division of identical decimal-exact "
+    "sums differs in the last ulp across engines)",
+    covers=("X-window", "B11"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(dsum(_revenue(), 4).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "nation", "region", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 9)
+        .alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9)
+        .alias("share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "session_concurrency",
+    oracle=f"""
+    WITH sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_break) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR floor(epoch(CAST(ts AS TIMESTAMP))
+                                 - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w))
+                           > {SESSION_GAP_S}
+                      THEN 1 ELSE 0 END AS is_break
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+      )
+      GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT CAST(floor(epoch(s_start) / 3600) AS BIGINT) AS hour_bucket,
+             CAST(1 AS BIGINT) AS delta
+      FROM sess
+      UNION ALL
+      SELECT CAST(floor(epoch(s_end) / 3600) AS BIGINT) + 1, CAST(-1 AS BIGINT)
+      FROM sess
+    ), per_hour AS (
+      SELECT hour_bucket, CAST(SUM(delta) AS BIGINT) AS net FROM deltas
+      GROUP BY hour_bucket
+    )
+    SELECT hour_bucket,
+           CAST(SUM(net) OVER (ORDER BY hour_bucket ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_sessions
+    FROM per_hour
+    ORDER BY hour_bucket
+    """,
+    description="interval concurrency via the +1/-1 sweep: sessions emit "
+    "a start/+1 and end/-1 delta, deltas AGGREGATE to hour buckets FIRST "
+    "(the keyed shuffle does the heavy lifting), then one running sum "
+    "over the few-hundred-row bucket series — the aggregate-then-window "
+    "pattern that keeps global prefix sums off the fact table at 100 TB",
+    covers=("X-session", "X-window"),
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(_t(spark, sf_dir, "events")).select(
+        "session_start", "session_end"
+    )
+    hour = lambda c, off=0: (  # noqa: E731
+        F.floor(F.unix_timestamp(F.col(c).cast("timestamp")) / F.lit(3600))
+        + F.lit(off)
+    ).cast("long")
+    deltas = sess.select(
+        hour("session_start").alias("hour_bucket"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        sess.select(
+            hour("session_end", 1).alias("hour_bucket"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    per_hour = deltas.groupBy("hour_bucket").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("hour_bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_hour.select(
+            "hour_bucket",
+            F.sum("net").over(w).cast("long").alias("open_sessions"),
+        )
+        .orderBy("hour_bucket")
+    )

@@ -632,3 +632,79 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-duplicates (short strings, prefix blocking)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_prefix_len: int,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Near-duplicate short strings by Levenshtein distance, with prefix
+    blocking: only pairs sharing the first ``block_prefix_len`` chars are
+    compared, so candidate growth is quadratic per block, not per corpus
+    — size the prefix so blocks stay bounded as the table grows (the same
+    guard discipline as the shingle-DF cap). Levenshtein is identically
+    defined in every engine, so results are oracle-exact.
+
+    Right fit: identifier-ish columns (names, SKUs, codes). For document
+    text use the shingle/MinHash family instead — edit distance on long
+    strings is O(len^2) per pair.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.substring(F.col(name_col), 1, block_prefix_len).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.substring(F.col(name_col), 1, block_prefix_len).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+@register(
+    "name_edit_neardup",
+    oracle="""
+    WITH blocked AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS distance
+      FROM customer a
+      JOIN customer b
+        ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT distance, COUNT(*) AS n_pairs
+    FROM blocked WHERE distance <= 1
+    GROUP BY distance ORDER BY distance
+    """,
+    description="edit-distance near-dup join on an identifier column: "
+    "16-char prefix blocking bounds each block (quadratic per block, not "
+    "per corpus), Levenshtein <= 1 within blocks, pair counts per "
+    "distance — the short-string member of the dedup family (shingle/"
+    "MinHash cover document text)",
+    covers=("N-dedup",),
+)
+def name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit_distance_pairs(cust, "c_custkey", "c_name", 16, 1)
+    return (
+        pairs.groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("distance")
+    )
