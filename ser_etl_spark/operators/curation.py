@@ -1,0 +1,421 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+The reference stops at serving analytics over synced tables
+(``/root/reference/api-service/src/query_engine.py``); a training-data
+engine additionally needs the preparation passes between raw documents
+and a tokenizer-ready corpus. This module adds the four standard ones
+that precede tokenization, plus the epoch-ordering pass that follows it:
+
+- :func:`chunk_documents` — fixed-width overlapping character chunks
+  (context-window packing precursor);
+- :func:`repetition_stats` — Gopher-style repetition quality signals
+  (type-token ratio, top-bigram mass);
+- :func:`benchmark_contamination` — n-gram-overlap decontamination of
+  the train split against a held-out benchmark set;
+- :func:`source_temperature_sample` — temperature-based source
+  rebalancing (sqrt weighting, deterministic keep-hash);
+- :func:`training_order` — deterministic sharded epoch shuffle.
+
+Everything is built-in-function Spark (JVM, whole-stage codegen): chunk
+and n-gram generation explode *index sequences* and assemble strings as
+flat projections (no higher-order lambdas — those are CodegenFallback,
+see ``dedup.shingle_rows``), hashes/orderings use the engine-independent
+Knuth hash from ``operators/sampling.py``, and the only float math is
+IEEE-exact (sqrt, integer-derived divisions) so every operator here is
+bit-reproducible on DuckDB and carries a full value-hash oracle.
+
+Scale notes per operator are in the docstrings; none of them collects to
+the driver, and the only shuffles are keyed aggregations/joins on
+(doc_id) or (doc_id, ngram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ser_etl_spark.operators.dedup import shingle_rows
+from ser_etl_spark.operators.sampling import hash_u32, sql_hash_u32
+from ser_etl_spark.registry import register
+from ser_etl_spark.sources.parquet import load_table
+
+#: Default chunk geometry: 200-char windows advancing by 150 (50 overlap).
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+#: Benchmark-membership rule for the contamination demo: every 50th doc
+#: stands in for a held-out eval set (deterministic, engine-independent).
+BENCH_MOD = 50
+
+#: n-gram width for decontamination (13 is the LM-eval convention; the
+#: synthetic docs are ~30 tokens, so 5 keeps the check meaningful here).
+CONTAMINATION_N = 5
+
+#: Shard count for the epoch shuffle.
+ORDER_SHARDS = 16
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = CHUNK_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-width overlapping character chunks.
+
+    Chunk ``i`` covers ``[i*stride, i*stride + chunk_chars)`` with
+    ``stride = chunk_chars - overlap``; the last chunk may be short.
+    This is the standard pre-tokenization windowing for context-length
+    training data (overlap preserves cross-boundary n-grams).
+
+    Scale: a narrow per-row generate (explode of an index sequence) and
+    a flat ``substr`` projection — no shuffle, no state; output is
+    ~``len/stride`` rows per doc and partitions inherit the scan's.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"need 0 <= overlap < chunk_chars, got {overlap}/{chunk_chars}")
+    stride = chunk_chars - overlap
+    text = F.col(text_col)
+    base = docs.select(
+        F.col(id_col), text.alias("_txt"), F.length(text).alias("_len")
+    ).filter(F.col("_len") > 0)
+    idx = base.select(
+        id_col,
+        "_txt",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("_len") - 1) / stride))
+        ).alias("chunk_id"),
+    )
+    chunk = F.col("_txt").substr(
+        (F.col("chunk_id") * stride + 1).cast("int"), F.lit(chunk_chars)
+    )
+    return idx.select(
+        id_col,
+        "chunk_id",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality signals
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals for quality filtering.
+
+    - ``type_token_ratio``: distinct / total whitespace tokens — low TTR
+      flags boilerplate and degenerate repetition;
+    - ``top_bigram_frac``: share of all bigram slots taken by the most
+      frequent bigram (the Gopher "top n-gram mass" filter, n=2).
+
+    Scale: TTR is a flat per-row projection. The bigram pass explodes
+    (doc_id, bigram) rows and hash-aggregates twice — counts collapse
+    map-side (partial agg) before the (doc_id, sh) shuffle, then a
+    per-doc max/sum on the doc_id-partitioned result; no global state.
+    Docs with fewer than 2 tokens get a NULL ``top_bigram_frac``.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+    )
+    bigrams = shingle_rows_counted(docs, n=2)
+    per_doc = (
+        bigrams.groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+        .select(
+            "doc_id",
+            (F.col("_mx").cast("double") / F.col("_tot")).alias("top_bigram_frac"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left")
+
+
+def shingle_rows_counted(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-distinct ``(doc_id, sh)`` n-gram rows (multiset form).
+
+    Same codegen-friendly index-explode construction as
+    ``dedup.shingle_rows`` but WITHOUT the distinct — repetition metrics
+    need multiplicities, dedup joins need sets.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), " +").alias("_t"),
+    ).filter(F.size("_t") >= n)
+    t = F.col("_t")
+    idx = toks.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size(t) - (n - 1))).alias("_i"),
+    )
+    i = F.col("_i")
+    sh = F.concat_ws(
+        " ",
+        F.element_at(t, i),
+        *[F.element_at(t, i + k) for k in range(1, n)],
+    )
+    return idx.select(id_col, sh.alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    docs: DataFrame, n: int = CONTAMINATION_N, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Train documents sharing ≥1 word n-gram with the benchmark set.
+
+    The held-out benchmark is the ``doc_id % bench_mod == 0`` slice (a
+    deterministic stand-in for an external eval suite); every other doc
+    is train. Returns per-contaminated-doc overlap counts and the
+    contamination fraction ``hit_ngrams / total_ngrams`` — the standard
+    n-gram-overlap decontamination pass run before training.
+
+    Scale: benchmark n-grams are tiny relative to the corpus and are
+    broadcast, so the train side never shuffles for the hit join. Totals
+    are computed only for docs that hit (broadcast semi-join first), so
+    the expensive full-corpus n-gram aggregation is avoided entirely —
+    contaminated docs are a sliver of the corpus at 100 TB.
+    """
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench_sh = (
+        shingle_rows(docs.filter(is_bench), n=n).select("sh").distinct()
+    )
+    train_sh = shingle_rows(docs.filter(~is_bench), n=n)
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hit_ngrams"))
+    )
+    totals = (
+        train_sh.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("total_ngrams"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "total_ngrams",
+        "hit_ngrams",
+        (F.col("hit_ngrams").cast("double") / F.col("total_ngrams")).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+
+def source_temperature_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic temperature-0.5 source rebalancing.
+
+    Per-source weight ``w_s = sqrt(char_volume_s)`` (temperature 0.5 —
+    the multilingual-corpus convention for flattening source skew);
+    every source keeps ``w_s / max_s w_s`` of its docs, chosen by the
+    engine-independent Knuth keep-hash, so the largest source keeps all
+    rows and smaller sources are *relatively* upweighted. sqrt is
+    IEEE-754 correctly-rounded, so keep decisions are bit-identical on
+    any engine — the sample is reproducible forever.
+
+    Scale: one tiny per-source aggregate (|sources| rows, broadcast
+    back), then a stateless per-row filter; no fact-table shuffle.
+    """
+    stats = docs.groupBy("source").agg(F.sum("n_chars").alias("_c"))
+    w = stats.select("source", F.sqrt(F.col("_c")).alias("_w"))
+    mx = w.agg(F.max("_w").alias("_mw"))
+    fracs = w.crossJoin(F.broadcast(mx)).select(
+        "source", (F.col("_w") / F.col("_mw")).alias("keep_frac")
+    )
+    kept = docs.join(F.broadcast(fracs), "source").filter(
+        hash_u32("doc_id") < F.col("keep_frac") * F.lit(2.0**32)
+    )
+    return kept.select("doc_id", "source", "keep_frac")
+
+
+# ---------------------------------------------------------------------------
+# epoch ordering
+# ---------------------------------------------------------------------------
+
+
+def training_order(docs: DataFrame, n_shards: int = ORDER_SHARDS) -> DataFrame:
+    """Deterministic sharded epoch shuffle: (shard_id, shard_pos) per doc.
+
+    Training pipelines consume data as S shards read round-robin, each
+    shard internally pseudo-randomly ordered. Shard assignment and
+    intra-shard order both derive from the Knuth hash of the stable id,
+    so the epoch order is reproducible on any engine and independent of
+    input partitioning — ``rand()`` or engine hashes would not be.
+
+    Scale: the window is partitioned BY SHARD — S independent sorts of
+    ~1/S of the data each, not a single global order-by; shards map to
+    output files one-to-one. For multi-epoch training, salt the id with
+    the epoch number upstream.
+    """
+    h = hash_u32("doc_id")
+    w = Window.partitionBy("shard_id").orderBy("_h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("_h"),
+            F.pmod(h, F.lit(n_shards)).alias("shard_id"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).alias("shard_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry entries
+# ---------------------------------------------------------------------------
+
+_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+_SQL_TOKS = "string_split_regex(trim(lower(text)), ' +')"
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text)-1)//{_STRIDE})) AS chunk_id
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, chunk_id,
+           substring(text, CAST(chunk_id*{_STRIDE}+1 AS INT), {CHUNK_CHARS}) AS chunk_text,
+           length(substring(text, CAST(chunk_id*{_STRIDE}+1 AS INT), {CHUNK_CHARS})) AS chunk_chars
+    FROM base
+    """,
+    description="fixed-width overlapping character chunking "
+    f"({CHUNK_CHARS}-char windows, {CHUNK_OVERLAP} overlap) — "
+    "context-window precursor, narrow generate + substr, no shuffle",
+    covers=("N-text",),
+)
+def doc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio
+      FROM toks),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    cnt AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS sh, COUNT(*) AS c
+      FROM idx GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+      FROM cnt GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens, b.type_token_ratio, p.top_bigram_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    description="Gopher-style repetition quality signals: type-token "
+    "ratio + top-bigram mass fraction (partial-agg bigram counts)",
+    covers=("N-text",),
+)
+def doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _contamination_oracle() -> str:
+    k = CONTAMINATION_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace("t[i+0]", "t[i]")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{k - 1})) AS i
+            FROM toks WHERE len(t) >= {k})),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS hit_ngrams
+      FROM train JOIN bench USING (sh) GROUP BY 1),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS total_ngrams
+      FROM train WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY 1)
+    SELECT t.doc_id, t.total_ngrams, h.hit_ngrams,
+           CAST(h.hit_ngrams AS DOUBLE) / t.total_ngrams AS contamination_frac
+    FROM totals t JOIN hits h USING (doc_id)
+    """
+
+
+@register(
+    "decontamination",
+    oracle=_contamination_oracle(),
+    description="benchmark decontamination: train docs sharing word "
+    f"{CONTAMINATION_N}-grams with the held-out benchmark slice "
+    "(broadcast n-gram join, totals only for hit docs)",
+    covers=("N-text", "N-dedup"),
+)
+def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benchmark_contamination(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_mixture",
+    oracle=f"""
+    WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, sqrt(c) AS w FROM s),
+    m AS (SELECT MAX(w) AS mw FROM w),
+    f AS (SELECT source, w / mw AS keep_frac FROM w, m)
+    SELECT d.doc_id, d.source, f.keep_frac
+    FROM documents d JOIN f USING (source)
+    WHERE {sql_hash_u32("d.doc_id")} < f.keep_frac * 4294967296.0
+    """,
+    description="temperature-0.5 source rebalancing: sqrt-char-volume "
+    "weights, deterministic Knuth keep-hash (broadcast fractions, "
+    "stateless per-row filter)",
+    covers=("X-sample",),
+)
+def source_mixture_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {sql_hash_u32("doc_id")} AS _h,
+             {sql_hash_u32("doc_id")} % {ORDER_SHARDS} AS shard_id
+      FROM documents)
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY _h, doc_id)
+                AS INT) AS shard_pos
+    FROM h
+    """,
+    description=f"deterministic epoch shuffle: {ORDER_SHARDS} hash "
+    "shards, Knuth-hash intra-shard order (per-shard sorts, no global "
+    "order-by)",
+    covers=("X-sample", "X-window"),
+)
+def training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_order(load_table(spark, sf_dir, "documents"))

@@ -60,6 +60,23 @@ def sql_split_bucket(id_expr: str) -> str:
     return f"((({id_expr} % {_FOLD}) * {_KNUTH}) % {_MOD}) % 100"
 
 
+def hash_u32(id_col: Column | str) -> Column:
+    """Full-resolution Knuth hash in [0, 2^32) from a stable integer id.
+
+    The pre-``mod 100`` form of :func:`split_bucket` — same overflow-safe
+    fold, 2^32 granularity. Used where 1-percent buckets are too coarse
+    (per-source keep *fractions*, pseudo-random orderings); pure int64
+    arithmetic, so DuckDB reproduces it bit-for-bit.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c, F.lit(_FOLD)) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def sql_hash_u32(id_expr: str) -> str:
+    """Oracle-side rendering of :func:`hash_u32`."""
+    return f"((({id_expr} % {_FOLD}) * {_KNUTH}) % {_MOD})"
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

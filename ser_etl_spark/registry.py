@@ -88,6 +88,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import ser_etl_spark` stays cheap.
     from ser_etl_spark.operators import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         join_shapes,
         multimodal,
@@ -111,4 +112,10 @@ def all_queries() -> dict[str, QuerySpec]:
 
     pending = {n: s for n, s in REGISTRY.items() if n not in VERIFIED_PRIOR_ROUNDS}
     verified = {n: s for n, s in REGISTRY.items() if n in VERIFIED_PRIOR_ROUNDS}
-    return {**pending, **verified}
+    # Oracle-backed pending entries first: they get the strong
+    # (rows+schema+value-hash) check, so they must not be crowded out of
+    # the window by rows-only entries whose driver check is weaker than
+    # the pytest invariants that already cover them.
+    pending_oracle = {n: s for n, s in pending.items() if s.oracle is not None}
+    pending_rows_only = {n: s for n, s in pending.items() if s.oracle is None}
+    return {**pending_oracle, **pending_rows_only, **verified}

@@ -436,3 +436,111 @@ class TestPiiScrub:
             ).fetchone()
             assert spark_fp[doc_id] == fp
         con.close()
+
+
+class TestCuration:
+    """Invariants for the corpus-curation passes (curation.py); value
+    parity vs DuckDB is covered by the registry oracles."""
+
+    def test_chunks_reconstruct_documents(self, spark):
+        from ser_etl_spark.operators.curation import chunk_documents
+
+        rows = [(1, "a" * 1), (2, "xy" * 160), (3, "q" * 200), (4, "")]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        chunks = chunk_documents(docs, chunk_chars=200, overlap=50).collect()
+        by_doc: dict[int, list] = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 4 not in by_doc  # empty text yields no chunks
+        for doc_id, text in rows:
+            if not text:
+                continue
+            got = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+            # stride-sized prefixes + full last chunk reassemble the doc
+            rebuilt = "".join(r["chunk_text"][:150] for r in got[:-1])
+            rebuilt += got[-1]["chunk_text"]
+            assert rebuilt == text
+            # consecutive chunks overlap by exactly 50 chars (or to end)
+            for a, b in zip(got, got[1:]):
+                assert a["chunk_text"][150:] == b["chunk_text"][: len(a["chunk_text"]) - 150]
+            assert all(r["chunk_chars"] == len(r["chunk_text"]) for r in got)
+
+    def test_chunk_geometry_validation(self, spark):
+        from ser_etl_spark.operators.curation import chunk_documents
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_chars=100, overlap=100)
+
+    def test_repetition_flags_degenerate_docs(self, spark):
+        from ser_etl_spark.operators.curation import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam ham " * 50),          # one bigram dominates
+                (2, "all words here differ"),    # no repetition
+                (3, "solo"),                     # < 2 tokens
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        assert got[1]["type_token_ratio"] < 0.1
+        assert got[1]["top_bigram_frac"] > 0.49
+        assert got[2]["type_token_ratio"] == 1.0
+        assert got[2]["top_bigram_frac"] == pytest.approx(1 / 3)
+        assert got[3]["top_bigram_frac"] is None
+
+    def test_contamination_detects_planted_overlap(self, spark):
+        from ser_etl_spark.operators.curation import benchmark_contamination
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, bench_text),                                  # benchmark doc
+            (1, "prefix " + bench_text + " suffix"),          # contaminated
+            (2, "totally unrelated words in this document here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in benchmark_contamination(docs).collect()}
+        assert 0 not in got          # bench docs are never reported
+        assert 2 not in got          # clean docs are not reported
+        assert got[1]["hit_ngrams"] == 4  # the 4 five-grams inside bench_text
+        assert 0 < got[1]["contamination_frac"] <= 1
+
+    def test_source_mixture_keeps_largest_source_whole(self, spark, sf_small):
+        from ser_etl_spark.operators.curation import source_temperature_sample
+
+        docs = load_table(spark, sf_small, "documents")
+        kept = source_temperature_sample(docs)
+        fracs = {
+            r["source"]: r["keep_frac"]
+            for r in kept.select("source", "keep_frac").distinct().collect()
+        }
+        assert all(0 < f <= 1.0 for f in fracs.values())
+        # the max-volume source has keep_frac exactly 1.0 -> all rows kept
+        top = max(fracs, key=fracs.get)
+        assert fracs[top] == 1.0
+        n_top = docs.filter(F.col("source") == top).count()
+        assert kept.filter(F.col("source") == top).count() == n_top
+        # temperature flattening: kept share of small sources >= raw share
+        assert kept.count() <= docs.count()
+
+    def test_training_order_is_sharded_permutation(self, spark, sf_small):
+        from ser_etl_spark.operators.curation import ORDER_SHARDS, training_order
+
+        docs = load_table(spark, sf_small, "documents")
+        out = training_order(docs)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert {r["doc_id"] for r in rows} == {
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        }
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r["shard_id"] < ORDER_SHARDS
+            by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+        for shard, positions in by_shard.items():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+        # deterministic across invocations
+        again = {(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in
+                 training_order(docs).collect()}
+        assert again == {(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in rows}
