@@ -177,20 +177,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """64-permutation MinHash signatures over word n-gram shingles.
 
-    Each "permutation" is the min over shingles of xxhash64(shingle + seed
-    index). Computed by exploding shingles and taking ``num_perm`` hash
-    columns through a grouped MIN — flat columns stay inside whole-stage
-    codegen, an order of magnitude faster than per-row higher-order array
-    transforms (which execute interpreted), at the cost of one doc_id
-    shuffle with map-side partial MINs.
+    Each "permutation" is the min over shingles of
+    ``xxhash64(xxhash64(shingle), k)``. Computed by exploding shingles
+    and taking ``num_perm`` hash columns through a grouped MIN — flat
+    columns stay inside whole-stage codegen, an order of magnitude
+    faster than per-row higher-order array transforms (which execute
+    interpreted), at the cost of one doc_id shuffle with map-side
+    partial MINs. The variable-length shingle string is hashed ONCE to a
+    long; the per-permutation re-keying then hashes two fixed 8-byte
+    longs — measured ~2x cheaper than the round-1 form that built and
+    hashed 64 ``concat(sh, "#k")`` strings per shingle row.
     """
     exploded = shingle_rows(docs, n)
-    hashed = exploded.select(
+    base = exploded.select("doc_id", F.xxhash64("sh").alias("_b"))
+    hashed = base.select(
         "doc_id",
-        *[
-            F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{k}"))).alias(f"_h{k}")
-            for k in range(num_perm)
-        ],
+        *[F.xxhash64("_b", F.lit(k)).alias(f"_h{k}") for k in range(num_perm)],
     )
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(f"_h{k}").alias(f"_h{k}") for k in range(num_perm)]
@@ -227,13 +229,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", i * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for i in range(bands)
