@@ -250,6 +250,32 @@ def source_temperature_sample(docs: DataFrame) -> DataFrame:
     return kept.select("doc_id", "source", "keep_frac")
 
 
+def source_cap_sample(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """Keep at most ``cap`` documents per source, chosen deterministically.
+
+    The per-domain cap is the standard guard against a single crawl
+    domain flooding the corpus. Selection order is the Knuth hash of the
+    stable id (then id as tie-break), so the kept subset is a uniform,
+    reproducible, engine-independent sample — a deterministic
+    reservoir-sample analog with none of ``rand()``'s replay problems.
+
+    Scale: one window partitioned BY SOURCE — independent per-group
+    top-``cap`` selections; no global sort, no driver state. A skewed
+    mega-source is one partition's top-k, and since only ranks <= cap
+    survive, AQE's skew splitting plus the rank filter keep it bounded.
+    """
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", "source", hash_u32("doc_id").alias("_h"))
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
 # ---------------------------------------------------------------------------
 # epoch ordering
 # ---------------------------------------------------------------------------
@@ -398,6 +424,26 @@ def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_mixture_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_u32("doc_id")}, doc_id) AS INT) AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= 10
+    """,
+    description="per-source document cap: keep <= 10 docs per source by "
+    "Knuth-hash order (deterministic reservoir-sample analog; "
+    "independent per-group top-k, no global sort)",
+    covers=("X-sample", "X-window"),
+)
+def source_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_cap_sample(load_table(spark, sf_dir, "documents"))
 
 
 @register(

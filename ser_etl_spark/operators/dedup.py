@@ -367,20 +367,22 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " +"))
         ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    # Sum the raw bit (0/1) per position plus one count; bit i of the
+    # fingerprint is then "ones strictly beat zeros": 2*ones_i > n —
+    # identical to the +1/-1 vote sign (ties -> 0) without evaluating a
+    # conditional per token per bit position.
     votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"v{i}")
             for i in range(bits)
-        ]
+        ],
     )
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"v{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("doc_id", fp.alias("simhash"))
@@ -558,9 +560,11 @@ def ngram_jaccard_guarded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
+#: Shared oracle prefix: guarded Jaccard pairs (shingle-DF cap 50) +
+#: recursive reachability — everything through the ``reach`` relation.
+#: ``dedup_clusters`` selects the per-node labels from it;
+#: ``dedup_canonical`` selects the surviving corpus.
+_GUARDED_REACH_CTE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
       FROM documents
@@ -592,6 +596,13 @@ def ngram_jaccard_guarded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
     )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_GUARDED_REACH_CTE
+    + """
     SELECT node AS doc_id, MIN(r) AS cluster_id,
            CAST(node = MIN(r) AS BOOLEAN) AS is_survivor
     FROM reach GROUP BY node
@@ -608,6 +619,44 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=50
     )
     return duplicate_clusters(pairs)
+
+
+def canonical_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The deduplicated corpus: every doc except non-survivor cluster
+    members (cluster survivor = min doc_id; docs in no cluster pass
+    through untouched).
+
+    This is the terminal step of the dedup family — pairs → clusters →
+    the corpus you actually train on. Scale: the anti-join's right side
+    is only the duplicate LOSERS (a sliver of the corpus even at high
+    dup rates), and the join key is the stable id, so AQE picks a
+    broadcast anti-join whenever losers fit.
+    """
+    losers = duplicate_clusters(pairs).filter(~F.col("is_survivor")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "dedup_canonical",
+    oracle=_GUARDED_REACH_CTE
+    + f"""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)
+    )
+    """,
+    description="the deduplicated corpus itself: guarded near-dup pairs "
+    "-> clusters -> drop non-survivors via a stable-id anti-join (the "
+    "terminal dedup-family step; right side is only the dup losers)",
+    covers=("N-dedup",),
+)
+def dedup_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, 0.5, max_shingle_df=50)
+    return canonical_corpus(docs, pairs)
 
 
 @register(

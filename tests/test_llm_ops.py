@@ -544,3 +544,44 @@ class TestCuration:
         again = {(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in
                  training_order(docs).collect()}
         assert again == {(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in rows}
+
+    def test_source_cap_limits_each_source(self, spark, sf_small):
+        from ser_etl_spark.operators.curation import source_cap_sample
+
+        docs = load_table(spark, sf_small, "documents")
+        capped = source_cap_sample(docs, cap=3)
+        per_src = {
+            r["source"]: r["n"]
+            for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_src and all(n <= 3 for n in per_src.values())
+        # sources with >= 3 docs are fully used
+        raw = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for s, n in raw.items():
+            assert per_src.get(s, 0) == min(n, 3)
+        # deterministic
+        a = {tuple(r) for r in capped.collect()}
+        b = {tuple(r) for r in source_cap_sample(docs, cap=3).collect()}
+        assert a == b
+
+    def test_canonical_corpus_drops_only_losers(self, spark):
+        from ser_etl_spark.operators.dedup import canonical_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa", "en", "s1"),
+                (2, "bb", "en", "s1"),
+                (3, "cc", "en", "s2"),
+                (4, "dd", "en", "s2"),
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 4)], "doc_a bigint, doc_b bigint"
+        )
+        kept = sorted(r["doc_id"] for r in canonical_corpus(docs, pairs).collect())
+        # {1,2,4} is one cluster -> survivor 1; doc 3 untouched
+        assert kept == [1, 3]
