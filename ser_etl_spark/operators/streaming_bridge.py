@@ -52,3 +52,29 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "streaming_view_clicks",
+    oracle=None,  # stream-stream join execution path; the batch twin
+    # `view_click_interval` carries the SQL oracle for these semantics
+    description="stream-stream attribution join exercised end-to-end: "
+    "views and clicks as watermarked streams, clicks joined within a "
+    "30 min horizon (state expires by watermark, bounded per key); "
+    "availableNow replay, pair-set proven equal to the batch twin in "
+    "tests",
+    covers=("A16", "B11"),
+)
+def streaming_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.streaming.joins import view_click_stream_pairs
+    from ser_etl_spark.streaming.windows import run_to_memory, streaming_events
+
+    sink = f"stream_vc_{uuid.uuid4().hex[:8]}"
+    pairs = view_click_stream_pairs(streaming_events(spark, sf_dir))
+    run_to_memory(pairs, sink, mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

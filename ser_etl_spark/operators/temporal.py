@@ -118,3 +118,90 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(SECOND, matched.ts, ts)"), F.lit(-1)
         ).alias("gap_s"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """All (left, right) pairs with the same key where the right event
+    lands inside ``[left_ts, left_ts + horizon]``.
+
+    The attribution-window join (view -> clicks within N minutes) —
+    between the as-of join (nearest single match) and the band join
+    (static value ranges) in the temporal family. Scale: an equi-join
+    on the key carries the shuffle; the time bound is a residual
+    predicate evaluated in the join, so there is no range explosion and
+    no cross product — state per key is the events inside one horizon.
+    """
+    cond = (
+        (left[on] == right[on])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return left.join(right, cond)
+
+
+@register(
+    "view_click_interval",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS vid, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT event_id AS cid, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT v.user_id, v.vid,
+             CAST(floor(epoch(c.click_ts) - epoch(v.view_ts)) AS BIGINT) AS gap_s
+      FROM v JOIN c
+        ON v.user_id = c.user_id
+       AND c.click_ts >= v.view_ts
+       AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT vid) AS n_views_matched,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS avg_gap_s
+    FROM j GROUP BY user_id
+    """,
+    description="attribution-window interval join: clicks within 30 min "
+    "after each view of the same user (equi-key shuffle + residual time "
+    "bound, no range explosion), aggregated per user; the streaming "
+    "twin is streaming/joins.py stream_interval_join",
+    covers=("B11", "X-session"),
+)
+def view_click_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = v.join(
+        c,
+        (v["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")),
+    )
+    gap = F.expr("timestampdiff(SECOND, view_ts, click_ts)")
+    return (
+        pairs.select("user_id", "vid", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("vid").alias("n_views_matched"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("avg_gap_s"),
+        )
+    )

@@ -183,3 +183,46 @@ class TestStreamingDedup:
             F.pmod(F.col("user_id"), F.lit(4)) != F.col("segment")
         )
         assert bad.count() == 0
+
+
+class TestStreamStreamJoin:
+    def test_stream_pairs_equal_batch_interval_join(self, spark, sf_small):
+        """The watermarked stream-stream attribution join replayed with
+        availableNow produces exactly the batch interval join's pairs."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.sources.parquet import load_table
+        from ser_etl_spark.streaming.joins import view_click_stream_pairs
+        from ser_etl_spark.streaming.windows import run_to_memory, streaming_events
+
+        sink = f"vc_{uuid.uuid4().hex[:8]}"
+        run_to_memory(
+            view_click_stream_pairs(streaming_events(spark, sf_small)),
+            sink,
+            mode="append",
+        )
+        got = {
+            (r["vid"], r["cid"])
+            for r in spark.table(sink).select("vid", "cid").collect()
+        }
+
+        events = load_table(spark, sf_small, "events")
+        v = events.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("view_ts")
+        )
+        c = events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        batch = v.join(
+            c,
+            (v["user_id"] == c["c_user_id"])
+            & (c["click_ts"] >= v["view_ts"])
+            & (c["click_ts"] <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")),
+        )
+        want = {(r["vid"], r["cid"]) for r in batch.select("vid", "cid").collect()}
+        assert got == want
+        assert want  # non-degenerate at sf0.001
