@@ -97,3 +97,67 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_custkey", "o_orderdate", "o_orderstatus"]
     )
+
+
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan count per declared foreign-key relationship.
+
+    The star schema's integrity contract as one QA query: each
+    relationship is a LEFT ANTI join (NOT EXISTS) counted; the parent
+    key sets are dimension-sized or id-projections, so Catalyst
+    broadcasts them and the fact side never shuffles. Healthy data
+    returns all-zero counts — the non-zero case is the alert.
+    """
+    from ser_etl_spark.etl.quality import fk_orphans
+
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child_t, child_c, parent_t, parent_c in rels:
+        orphans = fk_orphans(
+            load_table(spark, sf_dir, child_t),
+            child_c,
+            load_table(spark, sf_dir, parent_t),
+            parent_c,
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).alias("orphans")).select(
+                F.lit(name).alias("relationship"), "orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relationship")
+
+
+@register(
+    "referential_integrity",
+    oracle="""
+    SELECT 'customer->nation' AS relationship,
+           (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY relationship
+    """,
+    description="ETL QA: orphan counts for the star schema's three FK "
+    "relationships via LEFT ANTI joins (parent keys broadcast, fact "
+    "side unshuffled); completes the A8 unique-index gate with the "
+    "referential half of the constraint family",
+    covers=("A8", "B11"),
+)
+def referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return referential_integrity(spark, sf_dir)

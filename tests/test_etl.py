@@ -302,3 +302,77 @@ class TestIncrementalSync:
         mgr = SyncManager(spark, source, str(tmp_path / "s2"), cfg)
         out = mgr.run_sync()
         assert out.success and out.manifest["tables"]["orders"] == 1500
+
+
+class TestQualityConstraints:
+    def test_check_rules_single_pass_counts(self, spark):
+        from ser_etl_spark.etl.quality import (
+            accepted_values,
+            check_rules,
+            in_range,
+            not_null,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 10.0, "A"),
+                (2, -5.0, "B"),
+                (None, 500.0, "C"),
+                (4, None, "A"),
+            ],
+            "id bigint, amount double, status string",
+        )
+        got = check_rules(
+            df,
+            [
+                not_null("id"),
+                in_range("amount", lo=0.0, hi=100.0),
+                accepted_values("status", ("A", "B")),
+            ],
+        )
+        assert got == {
+            "not_null:id": 1,
+            "in_range:amount": 2,   # -5 below lo, 500 above hi; NULL passes
+            "accepted_values:status": 1,
+        }
+
+    def test_fk_orphans_and_null_keys(self, spark):
+        from ser_etl_spark.etl.quality import fk_orphans
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, None)], "id bigint, fk bigint"
+        )
+        parent = spark.createDataFrame([(10,)], "pk bigint")
+        got = [r["id"] for r in fk_orphans(child, "fk", parent, "pk").collect()]
+        assert got == [2]  # NULL key is not an orphan (NOT EXISTS semantics)
+
+    def test_schema_drift_report(self, spark):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from ser_etl_spark.etl.quality import detect_schema_drift
+
+        old = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("name", StringType()),
+                StructField("gone", StringType()),
+            ]
+        )
+        new = StructType(
+            [
+                StructField("name", StringType()),  # reorder: not drift
+                StructField("id", StringType()),    # type change
+                StructField("fresh", LongType()),   # added
+            ]
+        )
+        rep = detect_schema_drift(old, new)
+        assert rep.added == ["fresh"]
+        assert rep.removed == ["gone"]
+        assert rep.changed == ["id"]
+        assert rep.has_drift
+        assert not detect_schema_drift(old, old).has_drift
