@@ -312,23 +312,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce("nbr_label", F.col("label"))
+        )
+        # The convergence signal rides along as a flag column inside the
+        # SAME checkpointed pass — counting it is a scan of the
+        # checkpoint, not the extra updated-vs-old shuffle join (one
+        # fewer shuffle per round).
         updated = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     if changed != 0:
