@@ -228,3 +228,42 @@ def test_zorder_layout_narrows_file_spans_on_both_columns(spark, sf_small, tmp_p
     # z-order must do meaningfully better on the second column
     assert s_supp > 0.8 * full
     assert z_supp < 0.7 * full, (z_supp, s_supp, full)
+
+
+def test_interval_join_is_equi_hash_join_not_nested_loop(spark, sf_small):
+    """The attribution-window join must carry its shuffle on the equi
+    key with the time bound as a residual — a nested-loop or cartesian
+    plan here would be quadratic at scale."""
+    plan = _plan(spark, sf_small, "view_click_interval")
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only acceptable BNLJ would be none at all
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    """chunk_documents is a narrow generate + substr projection — any
+    Exchange in this plan means a rewrite introduced a shuffle."""
+    plan = _plan(spark, sf_small, "doc_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark_ngrams(spark, sf_small):
+    plan = _plan(spark, sf_small, "decontamination")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan  # totals restricted to hit docs
+
+
+def test_source_mixture_broadcasts_fractions(spark, sf_small):
+    """The keep-fraction table (|sources| rows) broadcasts; the document
+    side is filtered in place, never shuffled for the join."""
+    plan = _plan(spark, sf_small, "source_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sharded_ordering_never_uses_a_single_partition(spark, sf_small):
+    """training_order and source_cap windows partition by shard/source —
+    a SinglePartition exchange would mean a global sort bottleneck."""
+    for name in ("training_order", "source_cap"):
+        plan = _plan(spark, sf_small, name)
+        assert "SinglePartition" not in plan, (name, plan)
