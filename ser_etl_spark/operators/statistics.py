@@ -114,3 +114,57 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         *moment_columns("l_quantity", "l_extendedprice")
     )
     return derive_stats(sums).orderBy("l_returnflag")
+
+
+def value_histogram(
+    events: DataFrame, width: float = 25.0, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of ``value``: one hash aggregate on the
+    bucket id (integer floor division — bit-identical across engines,
+    unlike float-boundary bucketing), overflow clamped into the last
+    bucket. The fixed-cardinality output (``n_buckets`` rows) makes
+    this a partial-agg-friendly single shuffle at any input size.
+    """
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("total_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * width).alias("lo"),
+            ((F.col("bucket") + 1).cast("double") * width).alias("hi"),
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) * 25.0 AS lo,
+           CAST(bucket + 1 AS DOUBLE) * 25.0 AS hi,
+           COUNT(*) AS n,
+           {sql_dsum('value', 2)} AS total_value
+    FROM (
+      SELECT least(CAST(floor(value / 25.0) AS INT), 19) AS bucket, value
+      FROM events)
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="equi-width histogram of event values: integer bucket "
+    "math (engine-exact), fixed-cardinality hash aggregate, overflow "
+    "clamped to the last bucket",
+    covers=("B5", "X-window"),
+)
+def value_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "events"))

@@ -205,3 +205,48 @@ def view_click_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("avg_gap_s"),
         )
     )
+
+
+def latest_per_key(
+    df: DataFrame, key: str, ts_col: str, tiebreak: str
+) -> DataFrame:
+    """The most recent row per key (CDC read-side compaction).
+
+    ROW_NUMBER over (key / ts desc / tiebreak desc) = 1 — the batch
+    read-side of last-writer-wins merge (``etl/merge.py``): given an
+    append-only change stream this reconstructs current state. Per-key
+    windows shuffle once on the key and sort within partitions only;
+    the deterministic tiebreak makes results reproducible under
+    concurrent equal timestamps.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    description="latest-per-key compaction: each user's most recent "
+    "event via a per-key window (one keyed shuffle, deterministic "
+    "event_id tiebreak) — the read-side of last-writer-wins CDC merge",
+    covers=("X-window", "A2"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_per_key(events, "user_id", "ts", "event_id")
