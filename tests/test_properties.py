@@ -89,3 +89,81 @@ def test_split_bucket_matches_pure_python_model(spark, ids):
     for i in ids:
         expect = ((i % _FOLD) * _KNUTH) % _MOD % 100
         assert got[i] == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_chars=st.integers(min_value=2, max_value=300),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_reconstructs_any_document(spark, texts, chunk_chars, overlap_frac):
+    """For ANY text and geometry: chunks cover the document exactly —
+    stride-prefixes + last chunk reassemble it, every chunk is non-empty
+    and at most chunk_chars long."""
+    from ser_etl_spark.operators.curation import chunk_documents
+
+    overlap = min(int(chunk_chars * overlap_frac), chunk_chars - 1)
+    stride = chunk_chars - overlap
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(docs, chunk_chars, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r["chunk_chars"] <= chunk_chars
+        assert r["chunk_chars"] == len(r["chunk_text"])
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        got = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        rebuilt = "".join(r["chunk_text"][:stride] for r in got[:-1])
+        rebuilt += got[-1]["chunk_text"]
+        assert rebuilt == t
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_training_order_is_permutation_for_any_ids(spark, ids):
+    """training_order yields a sharded permutation for ANY id set:
+    every id appears once, shard positions are contiguous from 1, and
+    the hash matches the pure-python Knuth model."""
+    from ser_etl_spark.operators.curation import ORDER_SHARDS, training_order
+    from ser_etl_spark.operators.sampling import _FOLD, _KNUTH, _MOD
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = training_order(docs).collect()
+    assert {r["doc_id"] for r in rows} == set(ids)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        expect_shard = ((r["doc_id"] % _FOLD) * _KNUTH) % _MOD % ORDER_SHARDS
+        assert r["shard_id"] == expect_shard
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
