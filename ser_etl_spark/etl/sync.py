@@ -54,6 +54,9 @@ class SyncOutcome:
     changed_rows: dict[str, int] = field(default_factory=dict)
     manifest: dict | None = None
     duration_s: float = 0.0
+    #: table -> DriftReport for tables whose source schema drifted from
+    #: the prior snapshot this cycle (those tables were full-refreshed).
+    drift: dict = field(default_factory=dict)
 
 
 class SyncManager:
@@ -101,21 +104,36 @@ class SyncManager:
 
     def _build_frame(self, table: str, since, prev_dir: str | None):
         """One table's next-snapshot content: incremental merge when
-        possible (prior snapshot + watermark + unique key), else full."""
+        possible (prior snapshot + watermark + unique key), else full.
+
+        Returns ``(frame, drift_or_none)``: when the source schema has
+        drifted from the prior snapshot (columns added/removed/retyped),
+        merging would silently misalign, so the table is full-refreshed
+        under the NEW schema and the drift is surfaced in the outcome.
+        """
         layout = self.config.layouts.get(table)
         key = layout.unique_key if layout else None
         if not (self.config.incremental and prev_dir and key and since):
-            return extract_table(self.spark, self.source, table)
+            return extract_table(self.spark, self.source, table), None
         from ser_etl_spark.etl.merge import merge_incremental
+        from ser_etl_spark.etl.quality import detect_schema_drift
         from ser_etl_spark.sources.parquet import load_table
 
         prev = load_table(self.spark, prev_dir, table)
         if self.config.ts_col not in prev.columns:
-            return extract_table(self.spark, self.source, table)
+            return extract_table(self.spark, self.source, table), None
         delta = extract_table(
             self.spark, self.source, table, since=since, ts_col=self.config.ts_col
         )
-        return merge_incremental(prev, delta, key, self.config.ts_col)
+        report = detect_schema_drift(prev.schema, delta.schema)
+        if report.has_drift:
+            log.warning(
+                "schema drift on %s (added=%s removed=%s changed=%s); "
+                "full-refreshing under the new schema",
+                table, report.added, report.removed, report.changed,
+            )
+            return extract_table(self.spark, self.source, table), report
+        return merge_incremental(prev, delta, key, self.config.ts_col), None
 
     def run_sync(self) -> SyncOutcome:
         start = time.time()
@@ -126,10 +144,11 @@ class SyncManager:
             changed = {t: self.changed_row_count(t) for t in self.config.tables}
             # A17 semantics: snapshot isolation either way — full refresh
             # by default, watermark-merge when incremental is enabled.
-            frames = {
-                t: self._build_frame(t, since_map[t], prev_dir)
-                for t in self.config.tables
-            }
+            frames, drifts = {}, {}
+            for t in self.config.tables:
+                frames[t], drift = self._build_frame(t, since_map[t], prev_dir)
+                if drift is not None:
+                    drifts[t] = drift
             build_dir = tempfile.mkdtemp(prefix="snapshot_build_")
             report = build_snapshot(
                 frames, build_dir, layouts=self.config.layouts, views=self.config.views
@@ -146,6 +165,7 @@ class SyncManager:
                 changed_rows=changed,
                 manifest=manifest,
                 duration_s=time.time() - start,
+                drift=drifts,
             )
         except Exception:
             log.exception("sync cycle failed")

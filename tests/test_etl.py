@@ -376,3 +376,46 @@ class TestQualityConstraints:
         assert rep.changed == ["id"]
         assert rep.has_drift
         assert not detect_schema_drift(old, old).has_drift
+
+    def test_schema_drift_triggers_full_refresh(self, spark, tmp_path):
+        """When the source adds a column between incremental cycles, the
+        table is rebuilt under the new schema (merging mismatched
+        schemas would misalign) and the drift is surfaced."""
+        import datetime as dt
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        src_dir = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "a", t0), (2, "b", t0)],
+            "id bigint, v string, updated_at timestamp_ntz",
+        ).write.parquet(f"{src_dir}/items.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("items",),
+            ts_col="updated_at",
+            layouts={"items": TableLayout(unique_key="id")},
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        assert mgr.run_sync().success
+
+        # source grows a column AND updates a row
+        spark.createDataFrame(
+            [(1, "a", t0, None), (2, "b2", t1, "x")],
+            "id bigint, v string, updated_at timestamp_ntz, extra string",
+        ).write.mode("overwrite").parquet(f"{src_dir}/items.parquet")
+
+        out = mgr.run_sync()
+        assert out.success
+        assert "items" in out.drift and out.drift["items"].added == ["extra"]
+        cat = SnapshotCatalog(spark, store)
+        cat.refresh(force=True)
+        got = spark.table("items")
+        assert "extra" in got.columns  # new schema won
+        assert got.count() == 2
