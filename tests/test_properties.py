@@ -167,3 +167,39 @@ def test_training_order_is_permutation_for_any_ids(spark, ids):
         by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=st.text(max_size=300))
+def test_validator_never_crashes_on_arbitrary_input(q):
+    """Admission control faces raw untrusted strings: for ANY input it
+    must either return an Admission or raise the typed QueryRejected —
+    never an unhandled exception."""
+    from ser_etl_spark.gateway.validator import (
+        Admission,
+        QueryRejected,
+        QueryValidator,
+    )
+
+    v = QueryValidator()
+    try:
+        adm = v.validate(q)
+    except QueryRejected:
+        assert not v.is_valid(q)
+    else:
+        assert isinstance(adm, Admission)
+        assert v.is_valid(q)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    prefix=st.sampled_from(["", " ", "/* c */ ", "-- c\n"]),
+    bad=st.sampled_from(
+        ["DROP TABLE t", "INSERT INTO t VALUES (1)", "DELETE FROM t",
+         "UPDATE t SET x=1", "EXEC xp_cmdshell 'x'", "SELECT 1; SELECT 2"]
+    ),
+)
+def test_validator_rejects_mutations_under_any_dressing(prefix, bad):
+    from ser_etl_spark.gateway.validator import QueryValidator
+
+    assert not QueryValidator().is_valid(prefix + bad)
