@@ -107,17 +107,39 @@ def sliding_window_agg(
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> "object":
     """Drive a streaming plan to completion against current files
     (availableNow trigger) into an in-memory sink table ``name``.
-    Returns the finished StreamingQuery."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    Returns the finished StreamingQuery.
+
+    ``shuffle_partitions`` sizes the STATEFUL shuffle for the replay:
+    every stateful operator materializes one state store per shuffle
+    partition, so replaying a small fixture under the batch default (64)
+    pays 64x store setup per operator — measured 4x wall-clock on the
+    stream-stream join. State partitioning is fixed at first start by
+    the checkpoint anyway, so explicit sizing (keys per partition, not
+    the batch default) is what a production deployment does too; pass
+    ``None`` to inherit the session setting.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, prior)
     return q
