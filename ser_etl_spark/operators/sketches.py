@@ -56,3 +56,76 @@ def approx_sketches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", [0.5, 0.95, 0.99], 10000
         ).alias("price_quantiles"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = 200, top: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Misra-Gries heavy hitters over whitespace tokens.
+
+    The third classic mergeable sketch after HLL and quantile summaries:
+    each partition keeps at most ``k`` counters (decrementing all when
+    full — the Misra-Gries step), then the tiny per-partition summaries
+    (≤ k rows each) are summed globally. Guarantees: every token with
+    true frequency > N/k survives, and each reported count
+    undercounts by at most N_partition/k summed over partitions — the
+    ``max_undercount`` column bounds it per run.
+
+    Scale: the shuffle carries ≤ partitions × k summary rows instead of
+    one row per token occurrence — the vocabulary long tail never
+    crosses the network (contrast ``token_frequencies``, the exact
+    form). Python cost is one Arrow pass (mapInPandas); the counter
+    loop is a dict over each batch, O(tokens) amortized.
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias("tok")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # Misra-Gries: decrement everything, evict zeros
+                    decrements += 1
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "tok": list(counters),
+                    "cnt": list(counters.values()),
+                    "dec": [decrements] * len(counters),
+                }
+            )
+
+    summaries = toks.mapInPandas(mg_partition, "tok string, cnt long, dec long")
+    return (
+        summaries.groupBy("tok")
+        .agg(F.sum("cnt").alias("est_freq"), F.sum("dec").alias("max_undercount"))
+        .orderBy(F.col("est_freq").desc(), F.col("tok").asc())
+        .limit(top)
+    )
+
+
+@register(
+    "heavy_hitters",
+    oracle=None,  # sketch estimates depend on partitioning; tests bound
+    # them against the exact token_frequencies answer instead
+    description="Misra-Gries heavy-hitter tokens (k=200 counters per "
+    "partition, mergeable summaries) — the bounded-state form of "
+    "token_frequencies: the vocabulary long tail never crosses the "
+    "network",
+    covers=("N-text", "B4"),
+)
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(load_table(spark, sf_dir, "documents"))

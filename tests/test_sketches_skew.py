@@ -104,3 +104,38 @@ class TestClusterConvergence:
             for r in duplicate_clusters(pairs, max_iter=15).collect()
         }
         assert set(labels.values()) == {0}
+
+
+class TestHeavyHitters:
+    def test_misra_gries_bounds_vs_exact(self, spark, sf_small):
+        """Every true heavy hitter survives and estimates never exceed
+        the true count, undercounting by at most the summed decrements."""
+        from ser_etl_spark.operators.sketches import heavy_hitters
+        from ser_etl_spark.operators.text import token_frequencies
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        exact = {
+            r["tok"]: r["freq"] for r in token_frequencies(docs, k=10000).collect()
+        }
+        got = heavy_hitters(docs, k=200, top=30).collect()
+        assert got
+        max_dec = max(r["max_undercount"] for r in got)
+        for r in got:
+            true = exact[r["tok"]]
+            assert r["est_freq"] <= true
+            assert true - r["est_freq"] <= max_dec
+        # the overall top-10 exact tokens all appear in the sketch top-30
+        top_exact = sorted(exact, key=lambda t: (-exact[t], t))[:10]
+        sketch_toks = {r["tok"] for r in got}
+        assert set(top_exact) <= sketch_toks
+
+    def test_exact_when_counters_fit(self, spark):
+        """With k larger than the vocabulary the sketch IS exact."""
+        from ser_etl_spark.operators.sketches import heavy_hitters
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c a b"), (2, "a b x")], "doc_id bigint, text string"
+        )
+        got = {r["tok"]: r["est_freq"] for r in heavy_hitters(docs, k=50, top=10).collect()}
+        assert got == {"a": 4, "b": 3, "c": 1, "x": 1}
