@@ -585,3 +585,48 @@ class TestCuration:
         kept = sorted(r["doc_id"] for r in canonical_corpus(docs, pairs).collect())
         # {1,2,4} is one cluster -> survivor 1; doc 3 untouched
         assert kept == [1, 3]
+
+
+class TestRandomProjection:
+    def test_preserves_pairwise_distances_on_average(self, spark, sf_small):
+        import math
+
+        from ser_etl_spark.operators.similarity import random_projection
+        from ser_etl_spark.sources.parquet import load_table
+
+        vecs = load_table(spark, sf_small, "embeddings").limit(40)
+        orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+        proj = {
+            r["vec_id"]: r["projected"]
+            for r in random_projection(vecs, out_dim=16).collect()
+        }
+        assert set(proj) == set(orig)
+        assert all(len(v) == 16 for v in proj.values())
+
+        def dist(a, b):
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+        ids = sorted(orig)[:20]
+        ratios = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d0 = dist(orig[ids[i]], orig[ids[j]])
+                if d0 > 0:
+                    ratios.append(dist(proj[ids[i]], proj[ids[j]]) / d0)
+        mean = sum(ratios) / len(ratios)
+        # JL at 16 dims: distances preserved in expectation, individual
+        # pairs within a loose band
+        assert 0.85 < mean < 1.15, mean
+        assert all(0.3 < r < 1.9 for r in ratios), (min(ratios), max(ratios))
+
+    def test_deterministic_under_repartitioning(self, spark, sf_small):
+        from ser_etl_spark.operators.similarity import random_projection
+        from ser_etl_spark.sources.parquet import load_table
+
+        vecs = load_table(spark, sf_small, "embeddings").limit(10)
+        a = {r["vec_id"]: r["projected"] for r in random_projection(vecs).collect()}
+        b = {
+            r["vec_id"]: r["projected"]
+            for r in random_projection(vecs.repartition(7)).collect()
+        }
+        assert a == b
