@@ -11,6 +11,9 @@ the reference architecture (it *is* the reference's executor,
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import textwrap
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -55,28 +58,64 @@ def register(
 #: Queries with a green CORRECTNESS row in a prior round (hash-pass or
 #: rows-only for oracle-less ops). The driver verifies only the FIRST ~50
 #: registry entries per round, so ``all_queries`` orders these LAST: the
-#: verification window is spent on queries that still need a row — the 19
-#: never-checked round-1 entries, the 2 round-1 hash failures (fixed, need
-#: re-proof), and anything newly added this round.
+#: verification window is spent on queries that still need a row. Regenerated
+#: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
+#: A query whose builder source changed since its green row is rotated back
+#: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``);
+#: ``minhash_lsh_pairs`` / ``simhash_pairs`` were additionally removed by
+#: hand for round 3 because their round-2 rewrites predate that mechanism.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
-    # round 1 (CORRECTNESS_r01.json)
-    "shipping_priority", "local_supplier_volume", "top_returned_customers",
-    "pricing_summary", "revenue_forecast", "order_priority_check",
-    "promo_revenue", "large_orders", "idle_customers", "sales_rollup",
-    "sales_cube", "window_topn_per_group", "window_running_total",
-    "order_gap_stats", "moving_spend_90d", "text_stats", "lang_id",
-    "quality_score", "fingerprint", "token_frequencies", "dedup_exact",
-    "dedup_fingerprint", "ngram_jaccard_pairs",
-    # "dedup_clusters" was green in r01 but its pair-generation switched
-    # to the guarded path in r02 — back to the front for re-verification.
-    "minhash_lsh_pairs", "simhash_pairs", "customer_order_distribution",
-    "supplier_variety", "small_order_revenue", "disjunctive_revenue",
-    "sole_returning_supplier", "top_supplier_revenue", "price_percentiles",
-    "nation_trade_volume", "nation_market_share", "product_type_profit",
-    "order_reconciliation", "multimodal_features", "pack_sequences",
-    "select_all", "select_columns", "count_star", "summary_view",
-    "group_by", "where_filter", "order_by", "top_k", "join_fact_dim",
+    # rounds 1+2 (CORRECTNESS_r01.json, CORRECTNESS_r02.json)
+    "ann_cosine_topk", "churned_buyers", "conversion_funnel",
+    "corpus_curation", "count_star", "customer_order_distribution",
+    "customer_spend_quartiles", "dataset_split", "decontamination",
+    "dedup_canonical", "dedup_clusters", "dedup_exact", "dedup_fingerprint",
+    "disjunctive_revenue", "doc_chunks", "doc_repetition",
+    "embedding_centroids", "embedding_neardup", "event_value_pivot",
+    "excess_order_counts", "fingerprint", "frame_sample", "group_by",
+    "idle_customers", "incremental_scan", "ivf_assign",
+    "join_broadcast_dims", "join_fact_dim", "json_props_stats", "lang_id",
+    "large_orders", "latest_event_per_user", "local_supplier_volume",
+    "matched_order_counts", "max_watermark", "measures_unpivot",
+    "moving_spend_90d", "multimodal_features", "name_edit_neardup",
+    "nation_market_share", "nation_revenue_share", "nation_trade_volume",
+    "ngram_jaccard_guarded", "ngram_jaccard_pairs", "order_by",
+    "order_gap_stats", "order_priority_check", "order_reconciliation",
+    "order_seasonality", "pack_sequences", "pii_scrub", "price_percentiles",
+    "pricing_summary", "priority_shipping", "product_type_profit",
+    "promo_revenue", "purchase_attribution", "quality_score",
+    "referential_integrity", "repeat_buyers", "retention_cohorts",
+    "revenue_forecast", "sales_cube", "sales_grouping_sets", "sales_rollup",
+    "salted_segment_sales", "select_all", "select_columns",
+    "session_concurrency", "sessionize_events", "shipping_priority",
+    "small_order_revenue", "sole_returning_supplier", "source_cap",
+    "source_mixture", "stats_moments", "stratified_sample", "summary_view",
+    "supplier_variety", "table_profile", "text_stats", "time_bucket_rollup",
+    "token_frequencies", "top_k", "top_returned_customers",
+    "top_supplier_revenue", "top_terms", "training_order", "value_band_join",
+    "value_histogram", "view_click_interval", "where_filter",
+    "window_running_total", "window_topn_per_group", "windowed_agg",
 })
+
+
+def spec_source_hash(spec: QuerySpec) -> str | None:
+    """sha256[:12] over the builder's (dedented) source + the oracle SQL.
+
+    Used to detect "implementation changed since its green CORRECTNESS
+    row": ``scripts/update_verified.py`` records the hash at regeneration
+    time and ``all_queries`` rotates any mismatching query back into the
+    driver's verification window. Hashing the oracle text too catches
+    SQL-side fixes whose builder is untouched. A heuristic, not a proof —
+    a builder that delegates to a helper whose body changed hashes the
+    same — so manual curation of ``VERIFIED_PRIOR_ROUNDS`` still applies
+    for deep rewrites.
+    """
+    try:
+        src = textwrap.dedent(inspect.getsource(spec.builder))
+    except (OSError, TypeError):
+        return None
+    blob = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -110,8 +149,23 @@ def all_queries() -> dict[str, QuerySpec]:
         timeseries,
     )
 
-    pending = {n: s for n, s in REGISTRY.items() if n not in VERIFIED_PRIOR_ROUNDS}
-    verified = {n: s for n, s in REGISTRY.items() if n in VERIFIED_PRIOR_ROUNDS}
+    try:
+        from ser_etl_spark._verified_hashes import VERIFIED_SOURCE_HASHES
+    except ImportError:  # generated file absent: fall back to the name set
+        VERIFIED_SOURCE_HASHES = {}
+
+    def _is_verified(spec: QuerySpec) -> bool:
+        if spec.name not in VERIFIED_PRIOR_ROUNDS:
+            return False
+        recorded = VERIFIED_SOURCE_HASHES.get(spec.name)
+        if recorded is None:
+            return True
+        current = spec_source_hash(spec)
+        # Unhashable (no source) => can't prove a change; keep verified.
+        return current is None or current == recorded
+
+    pending = {n: s for n, s in REGISTRY.items() if not _is_verified(s)}
+    verified = {n: s for n, s in REGISTRY.items() if _is_verified(s)}
     # Oracle-backed pending entries first: they get the strong
     # (rows+schema+value-hash) check, so they must not be crowded out of
     # the window by rows-only entries whose driver check is weaker than
