@@ -56,8 +56,15 @@ def split_bucket(id_col: Column | str) -> Column:
 
 
 def sql_split_bucket(id_expr: str) -> str:
-    """Oracle-side rendering of :func:`split_bucket`."""
-    return f"((({id_expr} % {_FOLD}) * {_KNUTH}) % {_MOD}) % 100"
+    """Oracle-side rendering of :func:`split_bucket`.
+
+    Plain ``%`` follows the dividend's sign in DuckDB while Spark's
+    ``pmod`` is always non-negative, so the fold is rendered as
+    ``(id % F + F) % F`` to stay engine-exact for negative ids too.
+    The later moduli operate on non-negative values and need no fixup.
+    """
+    folded = f"(({id_expr} % {_FOLD} + {_FOLD}) % {_FOLD})"
+    return f"(({folded} * {_KNUTH}) % {_MOD}) % 100"
 
 
 def hash_u32(id_col: Column | str) -> Column:
@@ -73,8 +80,10 @@ def hash_u32(id_col: Column | str) -> Column:
 
 
 def sql_hash_u32(id_expr: str) -> str:
-    """Oracle-side rendering of :func:`hash_u32`."""
-    return f"((({id_expr} % {_FOLD}) * {_KNUTH}) % {_MOD})"
+    """Oracle-side rendering of :func:`hash_u32` (non-negative fold —
+    see :func:`sql_split_bucket`)."""
+    folded = f"(({id_expr} % {_FOLD} + {_FOLD}) % {_FOLD})"
+    return f"(({folded} * {_KNUTH}) % {_MOD})"
 
 
 def assign_split(

@@ -587,8 +587,22 @@ def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Dimension of the `embeddings` fixture vectors (TESTDATA.md); baked into
+#: the generated oracle SQL for the quantize/project registry entries.
+EMB_DIM = 64
+
+
+def _maxabs_sql(vec_col: str, dim: int) -> str:
+    """Expanded ``greatest(1e-30, |x_0|, ..., |x_{dim-1}|)`` — the 1e-30
+    floor makes the all-zero vector quantize to zeros with scale ~0
+    instead of dividing by zero (NULL components)."""
+    return "greatest(1e-30, " + ", ".join(
+        f"abs({_elem_sql(vec_col, i)})" for i in range(dim)
+    ) + ")"
+
+
 def quantize_embeddings(
-    vectors: DataFrame, vec_col: str = "embedding"
+    vectors: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: ``q[i] = round(x[i] *
     127 / max_abs)``, carrying the reconstruction ``scale = max_abs /
@@ -600,12 +614,9 @@ def quantize_embeddings(
     bounded by ``scale / 2`` per component. Expanded flat-column SQL —
     one expression string, whole-stage codegen, no Python per row.
     """
-    dim = _dim(vectors, vec_col)
-    # the 1e-30 floor makes the all-zero vector quantize to zeros with
-    # scale ~0 instead of dividing by zero (NULL components)
-    mx = "greatest(1e-30, " + ", ".join(
-        f"abs({_elem_sql(vec_col, i)})" for i in range(dim)
-    ) + ")"
+    if dim is None:
+        dim = _dim(vectors, vec_col)
+    mx = _maxabs_sql(vec_col, dim)
     qvec = "array(" + ", ".join(
         f"CAST(round({_elem_sql(vec_col, i)} * 127.0 / _mx) AS INT)"
         for i in range(dim)
@@ -618,18 +629,78 @@ def quantize_embeddings(
     )
 
 
+def _quantize_oracle(dim: int) -> str:
+    """DuckDB twin of ``quantize_embeddings``: same expanded per-component
+    expressions (DuckDB lists are 1-indexed), same left-to-right greatest
+    chain, same round-half-away-from-zero — bit-identical values. The
+    output is UNNESTED to scalar (vec_id, dim, qval, scale) rows: the
+    driver hashes results through a pandas frame, where list columns
+    become numpy arrays with engine-specific rendering — exploded scalars
+    are the robust (and per-component stronger) compare, the same shape
+    ``embedding_centroids`` / ``frame_sample`` proved in round 2."""
+
+    def elem(i: int) -> str:
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    mx = (
+        "greatest(1e-30, "
+        + ", ".join(f"abs({elem(i)})" for i in range(dim))
+        + ")"
+    )
+    comps = ", ".join(
+        f"CAST(round({elem(i)} * 127.0 / mx) AS INTEGER)" for i in range(dim)
+    )
+    return f"""
+    WITH m AS (SELECT vec_id, embedding, {mx} AS mx FROM embeddings),
+    q AS (SELECT vec_id, [{comps}] AS qvec, mx / 127.0 AS scale FROM m)
+    SELECT vec_id, generate_subscripts(qvec, 1) - 1 AS dim,
+           unnest(qvec) AS qval, scale
+    FROM q
+    """
+
+
 @register(
     "embedding_quantize",
-    oracle=None,  # array-valued output; reconstruction-error invariants
-    # are tested against the float vectors in tests/test_llm_ops.py
+    oracle=_quantize_oracle(EMB_DIM),
     description="symmetric per-vector int8 quantization (q = round(x * "
     "127 / max_abs) + reconstruction scale): 4x smaller vectors for "
-    "storage/shuffle at 100 TB; flat expanded SQL, codegen-resident",
+    "storage/shuffle at 100 TB; flat expanded SQL, codegen-resident; "
+    "presented unnested for the per-component oracle hash check "
+    "(reconstruction-error invariants also tested in tests/test_llm_ops.py)",
     covers=("N-sim",),
 )
 def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unnested twin of ``quantize_embeddings``: compute max-abs ONCE per
+    # vector, then explode the raw embedding and quantize per scalar row.
+    # (Exploding the built qvec array instead lets CollapseProject inline
+    # the 64-term max into all 64 components — a 4096-term codegen blowup.)
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb).select("vec_id", "qvec", "scale")
+    p = emb.select(
+        F.col("vec_id"),
+        F.expr(_maxabs_sql("embedding", EMB_DIM)).alias("_mx"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    )
+    return p.select(
+        "vec_id",
+        "dim",
+        F.expr("CAST(round(CAST(_x AS DOUBLE) * 127.0 / _mx) AS INT)").alias(
+            "qval"
+        ),
+        (F.col("_mx") / F.lit(127.0)).alias("scale"),
+    )
+
+
+def _rademacher_matrix(in_dim: int, out_dim: int, seed: int):
+    """Seeded ±1/sqrt(out_dim) JL matrix — identical on every executor
+    and in the generated oracle SQL (entries are exact binary fractions
+    for power-of-two out_dim, so literals round-trip bit-exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (
+        (rng.integers(0, 2, size=(in_dim, out_dim)) * 2 - 1).astype(np.float64)
+        / np.sqrt(out_dim)
+    )
 
 
 def random_projection(
@@ -638,6 +709,7 @@ def random_projection(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project each
     embedding onto ``out_dim`` seeded Rademacher (±1) directions,
@@ -650,26 +722,39 @@ def random_projection(
     executor — the projection is deterministic under any partitioning,
     re-runnable forever, with no fit state to persist.
 
-    Executed as one Arrow ``mapInPandas`` pass doing a numpy matmul per
-    batch (vectorized; a per-component SQL expansion at 64x16 terms
-    would bloat codegen far past the win measured for the small
-    quantize/cosine expressions).
+    Executed as one Arrow ``mapInPandas`` pass, vectorized over the
+    batch but accumulating input dimensions LEFT-TO-RIGHT in double —
+    the same order as a flat SQL sum — so the result is bit-identical
+    to the expanded-expression oracle regardless of BLAS summation
+    strategy. (A per-component SQL expansion at 64x16 terms would bloat
+    codegen far past the win measured for quantize/cosine.)
+
+    ``in_dim`` should be passed when known (the array element count is
+    not in the schema); probing the first row is the fallback and
+    raises a clear error on an empty input instead of a bare TypeError.
     """
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
-    in_dim = len(
-        vectors.select(vec_col).first()[0]
-    )
-    mat = (rng.integers(0, 2, size=(in_dim, out_dim)) * 2 - 1).astype(
-        np.float64
-    ) / np.sqrt(out_dim)
+    if in_dim is None:
+        row = vectors.select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                "random_projection: cannot infer in_dim from an empty "
+                "DataFrame — pass in_dim explicitly"
+            )
+        in_dim = len(row[0])
+    mat = _rademacher_matrix(in_dim, out_dim, seed)
 
     def project(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             x = np.vstack(pdf[vec_col].to_numpy())
-            y = x @ mat
+            # left-to-right over input dims: ((0 + x0*m0) + x1*m1) + ...
+            y = np.zeros((len(pdf), mat.shape[1]), dtype=np.float64)
+            for i in range(mat.shape[0]):
+                y += x[:, i : i + 1].astype(np.float64) * mat[i]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "projected": list(map(list, y))}
             )
@@ -679,15 +764,42 @@ def random_projection(
     )
 
 
+def _project_oracle(in_dim: int, out_dim: int, seed: int) -> str:
+    """DuckDB twin of ``random_projection``: the seeded matrix baked in
+    as exact ±1/sqrt(out_dim) literals, each output component a flat
+    left-associative sum starting from 0.0 — the identical IEEE
+    operation sequence the Arrow path performs."""
+    mat = _rademacher_matrix(in_dim, out_dim, seed)
+    cols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*({float(mat[i, j])!r})"
+            for i in range(in_dim)
+        )
+        cols.append(f"(0.0 + {terms})")
+    return f"""
+    WITH q AS (SELECT vec_id, [{", ".join(cols)}] AS projected
+               FROM embeddings)
+    SELECT vec_id, generate_subscripts(projected, 1) - 1 AS dim,
+           unnest(projected) AS pval
+    FROM q
+    """
+
+
 @register(
     "embedding_project",
-    oracle=None,  # seeded-matrix projection; JL distance-preservation
-    # and determinism are invariant-tested against exact distances
+    oracle=_project_oracle(EMB_DIM, 16, 7),
     description="Johnson-Lindenstrauss random projection 64->16 dims "
     "(seeded Rademacher matrix, identical on every executor; one Arrow "
-    "mapInPandas matmul pass) — embedding compression ahead of ANN "
-    "indexing",
+    "mapInPandas pass with deterministic left-to-right accumulation, "
+    "bit-equal to the expanded-SQL oracle) — embedding compression ahead "
+    "of ANN indexing; presented unnested for the per-component hash "
+    "check; JL distance-preservation also tested in tests/test_llm_ops.py",
     covers=("N-sim",),
 )
 def embedding_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return random_projection(load_table(spark, sf_dir, "embeddings"))
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), in_dim=EMB_DIM
+    ).select(
+        F.col("vec_id"), F.posexplode("projected").alias("dim", "pval")
+    )

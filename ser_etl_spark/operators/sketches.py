@@ -67,9 +67,12 @@ def heavy_hitters(
     each partition keeps at most ``k`` counters (decrementing all when
     full — the Misra-Gries step), then the tiny per-partition summaries
     (≤ k rows each) are summed globally. Guarantees: every token with
-    true frequency > N/k survives, and each reported count
-    undercounts by at most N_partition/k summed over partitions — the
-    ``max_undercount`` column bounds it per run.
+    true frequency > N/k survives, and ``true_count - est_freq <=
+    max_undercount`` where ``max_undercount`` is the TOTAL decrement
+    count across ALL partition summaries — a token fully evicted from
+    some partition still loses at most that partition's decrements, so
+    only the global total bounds every token (summing decrements over
+    just the partitions where a token survived does not).
 
     Scale: the shuffle carries ≤ partitions × k summary rows instead of
     one row per token occurrence — the vocabulary long tail never
@@ -100,18 +103,27 @@ def heavy_hitters(
                         if counters[key] == 0:
                             del counters[key]
         if counters:
+            # `dec` is carried ONCE per partition (first row), so a plain
+            # global SUM(dec) yields the all-partition decrement total.
             yield pd.DataFrame(
                 {
                     "tok": list(counters),
                     "cnt": list(counters.values()),
-                    "dec": [decrements] * len(counters),
+                    "dec": [decrements] + [0] * (len(counters) - 1),
                 }
             )
 
     summaries = toks.mapInPandas(mg_partition, "tok string, cnt long, dec long")
+    # Both branches consume the SAME groupBy exchange (ReuseExchange), so
+    # the scan + Arrow sketch pass runs once; the global decrement total
+    # re-aggregates the ≤ partitions×k grouped rows, not the corpus.
+    grouped = summaries.groupBy("tok").agg(
+        F.sum("cnt").alias("est_freq"), F.sum("dec").alias("_dec")
+    )
+    total_dec = grouped.agg(F.sum("_dec").alias("max_undercount"))
     return (
-        summaries.groupBy("tok")
-        .agg(F.sum("cnt").alias("est_freq"), F.sum("dec").alias("max_undercount"))
+        grouped.drop("_dec")
+        .crossJoin(F.broadcast(total_dec))
         .orderBy(F.col("est_freq").desc(), F.col("tok").asc())
         .limit(top)
     )

@@ -120,6 +120,10 @@ class TestHeavyHitters:
         }
         got = heavy_hitters(docs, k=200, top=30).collect()
         assert got
+        # the bound is the GLOBAL decrement total — identical on every row
+        # (a per-survivor sum would miss partitions the token was evicted
+        # from and not actually bound the undercount)
+        assert len({r["max_undercount"] for r in got}) == 1
         max_dec = max(r["max_undercount"] for r in got)
         for r in got:
             true = exact[r["tok"]]
