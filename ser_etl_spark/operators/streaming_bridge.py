@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ser_etl_spark.registry import register
 from ser_etl_spark.streaming.windows import (
-    run_to_memory,
+    replay_to_batch,
     streaming_events,
     tumbling_window_agg,
 )
@@ -42,15 +42,15 @@ from ser_etl_spark.streaming.windows import (
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    stream = tumbling_window_agg(streaming_events(spark, sf_dir))
-    run_to_memory(stream, sink, mode="complete")
-    return (
-        spark.table(sink)
-        .orderBy("window_start", "event_type")
-        .select(
-            "window_start", "window_end", "event_type", "events",
-            F.col("sum_value").cast("double").alias("sum_value"),
-        )
+    result = replay_to_batch(
+        spark,
+        lambda s: tumbling_window_agg(streaming_events(s, sf_dir)),
+        sink,
+        mode="complete",
+    )
+    return result.orderBy("window_start", "event_type").select(
+        "window_start", "window_end", "event_type", "events",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -67,14 +67,41 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ser_etl_spark.streaming.joins import view_click_stream_pairs
-    from ser_etl_spark.streaming.windows import run_to_memory, streaming_events
 
     sink = f"stream_vc_{uuid.uuid4().hex[:8]}"
-    pairs = view_click_stream_pairs(streaming_events(spark, sf_dir))
-    run_to_memory(pairs, sink, mode="append")
+    pairs = replay_to_batch(
+        spark,
+        lambda s: view_click_stream_pairs(streaming_events(s, sf_dir)),
+        sink,
+        mode="append",
+    )
     return (
-        spark.table(sink)
-        .groupBy("user_id")
+        pairs.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_sessions",
+    oracle=None,  # keyed-state streaming path; the batch twin
+    # `sessionize_events` carries the SQL oracle for the gap rule, and
+    # tests prove stream output == batch sessions minus each user's
+    # last (open) session
+    description="custom stateful streaming operator exercised end-to-end: "
+    "per-user gap sessionization via applyInPandasWithState (keyed "
+    "executor-local state, update mode, closed sessions emitted as the "
+    "closing gap arrives); availableNow replay of the events stream",
+    covers=("A16",),
+)
+def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.streaming.sessions import streaming_sessions
+
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    result = replay_to_batch(
+        spark,
+        lambda s: streaming_sessions(streaming_events(s, sf_dir)),
+        sink,
+        mode="update",
+    )
+    return result.orderBy("user_id", "session_start")

@@ -124,6 +124,12 @@ def run_to_memory(
     the checkpoint anyway, so explicit sizing (keys per partition, not
     the batch default) is what a production deployment does too; pass
     ``None`` to inherit the session setting.
+
+    The override mutates ``stream_df``'s OWN session for the duration of
+    the replay (restored in ``finally``) — callers that share that
+    session with concurrent query builds must pass an isolated
+    ``spark.newSession()`` stream instead; :func:`replay_to_batch` does
+    exactly that and also cleans up the sink table.
     """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
@@ -143,3 +149,35 @@ def run_to_memory(
         if shuffle_partitions is not None:
             spark.conf.set(key, prior)
     return q
+
+
+def replay_to_batch(
+    spark: SparkSession,
+    build_stream,
+    name: str,
+    mode: str = "append",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay a streaming plan to completion and return its result as a
+    batch DataFrame on ``spark``, leaving no state behind.
+
+    ``build_stream(session) -> streaming DataFrame`` is invoked against
+    an ISOLATED ``spark.newSession()`` (same SparkContext, own conf and
+    temp catalog), so the stateful-shuffle override cannot race with
+    queries concurrently built on the caller's session, and the memory
+    sink's uuid-named table lands in the throwaway session's catalog.
+    After the ``availableNow`` replay finishes, the sink rows are
+    materialized (memory-sink results are driver-resident already — this
+    copies, it does not distribute-then-collect), the sink view is
+    dropped, and the rows come back as a local relation on the caller's
+    session — nothing retained for the session lifetime.
+    """
+    replay = spark.newSession()
+    stream_df = build_stream(replay)
+    run_to_memory(
+        stream_df, name, mode=mode, shuffle_partitions=shuffle_partitions
+    )
+    sink = replay.table(name)
+    rows, schema = sink.collect(), sink.schema
+    replay.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
