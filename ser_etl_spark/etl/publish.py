@@ -17,7 +17,11 @@ HAS NO OBJECT STORE — the S3 path is untested here. The manifest
 replace below uses a same-filesystem ``os.replace`` for atomicity; on
 S3 the equivalent is a single-key PUT of ``manifest.json`` (atomic
 last-writer-wins, exactly the reference's mechanism), which a production
-deployment must substitute.
+deployment must substitute. The isolation contract itself does NOT
+depend on rename atomicity for snapshot dirs: readers resolve only
+through the manifest, and ``tests/test_etl.py::TestObjectStoreContract``
+proves it by replacing the move with a non-atomic file-by-file copy
+(crashed mid-upload, crashed pre-PUT, and raced against readers).
 """
 
 from __future__ import annotations

@@ -153,6 +153,163 @@ class TestPublish:
         assert os.path.isdir(m2["snapshot_dir"])
 
 
+class TestObjectStoreContract:
+    """Readers never see a partial snapshot, WITHOUT local-FS rename
+    atomicity (reference publish contract:
+    ``/root/reference/etl-service/src/s3_uploader.py:27-94`` — immutable
+    history uploads + an atomic single-key manifest PUT). These tests
+    replace the snapshot 'move' with a non-atomic file-by-file copy (what
+    a multipart upload to an object-store prefix really is) — crashing it
+    mid-way or racing readers against it — and assert resolution through
+    ``current/manifest.json`` always lands on a fully-written snapshot.
+    Only the single-file manifest replacement is assumed atomic, which is
+    exactly the object-store PUT guarantee the reference relies on."""
+
+    N_FILES = 6
+
+    def _fake_build(self, tmp_path, name: str, tag: bytes) -> str:
+        import pathlib
+
+        build = pathlib.Path(tmp_path) / name
+        build.mkdir()
+        for i in range(self.N_FILES):
+            (build / f"part-{i:05d}.parquet").write_bytes(tag * 64)
+        return str(build)
+
+    def _read_current(self, store: str) -> dict:
+        with open(os.path.join(store, "current", "manifest.json")) as f:
+            return json.load(f)
+
+    def _assert_complete(self, manifest: dict) -> None:
+        """A resolved snapshot must contain every file, fully written."""
+        sd = manifest["snapshot_dir"]
+        names = sorted(os.listdir(sd))
+        assert names == [f"part-{i:05d}.parquet" for i in range(self.N_FILES)]
+        sizes = {os.path.getsize(os.path.join(sd, n)) for n in names}
+        assert sizes == {64 * len(manifest["tables"]["tag"].encode())}
+
+    def test_crash_mid_upload_keeps_old_snapshot_resolvable(
+        self, tmp_path, monkeypatch
+    ):
+        import shutil as _shutil
+
+        store = str(tmp_path / "store")
+        publish_snapshot(
+            self._fake_build(tmp_path, "b1", b"v1"), store,
+            tables={"tag": "v1"}, version="20240101_000000",
+        )
+        before = self._read_current(store)
+
+        def dying_copy_move(src, dst):
+            os.makedirs(dst, exist_ok=True)
+            files = sorted(os.listdir(src))
+            for f_ in files[: len(files) // 2]:
+                _shutil.copy2(os.path.join(src, f_), os.path.join(dst, f_))
+            raise OSError("simulated upload crash")
+
+        monkeypatch.setattr(
+            "ser_etl_spark.etl.publish.shutil.move", dying_copy_move
+        )
+        with pytest.raises(OSError, match="simulated upload crash"):
+            publish_snapshot(
+                self._fake_build(tmp_path, "b2", b"v2"), store,
+                tables={"tag": "v2"}, version="20240102_000000",
+            )
+
+        # the manifest never repointed: readers resolve the OLD snapshot,
+        # which is fully intact — the half-uploaded dir is unreferenced
+        after = self._read_current(store)
+        assert after == before
+        self._assert_complete(after)
+
+    def test_crash_before_manifest_put_keeps_old_manifest(
+        self, tmp_path, monkeypatch
+    ):
+        store = str(tmp_path / "store")
+        publish_snapshot(
+            self._fake_build(tmp_path, "b1", b"v1"), store,
+            tables={"tag": "v1"}, version="20240101_000000",
+        )
+        before = self._read_current(store)
+
+        def dying_replace(src, dst):
+            raise OSError("simulated manifest PUT failure")
+
+        monkeypatch.setattr(
+            "ser_etl_spark.etl.publish.os.replace", dying_replace
+        )
+        with pytest.raises(OSError, match="manifest PUT"):
+            publish_snapshot(
+                self._fake_build(tmp_path, "b2", b"v2"), store,
+                tables={"tag": "v2"}, version="20240102_000000",
+            )
+
+        monkeypatch.undo()
+        after = self._read_current(store)
+        assert after == before
+        self._assert_complete(after)
+        # the temp manifest was cleaned up — no .tmp litter readers
+        # could mistake for a manifest
+        current = os.listdir(os.path.join(store, "current"))
+        assert current == ["manifest.json"]
+
+    def test_concurrent_readers_see_complete_snapshots_only(
+        self, tmp_path, monkeypatch
+    ):
+        import shutil as _shutil
+        import threading
+        import time as _time
+
+        store = str(tmp_path / "store")
+
+        def slow_copy_move(src, dst):
+            # a multipart upload: files land one by one, then the source
+            # disappears — at no point is this rename-atomic
+            os.makedirs(dst, exist_ok=True)
+            for f_ in sorted(os.listdir(src)):
+                _shutil.copy2(os.path.join(src, f_), os.path.join(dst, f_))
+                _time.sleep(0.002)
+            _shutil.rmtree(src)
+
+        publish_snapshot(
+            self._fake_build(tmp_path, "b1", b"v1"), store,
+            tables={"tag": "v1"}, version="20240101_000000",
+        )
+        monkeypatch.setattr(
+            "ser_etl_spark.etl.publish.shutil.move", slow_copy_move
+        )
+
+        failures: list[str] = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    # manifest must ALWAYS parse (atomic single-key PUT)
+                    m = self._read_current(store)
+                    # ... and must only ever reference complete snapshots
+                    self._assert_complete(m)
+                except Exception as e:  # noqa: BLE001 — collected for assert
+                    failures.append(repr(e))
+                    return
+
+        t = threading.Thread(target=reader)
+        t.start()
+        try:
+            for i in range(2, 7):
+                publish_snapshot(
+                    self._fake_build(tmp_path, f"b{i}", f"v{i}".encode()),
+                    store,
+                    tables={"tag": f"v{i}"},
+                    version=f"2024010{i}_000000",
+                )
+        finally:
+            stop.set()
+            t.join()
+        assert failures == []
+        assert self._read_current(store)["tables"]["tag"] == "v6"
+
+
 class TestSyncCycle:
     def test_full_cycle_and_serve(self, spark, source, tmp_path):
         store = str(tmp_path / "store")

@@ -113,3 +113,114 @@ class TestJdbcReaderOptions:
         assert opts["numPartitions"] == "16"
         assert opts["lowerBound"] == "1"
         assert opts["upperBound"] == "9999999"
+
+
+class _FakeProbeRow(dict):
+    """Row-alike: supports row["lo"] / row["hi"]."""
+
+
+class _FakeLoadedDF:
+    def __init__(self, first_row=None):
+        self._first = first_row
+
+    def first(self):
+        return self._first
+
+
+class _FakeReader:
+    """Records the format + option dict of each .load() on the session."""
+
+    def __init__(self, session):
+        self._session = session
+        self._format = None
+        self._opts: dict[str, str] = {}
+
+    def format(self, fmt):
+        self._format = fmt
+        return self
+
+    def option(self, k, v):
+        self._opts[k] = v
+        return self
+
+    def load(self):
+        self._session.loads.append((self._format, dict(self._opts)))
+        if "SELECT MIN(" in self._opts.get("dbtable", ""):
+            return _FakeLoadedDF(_FakeProbeRow(lo=100, hi=900))
+        return _FakeLoadedDF()
+
+
+class _FakeSparkSession:
+    """Record/replay seam: every spark.read yields a fresh recording
+    reader, so the full JDBC read path runs without a live endpoint."""
+
+    def __init__(self):
+        self.loads: list[tuple[str, dict[str, str]]] = []
+
+    @property
+    def read(self):
+        return _FakeReader(self)
+
+
+class TestJdbcProbeSeam:
+    """A1/A2 integration seam: the probed-bounds read path replayed
+    against a fake DataFrameReader — proves exactly one MIN/MAX probe is
+    issued, with the expected query text, and that the probed bounds
+    land in the final partitioned reader options (reference topology:
+    ``/root/reference/etl-service/src/database.py:65-93``)."""
+
+    def _probing_src(self):
+        from ser_etl_spark.etl.extract import JdbcSource
+
+        return JdbcSource(
+            url="jdbc:sqlserver://db:1433;databaseName=analytics",
+            properties={"user": "etl", "fetchsize": 10000},
+            partition_column="id",
+            num_partitions=4,
+            probe_bounds=True,
+        )
+
+    def test_probe_query_text_and_final_options(self):
+        fake = _FakeSparkSession()
+        self._probing_src().read(fake, "orders")
+
+        assert len(fake.loads) == 2, "expected exactly probe + main read"
+        probe_fmt, probe_opts = fake.loads[0]
+        main_fmt, main_opts = fake.loads[1]
+        assert probe_fmt == main_fmt == "jdbc"
+
+        # the probe: one scalar MIN/MAX pushdown subquery, NOT partitioned
+        assert probe_opts["dbtable"] == (
+            "(SELECT MIN(id) AS lo, MAX(id) AS hi FROM orders) b"
+        )
+        assert "partitionColumn" not in probe_opts
+        assert probe_opts["user"] == "etl"
+
+        # the probed bounds land in the real read's partitioning options
+        assert main_opts["dbtable"] == "orders"
+        assert main_opts["partitionColumn"] == "id"
+        assert main_opts["numPartitions"] == "4"
+        assert main_opts["lowerBound"] == "100"
+        assert main_opts["upperBound"] == "900"
+        assert main_opts["fetchsize"] == "10000"
+
+    def test_exactly_one_probe_per_read(self):
+        fake = _FakeSparkSession()
+        self._probing_src().read(fake, "orders")
+        probes = [
+            o for _, o in fake.loads if "SELECT MIN(" in o.get("dbtable", "")
+        ]
+        assert len(probes) == 1
+
+    def test_static_bounds_skip_the_probe(self):
+        import dataclasses
+
+        fake = _FakeSparkSession()
+        src = dataclasses.replace(
+            self._probing_src(), lower_bound=5, upper_bound=50
+        )
+        src.read(fake, "orders")
+        assert len(fake.loads) == 1
+        _, opts = fake.loads[0]
+        assert opts["lowerBound"] == "5"
+        assert opts["upperBound"] == "50"
