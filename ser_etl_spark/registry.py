@@ -132,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         join_shapes,
         multimodal,
         packing,
+        partsupp,
         pipeline,
         profiling,
         ranges,

@@ -267,3 +267,27 @@ def test_sharded_ordering_never_uses_a_single_partition(spark, sf_small):
     for name in ("training_order", "source_cap"):
         plan = _plan(spark, sf_small, name)
         assert "SinglePartition" not in plan, (name, plan)
+
+
+class TestPartsuppShapePlans:
+    """Scale properties of the Q2/Q11/Q20 partsupp-family shapes."""
+
+    def test_min_cost_supplier_broadcasts_dims(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "min_cost_supplier")
+        # part filter + supplier/nation/region dims ride broadcasts; the
+        # only hash shuffle is the window partition on the part key
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Window" in plan, plan
+
+    def test_important_stock_threshold_is_broadcast_scalar(
+        self, spark, sf_small
+    ):
+        plan = _plan(spark, sf_small, "important_stock")
+        # the group-total threshold joins as a broadcast 1-row scalar,
+        # not a per-row correlated subquery
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert re.search(r"Functions \[\d+\]: \[partial_sum", plan), plan
+
+    def test_stocked_parts_promotion_is_semi_join(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "stocked_parts_promotion")
+        assert "LeftSemi" in plan, plan
