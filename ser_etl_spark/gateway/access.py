@@ -14,9 +14,11 @@ Design notes:
 
 - The JWT verifier mirrors the reference's flow (unverified header →
   ``kid`` → JWKS key lookup → signature+audience+issuer verification)
-  but takes the JWKS fetcher and the decode primitive as injectables:
-  the sandbox has no ``pyjwt``/network, and the *flow* — not the RSA
-  math — is the reference behavior worth reproducing and testing.
+  with REAL cryptographic verification by default: the sandbox has no
+  ``pyjwt``, but RS256 *verification* is pure modular arithmetic —
+  :mod:`.jwt_rs256` implements RSASSA-PKCS1-v1_5/SHA-256 per RFC 8017
+  with stdlib only. The JWKS fetcher and decode primitive stay
+  injectable (no network here; tests sign with a generated keypair).
 - The rate limiter is a sliding 60 s window per client key, O(1) memory
   per active client, thread-safe. In a multi-worker deployment each
   worker holds its own window (exactly the reference's in-memory
@@ -83,17 +85,30 @@ class JwksAuthenticator:
                         (fetched once, cached — reference caches forever
                         in-process).
     ``decode``       -> ``(token, jwk, audience, issuer) -> claims``;
-                        raise to reject. In production this is a ~3-line
-                        ``pyjwt`` adapter; tests inject a fake.
-    ``header_reader``-> token -> unverified header dict (needs no key).
+                        raise to reject. Defaults to the pure-stdlib
+                        RS256 verifier (:mod:`.jwt_rs256` — real
+                        RSASSA-PKCS1-v1_5/SHA-256, pyjwt-parity claim
+                        checks); injectable for tests or to swap in an
+                        accelerated library.
+    ``header_reader``-> token -> unverified header dict (needs no key);
+                        defaults to :func:`.jwt_rs256.peek_header`.
     """
 
     fetch_jwks: Callable[[], dict[str, Any]]
-    decode: Callable[[str, dict[str, Any], str, str], dict[str, Any]]
-    header_reader: Callable[[str], dict[str, Any]]
     audience: str
     issuer: str
+    decode: Callable[[str, dict[str, Any], str, str], dict[str, Any]] | None = None
+    header_reader: Callable[[str], dict[str, Any]] | None = None
     _jwks: dict[str, Any] | None = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        # local import: jwt_rs256 imports AuthError from this module
+        from ser_etl_spark.gateway import jwt_rs256
+
+        if self.decode is None:
+            self.decode = jwt_rs256.decode_rs256
+        if self.header_reader is None:
+            self.header_reader = jwt_rs256.peek_header
 
     def _signing_key(self, token: str) -> dict[str, Any]:
         try:

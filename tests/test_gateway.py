@@ -401,3 +401,190 @@ class TestTimeTravel:
         cat = SnapshotCatalog(spark, str(tmp_path / "nostore"))
         with _pytest.raises(FileNotFoundError):
             cat.read_version("19990101_000000_000000", "orders")
+
+
+# ---------------------------------------------------------------------------
+# C10 crypto parity: real RS256 verification (gateway/jwt_rs256.py)
+# ---------------------------------------------------------------------------
+
+import functools
+import hashlib
+import json as _json
+import random as _random
+
+
+@functools.lru_cache(maxsize=4)
+def _rsa_keypair(seed: int = 7, bits: int = 1024):
+    """Deterministic throwaway RSA keypair (tests only): Miller-Rabin
+    primes from a seeded PRNG, e=65537. Pure stdlib — the whole point is
+    proving the verifier needs no crypto library."""
+    rng = _random.Random(seed)
+
+    def is_probable_prime(n, rounds=40):
+        small = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+        for p in small:
+            if n % p == 0:
+                return n == p
+        d, r = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            r += 1
+        for _ in range(rounds):
+            a = rng.randrange(2, n - 1)
+            x = pow(a, d, n)
+            if x in (1, n - 1):
+                continue
+            for _ in range(r - 1):
+                x = x * x % n
+                if x == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    def gen_prime(b):
+        while True:
+            c = rng.getrandbits(b) | (1 << (b - 1)) | 1
+            if is_probable_prime(c):
+                return c
+
+    e = 65537
+    while True:
+        p, q = gen_prime(bits // 2), gen_prime(bits // 2)
+        if p == q:
+            continue
+        lam = (p - 1) * (q - 1)
+        if lam % e:
+            d = pow(e, -1, lam)
+            return {"n": p * q, "e": e, "d": d}
+
+
+class TestRs256:
+    """End-to-end RSASSA-PKCS1-v1_5 / SHA-256 verification: sign with a
+    generated private exponent, verify through the default
+    JwksAuthenticator path (no injected fakes)."""
+
+    AUD = "analytics-api"
+    ISS = "https://tenant.example/"
+
+    def _jwk(self, kp, kid="rsa1"):
+        from ser_etl_spark.gateway.jwt_rs256 import b64url_encode
+
+        k = (kp["n"].bit_length() + 7) // 8
+        return {
+            "kid": kid,
+            "kty": "RSA",
+            "n": b64url_encode(kp["n"].to_bytes(k, "big")),
+            "e": b64url_encode(kp["e"].to_bytes(3, "big")),
+        }
+
+    def _sign(self, signing_input: bytes, kp) -> bytes:
+        from ser_etl_spark.gateway.jwt_rs256 import _SHA256_DIGEST_INFO
+
+        k = (kp["n"].bit_length() + 7) // 8
+        t = _SHA256_DIGEST_INFO + hashlib.sha256(signing_input).digest()
+        em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+        return pow(int.from_bytes(em, "big"), kp["d"], kp["n"]).to_bytes(
+            k, "big"
+        )
+
+    def _token(self, kp, claims=None, header=None):
+        from ser_etl_spark.gateway.jwt_rs256 import b64url_encode
+
+        base = {
+            "sub": "user1", "aud": self.AUD, "iss": self.ISS,
+            "scope": "read:analytics",
+        }
+        base.update(claims or {})
+        header = header or {"alg": "RS256", "kid": "rsa1"}
+        h64 = b64url_encode(_json.dumps(header).encode())
+        p64 = b64url_encode(_json.dumps(base).encode())
+        sig = self._sign(f"{h64}.{p64}".encode(), kp)
+        return f"{h64}.{p64}.{b64url_encode(sig)}"
+
+    def _auth(self, kp):
+        from ser_etl_spark.gateway.access import JwksAuthenticator
+
+        return JwksAuthenticator(
+            fetch_jwks=lambda: {"keys": [self._jwk(kp)]},
+            audience=self.AUD,
+            issuer=self.ISS,
+        )
+
+    def test_signed_token_verifies_through_default_path(self):
+        kp = _rsa_keypair()
+        claims = self._auth(kp).authenticate(self._token(kp))
+        assert claims["sub"] == "user1"
+
+    def test_tampered_payload_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+        from ser_etl_spark.gateway.jwt_rs256 import b64url_encode
+
+        kp = _rsa_keypair()
+        h64, p64, sig = self._token(kp).split(".")
+        forged = b64url_encode(
+            _json.dumps({"sub": "admin", "aud": self.AUD, "iss": self.ISS}).encode()
+        )
+        with pytest.raises(AuthError):
+            self._auth(kp).authenticate(f"{h64}.{forged}.{sig}")
+
+    def test_signature_from_other_key_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        kp, other = _rsa_keypair(), _rsa_keypair(seed=11)
+        with pytest.raises(AuthError):
+            self._auth(kp).authenticate(self._token(other))
+
+    def test_alg_confusion_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        kp = _rsa_keypair()
+        for alg in ("none", "HS256"):
+            tok = self._token(kp, header={"alg": alg, "kid": "rsa1"})
+            with pytest.raises(AuthError):
+                self._auth(kp).authenticate(tok)
+
+    def test_exp_nbf_with_leeway(self):
+        from ser_etl_spark.gateway.access import AuthError
+        from ser_etl_spark.gateway.jwt_rs256 import decode_rs256
+
+        kp = _rsa_keypair()
+        jwk = self._jwk(kp)
+        expired = self._token(kp, claims={"exp": 1000})
+        with pytest.raises(AuthError, match="expired"):
+            decode_rs256(expired, jwk, self.AUD, self.ISS, now=2000)
+        # inside leeway: accepted
+        decode_rs256(expired, jwk, self.AUD, self.ISS, now=1010)
+        future = self._token(kp, claims={"nbf": 5000})
+        with pytest.raises(AuthError, match="not yet valid"):
+            decode_rs256(future, jwk, self.AUD, self.ISS, now=1000)
+
+    def test_aud_list_membership_and_iss(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        kp = _rsa_keypair()
+        ok = self._token(kp, claims={"aud": [self.AUD, "other"]})
+        assert self._auth(kp).authenticate(ok)["sub"] == "user1"
+        for bad in (
+            self._token(kp, claims={"aud": "other-api"}),
+            self._token(kp, claims={"iss": "https://evil.example/"}),
+        ):
+            with pytest.raises(AuthError):
+                self._auth(kp).authenticate(bad)
+
+    def test_malformed_structures_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+
+        kp = _rsa_keypair()
+        auth = self._auth(kp)
+        h64, p64, sig = self._token(kp).split(".")
+        for bad in (f"{h64}.{p64}", "not-a-jwt", f"{h64}.{p64}.AAAA"):
+            with pytest.raises(AuthError):
+                auth.authenticate(bad)
+
+    def test_non_rsa_jwk_rejected(self):
+        from ser_etl_spark.gateway.access import AuthError
+        from ser_etl_spark.gateway.jwt_rs256 import verify_rs256_signature
+
+        with pytest.raises(AuthError, match="not an RSA key"):
+            verify_rs256_signature(b"x", b"y", {"kty": "EC"})
