@@ -226,3 +226,46 @@ class TestStreamStreamJoin:
         want = {(r["vid"], r["cid"]) for r in batch.select("vid", "cid").collect()}
         assert got == want
         assert want  # non-degenerate at sf0.001
+
+
+class TestReplayIsolation:
+    """replay_to_batch leaves the caller's session untouched: no
+    shuffle-partition mutation (raced with concurrent query builds when
+    run_to_memory overrode the shared conf) and no retained memory-sink
+    views."""
+
+    def test_caller_conf_and_catalog_untouched(self, spark, sf_small):
+        from ser_etl_spark.streaming.windows import replay_to_batch
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        views_before = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
+
+        result = replay_to_batch(
+            spark,
+            lambda s: tumbling_window_agg(streaming_events(s, sf_small)),
+            "iso_probe_sink",
+            mode="complete",
+            shuffle_partitions=4,
+        )
+        assert result.count() > 0
+        assert spark.conf.get(key) == before
+        views_after = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
+        assert "iso_probe_sink" not in views_after
+        assert views_after == views_before
+
+    def test_result_is_local_and_reusable(self, spark, sf_small):
+        from ser_etl_spark.streaming.windows import replay_to_batch
+
+        result = replay_to_batch(
+            spark,
+            lambda s: tumbling_window_agg(streaming_events(s, sf_small)),
+            "iso_probe_sink2",
+            mode="complete",
+        )
+        # collectable twice (a dropped-sink-backed frame would fail)
+        assert result.count() == result.count()
