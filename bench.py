@@ -27,6 +27,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PARITY_ONLY = frozenset({"ngram_jaccard_pairs"})
 
 
+def _calibrate(spark) -> float:
+    """Fixed synthetic workload (data-independent, plan-stable): a
+    host-speed yardstick recorded with every run. Cross-round per-query
+    comparisons should be read relative to the calibration ratio —
+    round-3 measured carried queries uniformly ~1.4x slower than round 1
+    *in a fresh isolated JVM with identical code and plans*, i.e. host
+    drift, which this number makes visible and divisible-out."""
+    best = float("inf")
+    for _ in range(2):
+        start = time.time()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 97 AS k", "id % 7 AS v")
+            .groupBy("k")
+            .sum("v")
+            .collect()
+        )
+        best = min(best, time.time() - start)
+    return round(best, 3)
+
+
 def _isolate(spark) -> None:
     """Between-group hygiene: drop cached plans and ask the JVM for a GC
     so one module's garbage (broadcasts, codegen classloaders, state
@@ -56,6 +77,7 @@ def main() -> None:
     from ser_etl_spark.sources.parquet import load_table
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
+    calibration_s = _calibrate(spark)
 
     # Group by defining module; isolate between groups so timings are
     # comparable across rounds regardless of how many other modules the
@@ -92,6 +114,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "parity_only_queries": sorted(PARITY_ONLY),
+        "calibration_seconds": calibration_s,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -117,6 +140,10 @@ def main() -> None:
                 # a 60 s sync interval (BASELINE.md) — must stay under it.
                 "etl_cycle_seconds": etl_cycle_s,
                 "etl_cycle_budget_seconds": 60,
+                # host-speed yardstick (see _calibrate) — normalize
+                # cross-round per-query ratios by this before reading
+                # them as regressions
+                "calibration_seconds": calibration_s,
                 "queries_file": "BENCH_DETAIL.json",
             }
         )
