@@ -219,6 +219,78 @@ def benchmark_contamination(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    n: int = CONTAMINATION_N,
+    bench_mod: int = BENCH_MOD,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter form of :func:`benchmark_contamination` — the scale
+    path when the benchmark n-gram set is too large to broadcast as raw
+    strings.
+
+    Instead of shipping benchmark n-grams (~50 B each), broadcast their
+    Bloom BIT POSITIONS: each benchmark shingle sets ``k`` positions
+    ``xxhash64(sh, seed) mod m`` — at most ``k × |bench|`` dedupable
+    8-byte values, capped by ``m``. A train shingle is bloom-positive
+    iff ALL ``k`` of its positions are present (per-seed position
+    equality joins + a count-distinct-seeds == k gate) — a guaranteed
+    SUPERSET of the exact string-join hits (no false negatives; false
+    positives bounded by the classic ``(1-e^{-kn/m})^k``). The exact
+    pass then needs to run only on the bloom-positive sliver.
+
+    Output: per-train-doc bloom-positive n-gram counts — the same shape
+    as the exact operator's ``hit_ngrams``, superset row-wise.
+    xxhash64 is engine-specific, so this registers rows-only; tests
+    assert the superset property and the false-positive bound against
+    the exact operator.
+    """
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    pos = F.pmod(F.xxhash64(F.col("sh"), F.col("seed")), F.lit(m_bits)).alias(
+        "pos"
+    )
+    bench_pos = (
+        shingle_rows(docs.filter(is_bench), n=n)
+        .select("sh")
+        .distinct()
+        .select("sh", seeds)
+        .select("seed", pos)
+        .distinct()
+    )
+    train_probe = (
+        shingle_rows(docs.filter(~is_bench), n=n)
+        .select("doc_id", "sh", seeds)
+        .select("doc_id", "sh", "seed", pos)
+    )
+    positive = (
+        train_probe.join(F.broadcast(bench_pos), ["seed", "pos"])
+        .groupBy("doc_id", "sh")
+        .agg(F.count_distinct("seed").alias("_ns"))
+        .filter(F.col("_ns") == k)
+    )
+    return (
+        positive.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hit_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontamination_bloom",
+    oracle=None,  # xxhash64 positions are engine-specific; tests prove
+    # superset-of-exact + false-positive bound vs `decontamination`
+    description="Bloom-position decontamination: benchmark n-grams "
+    "broadcast as k hashed bit positions (8 B each, dedupable) instead "
+    "of raw strings — the 100 TB path for large benchmarks; guaranteed "
+    "superset of the exact string-join hits, FP-bounded",
+    covers=("N-text", "N-dedup"),
+)
+def decontamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_contamination(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # temperature-based source mixing
 # ---------------------------------------------------------------------------

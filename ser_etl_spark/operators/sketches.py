@@ -141,3 +141,72 @@ def heavy_hitters(
 )
 def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+def count_min_estimates(
+    docs: DataFrame,
+    probe_doc_ids: int = 5,
+    w: int = 2048,
+    d: int = 4,
+    top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch token-frequency estimates — the overcount-bounded
+    complement to :func:`heavy_hitters` (Misra-Gries undercounts, CMS
+    overcounts; together they bracket the truth).
+
+    The sketch is d×w COUNTERS built with plain DataFrame ops: explode
+    tokens × d seeds, bucket by ``xxhash64(tok, seed) mod w``, one hash
+    aggregate — map-side combine means the shuffle carries at most
+    ``partitions × d × w`` counter rows, never the token stream. The
+    aggregated sketch (≤ d×w rows total) broadcasts to answer point
+    queries: ``est(tok) = min over seeds of counter[seed][bucket(tok)]``,
+    guaranteed ``est >= true`` for every token, overcounting only by
+    bucket-collision mass (~stream_len/w per seed, d-way minimized).
+
+    The registered probe set is the distinct tokens of the first
+    ``probe_doc_ids`` documents — deterministic, engine-independent.
+    xxhash64 bucketing is engine-specific, so this registers rows-only;
+    tests bound estimates against exact `token_frequencies`.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias("tok"),
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    bucket = F.pmod(F.xxhash64(F.col("tok"), F.col("seed")), F.lit(w)).alias(
+        "bucket"
+    )
+    sketch = (
+        toks.select("tok", seeds)
+        .select("seed", bucket)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        toks.filter(F.col("doc_id") < probe_doc_ids).select("tok").distinct()
+    )
+    return (
+        probes.select("tok", seeds)
+        .select("tok", "seed", bucket)
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_freq"))
+        .orderBy(F.col("est_freq").desc(), F.col("tok").asc())
+        .limit(top)
+    )
+
+
+@register(
+    "count_min_tokens",
+    oracle=None,  # xxhash64 bucketing is engine-specific; tests bound
+    # the estimates against exact token_frequencies
+    description="Count-Min sketch token-frequency estimates (d=4 x "
+    "w=2048 counters, one hash aggregate, sketch broadcast for point "
+    "queries) — the overcount-bounded complement to heavy_hitters: "
+    "est >= true always, excess bounded by d-way-minimized collision "
+    "mass",
+    covers=("N-text", "B4"),
+)
+def count_min_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_min_estimates(load_table(spark, sf_dir, "documents"))

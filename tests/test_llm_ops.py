@@ -506,6 +506,47 @@ class TestCuration:
         assert got[1]["hit_ngrams"] == 4  # the 4 five-grams inside bench_text
         assert 0 < got[1]["contamination_frac"] <= 1
 
+    def test_bloom_contamination_superset_and_fp_bound(self, spark, sf_small):
+        """Bloom hits ⊇ exact hits per doc (no false negatives — the
+        hard guarantee), with false-positive mass a sliver of the probe
+        count at m=2^20 / k=3."""
+        from ser_etl_spark.operators.curation import (
+            benchmark_contamination,
+            bloom_contamination,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        exact = {
+            r["doc_id"]: r["hit_ngrams"]
+            for r in benchmark_contamination(docs).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["bloom_hit_ngrams"]
+            for r in bloom_contamination(docs).collect()
+        }
+        for doc_id, hits in exact.items():
+            assert bloom.get(doc_id, 0) >= hits, doc_id
+        # false positives: bounded, tiny relative to the corpus probes
+        extra = sum(bloom.values()) - sum(exact.values())
+        assert extra <= max(5, len(bloom))
+
+    def test_bloom_contamination_planted_overlap(self, spark):
+        from ser_etl_spark.operators.curation import bloom_contamination
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, bench_text),
+            (1, "prefix " + bench_text + " suffix"),
+            (2, "totally unrelated words in this document here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: r["bloom_hit_ngrams"]
+            for r in bloom_contamination(docs).collect()
+        }
+        assert 0 not in got
+        assert got[1] >= 4  # all 4 planted five-grams are bloom-positive
+
     def test_source_mixture_keeps_largest_source_whole(self, spark, sf_small):
         from ser_etl_spark.operators.curation import source_temperature_sample
 

@@ -143,3 +143,40 @@ class TestHeavyHitters:
         )
         got = {r["tok"]: r["est_freq"] for r in heavy_hitters(docs, k=50, top=10).collect()}
         assert got == {"a": 4, "b": 3, "c": 1, "x": 1}
+
+
+class TestCountMin:
+    def test_estimates_bound_exact_counts(self, spark, sf_small):
+        """CMS guarantee: est >= true for every probed token; excess is
+        collision mass, d-way minimized — empirically a small multiple
+        of stream_len/w on the fixture."""
+        from ser_etl_spark.operators.sketches import count_min_estimates
+        from ser_etl_spark.operators.text import token_frequencies
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        exact = {
+            r["tok"]: r["freq"]
+            for r in token_frequencies(docs, k=100000).collect()
+        }
+        stream_len = sum(exact.values())
+        got = count_min_estimates(docs, w=2048, d=4).collect()
+        assert got
+        for r in got:
+            true = exact[r["tok"]]
+            assert r["est_freq"] >= true, r["tok"]
+            assert r["est_freq"] - true <= 10 * stream_len // 2048 + 1, r["tok"]
+
+    def test_exact_when_buckets_dominate(self, spark):
+        """With w far beyond the vocabulary, collisions vanish and the
+        sketch answers exactly."""
+        from ser_etl_spark.operators.sketches import count_min_estimates
+
+        docs = spark.createDataFrame(
+            [(0, "a b a c a b"), (1, "a b x")], "doc_id bigint, text string"
+        )
+        got = {
+            r["tok"]: r["est_freq"]
+            for r in count_min_estimates(docs, w=1 << 16, d=4).collect()
+        }
+        assert got == {"a": 4, "b": 3, "c": 1, "x": 1}
