@@ -145,3 +145,92 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "qtr", "mth", "dow")
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled hourly series per key: every hour between each key's
+    first and last bucket exists in the output, empty hours carrying
+    ``events = 0`` and a forward-filled ``filled_sum`` (last non-empty
+    hour's sum).
+
+    The time-series densification op (``generate_series`` /
+    ``time_bucket_gapfill`` in timeseries stores): aggregate first (one
+    shuffle, partial aggs), derive per-key bounds from the AGGREGATE
+    (tiny), explode an hourly spine per key, left-join the aggregate
+    back (both sides already hashed by key — AQE broadcasts the small
+    spine at low SF), then one window pass for the forward fill. The
+    spine is |keys| x hours rows — never scales with raw event volume,
+    and no driver-side date loops.
+    """
+    from pyspark.sql import Window
+
+    agg = events.groupBy(
+        _trunc("HOUR", ts_col).alias("bucket_ts"), F.col(key)
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        dsum(value_col, 4).alias("sum_value"),
+    )
+    bounds = agg.groupBy(key).agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(F.expr("sequence(_lo, _hi, interval 1 hour)")).alias(
+            "bucket_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, [key, "bucket_ts"], "left")
+        .select(
+            F.col(key),
+            F.col("bucket_ts"),
+            F.coalesce(F.col("events"), F.lit(0)).alias("events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy(key, "bucket_ts")
+    )
+
+
+@register(
+    "gap_filled_hourly",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+             event_type,
+             COUNT(*) AS events,
+             {sql_dsum('value', 4)} AS sum_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+      FROM agg GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds)
+    SELECT s.event_type, s.bucket_ts,
+           COALESCE(a.events, 0) AS events,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    """,
+    description="gap-filled hourly event series per type: dense hourly "
+    "spine between each type's first/last hour (sequence+explode over "
+    "aggregate bounds — spine never scales with event volume), empty "
+    "hours as zero-count rows with forward-filled sums (one window "
+    "pass); the time_bucket_gapfill analog",
+    covers=("A16", "B5"),
+)
+def gap_filled_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_fill_hourly(_t(spark, sf_dir, "events"))

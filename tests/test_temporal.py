@@ -51,3 +51,33 @@ def test_asof_left_rows_preserved(spark):
     rows = asof_join(left, right, on="k").collect()
     assert len(rows) == 5
     assert all(r["matched"] is None for r in rows)
+
+
+class TestGapFill:
+    def test_planted_gaps_filled_forward(self, spark):
+        import datetime as dt
+
+        from ser_etl_spark.operators.timeseries import gap_fill_hourly
+
+        h = lambda k: dt.datetime(2024, 1, 1, k)
+        rows = [
+            ("a", h(0), 10.0), ("a", h(0), 5.0),   # hour 0: 2 events, 15
+            ("a", h(3), 7.0),                      # hours 1-2 missing
+            ("b", h(5), 1.0),                      # single-bucket key
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz, value double"
+        )
+        got = {
+            (r["event_type"], r["bucket_ts"].hour): (
+                r["events"], r["filled_sum"]
+            )
+            for r in gap_fill_hourly(ev).collect()
+        }
+        assert got[("a", 0)] == (2, 15.0)
+        assert got[("a", 1)] == (0, 15.0)   # gap: zero events, carried sum
+        assert got[("a", 2)] == (0, 15.0)
+        assert got[("a", 3)] == (1, 7.0)
+        assert got[("b", 5)] == (1, 1.0)
+        # spine is exactly lo..hi per key — no rows outside the bounds
+        assert len(got) == 5
