@@ -291,3 +291,26 @@ class TestPartsuppShapePlans:
     def test_stocked_parts_promotion_is_semi_join(self, spark, sf_small):
         plan = _plan(spark, sf_small, "stocked_parts_promotion")
         assert "LeftSemi" in plan, plan
+
+
+class TestRound3OperatorPlans:
+    """Scale properties of the round-3 additions."""
+
+    def test_count_min_sketch_broadcasts_and_partials(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "count_min_tokens")
+        # the d x w sketch rides a broadcast to the probe join; the
+        # counter aggregation keeps its map-side partial
+        assert "BroadcastHashJoin" in plan, plan
+        assert re.search(r"Functions \[\d+\]: \[partial_count", plan), plan
+
+    def test_bloom_decontamination_broadcasts_positions(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "decontamination_bloom")
+        # benchmark positions broadcast — the train side never shuffles
+        # for the membership join
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_gap_fill_single_window_pass(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "gap_filled_hourly")
+        assert plan.count("Window") >= 1, plan
+        # events aggregate BEFORE the spine join: partial agg present
+        assert re.search(r"Functions \[\d+\]: \[partial_", plan), plan
