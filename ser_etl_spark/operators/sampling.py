@@ -194,3 +194,51 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def uniform_ksample(
+    df: DataFrame, id_col: str, k: int, cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample: the ``k`` rows with the
+    smallest Knuth-hash values of ``id_col`` (ties impossible — the hash
+    is injective on the folded id, and the id breaks any residual tie).
+
+    The eval-set selection primitive: percentage splits
+    (:func:`assign_split`) can't hit an exact row budget, and
+    ``df.sample`` is neither fixed-size nor engine-reproducible. Ordering
+    by the hash is a pseudo-random permutation, so the k smallest form a
+    uniform sample — executed as per-partition top-k heaps
+    (TakeOrderedAndProject), never a global sort; the driver merges
+    partitions x k candidate rows. Adding rows to the corpus can only
+    displace members (hash order is stable), so samples are consistent
+    across snapshot versions.
+    """
+    picked = cols if cols is not None else [c for c in df.columns]
+    return (
+        df.select(*picked, hash_u32(id_col).alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_h")
+    )
+
+
+@register(
+    "uniform_ksample",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    ORDER BY {sql_hash_u32('doc_id')} ASC, doc_id ASC
+    LIMIT 200
+    """,
+    description="training-pipeline op: deterministic fixed-size uniform "
+    "sample (the 200 docs with the smallest Knuth-hash of doc_id) — the "
+    "eval-set selection primitive; per-partition top-k heaps "
+    "(TakeOrderedAndProject), engine-exact, stable across snapshot "
+    "growth",
+    covers=("X-sample", "B8"),
+)
+def uniform_ksample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return uniform_ksample(docs, "doc_id", k=200)

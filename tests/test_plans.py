@@ -314,3 +314,8 @@ class TestRound3OperatorPlans:
         assert plan.count("Window") >= 1, plan
         # events aggregate BEFORE the spine join: partial agg present
         assert re.search(r"Functions \[\d+\]: \[partial_", plan), plan
+
+    def test_uniform_ksample_is_take_ordered(self, spark, sf_small):
+        plan = _plan(spark, sf_small, "uniform_ksample")
+        # fixed-size sample = per-partition top-k heaps, never global sort
+        assert "TakeOrderedAndProject" in plan, plan

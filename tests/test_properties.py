@@ -203,3 +203,24 @@ def test_validator_rejects_mutations_under_any_dressing(prefix, bad):
     from ser_etl_spark.gateway.validator import QueryValidator
 
     assert not QueryValidator().is_valid(prefix + bad)
+
+
+class TestUniformKsample:
+    def test_fixed_size_stable_and_consistent_under_growth(self, spark):
+        """Exactly k rows; same sample on rerun; growing the corpus can
+        only displace members, never reshuffle the survivors' order."""
+        from ser_etl_spark.operators.sampling import uniform_ksample
+
+        base = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        s1 = [r["doc_id"] for r in uniform_ksample(base, "doc_id", 50).collect()]
+        s2 = [r["doc_id"] for r in uniform_ksample(base, "doc_id", 50).collect()]
+        assert len(s1) == 50 and s1 == s2
+        grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s3 = set(
+            r["doc_id"] for r in uniform_ksample(grown, "doc_id", 50).collect()
+        )
+        # survivors from the small corpus stay iff not displaced by a
+        # smaller-hash newcomer — the overlap is exactly the old members
+        # that remain in the new top-50
+        assert s3 & set(s1) == {d for d in s1 if d in s3}
+        assert len(s3) == 50
