@@ -31,18 +31,29 @@ class SnapshotCatalog:
         root: str,
         ttl_s: float = DEFAULT_TTL_S,
         tables: tuple[str, ...] | None = None,
+        cache_tables: bool = False,
     ) -> None:
         """``root`` is either a published snapshot store (containing
         ``current/manifest.json`` pointing at a versioned snapshot dir, as
         written by :mod:`ser_etl_spark.etl.publish`) or a plain directory
-        of parquet tables (the test fixtures)."""
+        of parquet tables (the test fixtures).
+
+        ``cache_tables=True`` pins each registered view in the executor
+        cache after (re)resolution — the serving-path analog of the
+        reference holding its whole DuckDB file locally
+        (``query_engine.py:78-115``): repeated gateway queries hit
+        memory, not parquet. Caches are dropped and re-pinned when the
+        snapshot version changes, so a refresh never serves stale data.
+        """
         self.spark = spark
         self.root = root
         self.ttl_s = ttl_s
         self.tables = tables
+        self.cache_tables = cache_tables
         self._resolved_dir: str | None = None
         self._version: str | None = None
         self._loaded_at: float = 0.0
+        self._cached: tuple[str, ...] = ()
 
     # -- manifest resolution ------------------------------------------------
 
@@ -100,8 +111,23 @@ class SnapshotCatalog:
                 self.read_manifest().get("tables", {})
             )
             kwargs = {"tables": tables} if tables else {}
+            for name in self._cached:  # drop pins of the outgoing version
+                try:
+                    self.spark.catalog.uncacheTable(name)
+                except Exception:  # pragma: no cover - already gone
+                    pass
+            self._cached = ()
             register_views(self.spark, snapshot_dir, **kwargs)
             self._register_manifest_views()
+            if self.cache_tables:
+                pinned = tables or tuple(
+                    t.name
+                    for t in self.spark.catalog.listTables()
+                    if t.isTemporary
+                )
+                for name in pinned:
+                    self.spark.catalog.cacheTable(name)
+                self._cached = tuple(pinned)
         self._resolved_dir, self._version = snapshot_dir, version
         self._loaded_at = time.monotonic()
         return snapshot_dir
@@ -129,6 +155,41 @@ class SnapshotCatalog:
                 f"(retained versions: {self.versions()[:5]}...)"
             )
         return load_table(self.spark, snapshot_dir, table)
+
+    def diff_versions(self, v_old: str, v_new: str, table: str, key_col: str):
+        """Row-level delta between two retained versions of ``table``:
+        one row per changed key with ``change`` in added/removed/changed.
+
+        The time-travel completion of A12: immutable versioned prefixes
+        make CDC-style auditing a pure query. Rows are fingerprinted
+        map-side (xxhash64 over all columns, computed before any
+        exchange) so the full-outer join shuffles (key, fingerprint)
+        pairs — never the row payloads — and unchanged keys are dropped
+        post-join. One keyed shuffle regardless of row width.
+        """
+        from pyspark.sql import functions as F
+
+        def fp(df):
+            cols = [F.col(c) for c in sorted(df.columns)]
+            return df.select(
+                F.col(key_col).alias("_k"), F.xxhash64(*cols).alias("_fp")
+            )
+
+        o = fp(self.read_version(v_old, table)).alias("o")
+        n = fp(self.read_version(v_new, table)).alias("n")
+        change = (
+            F.when(F.col("o._k").isNull(), "added")
+            .when(F.col("n._k").isNull(), "removed")
+            .when(F.col("o._fp") != F.col("n._fp"), "changed")
+        )
+        return (
+            o.join(n, F.col("o._k") == F.col("n._k"), "full_outer")
+            .select(
+                F.coalesce(F.col("n._k"), F.col("o._k")).alias(key_col),
+                change.alias("change"),
+            )
+            .filter(F.col("change").isNotNull())
+        )
 
     # -- introspection (B9/B10) --------------------------------------------
 

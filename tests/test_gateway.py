@@ -588,3 +588,67 @@ class TestRs256:
 
         with pytest.raises(AuthError, match="not an RSA key"):
             verify_rs256_signature(b"x", b"y", {"kty": "EC"})
+
+
+class TestVersionDiff:
+    def _publish_two(self, spark, tmp_path):
+        from ser_etl_spark.etl.build import build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+
+        store = str(tmp_path / "store")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+        )
+        v2 = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, "d")], "id bigint, v string"
+        )
+        for i, df in enumerate((v1, v2), start=1):
+            out = str(tmp_path / f"b{i}")
+            r = build_snapshot({"t": df}, out, views={})
+            publish_snapshot(
+                out, store, tables=r.tables, views={},
+                version=f"2024010{i}_000000",
+            )
+        return store
+
+    def test_added_removed_changed(self, spark, tmp_path):
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        store = self._publish_two(spark, tmp_path)
+        cat = SnapshotCatalog(spark, store)
+        got = {
+            r["id"]: r["change"]
+            for r in cat.diff_versions(
+                "20240101_000000", "20240102_000000", "t", "id"
+            ).collect()
+        }
+        # key 2 is unchanged -> absent
+        assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+class TestServingCache:
+    def test_tables_pinned_and_repinned_across_versions(self, spark, tmp_path):
+        from ser_etl_spark.etl.build import build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        store = str(tmp_path / "store")
+
+        def publish(n, version):
+            df = spark.range(n).withColumnRenamed("id", "k")
+            out = str(tmp_path / f"b_{version}")
+            r = build_snapshot({"t": df}, out, views={})
+            publish_snapshot(out, store, tables=r.tables, views={}, version=version)
+
+        publish(100, "20240101_000000")
+        cat = SnapshotCatalog(spark, store, cache_tables=True)
+        cat.refresh(force=True)
+        assert spark.catalog.isCached("t")
+        assert spark.table("t").count() == 100
+
+        publish(200, "20240102_000000")
+        cat.refresh(force=True)
+        # new version: re-pinned, serving fresh data (never stale cache)
+        assert spark.catalog.isCached("t")
+        assert spark.table("t").count() == 200
+        spark.catalog.uncacheTable("t")
