@@ -75,6 +75,21 @@ class SparkQueryEngine:
     def get_schema(self) -> dict[str, list[str]]:
         return self.catalog.schema()
 
+    def explain_query(self, query: str, mode: str = "formatted") -> str:
+        """Validated plan introspection: the query passes the SAME
+        admission gate as execution (keyword blocklist, allow-pattern,
+        length cap) but only its physical plan is returned — no job
+        runs, no rows leave. An operator-facing extension (the reference
+        exposes no EXPLAIN): lets a caller confirm pushdown/broadcast
+        decisions against the live snapshot before paying for execution.
+        """
+        from ser_etl_spark.session import explain_string
+
+        clean = sanitize_query(query)
+        self.validator.validate(clean)
+        self.catalog.refresh()
+        return explain_string(self.spark.sql(clean), mode)
+
     # -- timeout ------------------------------------------------------------
 
     def _collect_with_timeout(self, df, timeout_s: float):

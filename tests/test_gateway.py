@@ -652,3 +652,26 @@ class TestServingCache:
         assert spark.catalog.isCached("t")
         assert spark.table("t").count() == 200
         spark.catalog.uncacheTable("t")
+
+
+class TestExplain:
+    def test_explain_returns_plan_without_running(self, spark, sf_small):
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+        from ser_etl_spark.gateway.executor import SparkQueryEngine
+
+        engine = SparkQueryEngine(spark, SnapshotCatalog(spark, sf_small))
+        plan = engine.explain_query(
+            "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+            "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+        )
+        assert "PushedFilters" in plan or "Filter" in plan
+        assert "HashAggregate" in plan
+
+    def test_explain_is_gated_by_the_same_validator(self, spark, sf_small):
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+        from ser_etl_spark.gateway.executor import SparkQueryEngine
+        from ser_etl_spark.gateway.validator import QueryRejected
+
+        engine = SparkQueryEngine(spark, SnapshotCatalog(spark, sf_small))
+        with pytest.raises(QueryRejected):
+            engine.explain_query("DROP TABLE orders")
