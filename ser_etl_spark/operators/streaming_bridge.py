@@ -105,3 +105,30 @@ def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="update",
     )
     return result.orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_sessions_timeout",
+    oracle=None,  # keyed-state + event-time-timeout path; tests prove
+    # output == exactly the sessions the final watermark can prove
+    # closed, computed from the batch twin
+    description="production stateful sessionizer: applyInPandasWithState "
+    "with EventTimeTimeout — closed sessions emit on their closing gap, "
+    "open sessions flush when the watermark passes last_event + gap "
+    "(state bounded by ACTIVE users); availableNow replay, no-data "
+    "batches advance the final watermark",
+    covers=("A16",),
+)
+def streaming_sessions_timeout_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ser_etl_spark.streaming.sessions import streaming_sessions_timeout
+
+    sink = f"stream_sesst_{uuid.uuid4().hex[:8]}"
+    result = replay_to_batch(
+        spark,
+        lambda s: streaming_sessions_timeout(streaming_events(s, sf_dir)),
+        sink,
+        mode="update",
+    )
+    return result.orderBy("user_id", "session_start")

@@ -101,7 +101,8 @@ def streaming_sessions(
 
     ``groupBy(user_id).applyInPandasWithState``: Arrow-batched state
     updates, update output mode, no timeout (open sessions persist in
-    state until a closing gap arrives).
+    state until a closing gap arrives; :func:`streaming_sessions_timeout`
+    is the production variant that flushes them by event-time timeout).
     """
     out = (
         events.select("user_id", "event_id", "ts")
@@ -112,6 +113,70 @@ def streaming_sessions(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        "events",
+    )
+
+
+def _session_timeout_fn(gap_s: int):
+    """Per-key update fn with event-time timeout: identical gap logic,
+    plus each update arms a timeout at ``last_event + gap`` so the open
+    session flushes once the watermark proves no closing event can
+    arrive — no session is ever stranded in state."""
+    import pandas as _pd
+
+    inner = _session_fn(gap_s)
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, count = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                [(user_id, start_us, last_us, count)],
+                columns=[
+                    "user_id", "session_start_us", "session_end_us", "events",
+                ],
+            )
+            return
+        yield from inner(key, pdfs, state)
+        # state was just updated by the inner fn; arm the gap deadline
+        # (epoch MILLIseconds — the GroupState timeout unit)
+        _, last_us, _ = state.get
+        state.setTimeoutTimestamp(last_us // 1_000 + gap_s * 1_000)
+
+    return update
+
+
+def streaming_sessions_timeout(
+    events: DataFrame,
+    gap_s: int = SESSION_GAP_S,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Gap sessions with event-time-timeout flushing — the complete
+    production sessionizer: closed sessions emit when their closing gap
+    arrives, and open sessions emit once the watermark passes
+    ``last_event + gap`` (Structured Streaming's no-data batches advance
+    the watermark after the last file, so an ``availableNow`` replay
+    flushes everything the final watermark can prove closed). State is
+    removed on flush — bounded by ACTIVE users only, strictly smaller
+    than the no-timeout variant's all-users-ever state at 100 TB/day.
+    """
+    out = (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return out.select(

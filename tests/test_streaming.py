@@ -269,3 +269,62 @@ class TestReplayIsolation:
         )
         # collectable twice (a dropped-sink-backed frame would fail)
         assert result.count() == result.count()
+
+
+class TestSessionTimeout:
+    def test_timeout_flushes_provably_closed_sessions(self, spark, sf_small):
+        """With event-time timeout, output = closed-by-gap sessions PLUS
+        open sessions whose gap deadline the final watermark passed —
+        computed exactly from the batch twin."""
+        import pyspark.sql.functions as F
+
+        from ser_etl_spark.operators.analytics import sessionize
+        from ser_etl_spark.sources.parquet import load_table
+        from ser_etl_spark.streaming.sessions import (
+            SESSION_GAP_S,
+            streaming_sessions_timeout,
+        )
+        from ser_etl_spark.streaming.windows import replay_to_batch
+
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["events"])
+            for r in replay_to_batch(
+                spark,
+                lambda s: streaming_sessions_timeout(
+                    __import__(
+                        "ser_etl_spark.streaming.windows",
+                        fromlist=["streaming_events"],
+                    ).streaming_events(s, sf_small)
+                ),
+                "sess_timeout_sink",
+                mode="update",
+            ).collect()
+        }
+
+        ev = load_table(spark, sf_small, "events")
+        batch = sessionize(ev).collect()
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        # final watermark = max event time - 1s delay (epoch seconds)
+        wm_s = max_ts.timestamp() - 1
+        expected = set()
+        # a user's LAST session is open; it flushes iff its gap deadline
+        # (session_end + gap) is at or before the final watermark
+        last_per_user = {}
+        for r in batch:
+            key = (r["user_id"], r["session_start"], r["session_end"], r["events"])
+            prev = last_per_user.get(r["user_id"])
+            if prev is None or r["session_start"] > prev[1]:
+                last_per_user[r["user_id"]] = (key, r["session_start"], r["session_end"])
+        last_keys = {v[0] for v in last_per_user.values()}
+        for r in batch:
+            key = (r["user_id"], r["session_start"], r["session_end"], r["events"])
+            if key not in last_keys:
+                expected.add(key)  # closed by a later event
+            elif r["session_end"].timestamp() + SESSION_GAP_S <= wm_s:
+                expected.add(key)  # open, but provably closed by watermark
+        # timestamps: batch sessionize yields NTZ; the stream yields
+        # instants — compare on (user, epoch, epoch, n)
+        canon = lambda s: {
+            (u, a.timestamp(), b.timestamp(), n) for (u, a, b, n) in s
+        }
+        assert canon(got) == canon(expected)
