@@ -224,3 +224,36 @@ class TestUniformKsample:
         # that remain in the new top-50
         assert s3 & set(s1) == {d for d in s1 if d in s3}
         assert len(s3) == 50
+
+
+class TestVerificationRotation:
+    def test_changed_spec_hash_rotates_query_to_front(self, monkeypatch):
+        """A verified query whose recorded (builder source + oracle) hash
+        no longer matches must re-enter the pending front of the driver
+        window; matching hashes stay in the verified tail."""
+        import ser_etl_spark._verified_hashes as vh
+        from ser_etl_spark.registry import (
+            VERIFIED_PRIOR_ROUNDS,
+            all_queries,
+        )
+
+        names = list(all_queries())
+        target = next(n for n in reversed(names) if n in VERIFIED_PRIOR_ROUNDS)
+        assert names.index(target) > names.index(names[0])  # in the tail
+
+        monkeypatch.setitem(vh.VERIFIED_SOURCE_HASHES, target, "deadbeef0000")
+        rotated = list(all_queries())
+        n_pending = sum(
+            1 for i, n in enumerate(rotated)
+            if n == target and i < len(rotated) - len(VERIFIED_PRIOR_ROUNDS)
+        )
+        assert n_pending == 1, f"{target} did not rotate to the front"
+
+    def test_oracle_text_participates_in_the_hash(self):
+        import dataclasses
+
+        from ser_etl_spark.registry import REGISTRY, spec_source_hash
+
+        spec = next(s for s in REGISTRY.values() if s.oracle is not None)
+        changed = dataclasses.replace(spec, oracle=spec.oracle + " -- edited")
+        assert spec_source_hash(spec) != spec_source_hash(changed)
