@@ -65,36 +65,119 @@ def register(
 #: ``minhash_lsh_pairs`` / ``simhash_pairs`` were additionally removed by
 #: hand for round 3 because their round-2 rewrites predate that mechanism.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
-    # rounds 1+2 (CORRECTNESS_r01.json, CORRECTNESS_r02.json)
-    "ann_cosine_topk", "churned_buyers", "conversion_funnel",
-    "corpus_curation", "count_star", "customer_order_distribution",
-    "customer_spend_quartiles", "dataset_split", "decontamination",
-    "dedup_canonical", "dedup_clusters", "dedup_exact", "dedup_fingerprint",
-    "disjunctive_revenue", "doc_chunks", "doc_repetition",
-    "embedding_centroids", "embedding_neardup", "event_value_pivot",
-    "excess_order_counts", "fingerprint", "frame_sample", "group_by",
-    "idle_customers", "incremental_scan", "ivf_assign",
-    "join_broadcast_dims", "join_fact_dim", "json_props_stats", "lang_id",
-    "large_orders", "latest_event_per_user", "local_supplier_volume",
-    "matched_order_counts", "max_watermark", "measures_unpivot",
-    "moving_spend_90d", "multimodal_features", "name_edit_neardup",
-    "nation_market_share", "nation_revenue_share", "nation_trade_volume",
-    "ngram_jaccard_guarded", "ngram_jaccard_pairs", "order_by",
-    "order_gap_stats", "order_priority_check", "order_reconciliation",
-    "order_seasonality", "pack_sequences", "pii_scrub", "price_percentiles",
-    "pricing_summary", "priority_shipping", "product_type_profit",
-    "promo_revenue", "purchase_attribution", "quality_score",
-    "referential_integrity", "repeat_buyers", "retention_cohorts",
-    "revenue_forecast", "sales_cube", "sales_grouping_sets", "sales_rollup",
-    "salted_segment_sales", "select_all", "select_columns",
-    "session_concurrency", "sessionize_events", "shipping_priority",
-    "small_order_revenue", "sole_returning_supplier", "source_cap",
-    "source_mixture", "stats_moments", "stratified_sample", "summary_view",
-    "supplier_variety", "table_profile", "text_stats", "time_bucket_rollup",
-    "token_frequencies", "top_k", "top_returned_customers",
-    "top_supplier_revenue", "top_terms", "training_order", "value_band_join",
-    "value_histogram", "view_click_interval", "where_filter",
-    "window_running_total", "window_topn_per_group", "windowed_agg",
+    "ann_cosine_topk",
+    "churned_buyers",
+    "conversion_funnel",
+    "corpus_curation",
+    "count_min_tokens",
+    "count_star",
+    "customer_order_distribution",
+    "customer_spend_quartiles",
+    "dataset_split",
+    "decontamination",
+    "decontamination_bloom",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "disjunctive_revenue",
+    "doc_chunks",
+    "doc_repetition",
+    "embedding_centroids",
+    "embedding_neardup",
+    "embedding_project",
+    "embedding_quantize",
+    "event_value_pivot",
+    "excess_order_counts",
+    "fingerprint",
+    "frame_sample",
+    "gap_filled_hourly",
+    "group_by",
+    "heavy_hitters",
+    "idle_customers",
+    "important_stock",
+    "incremental_scan",
+    "ivf_ann_topk",
+    "ivf_assign",
+    "join_broadcast_dims",
+    "join_fact_dim",
+    "json_props_stats",
+    "lang_id",
+    "large_orders",
+    "latest_event_per_user",
+    "local_supplier_volume",
+    "lsh_ann_topk",
+    "matched_order_counts",
+    "max_watermark",
+    "measures_unpivot",
+    "min_cost_supplier",
+    "minhash_lsh_pairs",
+    "moving_spend_90d",
+    "multimodal_features",
+    "name_edit_neardup",
+    "nation_market_share",
+    "nation_revenue_share",
+    "nation_trade_volume",
+    "ngram_jaccard_guarded",
+    "ngram_jaccard_pairs",
+    "order_by",
+    "order_gap_stats",
+    "order_priority_check",
+    "order_reconciliation",
+    "order_seasonality",
+    "pack_sequences",
+    "pii_scrub",
+    "price_percentiles",
+    "pricing_summary",
+    "priority_shipping",
+    "product_type_profit",
+    "promo_revenue",
+    "purchase_attribution",
+    "quality_score",
+    "referential_integrity",
+    "repeat_buyers",
+    "retention_cohorts",
+    "revenue_forecast",
+    "sales_cube",
+    "sales_grouping_sets",
+    "sales_rollup",
+    "salted_segment_sales",
+    "select_all",
+    "select_columns",
+    "session_concurrency",
+    "sessionize_events",
+    "shipping_priority",
+    "simhash_pairs",
+    "small_order_revenue",
+    "sole_returning_supplier",
+    "source_cap",
+    "source_mixture",
+    "stats_moments",
+    "stocked_parts_promotion",
+    "stratified_sample",
+    "streaming_sessions",
+    "streaming_sessions_timeout",
+    "streaming_tumbling_counts",
+    "streaming_view_clicks",
+    "summary_view",
+    "supplier_variety",
+    "table_profile",
+    "text_stats",
+    "time_bucket_rollup",
+    "token_frequencies",
+    "top_k",
+    "top_returned_customers",
+    "top_supplier_revenue",
+    "top_terms",
+    "training_order",
+    "uniform_ksample",
+    "value_band_join",
+    "value_histogram",
+    "view_click_interval",
+    "where_filter",
+    "window_running_total",
+    "window_topn_per_group",
+    "windowed_agg",
 })
 
 
