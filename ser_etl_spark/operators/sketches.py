@@ -47,14 +47,24 @@ def approx_quantiles(
     covers=("B4",),
 )
 def approx_sketches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One row of scalar columns: the driver canonicalizes results through
+    # a pandas frame, where array-valued cells are unhashable — so the
+    # three percentiles are separate scalar aggregates, never one
+    # array<double> (the embedding_quantize unnesting rule).
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
             "approx_orders"
         ),
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_price"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "p95_price"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99_price"
+        ),
     )
 
 

@@ -53,6 +53,27 @@ def test_rows_only_queries_run(spark, sf_small, name):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_driver_canonicalizable(spark, sf_small, name):
+    """The driver canonicalizes results through a pandas frame, where
+    array/map/struct cells are unhashable (the approx_sketches r3 crash:
+    ``TypeError: unhashable type: 'list'``). Gate the whole registry:
+    every query's output schema must be scalar-only, so the failure class
+    cannot recur for any future entry."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name].builder(spark, sf_small)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} emits columns the driver cannot canonicalize "
+        f"(array/map/struct): {bad}"
+    )
+
+
 def test_registry_covers_metadata_is_coherent():
     """Every query declares which SURVEY.md §2 ids (or N-/X- extension
     tags) it covers, and the core reference query surface (B1-B11) keeps
