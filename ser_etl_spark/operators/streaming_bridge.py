@@ -32,12 +32,22 @@ from ser_etl_spark.streaming.windows import (
 
 @register(
     "streaming_tumbling_counts",
-    oracle=None,  # streaming execution path; batch twin `windowed_agg`
-    # carries the oracle for the same window semantics
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+             AS window_end,
+           event_type,
+           COUNT(*) AS events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
     description="A16 streaming upgrade exercised end-to-end: events as a "
     "file-source stream -> 1 h tumbling event-time windows with a 2 h "
     "watermark -> availableNow replay into a memory sink (complete "
-    "mode); proves the stateful streaming path, not just its batch twin",
+    "mode); proves the stateful streaming path, not just its batch twin — "
+    "oracle-backed: complete-mode availableNow replay emits every window, "
+    "so the batch GROUP BY over hour buckets is the exact same relation",
     covers=("A16",),
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +58,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink,
         mode="complete",
     )
+    # window_start/window_end arrive as TIMESTAMP_NTZ (UTC wall-clock):
+    # replay_to_batch converts instants before the collect round-trip
     return result.orderBy("window_start", "event_type").select(
         "window_start", "window_end", "event_type", "events",
         F.col("sum_value").cast("double").alias("sum_value"),
@@ -56,8 +68,19 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_view_clicks",
-    oracle=None,  # stream-stream join execution path; the batch twin
-    # `view_click_interval` carries the SQL oracle for these semantics
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, COUNT(*) AS n_pairs
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
     description="stream-stream attribution join exercised end-to-end: "
     "views and clicks as watermarked streams, clicks joined within a "
     "30 min horizon (state expires by watermark, bounded per key); "

@@ -15,7 +15,9 @@ rule, same deterministic (ts, event_id) ordering), which the tests
 exploit: stream output == batch sessions minus each user's last.
 
 Timestamps cross the Arrow boundary as microsecond longs — int64 is
-timezone-proof and avoids pandas/Spark datetime coercion drift.
+timezone-proof and avoids pandas/Spark datetime coercion drift; the
+output re-attaches them as TIMESTAMP_NTZ (UTC wall-clock), matching the
+NTZ-end-to-end event-time convention of the streaming package.
 """
 
 from __future__ import annotations
@@ -73,10 +75,13 @@ def _session_fn(gap_s: int):
 
         closed: list[tuple[int, int, int, int]] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
-        for ts in batch["ts"]:
-            # pandas Timestamp nanoseconds -> microseconds
-            us = int(ts.value // 1_000)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us in batch["ts_us"]:
+            # epoch microseconds as int64 — timestamps never cross the
+            # Arrow boundary as datetimes (Spark localizes those to the
+            # SESSION timezone on the way into pandas, which would shift
+            # every emitted session under a non-UTC session)
+            us = int(ts_us)
             if last_us is None:
                 start_us, last_us, count = us, us, 1
             elif (us - last_us) // 1_000_000 > gap_s:
@@ -105,7 +110,9 @@ def streaming_sessions(
     is the production variant that flushes them by event-time timeout).
     """
     out = (
-        events.select("user_id", "event_id", "ts")
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_s),
@@ -117,8 +124,14 @@ def streaming_sessions(
     )
     return out.select(
         "user_id",
-        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
-        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        F.expr(
+            "timestampadd(MICROSECOND, session_start_us, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("session_start"),
+        F.expr(
+            "timestampadd(MICROSECOND, session_end_us, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("session_end"),
         "events",
     )
 
@@ -146,9 +159,17 @@ def _session_timeout_fn(gap_s: int):
             return
         yield from inner(key, pdfs, state)
         # state was just updated by the inner fn; arm the gap deadline
-        # (epoch MILLIseconds — the GroupState timeout unit)
+        # (epoch MILLIseconds — the GroupState timeout unit). Spark
+        # rejects a timeout at or before the current watermark with
+        # IllegalArgumentException — reachable when gap_s is small
+        # relative to the watermark delay — so clamp to watermark + 1 ms
+        # (the flush then fires on the next no-data batch, which is when
+        # the watermark could first prove the session closed anyway).
         _, last_us, _ = state.get
-        state.setTimeoutTimestamp(last_us // 1_000 + gap_s * 1_000)
+        deadline_ms = last_us // 1_000 + gap_s * 1_000
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
 
     return update
 
@@ -168,7 +189,12 @@ def streaming_sessions_timeout(
     than the no-timeout variant's all-users-ever state at 100 TB/day.
     """
     out = (
-        events.select("user_id", "event_id", "ts")
+        # `ts` stays in the projection: event-time timeout requires the
+        # watermarked column to reach the stateful operator. The pandas
+        # fn reads only ts_us (int64) — the datetime column is ignored.
+        events.select(
+            "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+        )
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -181,7 +207,13 @@ def streaming_sessions_timeout(
     )
     return out.select(
         "user_id",
-        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
-        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        F.expr(
+            "timestampadd(MICROSECOND, session_start_us, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("session_start"),
+        F.expr(
+            "timestampadd(MICROSECOND, session_end_us, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("session_end"),
         "events",
     )

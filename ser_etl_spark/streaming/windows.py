@@ -7,10 +7,16 @@ sliding windows -> sink. State is partitioned by (window, key) across
 executors — at 100 TB/day this scales horizontally; nothing here is
 driver-resident.
 
-Watermark note: event-time columns must be TIMESTAMP (LTZ) for
-Structured Streaming state tracking; the NTZ fixture column is converted
-with ``to_utc_timestamp`` (explicitly, not via session-tz coercion) so
-window boundaries are deterministic.
+Timezone note: Structured Streaming watermarks demand TIMESTAMP (LTZ)
+event time (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` otherwise), so the
+NTZ fixture column is pinned to an instant via pure NTZ arithmetic —
+``timestamp_micros(timestampdiff(MICROSECOND, NTZ epoch, ts))`` — which
+treats the wall-clock as UTC regardless of session timezone. A
+``to_utc_timestamp``/cast conversion would instead coerce NTZ → LTZ
+through the SESSION timezone and shift every window under a non-UTC
+session (the bug class the verify probe exists for).
+:func:`replay_to_batch` converts instants back to UTC wall-clock NTZ on
+the way out, so callers see NTZ end-to-end like the batch twins.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.numeric import dsum
 from ser_etl_spark.sources.parquet import _ns_timestamp_cols, table_path
 
 
@@ -46,13 +53,25 @@ def streaming_events(
         # its parent directory with a glob filter selecting just that file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
+    from pyspark.sql.types import TimestampNTZType
+
     df = reader.parquet(path)
     for c in ns_cols:
         # ns-since-epoch -> microsecond instant (session-tz independent)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    if "ts" not in ns_cols:
-        # NTZ column -> instant, pinned to UTC explicitly
-        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # NTZ wall-clock -> instant, treating the wall-clock as UTC:
+        # micros-since-epoch computed in pure NTZ arithmetic, then
+        # attached as an instant — never a cast through the session tz
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
@@ -69,7 +88,11 @@ def tumbling_window_agg(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.sum("value").alias("sum_value"),
+            # decimal-exact sum (cast to double once at the end): float
+            # accumulation order varies with state-store partitioning, so a
+            # plain SUM(double) would make the output nondeterministic
+            # across replays — and unmatchable against the SQL oracle
+            dsum("value", 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -171,13 +194,34 @@ def replay_to_batch(
     copies, it does not distribute-then-collect), the sink view is
     dropped, and the rows come back as a local relation on the caller's
     session — nothing retained for the session lifetime.
+
+    Instant (LTZ) columns come back as TIMESTAMP_NTZ holding the UTC
+    wall-clock: the naive-datetime round-trip is asymmetric (``collect``
+    renders instants in the OS timezone while ``createDataFrame``
+    re-interprets naive datetimes in the SESSION timezone), so handing
+    LTZ rows across would shift every timestamp under a non-UTC session.
+    NTZ round-trips timezone-free in both directions, and matches the
+    batch twins, which keep event time NTZ end-to-end.
     """
+    from pyspark.sql.types import TimestampType
+
     replay = spark.newSession()
     stream_df = build_stream(replay)
     run_to_memory(
         stream_df, name, mode=mode, shuffle_partitions=shuffle_partitions
     )
     sink = replay.table(name)
+    sink = sink.select(
+        *[
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros(`{f.name}`), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in sink.schema.fields
+        ]
+    )
     rows, schema = sink.collect(), sink.schema
     replay.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)

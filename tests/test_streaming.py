@@ -71,11 +71,15 @@ class TestWindows:
             for r in spark.table("tumbling_out").collect()
         }
 
+        from ser_etl_spark.functions.numeric import dsum
+
         batch = (
             load_table(spark, sf_small, "events")
             .withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("events"), F.sum("value").alias("sum_value"))
+            # dsum matches the stream side: both sum exact decimals, so
+            # the comparison is equality, not float-artifact tolerance
+            .agg(F.count(F.lit(1)).alias("events"), dsum("value", 4).alias("sum_value"))
             .collect()
         )
         want = {
