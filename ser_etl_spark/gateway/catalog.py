@@ -76,15 +76,19 @@ class SnapshotCatalog:
             return manifest["snapshot_dir"], str(manifest.get("version"))
         return self.root, None  # plain directory layout
 
-    def _register_manifest_views(self) -> None:
+    def _register_manifest_views(self) -> list[str]:
         """Register summary views recorded in the manifest (reference A10:
         the snapshot ships v_inventory_summary; here view *definitions*
-        travel in the manifest and Catalyst computes them on demand)."""
+        travel in the manifest and Catalyst computes them on demand).
+        Returns the names actually created."""
+        created: list[str] = []
         for name, sql in self.read_manifest().get("views", {}).items():
             try:
                 self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
             except Exception:  # pragma: no cover - malformed view def
                 continue
+            created.append(name)
+        return created
 
     # -- refresh ------------------------------------------------------------
 
@@ -117,17 +121,17 @@ class SnapshotCatalog:
                 except Exception:  # pragma: no cover - already gone
                     pass
             self._cached = ()
-            register_views(self.spark, snapshot_dir, **kwargs)
-            self._register_manifest_views()
+            registered = register_views(self.spark, snapshot_dir, **kwargs)
+            view_names = self._register_manifest_views()
             if self.cache_tables:
-                pinned = tables or tuple(
-                    t.name
-                    for t in self.spark.catalog.listTables()
-                    if t.isTemporary
-                )
+                # Pin exactly the views THIS catalog just registered —
+                # enumerating the session catalog instead would pin (and
+                # later evict) caller-owned temp views sharing the
+                # session, e.g. app views or streaming memory sinks.
+                pinned = tuple(registered) + tuple(view_names)
                 for name in pinned:
                     self.spark.catalog.cacheTable(name)
-                self._cached = tuple(pinned)
+                self._cached = pinned
         self._resolved_dir, self._version = snapshot_dir, version
         self._loaded_at = time.monotonic()
         return snapshot_dir
@@ -162,17 +166,26 @@ class SnapshotCatalog:
 
         The time-travel completion of A12: immutable versioned prefixes
         make CDC-style auditing a pure query. Rows are fingerprinted
-        map-side (xxhash64 over all columns, computed before any
-        exchange) so the full-outer join shuffles (key, fingerprint)
+        map-side (xxhash64 over a JSON struct encoding, computed before
+        any exchange) so the full-outer join shuffles (key, fingerprint)
         pairs — never the row payloads — and unchanged keys are dropped
         post-join. One keyed shuffle regardless of row width.
+
+        The JSON-struct encoding is null-disambiguating: a bare
+        ``xxhash64(*cols)`` SKIPS null inputs (a null column leaves the
+        hash state unchanged), so rows differing only in null placement —
+        a value moving between two columns, or null swapped with an
+        adjacent column's value — would hash identically and be reported
+        unchanged. ``to_json`` keys every value by column name, so any
+        such move changes the encoding.
         """
         from pyspark.sql import functions as F
 
         def fp(df):
             cols = [F.col(c) for c in sorted(df.columns)]
             return df.select(
-                F.col(key_col).alias("_k"), F.xxhash64(*cols).alias("_fp")
+                F.col(key_col).alias("_k"),
+                F.xxhash64(F.to_json(F.struct(*cols))).alias("_fp"),
             )
 
         o = fp(self.read_version(v_old, table)).alias("o")

@@ -82,13 +82,21 @@ class SparkQueryEngine:
         runs, no rows leave. An operator-facing extension (the reference
         exposes no EXPLAIN): lets a caller confirm pushdown/broadcast
         decisions against the live snapshot before paying for execution.
+
+        The admission row cap is applied to the explained plan exactly
+        as :meth:`execute_query` applies it before collecting, so the
+        returned physical plan (its CollectLimit/TakeOrderedAndProject
+        and the optimizations they enable) is the plan execution will
+        actually run — not an uncapped variant of it.
         """
         from ser_etl_spark.session import explain_string
 
         clean = sanitize_query(query)
-        self.validator.validate(clean)
+        admission = self.validator.validate(clean)
         self.catalog.refresh()
-        return explain_string(self.spark.sql(clean), mode)
+        return explain_string(
+            self.spark.sql(clean).limit(admission.max_rows), mode
+        )
 
     # -- timeout ------------------------------------------------------------
 

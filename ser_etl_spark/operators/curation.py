@@ -186,7 +186,11 @@ def benchmark_contamination(
     deterministic stand-in for an external eval suite); every other doc
     is train. Returns per-contaminated-doc overlap counts and the
     contamination fraction ``hit_ngrams / total_ngrams`` — the standard
-    n-gram-overlap decontamination pass run before training.
+    n-gram-overlap decontamination pass run before training. Counts are
+    over DISTINCT shingles per doc (``dedup.shingle_rows`` dedupes at
+    the source): a doc repeating a contaminated n-gram counts it once —
+    the same basis :func:`bloom_contamination` uses, so the two are
+    row-comparable.
 
     Scale: benchmark n-grams are tiny relative to the corpus and are
     broadcast, so the train side never shuffles for the hit join. Totals
@@ -241,10 +245,17 @@ def bloom_contamination(
     pass then needs to run only on the bloom-positive sliver.
 
     Output: per-train-doc bloom-positive n-gram counts — the same shape
-    as the exact operator's ``hit_ngrams``, superset row-wise.
-    xxhash64 is engine-specific, so this registers rows-only; tests
-    assert the superset property and the false-positive bound against
-    the exact operator.
+    as the exact operator's ``hit_ngrams``, superset row-wise. COUNTING
+    BASIS: both operators count DISTINCT shingles per doc —
+    ``dedup.shingle_rows`` dedupes (doc, shingle) at the source for the
+    exact operator, and the ``groupBy(doc_id, sh)`` k-of-k gate here
+    yields one row per distinct positive shingle. A doc repeating a
+    contaminated n-gram counts it once on BOTH sides, so the superset
+    invariant (bloom ≥ exact per doc, zero false negatives) holds for
+    repeats too — pinned by a regression test. xxhash64 is
+    engine-specific, so this registers rows-only; tests assert the
+    superset property and the false-positive bound against the exact
+    operator.
     """
     is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")

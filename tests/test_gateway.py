@@ -625,6 +625,38 @@ class TestVersionDiff:
         # key 2 is unchanged -> absent
         assert got == {1: "removed", 3: "changed", 4: "added"}
 
+    def test_null_placement_moves_are_detected(self, spark, tmp_path):
+        """xxhash64 skips null inputs, so a bare column hash can't tell
+        (x, NULL) from (NULL, x) — the JSON-struct fingerprint keys each
+        value by column name and must flag such rows as changed."""
+        from ser_etl_spark.etl.build import build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        store = str(tmp_path / "store_nulls")
+        v1 = spark.createDataFrame(
+            [(1, "x", None), (2, None, "y")], "id bigint, a string, b string"
+        )
+        # value moves between columns / null swaps with the neighbor
+        v2 = spark.createDataFrame(
+            [(1, None, "x"), (2, "y", None)], "id bigint, a string, b string"
+        )
+        for i, df in enumerate((v1, v2), start=1):
+            out = str(tmp_path / f"bn{i}")
+            r = build_snapshot({"t": df}, out, views={})
+            publish_snapshot(
+                out, store, tables=r.tables, views={},
+                version=f"2024010{i}_000000",
+            )
+        cat = SnapshotCatalog(spark, store)
+        got = {
+            r["id"]: r["change"]
+            for r in cat.diff_versions(
+                "20240101_000000", "20240102_000000", "t", "id"
+            ).collect()
+        }
+        assert got == {1: "changed", 2: "changed"}
+
 
 class TestServingCache:
     def test_tables_pinned_and_repinned_across_versions(self, spark, tmp_path):
@@ -653,6 +685,39 @@ class TestServingCache:
         assert spark.table("t").count() == 200
         spark.catalog.uncacheTable("t")
 
+    def test_caller_owned_views_are_never_pinned(self, spark, tmp_path):
+        """cache_tables pins exactly the views the catalog registered —
+        a temp view the CALLER created in the shared session must not be
+        pinned on refresh (unintended memory) nor uncached on the next
+        version change (cache eviction of caller state)."""
+        from ser_etl_spark.etl.build import build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        store = str(tmp_path / "store2")
+
+        def publish(n, version):
+            df = spark.range(n).withColumnRenamed("id", "k")
+            out = str(tmp_path / f"c_{version}")
+            r = build_snapshot({"t": df}, out, views={})
+            publish_snapshot(out, store, tables=r.tables, views={}, version=version)
+
+        spark.range(10).createOrReplaceTempView("caller_owned_view")
+        spark.catalog.cacheTable("caller_owned_view")
+        try:
+            publish(100, "20240101_000000")
+            cat = SnapshotCatalog(spark, store, cache_tables=True)
+            cat.refresh(force=True)
+            assert "caller_owned_view" not in cat._cached
+            publish(200, "20240102_000000")
+            cat.refresh(force=True)
+            # the caller's pin survived the catalog's repin cycle
+            assert spark.catalog.isCached("caller_owned_view")
+            spark.catalog.uncacheTable("t")
+        finally:
+            spark.catalog.uncacheTable("caller_owned_view")
+            spark.catalog.dropTempView("caller_owned_view")
+
 
 class TestExplain:
     def test_explain_returns_plan_without_running(self, spark, sf_small):
@@ -666,6 +731,9 @@ class TestExplain:
         )
         assert "PushedFilters" in plan or "Filter" in plan
         assert "HashAggregate" in plan
+        # the explained plan carries the SAME admission row cap the
+        # executor applies, so what you explain is what actually runs
+        assert "CollectLimit" in plan or "TakeOrderedAndProject" in plan
 
     def test_explain_is_gated_by_the_same_validator(self, spark, sf_small):
         from ser_etl_spark.gateway.catalog import SnapshotCatalog

@@ -547,6 +547,36 @@ class TestCuration:
         assert 0 not in got
         assert got[1] >= 4  # all 4 planted five-grams are bloom-positive
 
+    def test_bloom_contamination_repeated_ngram_basis(self, spark):
+        """Both operators count DISTINCT shingles per doc: a train doc
+        repeating a contaminated n-gram counts it ONCE on both sides, so
+        the superset guarantee can't break on repeats (mixed bases —
+        occurrences on one side, distinct on the other — would let
+        exact > bloom with zero false negatives)."""
+        from ser_etl_spark.operators.curation import (
+            benchmark_contamination,
+            bloom_contamination,
+        )
+
+        bench_text = "alpha beta gamma delta epsilon"
+        rows = [
+            (0, bench_text),
+            # the planted five-gram appears twice in the train doc
+            (1, bench_text + " filler words here " + bench_text),
+            (2, "totally unrelated words in this document here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        exact = {
+            r["doc_id"]: r["hit_ngrams"]
+            for r in benchmark_contamination(docs).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["bloom_hit_ngrams"]
+            for r in bloom_contamination(docs).collect()
+        }
+        assert exact[1] == 1  # distinct basis: the repeat counts once
+        assert bloom[1] >= exact[1]  # superset holds on the same basis
+
     def test_source_mixture_keeps_largest_source_whole(self, spark, sf_small):
         from ser_etl_spark.operators.curation import source_temperature_sample
 
