@@ -67,6 +67,49 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type
+      FROM events
+    ), w AS (
+      -- each event lands in window/slide = 2 overlapping 2h windows:
+      -- the one starting at its hour and the one starting an hour before
+      SELECT hr AS window_start, event_type FROM h
+      UNION ALL
+      SELECT hr - INTERVAL 1 HOUR AS window_start, event_type FROM h
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS events
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+    description="sliding event-time windows exercised end-to-end: 2 h "
+    "windows sliding by 1 h over the events stream (each event counted "
+    "in exactly window/slide = 2 windows), complete-mode availableNow "
+    "replay — oracle-backed via the hour-shift UNION twin",
+    covers=("A16",),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.streaming.windows import sliding_window_agg
+
+    sink = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    result = replay_to_batch(
+        spark,
+        lambda s: sliding_window_agg(
+            streaming_events(s, sf_dir), window="2 hours", slide="1 hour"
+        ),
+        sink,
+        mode="complete",
+    )
+    return result.orderBy("window_start", "event_type").select(
+        "window_start", "window_end", "event_type", "events"
+    )
+
+
+@register(
     "streaming_view_clicks",
     oracle="""
     WITH v AS (

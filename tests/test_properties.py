@@ -235,19 +235,35 @@ class TestVerificationRotation:
         from ser_etl_spark.registry import (
             VERIFIED_PRIOR_ROUNDS,
             all_queries,
+            spec_source_hash,
         )
 
-        names = list(all_queries())
+        queries = all_queries()
+        names = list(queries)
         target = next(n for n in reversed(names) if n in VERIFIED_PRIOR_ROUNDS)
         assert names.index(target) > names.index(names[0])  # in the tail
 
         monkeypatch.setitem(vh.VERIFIED_SOURCE_HASHES, target, "deadbeef0000")
         rotated = list(all_queries())
-        n_pending = sum(
-            1 for i, n in enumerate(rotated)
-            if n == target and i < len(rotated) - len(VERIFIED_PRIOR_ROUNDS)
+        # The stable tail = verified entries whose recorded hash still
+        # matches (mid-round, other entries may legitimately be rotated
+        # too — the boundary is the stable count, not |VERIFIED|).
+        stable = {
+            n
+            for n in VERIFIED_PRIOR_ROUNDS
+            if n != target
+            and n in queries
+            and (
+                vh.VERIFIED_SOURCE_HASHES.get(n) is None
+                or spec_source_hash(queries[n]) is None
+                or spec_source_hash(queries[n])
+                == vh.VERIFIED_SOURCE_HASHES[n]
+            )
+        }
+        front_len = len(rotated) - len(stable)
+        assert rotated.index(target) < front_len, (
+            f"{target} did not rotate to the pending front"
         )
-        assert n_pending == 1, f"{target} did not rotate to the front"
 
     def test_oracle_text_participates_in_the_hash(self):
         import dataclasses
