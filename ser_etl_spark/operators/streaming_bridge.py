@@ -149,6 +149,37 @@ def streaming_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_exact_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    description="stateful streaming deduplication exercised end-to-end: "
+    "dropDuplicates on (user_id, event_type) over the events stream — "
+    "keyed dedup state holding one entry per distinct key (the streaming "
+    "analog of batch dedup_exact); append-mode availableNow replay emits "
+    "each key's first arrival exactly once, so the output IS the "
+    "distinct key set. The bounded-state production variant "
+    "(dropDuplicatesWithinWatermark) trades exactness for state TTL; "
+    "the exact form is registered because its output is deterministic "
+    "and oracle-checkable, and its state is bounded by key cardinality "
+    "— same bound as any DISTINCT",
+    covers=("A16", "N-dedup"),
+)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    result = replay_to_batch(
+        spark,
+        lambda s: streaming_events(s, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"]),
+        sink,
+        mode="append",
+    )
+    return result.orderBy("user_id", "event_type")
+
+
+@register(
     "streaming_sessions",
     oracle=None,  # keyed-state streaming path; the batch twin
     # `sessionize_events` carries the SQL oracle for the gap rule, and

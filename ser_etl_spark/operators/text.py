@@ -428,3 +428,275 @@ def top_terms(docs: DataFrame, min_token_len: int = 4) -> DataFrame:
 )
 def top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance search
+# ---------------------------------------------------------------------------
+
+#: Fixed multi-term search query for the registered BM25 ranking — four
+#: mid-frequency corpus terms, so tf/dl variation (not presence) drives
+#: the ranking.
+BM25_TERMS: tuple[str, ...] = ("hash", "join", "merge", "sort")
+
+
+def _bm25_term_sql(i: int, term: str) -> str:
+    """One query term's BM25 contribution as dialect-portable SQL.
+
+    Same integer-exact shape as the Spark builder (see
+    :func:`bm25_search`): a single double division per term, so both
+    engines produce bit-identical scores.
+    """
+    return (
+        f"COALESCE(CAST(44 * tf_{i} * t_toks * (2 * n_docs - 2 * df_{i} + 1)"
+        f" AS DOUBLE) / CAST((20 * tf_{i} * t_toks + 6 * t_toks"
+        f" + 18 * dl * n_docs) * (2 * df_{i} + 1)"
+        f" AS DOUBLE), 0.0)"
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for a multi-term query, ranked by BM25.
+
+    The text-side sibling of the embedding ANN operators: lexical
+    relevance search over the corpus (Robertson-Sparck Jones BM25 with
+    the standard k1=1.2, b=0.75). Cross-engine determinism dictates the
+    arithmetic shape: ``ln``-idf is libm-dependent, so the rational idf
+    surrogate ``(N - df + 0.5) / (df + 0.5)`` is used (same monotone
+    ranking for fixed N), and each term's score
+
+        ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+
+    is algebraically cleared to ONE double division of two exact BIGINT
+    products (k1=6/5, b=3/4, avgdl=t_toks/n_docs; multiply through by
+    ``20*t_toks``), then the per-term scores are added in the fixed
+    written order — no libm, no FP reassociation, both engines
+    bit-identical. The integer products stay exact below 2^63 (holds to
+    ~1e12-token corpora with the test constants; beyond that, cast the
+    two factors to DOUBLE — the ranking is unchanged within double
+    precision).
+
+    Scale shape: explode -> two hash aggregates (dl per doc, tf per
+    doc x query-term) -> a |terms|-row df aggregate and a 1-row totals
+    aggregate, both broadcast -> per-doc pivot to fixed columns ->
+    global top-k (``TakeOrderedAndProject``, no global sort). The only
+    data-sized shuffles key on doc_id.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_toks")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*query_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    piv = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("tok") == t, F.col(c))).alias(f"{c}_{i}")
+                for i, t in enumerate(query_terms)
+                for c in ("tf", "df")
+            ]
+        )
+    )
+    scored = piv.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+
+    def term_score(i: int) -> Column:
+        tfc, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        num = (
+            44 * tfc * F.col("t_toks")
+            * (2 * F.col("n_docs") - 2 * dfc + 1)
+        )
+        den = (
+            20 * tfc * F.col("t_toks")
+            + 6 * F.col("t_toks")
+            + 18 * F.col("dl") * F.col("n_docs")
+        ) * (2 * dfc + 1)
+        return F.coalesce(
+            num.cast("double") / den.cast("double"), F.lit(0.0)
+        )
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    n_hit = F.lit(0)
+    for i in range(len(query_terms)):
+        n_hit = n_hit + F.when(F.col(f"tf_{i}").isNotNull(), 1).otherwise(0)
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            n_hit.cast("bigint").alias("n_hit_terms"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    piv_cols = ",\n           ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN {c} END) AS {c}_{i}"
+        for i, t in enumerate(BM25_TERMS)
+        for c in ("tf", "df")
+    )
+    score = "\n         + ".join(
+        _bm25_term_sql(i, t) for i, t in enumerate(BM25_TERMS)
+    )
+    n_hit = " + ".join(
+        f"(CASE WHEN tf_{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), totals AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS t_toks FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), piv AS (
+      SELECT doc_id,
+           {piv_cols}
+      FROM tf JOIN dfreq USING (tok) GROUP BY doc_id
+    )
+    SELECT piv.doc_id, dl.dl,
+           CAST({n_hit} AS BIGINT) AS n_hit_terms,
+           {score} AS score
+    FROM piv JOIN dl USING (doc_id) CROSS JOIN totals
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+@register(
+    "bm25_search",
+    oracle=_bm25_oracle(),
+    description="lexical relevance search: top-20 documents for a fixed "
+    "4-term query ranked by BM25 (k1=1.2, b=0.75) — rational idf "
+    "surrogate and one exact-integer double division per term, so both "
+    "engines produce bit-identical scores; broadcast df/totals, "
+    "TakeOrderedAndProject top-k",
+    covers=("N-text", "N-sim"),
+)
+def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality proxy
+# ---------------------------------------------------------------------------
+
+#: A document bigram is "rare" when the whole corpus contains it at most
+#: this many times — the KenLM-style fluency cut, made deterministic
+#: (production pipelines pick the threshold from a held-out percentile).
+BIGRAM_RARE_THRESHOLD = 5
+
+
+def bigram_rare_ratio(
+    docs: DataFrame, threshold: int = BIGRAM_RARE_THRESHOLD
+) -> DataFrame:
+    """Per-document rare-bigram ratio — an LM-free perplexity proxy.
+
+    CCNet/KenLM-style quality filtering scores each document by how
+    improbable its token transitions are under a corpus language model;
+    the deterministic analog counts the document's bigrams whose CORPUS
+    frequency is <= ``threshold``. Machine-generated or shuffled text
+    shows a high ``rare_ratio`` (many transitions nobody else makes);
+    fluent text repeats common transitions. All arithmetic is integer
+    counts plus one final division, so both engines agree bitwise.
+
+    Scale shape: bigrams are built inside the row via
+    ``transform(slice(ts, ...))`` over the token array — NO window, no
+    per-doc shuffle, embarrassingly parallel — then one hash aggregate
+    keyed on the bigram (vocabulary-bounded output) and one join back
+    keyed on the bigram feed a per-doc aggregate. Skewed stop-bigrams
+    carry only a count payload.
+    """
+    arr = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("ts"),
+    )
+    big = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1), "
+                "(x, i) -> concat(x, ' ', ts[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        big.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c") <= threshold, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+            F.min("c").alias("min_bigram_freq"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("n_rare").cast("double") / F.col("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bigram_rare_ratio",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ts
+      FROM documents
+    ), big AS (
+      -- list_transform's lambda index i is 1-based: x = ts[i], so
+      -- ts[i + 1] is the next token (Spark's transform index is 0-based
+      -- with 0-based [], landing on the same pair)
+      SELECT doc_id,
+             unnest(list_transform(ts[1:len(ts) - 1],
+                    (x, i) -> x || ' ' || ts[i + 1])) AS bigram
+      FROM arr
+    ), counts AS (
+      SELECT bigram, COUNT(*) AS c FROM big GROUP BY bigram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN c <= {BIGRAM_RARE_THRESHOLD} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rare,
+           MIN(c) AS min_bigram_freq,
+           CAST(SUM(CASE WHEN c <= {BIGRAM_RARE_THRESHOLD} THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM big JOIN counts USING (bigram)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="LM-free perplexity proxy for quality filtering: per-doc "
+    "ratio of bigrams whose corpus frequency <= 5 (CCNet/KenLM fluency "
+    "cut made deterministic); bigrams built in-row via transform(slice) "
+    "— no window — then vocabulary-bounded hash agg + join back",
+    covers=("N-text",),
+)
+def bigram_rare_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_rare_ratio(load_table(spark, sf_dir, "documents"))
