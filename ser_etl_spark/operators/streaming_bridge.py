@@ -159,11 +159,13 @@ def streaming_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed dedup state holding one entry per distinct key (the streaming "
     "analog of batch dedup_exact); append-mode availableNow replay emits "
     "each key's first arrival exactly once, so the output IS the "
-    "distinct key set. The bounded-state production variant "
-    "(dropDuplicatesWithinWatermark) trades exactness for state TTL; "
-    "the exact form is registered because its output is deterministic "
-    "and oracle-checkable, and its state is bounded by key cardinality "
-    "— same bound as any DISTINCT",
+    "distinct key set. Exact dedup is scale-safe here because the key "
+    "domain is LOW-cardinality (users x event types), so state is "
+    "bounded like any DISTINCT; for unbounded keys (event_id) the "
+    "watermark-bounded variant streaming/dedup.py streaming_dedup "
+    "(dropDuplicatesWithinWatermark) is the production path — its "
+    "horizon semantics are watermark-dependent, hence not "
+    "oracle-checkable, and it stays pytest-covered",
     covers=("A16", "N-dedup"),
 )
 def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

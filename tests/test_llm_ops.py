@@ -701,3 +701,86 @@ class TestRandomProjection:
             for r in random_projection(vecs.repartition(7)).collect()
         }
         assert a == b
+
+
+class TestBm25Search:
+    """Semantics of the lexical relevance ranking (bm25_search)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+
+    def test_higher_tf_ranks_higher_at_equal_length(self, spark):
+        from ser_etl_spark.operators.text import bm25_search
+
+        filler = "data " * 20
+        docs = self._docs(
+            spark,
+            [
+                filler + "hash hash hash join",   # 3+1 query hits
+                filler + "hash line line line",   # 1 query hit
+                filler + "line line line line",   # 0 hits -> excluded
+            ],
+        )
+        got = bm25_search(docs, query_terms=("hash", "join")).collect()
+        assert [r["doc_id"] for r in got] == [0, 1]
+        assert got[0]["score"] > got[1]["score"]
+        assert got[0]["n_hit_terms"] == 2 and got[1]["n_hit_terms"] == 1
+
+    def test_length_normalization_prefers_shorter_doc(self, spark):
+        from ser_etl_spark.operators.text import bm25_search
+
+        docs = self._docs(
+            spark,
+            [
+                "hash join " + "data " * 5,    # same tf, short
+                "hash join " + "data " * 100,  # same tf, long
+            ],
+        )
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_search(docs, query_terms=("hash", "join")).collect()
+        }
+        assert got[0] > got[1], got
+
+    def test_scores_positive_and_sorted(self, spark, sf_small):
+        from ser_etl_spark.operators.text import bm25_search
+        from ser_etl_spark.sources.parquet import load_table
+
+        got = bm25_search(load_table(spark, sf_small, "documents")).collect()
+        assert 0 < len(got) <= 20
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+class TestBigramRareRatio:
+    """Semantics of the LM-free fluency proxy (bigram_rare_ratio)."""
+
+    def test_invariants_on_fixture(self, spark, sf_small):
+        from ser_etl_spark.operators.text import bigram_rare_ratio
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        got = bigram_rare_ratio(docs).collect()
+        assert len(got) == docs.count()
+        for r in got:
+            assert 0 <= r["n_rare"] <= r["n_bigrams"]
+            assert 0.0 <= r["rare_ratio"] <= 1.0
+            assert r["min_bigram_freq"] >= 1
+
+    def test_unique_transitions_flagged_rare(self, spark):
+        from ser_etl_spark.operators.text import bigram_rare_ratio
+
+        common = "the cat sat on the mat"
+        docs = spark.createDataFrame(
+            # 10 fluent copies of the same sentence + 1 shuffled doc whose
+            # transitions appear nowhere else
+            [(i, common) for i in range(10)] + [(99, "mat the on sat cat")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in bigram_rare_ratio(docs, threshold=5).collect()}
+        assert got[99]["rare_ratio"] == 1.0
+        # the repeated sentence's bigrams occur 10x > threshold
+        assert got[0]["rare_ratio"] == 0.0

@@ -319,3 +319,21 @@ class TestRound3OperatorPlans:
         plan = _plan(spark, sf_small, "uniform_ksample")
         # fixed-size sample = per-partition top-k heaps, never global sort
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_is_topk_with_broadcast_stats(spark, sf_small):
+    """BM25's global stats (per-term df, corpus totals) are tiny and must
+    broadcast; the final ranking must be partial top-k, not a global
+    sort — at corpus scale a Sort+Limit here would shuffle every doc."""
+    plan = _plan(spark, sf_small, "bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_rare_ratio_builds_bigrams_without_window(spark, sf_small):
+    """Bigrams come from transform(slice) inside the row — a Window
+    (lead) formulation would add a per-doc sort + shuffle before the
+    first aggregate."""
+    plan = _plan(spark, sf_small, "bigram_rare_ratio")
+    assert "Window" not in plan, plan
