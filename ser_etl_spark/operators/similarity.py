@@ -803,3 +803,139 @@ def embedding_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id"), F.posexplode("projected").alias("dim", "pval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+#: The registered mining run: the first 5 vectors are the query points,
+#: each collects its top-5 cross-label neighbors above the floor.
+HARD_NEG_QUERIES = 5
+HARD_NEG_K = 5
+#: Candidate floor on the rounded cosine — the scale lever: the codegen
+#: filter prunes the query x corpus score matrix down to the few
+#: candidates per query before any shuffle, so the per-query ranking
+#: window never sees corpus-sized input.
+HARD_NEG_FLOOR = 0.30
+
+
+def _query_points(
+    spark: SparkSession, sf_dir: str, n: int = HARD_NEG_QUERIES
+) -> list[tuple[int, int, list[float]]]:
+    """The first ``n`` (vec_id, label, embedding) rows — an O(n) driver
+    fetch, same contract as the ann query-vector fetch above."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    return [
+        (r["vec_id"], r["label"], [float(v) for v in r["embedding"]])
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+
+def hard_negative_mine(
+    vectors: DataFrame,
+    queries: list[tuple[int, int, list[float]]],
+    k: int = HARD_NEG_K,
+    floor: float = HARD_NEG_FLOOR,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cross-label neighbors per query point above a cosine floor.
+
+    Contrastive training (InfoNCE, triplet losses) wants HARD negatives:
+    corpus items highly similar to the anchor but of a different class.
+    For each query point this mines the ``k`` most-similar vectors whose
+    ``label`` differs, among candidates with rounded cosine >= ``floor``
+    (the floor is part of the mining semantics — practical miners cut at
+    a similarity band — and the scale lever, see ``HARD_NEG_FLOOR``).
+
+    Scale shape: one branch per anchor, each the proven exact-ANN shape
+    (literal-coefficient codegen dot + floor filter + per-branch top-k
+    via ``TakeOrderedAndProject`` — per-partition heaps, no shuffle),
+    unioned and ranked over the <= Q*k survivors. A single fused scan
+    computing all anchors' scores at once was tried and rejected: Q
+    expanded 64-dim dot products in one stage exceed janino's method
+    limit, so the whole stage silently drops out of codegen — Q
+    compiled branches beat one interpreted scan. For large anchor
+    batches brute force is the wrong tool regardless of fusion; mining
+    then goes through the bucketed LSH/IVF paths above, which prune the
+    corpus before any scoring.
+
+    Scores are rounded to 4 decimals before ranking so both engines
+    order identically; ties break on vec_id.
+    """
+    branches = []
+    for q_id, q_label, q in queries:
+        sim = F.expr(
+            f"{_dot_lit_sql(vec_col, q)}"
+            f" / ({_norm_sql(vec_col, len(q))} * ({_pynorm(q)!r}))"
+        )
+        branches.append(
+            vectors.filter(F.col("label") != F.lit(q_label))
+            .select(
+                F.lit(q_id).cast("bigint").alias("q_id"),
+                F.col(id_col),
+                "label",
+                F.round(sim, 4).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= floor)
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    candidates = branches[0]
+    for b in branches[1:]:
+        candidates = candidates.unionAll(b)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn(
+            "neg_rank", F.row_number().over(w).cast("bigint")
+        )
+        .select("q_id", "neg_rank", id_col, "label", "cos_sim")
+        .orderBy("q_id", "neg_rank")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {HARD_NEG_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 4) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.q_label
+    ), ranked AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC)
+               AS neg_rank
+      FROM scored WHERE cos_sim >= {HARD_NEG_FLOOR}
+    )
+    SELECT q_id, neg_rank, vec_id, label, cos_sim
+    FROM ranked WHERE neg_rank <= {HARD_NEG_K}
+    ORDER BY q_id, neg_rank
+    """,
+    description="hard-negative mining for contrastive training: per query "
+    "point, the top-5 most-similar CROSS-label vectors above a 0.30 "
+    "cosine floor — one fused corpus scan scores all queries, the floor "
+    "prunes before the shuffle, only candidates reach the per-query "
+    "ranking window",
+    covers=("N-sim",),
+)
+def hard_negative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_mine(
+        load_table(spark, sf_dir, "embeddings"), _query_points(spark, sf_dir)
+    )

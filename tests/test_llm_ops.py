@@ -784,3 +784,71 @@ class TestBigramRareRatio:
         assert got[99]["rare_ratio"] == 1.0
         # the repeated sentence's bigrams occur 10x > threshold
         assert got[0]["rare_ratio"] == 0.0
+
+
+class TestHardNegativeMining:
+    def test_negatives_are_cross_label_and_ranked(self, spark, sf_small):
+        from ser_etl_spark.operators.similarity import (
+            HARD_NEG_FLOOR,
+            HARD_NEG_K,
+            _query_points,
+            hard_negative_mine,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        queries = _query_points(spark, sf_small)
+        labels = {q_id: lab for q_id, lab, _ in queries}
+        got = hard_negative_mine(
+            load_table(spark, sf_small, "embeddings"), queries
+        ).collect()
+        assert got, "fixture should yield at least one hard negative"
+        by_q = {}
+        for r in got:
+            assert r["label"] != labels[r["q_id"]]
+            assert r["cos_sim"] >= HARD_NEG_FLOOR
+            by_q.setdefault(r["q_id"], []).append(r)
+        for rows in by_q.values():
+            assert len(rows) <= HARD_NEG_K
+            assert [r["neg_rank"] for r in rows] == list(range(1, len(rows) + 1))
+            sims = [r["cos_sim"] for r in rows]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_negatives_are_the_true_topk(self, spark, sf_small):
+        """Brute-force check: each anchor's mined set equals the exact
+        cross-label top-k above the floor, computed independently."""
+        from ser_etl_spark.operators.similarity import (
+            HARD_NEG_FLOOR,
+            HARD_NEG_K,
+            _query_points,
+            hard_negative_mine,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        vecs = load_table(spark, sf_small, "embeddings").collect()
+        queries = _query_points(spark, sf_small)
+        got = {}
+        for r in hard_negative_mine(
+            load_table(spark, sf_small, "embeddings"), queries
+        ).collect():
+            got.setdefault(r["q_id"], []).append(r["vec_id"])
+
+        import math
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        for q_id, q_label, q in queries:
+            scored = [
+                (round(cos(list(r["embedding"]), q), 4), r["vec_id"])
+                for r in vecs
+                if r["label"] != q_label
+            ]
+            want = [
+                vid
+                for s, vid in sorted(scored, key=lambda t: (-t[0], t[1]))
+                if s >= HARD_NEG_FLOOR
+            ][:HARD_NEG_K]
+            assert got.get(q_id, []) == want, q_id

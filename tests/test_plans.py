@@ -337,3 +337,13 @@ def test_bigram_rare_ratio_builds_bigrams_without_window(spark, sf_small):
     first aggregate."""
     plan = _plan(spark, sf_small, "bigram_rare_ratio")
     assert "Window" not in plan, plan
+
+
+def test_hard_negative_branches_are_topk_heaps(spark, sf_small):
+    """Each anchor's branch must be per-partition top-k (no global sort,
+    no window over corpus-sized input); the expanded scoring expressions
+    must stay compiled — a janino failure would silently drop the scan
+    out of codegen (the rejected fused-scan formulation did exactly
+    that)."""
+    plan = _plan(spark, sf_small, "hard_negative_mining")
+    assert "TakeOrderedAndProject" in plan, plan
