@@ -936,6 +936,9 @@ def hard_negative_mine(
     covers=("N-sim",),
 )
 def hard_negative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file fixture arrives as one partition, serializing every
+    # branch's dot products into one task; no-op on multi-split input
     return hard_negative_mine(
-        load_table(spark, sf_dir, "embeddings"), _query_points(spark, sf_dir)
+        spread_small_input(load_table(spark, sf_dir, "embeddings")),
+        _query_points(spark, sf_dir),
     )
