@@ -57,6 +57,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: tumbling_window_agg(streaming_events(s, sf_dir)),
         sink,
         mode="complete",
+        no_data_batches=False,
     )
     # window_start/window_end arrive as TIMESTAMP_NTZ (UTC wall-clock):
     # replay_to_batch converts instants before the collect round-trip
@@ -103,6 +104,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sink,
         mode="complete",
+        no_data_batches=False,
     )
     return result.orderBy("window_start", "event_type").select(
         "window_start", "window_end", "event_type", "events"

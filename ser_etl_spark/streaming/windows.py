@@ -180,6 +180,7 @@ def replay_to_batch(
     name: str,
     mode: str = "append",
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Replay a streaming plan to completion and return its result as a
     batch DataFrame on ``spark``, leaving no state behind.
@@ -206,6 +207,16 @@ def replay_to_batch(
     from pyspark.sql.types import TimestampType
 
     replay = spark.newSession()
+    if not no_data_batches:
+        # Complete-mode replays re-emit the full result every batch, so
+        # the trailing watermark-advancing no-data batch only re-runs the
+        # sink write; skipping it saves a micro-batch per replay. NEVER
+        # disable for event-time-timeout operators (the timeout
+        # sessionizer) or watermark-gated append emission — those need
+        # the no-data batch to flush.
+        replay.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     stream_df = build_stream(replay)
     run_to_memory(
         stream_df, name, mode=mode, shuffle_partitions=shuffle_partitions
