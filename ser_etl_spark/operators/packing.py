@@ -118,13 +118,113 @@ def pack_sequences(
     )
 
 
+_M64 = 1 << 64
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+
+
+def _mulmod64(a: str, b) -> str:
+    """SQL for ``(a * b) mod 2^64`` over HUGEINT operands in [0, 2^64).
+
+    A direct product of two 64-bit values can exceed signed-128-bit
+    HUGEINT, so split at 32 bits: every partial product stays < 2^65.
+    """
+    return (
+        f"(((({a}) % 4294967296) * (({b}) % 4294967296) "
+        f"+ (((((({a}) // 4294967296) * (({b}) % 4294967296)) "
+        f"+ ((({a}) % 4294967296) * (({b}) // 4294967296))) % 4294967296) "
+        f"* 4294967296)) % {_M64})"
+    )
+
+
+def _rotl64(x: str, r: int) -> str:
+    return f"(((({x}) * {1 << r}) % {_M64}) + (({x}) // {1 << (64 - r)}))"
+
+
+def _shr_xor(x: str, s: int) -> str:
+    return (
+        f"xor(CAST(({x}) AS HUGEINT), "
+        f"CAST(({x}) // {1 << s} AS HUGEINT))"
+    )
+
+
+def _xxhash64_long_sql(inp: str, seed: int = 42) -> str:
+    """DuckDB SQL computing Spark's ``xxhash64`` of one BIGINT input.
+
+    XXH64 of a single 8-byte block (the shape Spark's hashLong uses,
+    org.apache.spark.sql.catalyst.expressions.XXH64) is closed-form
+    64-bit wrapping arithmetic, emulated here in HUGEINT mod-2^64 math —
+    verified equal to Spark's xxhash64 over exhaustive id probes in
+    tests. Result is the UNSIGNED value; ``% 16`` of it equals Spark's
+    ``pmod(xxhash64(id), 16)``.
+    """
+    u = f"((({inp}) % {_M64} + {_M64}) % {_M64})"
+    h0 = (seed + _XXP5 + 8) % _M64
+    k1 = _mulmod64(u, _XXP2)
+    k1 = _rotl64(k1, 31)
+    k1 = _mulmod64(k1, _XXP1)
+    h = f"xor(CAST({h0} AS HUGEINT), CAST(({k1}) AS HUGEINT))"
+    h = f"(({_mulmod64(_rotl64(h, 27), _XXP1)}) + {_XXP4}) % {_M64}"
+    h = _shr_xor(h, 33)
+    h = _mulmod64(h, _XXP2)
+    h = _shr_xor(h, 29)
+    h = _mulmod64(h, _XXP3)
+    return _shr_xor(h, 32)
+
+
+def _pack_oracle() -> str:
+    """The greedy fold as a recursive CTE: each iteration advances every
+    (source, shard) group by one document in doc_id order, carrying
+    (bin_id, used) — recursion expresses the running-total-with-reset
+    that window functions cannot. Depth = the largest group, which the
+    sharding bounds by construction."""
+    shard = f"CAST(({_xxhash64_long_sql('CAST(doc_id AS HUGEINT)')}) % {PACK_SHARDS} AS INTEGER)"
+    return f"""
+    WITH RECURSIVE counted AS (
+      SELECT doc_id, source,
+             {shard} AS shard,
+             CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), items AS (
+      SELECT doc_id, source, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, shard
+                                ORDER BY doc_id) AS rn
+      FROM counted
+    ), rec AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS bin_pos,
+             n_tokens AS used
+      FROM items WHERE rn = 1
+      UNION ALL
+      SELECT i.doc_id, i.source, i.shard, i.n_tokens, i.rn,
+             CASE WHEN r.used > 0 AND r.used + i.n_tokens > {PACK_BUDGET}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.used > 0 AND r.used + i.n_tokens > {PACK_BUDGET}
+                  THEN CAST(0 AS BIGINT) ELSE r.used END,
+             CASE WHEN r.used > 0 AND r.used + i.n_tokens > {PACK_BUDGET}
+                  THEN i.n_tokens ELSE r.used + i.n_tokens END
+      FROM rec r JOIN items i
+        ON i.source = r.source AND i.shard = r.shard AND i.rn = r.rn + 1
+    )
+    SELECT doc_id, source, shard, n_tokens, bin_id, bin_pos FROM rec
+    """
+
+
 @register(
     "pack_sequences",
-    oracle=None,  # running-total-with-reset is not window-expressible;
-    # tests check the greedy invariants + equality with greedy_pack
+    oracle=_pack_oracle(),
     description="greedy sequence packing into 1024-token bins per "
     "(source, shard) group via applyInPandas — bounded groups, "
-    "deterministic bins, map-side JVM token counting",
+    "deterministic bins, map-side JVM token counting. Oracle-backed "
+    "since r4: the greedy fold is a recursive CTE (window functions "
+    "cannot express the reset) and the xxhash64 shard assignment is "
+    "emulated in HUGEINT mod-2^64 arithmetic, so DuckDB reproduces the "
+    "exact bins",
     covers=("N-text",),
 )
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:

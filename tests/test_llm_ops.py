@@ -852,3 +852,31 @@ class TestHardNegativeMining:
                 if s >= HARD_NEG_FLOOR
             ][:HARD_NEG_K]
             assert got.get(q_id, []) == want, q_id
+
+
+class TestPackOracle:
+    def test_xxhash64_emulation_matches_spark(self, spark):
+        """The DuckDB mod-2^64 emulation of Spark's xxhash64(BIGINT)
+        must agree exactly — the packing oracle's shard assignment
+        depends on it bit-for-bit."""
+        import duckdb
+
+        from ser_etl_spark.operators.packing import (
+            PACK_SHARDS,
+            _xxhash64_long_sql,
+        )
+
+        vals = list(range(500)) + [10**6, 10**12, 2**62, 2**63 - 1]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE rel AS SELECT unnest($1) AS v", [vals])
+        duck = dict(
+            con.execute(
+                f"SELECT v, ({_xxhash64_long_sql('CAST(v AS HUGEINT)')})"
+                f" % {PACK_SHARDS} FROM rel"
+            ).fetchall()
+        )
+        sdf = spark.createDataFrame([(v,) for v in vals], "v long").select(
+            "v", F.pmod(F.xxhash64("v"), F.lit(PACK_SHARDS)).alias("s")
+        )
+        got = {r["v"]: r["s"] for r in sdf.collect()}
+        assert {k: int(x) for k, x in duck.items()} == got
