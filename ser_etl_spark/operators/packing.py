@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ser_etl_spark.operators.text import TOKEN_REGEX
+from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_long_stage_cols
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -46,7 +47,12 @@ from ser_etl_spark.sources.parquet import load_table
 PACK_BUDGET = 1024
 
 #: Shards per source — bounds the size of any single packing group.
+#: MUST be a power of two: the oracle emulates Spark's
+#: ``pmod(xxhash64(id), PACK_SHARDS)`` with an UNSIGNED ``% PACK_SHARDS``
+#: over the mod-2^64 hash value, and the two agree only when PACK_SHARDS
+#: divides 2^64.
 PACK_SHARDS = 16
+assert PACK_SHARDS & (PACK_SHARDS - 1) == 0, "PACK_SHARDS must be a power of two"
 
 PACKED_SCHEMA = StructType(
     [
@@ -118,77 +124,31 @@ def pack_sequences(
     )
 
 
-_M64 = 1 << 64
-_XXP1 = 11400714785074694791
-_XXP2 = 14029467366897019727
-_XXP3 = 1609587929392839161
-_XXP4 = 9650029242287828579
-_XXP5 = 2870177450012600261
-
-
-def _mulmod64(a: str, b) -> str:
-    """SQL for ``(a * b) mod 2^64`` over HUGEINT operands in [0, 2^64).
-
-    A direct product of two 64-bit values can exceed signed-128-bit
-    HUGEINT, so split at 32 bits: every partial product stays < 2^65.
-    """
-    return (
-        f"(((({a}) % 4294967296) * (({b}) % 4294967296) "
-        f"+ (((((({a}) // 4294967296) * (({b}) % 4294967296)) "
-        f"+ ((({a}) % 4294967296) * (({b}) // 4294967296))) % 4294967296) "
-        f"* 4294967296)) % {_M64})"
-    )
-
-
-def _rotl64(x: str, r: int) -> str:
-    return f"(((({x}) * {1 << r}) % {_M64}) + (({x}) // {1 << (64 - r)}))"
-
-
-def _shr_xor(x: str, s: int) -> str:
-    return (
-        f"xor(CAST(({x}) AS HUGEINT), "
-        f"CAST(({x}) // {1 << s} AS HUGEINT))"
-    )
-
-
-def _xxhash64_long_sql(inp: str, seed: int = 42) -> str:
-    """DuckDB SQL computing Spark's ``xxhash64`` of one BIGINT input.
-
-    XXH64 of a single 8-byte block (the shape Spark's hashLong uses,
-    org.apache.spark.sql.catalyst.expressions.XXH64) is closed-form
-    64-bit wrapping arithmetic, emulated here in HUGEINT mod-2^64 math —
-    verified equal to Spark's xxhash64 over exhaustive id probes in
-    tests. Result is the UNSIGNED value; ``% 16`` of it equals Spark's
-    ``pmod(xxhash64(id), 16)``.
-    """
-    u = f"((({inp}) % {_M64} + {_M64}) % {_M64})"
-    h0 = (seed + _XXP5 + 8) % _M64
-    k1 = _mulmod64(u, _XXP2)
-    k1 = _rotl64(k1, 31)
-    k1 = _mulmod64(k1, _XXP1)
-    h = f"xor(CAST({h0} AS HUGEINT), CAST(({k1}) AS HUGEINT))"
-    h = f"(({_mulmod64(_rotl64(h, 27), _XXP1)}) + {_XXP4}) % {_M64}"
-    h = _shr_xor(h, 33)
-    h = _mulmod64(h, _XXP2)
-    h = _shr_xor(h, 29)
-    h = _mulmod64(h, _XXP3)
-    return _shr_xor(h, 32)
-
-
 def _pack_oracle() -> str:
     """The greedy fold as a recursive CTE: each iteration advances every
     (source, shard) group by one document in doc_id order, carrying
     (bin_id, used) — recursion expresses the running-total-with-reset
     that window functions cannot. Depth = the largest group, which the
-    sharding bounds by construction."""
-    shard = f"CAST(({_xxhash64_long_sql('CAST(doc_id AS HUGEINT)')}) % {PACK_SHARDS} AS INTEGER)"
+    sharding bounds by construction.
+
+    The shard hash is Spark's ``xxhash64(BIGINT)`` emulated in DuckDB
+    HUGEINT mod-2^64 arithmetic via the STAGED CTE-column chain in
+    :mod:`ser_etl_spark.oracle_hash` (one named column per hash step —
+    the round-4 inline form duplicated the input ~32k times into a
+    1.6 MB SQL string); the unsigned ``% PACK_SHARDS`` equals Spark's
+    ``pmod`` because PACK_SHARDS divides 2^64 (asserted above).
+    """
+    stages = xxh64_long_stage_cols("doc_id", "_ph", pfx="_pk")
+    hash_ctes, hashed = stages_to_ctes("_pd", stages, "_ps")
     return f"""
-    WITH RECURSIVE counted AS (
+    WITH RECURSIVE _pd AS (
+      SELECT doc_id, source, text FROM documents
+    ){hash_ctes}, counted AS (
       SELECT doc_id, source,
-             {shard} AS shard,
+             CAST(_ph % {PACK_SHARDS} AS INTEGER) AS shard,
              CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
                AS n_tokens
-      FROM documents
+      FROM {hashed}
     ), items AS (
       SELECT doc_id, source, shard, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY source, shard

@@ -930,7 +930,8 @@ def hard_negative_mine(
     """,
     description="hard-negative mining for contrastive training: per query "
     "point, the top-5 most-similar CROSS-label vectors above a 0.30 "
-    "cosine floor — one fused corpus scan scores all queries, the floor "
+    "cosine floor — one compiled TakeOrderedAndProject branch per anchor "
+    "(kept per-anchor for the janino method-size limit), the floor "
     "prunes before the shuffle, only candidates reach the per-query "
     "ranking window",
     covers=("N-sim",),

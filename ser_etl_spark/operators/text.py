@@ -475,10 +475,12 @@ def bm25_search(
     products (k1=6/5, b=3/4, avgdl=t_toks/n_docs; multiply through by
     ``20*t_toks``), then the per-term scores are added in the fixed
     written order — no libm, no FP reassociation, both engines
-    bit-identical. The integer products stay exact below 2^63 (holds to
-    ~1e12-token corpora with the test constants; beyond that, cast the
-    two factors to DOUBLE — the ranking is unchanged within double
-    precision).
+    bit-identical. Overflow bound: the numerator is
+    ``44*tf*t_toks*(2*n_docs - 2*df + 1)``; with realistic doc lengths
+    (n_docs ~ t_toks/1000) it crosses 2^63 around ~1e10 corpus tokens,
+    past which Spark LongType would wrap silently while DuckDB BIGINT
+    raises. Beyond that scale, cast the two factors to DOUBLE — the
+    ranking is unchanged within double precision.
 
     Scale shape: explode -> two hash aggregates (dl per doc, tf per
     doc x query-term) -> a |terms|-row df aggregate and a 1-row totals

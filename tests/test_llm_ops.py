@@ -856,23 +856,27 @@ class TestHardNegativeMining:
 
 class TestPackOracle:
     def test_xxhash64_emulation_matches_spark(self, spark):
-        """The DuckDB mod-2^64 emulation of Spark's xxhash64(BIGINT)
-        must agree exactly — the packing oracle's shard assignment
-        depends on it bit-for-bit."""
+        """The staged DuckDB mod-2^64 emulation of Spark's
+        xxhash64(BIGINT) must agree exactly — the packing oracle's shard
+        assignment depends on it bit-for-bit."""
         import duckdb
 
-        from ser_etl_spark.operators.packing import (
-            PACK_SHARDS,
-            _xxhash64_long_sql,
+        from ser_etl_spark.operators.packing import PACK_SHARDS
+        from ser_etl_spark.oracle_hash import (
+            stages_to_ctes,
+            xxh64_long_stage_cols,
         )
 
         vals = list(range(500)) + [10**6, 10**12, 2**62, 2**63 - 1]
         con = duckdb.connect()
         con.execute("CREATE TABLE rel AS SELECT unnest($1) AS v", [vals])
+        ctes, fin = stages_to_ctes(
+            "b", xxh64_long_stage_cols("v", "_h"), "_t"
+        )
         duck = dict(
             con.execute(
-                f"SELECT v, ({_xxhash64_long_sql('CAST(v AS HUGEINT)')})"
-                f" % {PACK_SHARDS} FROM rel"
+                f"WITH b AS (SELECT v FROM rel){ctes} "
+                f"SELECT v, _h % {PACK_SHARDS} FROM {fin}"
             ).fetchall()
         )
         sdf = spark.createDataFrame([(v,) for v in vals], "v long").select(

@@ -1,0 +1,160 @@
+"""Three-way pin of the XXH64 machinery: Spark == pure Python == DuckDB.
+
+``ser_etl_spark.oracle_hash`` re-implements Spark's ``xxhash64`` (XXH64,
+seed 42) twice — pure Python for import-time constant folding, and as
+generated staged DuckDB SQL for the differential oracles (MinHash /
+SimHash / sequence-packing shards). Every oracle that bakes hash values
+into SQL is only as sound as these equalities, so they are pinned here
+over all the shapes the operators hash: empty strings, every tail-length
+class (1-byte/4-byte/8-byte remainders), multi-stripe strings (>= 32 and
+>= 64 bytes), non-ASCII UTF-8, signed-boundary longs, and the
+int-literal chain form ``xxhash64(col, lit(k))`` the MinHash
+permutations use.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ser_etl_spark.oracle_hash import (
+    stages_to_ctes,
+    to_signed,
+    xxh64_bytes,
+    xxh64_chain,
+    xxh64_int,
+    xxh64_long,
+    xxh64_str_stage_cols,
+    xxh64_long_stage_cols,
+)
+
+STRINGS = [
+    "",
+    "a",
+    "ab",
+    "abc",
+    "abcd",
+    "abcde",
+    "abcdef",
+    "abcdefg",
+    "abcdefgh",
+    "hello world",
+    "the quick brown fox jumps over the lazy dog",
+    "x" * 31,
+    "y" * 32,
+    "z" * 33,
+    "q" * 39,
+    "w" * 40,
+    "m" * 64,
+    "v" * 100,
+    "word one two",
+    "naïve café — ünïcødé ✓",
+    "tab\tnew\nline",
+    "plane:0:0",
+    "plane:3:63",
+]
+
+LONGS = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789, -987654321, 2**40 + 17]
+
+
+class TestPythonVsSpark:
+    def test_strings(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(STRINGS)], "id long, s string"
+        )
+        for r in df.select("id", F.xxhash64("s").alias("h")).collect():
+            expect = to_signed(xxh64_bytes(STRINGS[r["id"]].encode("utf-8")))
+            assert r["h"] == expect, repr(STRINGS[r["id"]])
+
+    def test_longs_and_chains(self, spark):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(LONGS)],
+                                   "id long, v long")
+        rows = df.select(
+            "id",
+            F.xxhash64("v").alias("h"),
+            *[F.xxhash64("v", F.lit(k)).alias(f"hi{k}") for k in range(4)],
+            F.xxhash64("v", F.lit(5).cast("long")).alias("hl"),
+            F.xxhash64("v", F.lit(7), F.lit(-3), F.lit(99)).alias("h4"),
+        ).collect()
+        for r in rows:
+            v = LONGS[r["id"]]
+            assert r["h"] == to_signed(xxh64_long(v))
+            for k in range(4):
+                # Python-int literals are IntegerType -> the hashInt path
+                assert r[f"hi{k}"] == to_signed(xxh64_chain([v, (k, "int")]))
+            assert r["hl"] == to_signed(xxh64_chain([v, (5, "long")]))
+            assert r["h4"] == to_signed(
+                xxh64_chain([v, (7, "int"), (-3, "int"), (99, "int")])
+            )
+
+    def test_corpus_tokens(self, spark, sf_small):
+        """Hash equality over real fixture content: every distinct token
+        of the first documents — the exact values the SimHash oracle
+        hashes."""
+        from ser_etl_spark.sources.parquet import load_table
+
+        toks = (
+            load_table(spark, sf_small, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), " +")
+                ).alias("tok")
+            )
+            .distinct()
+            .select("tok", F.xxhash64("tok").alias("h"))
+            .collect()
+        )
+        assert len(toks) > 20
+        for r in toks:
+            assert r["h"] == to_signed(xxh64_bytes(r["tok"].encode("utf-8")))
+
+
+class TestPythonVsDuckDB:
+    @pytest.fixture(scope="class")
+    def con(self):
+        return duckdb.connect()
+
+    def test_string_stages(self, con):
+        con.execute("CREATE OR REPLACE TABLE ts AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, ?)" for i in range(len(STRINGS)))
+                    + ") v(id, s)", STRINGS)
+        ctes, fin = stages_to_ctes("b", xxh64_str_stage_cols("s", "_h"), "_t")
+        rows = con.execute(
+            f"WITH b AS (SELECT id, s FROM ts){ctes} "
+            f"SELECT id, _h FROM {fin} ORDER BY id"
+        ).fetchall()
+        for i, h in rows:
+            assert int(h) == xxh64_bytes(STRINGS[i].encode("utf-8")), STRINGS[i]
+
+    def test_long_stages(self, con):
+        con.execute("CREATE OR REPLACE TABLE tl(id INT, v BIGINT)")
+        for i, v in enumerate(LONGS):
+            con.execute("INSERT INTO tl VALUES (?, ?)", [i, v])
+        ctes, fin = stages_to_ctes("b", xxh64_long_stage_cols("v", "_h"), "_t")
+        rows = con.execute(
+            f"WITH b AS (SELECT id, v FROM tl){ctes} "
+            f"SELECT id, _h FROM {fin} ORDER BY id"
+        ).fetchall()
+        for i, h in rows:
+            assert int(h) == xxh64_long(LONGS[i])
+
+
+class TestKnownVectors:
+    """Frozen values so a refactor of BOTH re-implementations in the same
+    direction still trips something."""
+
+    def test_pinned(self):
+        assert xxh64_long(0) == 13194218611613725804
+        assert to_signed(xxh64_bytes(b"abc")) == 1423657621850124518
+        assert xxh64_int(0) == xxh64_bytes(bytes(4))
+        assert xxh64_long(1) == xxh64_bytes((1).to_bytes(8, "little"))
+        # chain: the second hash is seeded by the first
+        assert xxh64_chain([(3, "long"), (9, "long")]) == xxh64_long(
+            9, xxh64_long(3)
+        )
+
+    def test_int_long_paths_differ(self):
+        # 4-byte vs 8-byte path must NOT be conflated
+        assert xxh64_int(7) != xxh64_long(7)
