@@ -660,23 +660,224 @@ def dedup_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_corpus(docs, pairs)
 
 
+#: Shingle CTEs shared by the MinHash oracle (same token/3-gram pipeline
+#: the green ngram_jaccard oracles use).
+_SHINGLE_CTES = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    )
+"""
+
+
+def _minhash_perm_stages(h1_col: str, num_perm: int, pfx: str = "_mp"):
+    """Stages computing Spark's ``xxhash64(base, lit(k))`` for k in
+    0..num_perm-1 from the already-hashed ``h1 = hashLong(base, 42)``
+    column: each permutation is the 4-byte ``hashInt(k, h1)`` path with
+    the k-dependent mix folded to a Python constant, then fmix — one
+    named column per step so the SQL stays linear."""
+    from ser_etl_spark.oracle_hash import (
+        XXP1,
+        XXP2,
+        XXP3,
+        XXP5,
+        mulmod_sql,
+        rotl_sql,
+        shr_xor_sql,
+        tosigned_sql,
+        xor_sql,
+    )
+
+    m64 = 1 << 64
+    b0 = f"{pfx}b0"
+    stages = [[(b0, f"(({h1_col} + {(XXP5 + 4) % m64}) & {m64 - 1})")]]
+    ys = []
+    for k in range(num_perm):
+        ck = (k * XXP1) % m64
+        ys.append((
+            f"{pfx}y{k}",
+            f"(({mulmod_sql(rotl_sql(xor_sql(b0, str(ck)), 23), XXP2)}"
+            f" + {XXP3}) & {m64 - 1})",
+        ))
+    stages.append(ys)
+    stages.append([
+        (f"{pfx}a{k}", mulmod_sql(shr_xor_sql(f"{pfx}y{k}", 33), XXP2))
+        for k in range(num_perm)
+    ])
+    stages.append([
+        (f"{pfx}c{k}", mulmod_sql(shr_xor_sql(f"{pfx}a{k}", 29), XXP3))
+        for k in range(num_perm)
+    ])
+    stages.append([
+        (f"{pfx}s{k}", tosigned_sql(shr_xor_sql(f"{pfx}c{k}", 32)))
+        for k in range(num_perm)
+    ])
+    return stages
+
+
+def _minhash_lsh_oracle(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs``: the whole pipeline —
+    shingles, the string xxhash64 base, 64 per-permutation rehashes,
+    per-doc signed MINs, 16-band blocking, candidate distinct, exact
+    Jaccard verify — reproduced in SQL.
+
+    The two xxhash64 layers come from :mod:`ser_etl_spark.oracle_hash`
+    staged CTE chains (bit-equal to Spark, pinned in
+    tests/test_oracle_hash.py). Band buckets differ in ONE way: Spark
+    compresses each band's 4 signature values through one more xxhash64
+    before the equality join; the oracle joins on the 4-tuple directly.
+    The two are equal unless distinct 4-tuples collide under xxhash64 —
+    a 2^-64-per-pair-band event that would only surface if the colliding
+    pair ALSO passed exact-Jaccard verification; parity tests pin the
+    equality on the fixtures.
+    """
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    rows_per_band = num_perm // bands
+    # The hash chain depends only on the shingle STRING, so run it over
+    # DISTINCT shingles and join back — ~40% fewer HUGEINT rows on the
+    # fixtures, and the right shape at any corpus size.
+    str_ctes, str_fin = stages_to_ctes(
+        "dg", xxh64_str_stage_cols("g", "_mb", pfx="_mxs"), "_msa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_mb", "_mh1", pfx="_mxl"), "_msb"
+    )
+    perm_ctes, perm_fin = stages_to_ctes(
+        long_fin, _minhash_perm_stages("_mh1", num_perm), "_msc"
+    )
+    perm_cols = ", ".join(f"p._mps{k}" for k in range(num_perm))
+    mins = ", ".join(f"MIN(_mps{k}) AS m{k}" for k in range(num_perm))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(
+            f"m{i * rows_per_band + r} AS w{r}" for r in range(rows_per_band)
+        )
+        + " FROM sig"
+        for i in range(bands)
+    )
+    band_eq = " AND ".join(f"a.w{r} = b.w{r}" for r in range(rows_per_band))
+    return f"""
+    WITH {_SHINGLE_CTES}, dg AS (
+      SELECT DISTINCT g FROM ex
+    ){str_ctes}{long_ctes}{perm_ctes}, sigsrc AS (
+      SELECT e.doc_id, {perm_cols}
+      FROM ex e JOIN {perm_fin} p USING (g)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sigsrc GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(s2.shared AS DOUBLE) / (sa.n + sb.n - s2.shared) AS jaccard
+    FROM cand c
+    JOIN shared s2 ON s2.doc_a = c.doc_a AND s2.doc_b = c.doc_b
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = c.doc_a
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = c.doc_b
+    WHERE CAST(s2.shared AS DOUBLE) / (sa.n + sb.n - s2.shared) >= {threshold}
+    """
+
+
 @register(
     "minhash_lsh_pairs",
-    oracle=None,  # LSH bucketing is not SQL-expressible; verified in
-    # tests against the exact ngram_jaccard_pairs join (subset + recall)
+    oracle=_minhash_lsh_oracle(),
     description="MinHash(64)+LSH(16x4) near-dup candidates with exact "
-    "Jaccard verification — sub-quadratic dedup at scale",
+    "Jaccard verification — sub-quadratic dedup at scale. Oracle-backed "
+    "since r5: both xxhash64 layers (string base + per-permutation "
+    "rehash) emulated bit-exactly in staged DuckDB HUGEINT SQL; also "
+    "recall-tested vs the exact Jaccard join",
     covers=("N-dedup",),
 )
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+def _simhash_oracle(max_hamming: int = 3, bits: int = 64, chunks: int = 4) -> str:
+    """DuckDB twin of ``simhash_pairs``: per-token string xxhash64 (the
+    staged oracle_hash chain), per-doc bit votes, majority fingerprint,
+    pigeonhole 16-bit chunk blocking, Hamming filter — all in SQL."""
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        tosigned_sql,
+        xxh64_str_stage_cols,
+    )
+
+    width = bits // chunks
+    # Hash DISTINCT tokens only (the fixture vocabulary is tiny; at any
+    # scale the distinct-token table is far smaller than the token
+    # stream), then join the unsigned hash back onto the per-doc rows.
+    str_ctes, str_fin = stages_to_ctes(
+        "dt", xxh64_str_stage_cols("tok", "_su", pfx="_sxs"), "_ssa"
+    )
+    votes = ", ".join(
+        f"SUM(CAST((_su >> {i}) & 1 AS BIGINT)) AS v{i}"
+        for i in range(bits)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN 2*v{i} > nn THEN CAST({1 << i} AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END)"
+        for i in range(bits)
+    )
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, fp_s, {c} AS chunk, "
+        f"CAST((ufp >> {c * width}) & {(1 << width) - 1} AS BIGINT) AS key "
+        f"FROM fps"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+               AS tok
+      FROM documents
+    ), dt AS (
+      SELECT DISTINCT tok FROM tk
+    ){str_ctes}, votes AS (
+      SELECT t.doc_id, COUNT(*) AS nn, {votes}
+      FROM tk t JOIN {str_fin} h USING (tok) GROUP BY t.doc_id
+    ), fpu AS (
+      SELECT doc_id, ({fp_sum}) AS ufp FROM votes
+    ), fps AS (
+      SELECT doc_id, ufp, {tosigned_sql('ufp')} AS fp_s FROM fpu
+    ), keyed AS (
+      {chunk_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_s, b.fp_s)) AS INTEGER) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_s, b.fp_s)) <= {max_hamming}
+    """
+
+
 @register(
     "simhash_pairs",
-    oracle=None,  # bit-vote fingerprint + Hamming blocking, not in SQL
+    oracle=_simhash_oracle(),
     description="SimHash(64) near-dup pairs at Hamming distance <= 3 "
-    "with pigeonhole chunk blocking",
+    "with pigeonhole chunk blocking. Oracle-backed since r5: the token "
+    "xxhash64 is emulated bit-exactly in staged DuckDB HUGEINT SQL, the "
+    "bit votes / majority fingerprint / chunk keys replayed in SQL",
     covers=("N-dedup",),
 )
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,28 +166,38 @@ def to_signed(u: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def and_mask_sql(x: str) -> str:
+    """SQL for ``x mod 2^64`` as a bitwise AND — 128-bit division is the
+    slow path in DuckDB (measured ~3.5x vs ``&``/``>>``), and two's
+    complement makes the mask correct for negative inputs too."""
+    return f"(({x}) & {_MASK})"
+
+
 def mulmod_sql(a: str, b) -> str:
     """SQL for ``(a * b) mod 2^64`` over HUGEINT operands in [0, 2^64).
 
     A direct product of two 64-bit values can exceed signed-128-bit
     HUGEINT, so split at 32 bits: every partial product stays < 2^65.
+    All mod/div-by-power-of-two is bitwise (see :func:`and_mask_sql`).
     """
+    al = f"(({a}) & 4294967295)"
+    ah = f"(({a}) >> 32)"
+    bl = f"(({b}) & 4294967295)"
+    bh = f"(({b}) >> 32)"
     return (
-        f"(((({a}) % 4294967296) * (({b}) % 4294967296) "
-        f"+ (((((({a}) // 4294967296) * (({b}) % 4294967296)) "
-        f"+ ((({a}) % 4294967296) * (({b}) // 4294967296))) % 4294967296) "
-        f"* 4294967296)) % {_M64})"
+        f"((({al} * {bl}) + (((({ah} * {bl}) + ({al} * {bh})) "
+        f"& 4294967295) << 32)) & {_MASK})"
     )
 
 
 def rotl_sql(x: str, r: int) -> str:
-    return f"(((({x}) * {1 << r}) % {_M64}) + (({x}) // {1 << (64 - r)}))"
+    return f"(((({x}) << {r}) | (({x}) >> {64 - r})) & {_MASK})"
 
 
 def shr_xor_sql(x: str, s: int) -> str:
     return (
         f"xor(CAST(({x}) AS HUGEINT), "
-        f"CAST(({x}) // {1 << s} AS HUGEINT))"
+        f"CAST(({x}) >> {s} AS HUGEINT))"
     )
 
 
@@ -206,7 +216,7 @@ def tosigned_sql(u: str) -> str:
 def _round_sql(acc: str, inp: str) -> str:
     """XXH64 round() over two small expressions (keep operands SHORT —
     the text is duplicated ~32x by the wrapping helpers)."""
-    add = f"((({acc}) + {mulmod_sql(inp, XXP2)}) % {_M64})"
+    add = f"(((({acc}) + {mulmod_sql(inp, XXP2)}) & {_MASK}))"
     return mulmod_sql(rotl_sql(add, 31), XXP1)
 
 
@@ -231,10 +241,10 @@ def xxh64_long_stage_cols(
     f1 = f"{pfx}f1"
     h0 = (seed + XXP5 + 8) % _M64
     return [
-        [(u, f"(((CAST({in_expr} AS HUGEINT)) % {_M64} + {_M64}) % {_M64})")],
+        [(u, f"((CAST({in_expr} AS HUGEINT)) & {_MASK})")],
         [(t, _round0_sql(u))],
         [(h, xor_sql(str(h0), t))],
-        [(g, f"(({mulmod_sql(rotl_sql(h, 27), XXP1)} + {XXP4}) % {_M64})")],
+        [(g, f"(({mulmod_sql(rotl_sql(h, 27), XXP1)} + {XXP4}) & {_MASK})")],
         [(f1, mulmod_sql(shr_xor_sql(g, 33), XXP2))],
         [(out, shr_xor_sql(mulmod_sql(shr_xor_sql(f1, 29), XXP3), 32))],
     ]
@@ -295,13 +305,13 @@ def xxh64_str_stage_cols(
     big = f"({n}) >= 32"
     merge_sum = (
         f"(({rotl_sql(f'{vv}.a', 1)} + {rotl_sql(f'{vv}.b', 7)} "
-        f"+ {rotl_sql(f'{vv}.c', 12)} + {rotl_sql(f'{vv}.d', 18)}) % {_M64})"
+        f"+ {rotl_sql(f'{vv}.c', 12)} + {rotl_sql(f'{vv}.d', 18)}) & {_MASK})"
     )
 
     def merge_step(acc: str, r0: str) -> str:
         return (
             f"CASE WHEN {big} THEN "
-            f"(({mulmod_sql(xor_sql(acc, r0), XXP1)} + {XXP4}) % {_M64}) "
+            f"(({mulmod_sql(xor_sql(acc, r0), XXP1)} + {XXP4}) & {_MASK}) "
             f"ELSE {acc} END"
         )
 
@@ -312,20 +322,20 @@ def xxh64_str_stage_cols(
         f"list_transform(range(0, (({n}) % 32) // 8), j -> "
         f"{_w8_sql(bs, f'{off0} + 8*j')})), (x, y) -> "
         f"(({mulmod_sql(rotl_sql(xor_sql('x', _round0_sql('y')), 27), XXP1)}"
-        f" + {XXP4}) % {_M64}))"
+        f" + {XXP4}) & {_MASK}))"
     )
     off1 = f"(8 * (({n}) // 8))"
     chunk4 = (
         f"CASE WHEN (({n}) % 8) >= 4 THEN "
-        f"(({mulmod_sql(rotl_sql(xor_sql(h6, f'(({_w4_sql(bs, off1)} * {XXP1}) % {_M64})'), 23), XXP2)}"
-        f" + {XXP3}) % {_M64}) ELSE {h6} END"
+        f"(({mulmod_sql(rotl_sql(xor_sql(h6, f'(({_w4_sql(bs, off1)} * {XXP1}) & {_MASK})'), 23), XXP2)}"
+        f" + {XXP3}) & {_MASK}) ELSE {h6} END"
     )
     off2 = f"(4 * (({n}) // 4))"
     tail1 = (
         f"list_reduce(list_prepend({h7}, "
         f"list_transform(range(0, ({n}) % 4), j -> ({bs})[{off2} + j + 1])), "
         f"(x, y) -> "
-        f"{mulmod_sql(rotl_sql(xor_sql('x', f'((y * {XXP5}) % {_M64})'), 11), XXP1)})"
+        f"{mulmod_sql(rotl_sql(xor_sql('x', f'((y * {XXP5}) & {_MASK})'), 11), XXP1)})"
     )
 
     return [
@@ -346,7 +356,7 @@ def xxh64_str_stage_cols(
         [(h2, merge_step(h1, rb))],
         [(h3, merge_step(h2, rc))],
         [(h4, merge_step(h3, rd))],
-        [(h5, f"(({h4} + {n}) % {_M64})")],
+        [(h5, f"(({h4} + {n}) & {_MASK})")],
         [(h6, tail8)],
         [(h7, chunk4)],
         [(h8, tail1)],
@@ -356,19 +366,27 @@ def xxh64_str_stage_cols(
 
 
 def stages_to_ctes(
-    base_name: str, stages: Stages, pfx: str = "_s"
+    base_name: str, stages: Stages, pfx: str = "_s", materialized: bool = True
 ) -> tuple[str, str]:
     """Render stages as chained ``SELECT *``-plus-new-columns CTE bodies.
 
     Returns ``(cte_definitions, final_cte_name)`` where the definitions
     string starts with a comma and is spliced after an existing WITH
     clause entry named ``base_name``.
+
+    ``materialized`` (default) emits ``AS MATERIALIZED``: DuckDB inlines
+    single-use CTEs, and a later stage referencing a column 4-8x would
+    re-evaluate the ENTIRE upstream hash chain per reference (measured
+    ~5x slower end-to-end on the MinHash oracle without the barrier).
     """
     parts: list[str] = []
     prev = base_name
+    kw = "MATERIALIZED " if materialized else ""
     for i, cols in enumerate(stages):
         name = f"{pfx}{i}"
         defs = ",\n        ".join(f"{expr} AS {col}" for col, expr in cols)
-        parts.append(f"{name} AS (\n      SELECT *,\n        {defs}\n      FROM {prev})")
+        parts.append(
+            f"{name} AS {kw}(\n      SELECT *,\n        {defs}\n      FROM {prev})"
+        )
         prev = name
     return (", " + ",\n    ".join(parts)) if parts else "", prev
