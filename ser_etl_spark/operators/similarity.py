@@ -46,6 +46,11 @@ from ser_etl_spark.sources.parquet import load_table, spread_small_input
 # round-trip form, parsed back to the bit-identical double.
 
 
+#: Dimension of the `embeddings` fixture vectors (TESTDATA.md); baked into
+#: the generated oracle SQL for the ANN/quantize/project registry entries.
+EMB_DIM = 64
+
+
 def _dim(vectors: DataFrame, vec_col: str) -> int:
     row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
@@ -143,28 +148,32 @@ _PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
 
 
 def _plane_matrix(
-    spark: SparkSession, dim: int, planes: int
+    spark: SparkSession | None, dim: int, planes: int
 ) -> list[list[float]]:
     """Deterministic hyperplane components in [-1, 1).
 
     Derived from ``xxhash64('plane:p:i')`` — the same values regenerate
-    on any engine, so the "model" ships as code. Materialized once per
-    session (a 1-row jobless-scale select) and embedded as plain float
-    literals thereafter: queries get straight-line codegen with no hash
-    calls, and the driver can compute a query vector's bucket in pure
-    Python with bit-identical IEEE arithmetic.
+    on any engine, so the "model" ships as code. Computed with the
+    pure-Python XXH64 twin (``oracle_hash``, pinned bit-equal to Spark's
+    hash in tests): ``float(signed_hash) / 2^63`` performs the identical
+    IEEE long->double rounding and division Spark's
+    ``CAST(xxhash64(..) AS DOUBLE)/2^63`` does, so literals embedded in
+    queries, the driver-side bucket of a query point, and the generated
+    DuckDB oracle all agree bitwise. No Spark job needed (``spark`` is
+    accepted for API compatibility but unused).
     """
     key = (planes, dim)
     if key not in _PLANE_CACHE:
-        denom = repr(float(2**63))
-        flat = ",".join(
-            f"CAST(xxhash64('plane:{p}:{i}') AS DOUBLE)/{denom}"
+        from ser_etl_spark.oracle_hash import to_signed, xxh64_bytes
+
+        denom = float(2**63)
+        _PLANE_CACHE[key] = [
+            [
+                float(to_signed(xxh64_bytes(f"plane:{p}:{i}".encode()))) / denom
+                for i in range(dim)
+            ]
             for p in range(planes)
-            for i in range(dim)
-        )
-        row = spark.range(1).select(F.expr(f"array({flat})").alias("m")).first()
-        m = [float(x) for x in row["m"]]
-        _PLANE_CACHE[key] = [m[p * dim : (p + 1) * dim] for p in range(planes)]
+        ]
     return _PLANE_CACHE[key]
 
 
@@ -389,15 +398,22 @@ def ivf_ann_topk(
     q = [float(v) for v in query_vec]
 
     def cos_py(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot / (na * nb)
+        # Left-to-right accumulation + math.sqrt: the exact IEEE operation
+        # sequence the oracle's expanded SQL performs, so the driver-side
+        # probe choice is bit-reproducible cross-engine (``x ** 0.5`` is
+        # libm pow, not guaranteed identical to SQL sqrt; raw unrounded
+        # ordering avoids any Python-vs-SQL rounding seam).
+        dot, na, nb = 0.0, 0.0, 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
 
     probes = [
         cid
         for cid, _ in sorted(
-            cents, key=lambda cv: (-round(cos_py(q, cv[1]), 4), cv[0])
+            cents, key=lambda cv: (-cos_py(q, cv[1]), cv[0])
         )[:nprobe]
     ]
     dim = len(q)
@@ -509,11 +525,67 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), 0.35)
 
 
+def _duck_elem(arr: str, i: int) -> str:
+    """DuckDB component i (0-based like the Spark side; lists 1-based)."""
+    return f"CAST(({arr})[{i + 1}] AS DOUBLE)"
+
+
+def _duck_dot(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(
+        f"{_duck_elem(a, i)}*{_duck_elem(b, i)}" for i in range(dim)
+    ) + ")"
+
+
+def _duck_norm(arr: str, dim: int) -> str:
+    return f"sqrt({_duck_dot(arr, arr, dim)})"
+
+
+def _srp_bucket_duck(arr: str, matrix: list[list[float]]) -> str:
+    """DuckDB twin of ``_srp_bucket``: same left-to-right multiply-add
+    chains over the same plane literals, so the bits agree."""
+    plane_sqls = []
+    for p, coeffs in enumerate(matrix):
+        proj = " + ".join(
+            f"{_duck_elem(arr, i)}*({c!r})" for i, c in enumerate(coeffs)
+        )
+        plane_sqls.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(plane_sqls) + ")"
+
+
+def _lsh_ann_oracle(k: int = 10, planes: int = 4, dim: int | None = None) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: the seeded hyperplanes are baked
+    in as the same float literals (pure-Python XXH64, bit-equal to
+    Spark's), the query point's bucket is computed IN SQL from the
+    vec_id=0 row with the identical expanded expression, and the
+    within-bucket cosine/round/tie-break mirrors the builder."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    bkt = _srp_bucket_duck("embedding", m)
+    dot = _duck_dot("b.embedding", "q.qv", dim)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0
+    )
+    SELECT b.vec_id,
+           round({dot} / ({_duck_norm("b.embedding", dim)}
+                 * {_duck_norm("q.qv", dim)}), 4) AS cos_sim
+    FROM b, q
+    WHERE b.bkt = q.qb
+    ORDER BY cos_sim DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
 @register(
     "lsh_ann_topk",
-    oracle=None,  # approximate; tests measure recall vs the exact top-k
+    oracle=_lsh_ann_oracle(),
     description="sign-random-projection LSH ANN: single-probe bucketed "
-    "top-10 (scale path for similarity search)",
+    "top-10 (scale path for similarity search). Oracle-backed since r5: "
+    "the hyperplanes are seeded xxhash64 literals reproduced by the "
+    "pure-Python twin, so bucketing and scoring replay exactly in SQL; "
+    "recall vs the exact top-k is also tested",
     covers=("N-sim",),
 )
 def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,12 +619,56 @@ def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _ivf_ann_oracle(
+    k: int = 10, nprobe: int = 2, num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of ``ivf_ann_topk``. The probe choice replays the
+    builder's driver-side ``cos_py`` with an expanded left-associative
+    dot / sqrt-norm product (bit-identical IEEE sequence, raw unrounded
+    ordering); assignment and final scoring reuse the round(cos, 4)
+    forms the green ivf_assign / ann_cosine_topk oracles proved."""
+    dim = EMB_DIM if dim is None else dim
+    probe_cos = (
+        f"{_duck_dot('c.cv', 'q.qv', dim)} / ({_duck_norm('c.cv', dim)}"
+        f" * {_duck_norm('q.qv', dim)})"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probes AS (
+      SELECT cid FROM c, q
+      ORDER BY {probe_cos} DESC, cid ASC
+      LIMIT {nprobe}
+    ), assign AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 4) AS cs
+      FROM embeddings e CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    )
+    SELECT a.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(qv AS DOUBLE[]) FROM q)), 4) AS cos_sim
+    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE a.cid IN (SELECT cid FROM probes)
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
 @register(
     "ivf_ann_topk",
-    oracle=None,  # approximate; tests measure recall vs the exact top-k
+    oracle=_ivf_ann_oracle(),
     description="IVF ANN: exact cosine top-10 over the query's 2 nearest "
     "inverted lists only (centroid-partitioned storage -> partition "
-    "pruning at scale)",
+    "pruning at scale). Oracle-backed since r5: probe selection, nearest-"
+    "centroid assignment and inverted-list top-k all replayed in SQL; "
+    "recall vs the exact top-k is also tested",
     covers=("N-sim",),
 )
 def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,11 +701,6 @@ def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # int8 quantization (storage/bandwidth scale path)
 # ---------------------------------------------------------------------------
-
-
-#: Dimension of the `embeddings` fixture vectors (TESTDATA.md); baked into
-#: the generated oracle SQL for the quantize/project registry entries.
-EMB_DIM = 64
 
 
 def _maxabs_sql(vec_col: str, dim: int) -> str:

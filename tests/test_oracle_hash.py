@@ -141,6 +141,25 @@ class TestPythonVsDuckDB:
             assert int(h) == xxh64_long(LONGS[i])
 
 
+class TestPlaneMatrix:
+    def test_python_planes_equal_spark_expression(self, spark):
+        """The SRP hyperplanes are now computed driver-side from the
+        pure-Python XXH64; they must stay bit-equal to the Spark SQL
+        expression they historically came from (CAST(xxhash64(..) AS
+        DOUBLE) / 2^63) — the LSH oracle bakes these literals in."""
+        from ser_etl_spark.operators.similarity import EMB_DIM, _plane_matrix
+
+        m = _plane_matrix(None, EMB_DIM, 4)
+        denom = repr(float(2**63))
+        flat = ",".join(
+            f"CAST(xxhash64('plane:{p}:{i}') AS DOUBLE)/{denom}"
+            for p in range(4)
+            for i in range(EMB_DIM)
+        )
+        row = spark.range(1).select(F.expr(f"array({flat})").alias("m")).first()
+        assert [float(x) for x in row["m"]] == [c for pl in m for c in pl]
+
+
 class TestKnownVectors:
     """Frozen values so a refactor of BOTH re-implementations in the same
     direction still trips something."""
