@@ -61,11 +61,16 @@ def register(
 #: verification window is spent on queries that still need a row. Regenerated
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
-#: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``);
-#: ``minhash_lsh_pairs`` / ``simhash_pairs`` were additionally removed by
-#: hand for round 3 because their round-2 rewrites predate that mechanism.
+#: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
+#: Round-5 curation: the five queries rewritten this round
+#: (minhash_lsh_pairs, simhash_pairs, lsh_ann_topk, ivf_ann_topk,
+#: pack_sequences) are held out by hand so the driver hash-checks the
+#: new oracles even though the regenerated hashes match current source.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_cosine_topk",
+    "approx_sketches",
+    "bigram_rare_ratio",
+    "bm25_search",
     "churned_buyers",
     "conversion_funnel",
     "corpus_curation",
@@ -93,11 +98,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
+    "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
     "important_stock",
     "incremental_scan",
-    "ivf_ann_topk",
     "ivf_assign",
     "join_broadcast_dims",
     "join_fact_dim",
@@ -106,12 +111,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "large_orders",
     "latest_event_per_user",
     "local_supplier_volume",
-    "lsh_ann_topk",
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
     "min_cost_supplier",
-    "minhash_lsh_pairs",
     "moving_spend_90d",
     "multimodal_features",
     "name_edit_neardup",
@@ -125,7 +128,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "order_priority_check",
     "order_reconciliation",
     "order_seasonality",
-    "pack_sequences",
     "pii_scrub",
     "price_percentiles",
     "pricing_summary",
@@ -147,7 +149,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "session_concurrency",
     "sessionize_events",
     "shipping_priority",
-    "simhash_pairs",
     "small_order_revenue",
     "sole_returning_supplier",
     "source_cap",
@@ -155,8 +156,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "stats_moments",
     "stocked_parts_promotion",
     "stratified_sample",
+    "streaming_exact_dedup",
     "streaming_sessions",
     "streaming_sessions_timeout",
+    "streaming_sliding_counts",
     "streaming_tumbling_counts",
     "streaming_view_clicks",
     "summary_view",
