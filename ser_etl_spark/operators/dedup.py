@@ -680,46 +680,13 @@ _SHINGLE_CTES = """
 def _minhash_perm_stages(h1_col: str, num_perm: int, pfx: str = "_mp"):
     """Stages computing Spark's ``xxhash64(base, lit(k))`` for k in
     0..num_perm-1 from the already-hashed ``h1 = hashLong(base, 42)``
-    column: each permutation is the 4-byte ``hashInt(k, h1)`` path with
-    the k-dependent mix folded to a Python constant, then fmix — one
-    named column per step so the SQL stays linear."""
-    from ser_etl_spark.oracle_hash import (
-        XXP1,
-        XXP2,
-        XXP3,
-        XXP5,
-        mulmod_sql,
-        rotl_sql,
-        shr_xor_sql,
-        tosigned_sql,
-        xor_sql,
-    )
+    column — the shared int-literal rehash generator with the MinHash
+    column naming."""
+    from ser_etl_spark.oracle_hash import xxh64_int_rehash_stage_cols
 
-    m64 = 1 << 64
-    b0 = f"{pfx}b0"
-    stages = [[(b0, f"(({h1_col} + {(XXP5 + 4) % m64}) & {m64 - 1})")]]
-    ys = []
-    for k in range(num_perm):
-        ck = (k * XXP1) % m64
-        ys.append((
-            f"{pfx}y{k}",
-            f"(({mulmod_sql(rotl_sql(xor_sql(b0, str(ck)), 23), XXP2)}"
-            f" + {XXP3}) & {m64 - 1})",
-        ))
-    stages.append(ys)
-    stages.append([
-        (f"{pfx}a{k}", mulmod_sql(shr_xor_sql(f"{pfx}y{k}", 33), XXP2))
-        for k in range(num_perm)
-    ])
-    stages.append([
-        (f"{pfx}c{k}", mulmod_sql(shr_xor_sql(f"{pfx}a{k}", 29), XXP3))
-        for k in range(num_perm)
-    ])
-    stages.append([
-        (f"{pfx}s{k}", tosigned_sql(shr_xor_sql(f"{pfx}c{k}", 32)))
-        for k in range(num_perm)
-    ])
-    return stages
+    return xxh64_int_rehash_stage_cols(
+        h1_col, list(range(num_perm)), out_fmt=pfx + "s{k}", pfx=pfx
+    )
 
 
 def _minhash_lsh_oracle(

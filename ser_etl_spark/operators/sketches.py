@@ -207,15 +207,81 @@ def count_min_estimates(
     )
 
 
+def _count_min_oracle(
+    probe_doc_ids: int = 5, w: int = 2048, d: int = 4, top: int = 50
+) -> str:
+    """DuckDB twin of ``count_min_estimates``: the exact d x w sketch.
+
+    The CMS content is fully deterministic — counter cells are SUMS
+    (associative, partitioning-independent) over
+    ``pmod(xxhash64(tok, seed), w)`` buckets — so with the staged XXH64
+    emulation the whole sketch, not just its estimates, replays in SQL.
+    Buckets hash DISTINCT tokens once and join back to the token stream;
+    the unsigned ``& (w-1)`` equals Spark's pmod because w is a power of
+    two.
+    """
+    assert w & (w - 1) == 0, "w must be a power of two for the & bucket"
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_int_rehash_stage_cols,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    str_ctes, str_fin = stages_to_ctes(
+        "dt", xxh64_str_stage_cols("tok", "_cb", pfx="_cxs"), "_csa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_cb", "_ch1", pfx="_cxl"), "_csb"
+    )
+    seed_ctes, seed_fin = stages_to_ctes(
+        long_fin,
+        xxh64_int_rehash_stage_cols(
+            "_ch1", list(range(d)), out_fmt="_cs{k}", pfx="_cp", signed=False
+        ),
+        "_csc",
+    )
+    bucket_rows = "\n      UNION ALL ".join(
+        f"SELECT tok, {s} AS seed, CAST(_cs{s} & {w - 1} AS BIGINT) AS bucket "
+        f"FROM {seed_fin}"
+        for s in range(d)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT DISTINCT tok FROM tk
+    ){str_ctes}{long_ctes}{seed_ctes}, buckets AS (
+      {bucket_rows}
+    ), sketch AS (
+      SELECT b.seed, b.bucket, COUNT(*) AS cnt
+      FROM tk t JOIN buckets b USING (tok)
+      GROUP BY b.seed, b.bucket
+    ), probes AS (
+      SELECT DISTINCT tok FROM tk WHERE doc_id < {probe_doc_ids}
+    )
+    SELECT p.tok, MIN(s.cnt) AS est_freq
+    FROM probes p
+    JOIN buckets b USING (tok)
+    JOIN sketch s ON s.seed = b.seed AND s.bucket = b.bucket
+    GROUP BY p.tok
+    ORDER BY est_freq DESC, p.tok ASC
+    LIMIT {top}
+    """
+
+
 @register(
     "count_min_tokens",
-    oracle=None,  # xxhash64 bucketing is engine-specific; tests bound
-    # the estimates against exact token_frequencies
+    oracle=_count_min_oracle(),
     description="Count-Min sketch token-frequency estimates (d=4 x "
     "w=2048 counters, one hash aggregate, sketch broadcast for point "
     "queries) — the overcount-bounded complement to heavy_hitters: "
     "est >= true always, excess bounded by d-way-minimized collision "
-    "mass",
+    "mass. Oracle-backed since r5: counter cells are associative sums "
+    "over emulated-xxhash64 buckets, so the exact sketch replays in SQL; "
+    "estimates also bounded against exact token_frequencies in tests",
     covers=("N-text", "B4"),
 )
 def count_min_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,16 +183,51 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("user_id", "event_type")
 
 
+#: Gap-session CTEs shared by both streaming sessionizer oracles: the
+#: exact-integer microsecond gap rule (floor-div, strictly greater), the
+#: same (ts, event_id) ordering the stateful operator sorts by, one row
+#: per (user, session).
+_SESSION_ORACLE_CTES = """
+    flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR (epoch_us(CAST(ts AS TIMESTAMP))
+                        - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w))
+                       // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_break) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS events
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
 @register(
     "streaming_sessions",
-    oracle=None,  # keyed-state streaming path; the batch twin
-    # `sessionize_events` carries the SQL oracle for the gap rule, and
-    # tests prove stream output == batch sessions minus each user's
-    # last (open) session
+    oracle=f"""
+    WITH {_SESSION_ORACLE_CTES}
+    SELECT user_id, session_start, session_end, events
+    FROM sess
+    QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+    """,
     description="custom stateful streaming operator exercised end-to-end: "
     "per-user gap sessionization via applyInPandasWithState (keyed "
     "executor-local state, update mode, closed sessions emitted as the "
-    "closing gap arrives); availableNow replay of the events stream",
+    "closing gap arrives); availableNow replay of the events stream. "
+    "Oracle-backed since r5: a single-file availableNow replay is "
+    "deterministic — output == every session except each user's last "
+    "(still open in state), which is plain window SQL",
     covers=("A16",),
 )
 def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,14 +247,26 @@ def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sessions_timeout",
-    oracle=None,  # keyed-state + event-time-timeout path; tests prove
-    # output == exactly the sessions the final watermark can prove
-    # closed, computed from the batch twin
+    oracle=f"""
+    WITH {_SESSION_ORACLE_CTES}, wm AS (
+      -- Spark's event-time watermark: per-row event time floored to
+      -- MILLIseconds, max over the batch, minus the 1 s delay
+      SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000) - 1000 AS wm_ms
+      FROM events
+    )
+    SELECT user_id, session_start, session_end, events
+    FROM sess, wm
+    QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+         OR (epoch_us(session_end) // 1000 + 1800 * 1000) < wm_ms
+    """,
     description="production stateful sessionizer: applyInPandasWithState "
     "with EventTimeTimeout — closed sessions emit on their closing gap, "
     "open sessions flush when the watermark passes last_event + gap "
     "(state bounded by ACTIVE users); availableNow replay, no-data "
-    "batches advance the final watermark",
+    "batches advance the final watermark. Oracle-backed since r5: the "
+    "final watermark of a single-file replay is max(ts)-1s (ms floor), "
+    "so the flush set — open sessions with last_event_ms + gap_ms "
+    "strictly below it — is deterministic window SQL",
     covers=("A16",),
 )
 def streaming_sessions_timeout_query(

@@ -365,6 +365,52 @@ def xxh64_str_stage_cols(
     ]
 
 
+def xxh64_int_rehash_stage_cols(
+    h1_col: str,
+    tweaks: list[int],
+    out_fmt: str = "_s{k}",
+    pfx: str = "_ir",
+    signed: bool = True,
+) -> Stages:
+    """Stages computing Spark's ``xxhash64(base, lit(k))`` for each int
+    tweak ``k`` from the already-hashed ``h1 = hashLong(base, 42)``
+    column: each rehash is the 4-byte ``hashInt(k, h1)`` path with the
+    k-dependent mix folded to a Python constant, then fmix — one named
+    column per step so the SQL stays linear. Output columns are named
+    ``out_fmt.format(k=k)``; signed BIGINT by default (Spark's long),
+    or the raw unsigned HUGEINT with ``signed=False``."""
+    b0 = f"{pfx}b0"
+    stages: Stages = [[(b0, f"(({h1_col} + {(XXP5 + 4) % _M64}) & {_MASK})")]]
+    ys = []
+    for k in tweaks:
+        ck = ((k & 0xFFFFFFFF) * XXP1) % _M64
+        ys.append((
+            f"{pfx}y{k}",
+            f"(({mulmod_sql(rotl_sql(xor_sql(b0, str(ck)), 23), XXP2)}"
+            f" + {XXP3}) & {_MASK})",
+        ))
+    stages.append(ys)
+    stages.append([
+        (f"{pfx}a{k}", mulmod_sql(shr_xor_sql(f"{pfx}y{k}", 33), XXP2))
+        for k in tweaks
+    ])
+    stages.append([
+        (f"{pfx}c{k}", mulmod_sql(shr_xor_sql(f"{pfx}a{k}", 29), XXP3))
+        for k in tweaks
+    ])
+    final = shr_xor_sql
+    stages.append([
+        (
+            out_fmt.format(k=k),
+            tosigned_sql(final(f"{pfx}c{k}", 32))
+            if signed
+            else final(f"{pfx}c{k}", 32),
+        )
+        for k in tweaks
+    ])
+    return stages
+
+
 def stages_to_ctes(
     base_name: str, stages: Stages, pfx: str = "_s", materialized: bool = True
 ) -> tuple[str, str]:

@@ -331,6 +331,19 @@ def test_bm25_is_topk_with_broadcast_stats(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_pack_sequences_single_group_shuffle(spark, sf_small):
+    """The packer's only data-sized shuffle is ONE hash partition on the
+    (source, shard) group key feeding FlatMapGroupsInPandas — token
+    counting is map-side, so a second Exchange would mean the plan
+    regressed to shuffling the corpus twice."""
+    plan = _plan(spark, sf_small, "pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    m = re.search(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert m and "source" in m.group(1) and "shard" in m.group(1), plan
+
+
 def test_bigram_rare_ratio_builds_bigrams_without_window(spark, sf_small):
     """Bigrams come from transform(slice) inside the row — a Window
     (lead) formulation would add a per-doc sort + shuffle before the
