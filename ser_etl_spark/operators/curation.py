@@ -288,14 +288,81 @@ def bloom_contamination(
     )
 
 
+def _bloom_contamination_oracle(m_bits: int = 1 << 20, k: int = 3) -> str:
+    """DuckDB twin of ``bloom_contamination``: the k hashed bit
+    positions per shingle are ``pmod(xxhash64(sh, seed), m_bits)`` —
+    emulated exactly with the staged XXH64 chains (distinct shingles
+    hashed once), with the unsigned ``& (m_bits-1)`` equal to Spark's
+    pmod because m_bits is a power of two. The k-of-k position gate and
+    per-doc counts then replay verbatim."""
+    assert m_bits & (m_bits - 1) == 0
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_int_rehash_stage_cols,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    n = CONTAMINATION_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
+        "t[i+0]", "t[i]"
+    )
+    str_ctes, str_fin = stages_to_ctes(
+        "dsh", xxh64_str_stage_cols("sh", "_bb", pfx="_bxs"), "_bsa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_bb", "_bh1", pfx="_bxl"), "_bsb"
+    )
+    seed_ctes, seed_fin = stages_to_ctes(
+        long_fin,
+        xxh64_int_rehash_stage_cols(
+            "_bh1", list(range(k)), out_fmt="_bs{k}", pfx="_bp", signed=False
+        ),
+        "_bsc",
+    )
+    pos_rows = "\n      UNION ALL ".join(
+        f"SELECT sh, {s} AS seed, CAST(_bs{s} & {m_bits - 1} AS BIGINT) AS pos "
+        f"FROM {seed_fin}"
+        for s in range(k)
+    )
+    # (the module-level _SQL_TOKS constant is defined further down)
+    toks_sql = "string_split_regex(trim(lower(text)), ' +')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM toks WHERE len(t) >= {n})),
+    dsh AS (SELECT DISTINCT sh FROM sh5
+    ){str_ctes}{long_ctes}{seed_ctes}, pos AS (
+      {pos_rows}
+    ), bench_pos AS (
+      SELECT DISTINCT p.seed, p.pos
+      FROM sh5 JOIN pos p USING (sh)
+      WHERE sh5.doc_id % {BENCH_MOD} = 0
+    ), positive AS (
+      SELECT t.doc_id, t.sh
+      FROM sh5 t
+      JOIN pos p USING (sh)
+      JOIN bench_pos b ON b.seed = p.seed AND b.pos = p.pos
+      WHERE t.doc_id % {BENCH_MOD} <> 0
+      GROUP BY t.doc_id, t.sh
+      HAVING COUNT(DISTINCT p.seed) = {k}
+    )
+    SELECT doc_id, COUNT(*) AS bloom_hit_ngrams
+    FROM positive GROUP BY doc_id
+    """
+
+
 @register(
     "decontamination_bloom",
-    oracle=None,  # xxhash64 positions are engine-specific; tests prove
-    # superset-of-exact + false-positive bound vs `decontamination`
+    oracle=_bloom_contamination_oracle(),
     description="Bloom-position decontamination: benchmark n-grams "
     "broadcast as k hashed bit positions (8 B each, dedupable) instead "
     "of raw strings — the 100 TB path for large benchmarks; guaranteed "
-    "superset of the exact string-join hits, FP-bounded",
+    "superset of the exact string-join hits, FP-bounded. Oracle-backed "
+    "since r5: the xxhash64 positions replay exactly via the staged "
+    "emulation; superset-of-exact + FP bound also pinned in tests",
     covers=("N-text", "N-dedup"),
 )
 def decontamination_bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
