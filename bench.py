@@ -48,6 +48,28 @@ def _calibrate(spark) -> float:
     return round(best, 3)
 
 
+def _calibrate_scan(spark, sf_dir: str) -> float:
+    """Second yardstick: a fixed parquet-scan + shuffle workload over the
+    benchmark's own data. The round-5 run showed the two yardsticks can
+    DIVERGE — the pure-JVM calibration came out 1.6x FASTER than round 4
+    while carried, untouched queries ran a uniform ~1.2x SLOWER (host
+    IO/steal drift the compute yardstick cannot see). Read cross-round
+    deltas against whichever yardstick matches the query's bottleneck."""
+    from ser_etl_spark.sources.parquet import load_table
+
+    best = float("inf")
+    for _ in range(2):
+        start = time.time()
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_suppkey")
+            .agg({"l_extendedprice": "sum", "l_quantity": "avg"})
+            .collect()
+        )
+        best = min(best, time.time() - start)
+    return round(best, 3)
+
+
 def _isolate(spark) -> None:
     """Between-group hygiene: drop cached plans and ask the JVM for a GC
     so one module's garbage (broadcasts, codegen classloaders, state
@@ -78,6 +100,7 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").limit(1).collect()
     calibration_s = _calibrate(spark)
+    scan_calibration_s = _calibrate_scan(spark, sf_dir)
 
     # Group by defining module; isolate between groups so timings are
     # comparable across rounds regardless of how many other modules the
@@ -115,6 +138,7 @@ def main() -> None:
         "sf": sf,
         "parity_only_queries": sorted(PARITY_ONLY),
         "calibration_seconds": calibration_s,
+        "scan_calibration_seconds": scan_calibration_s,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -140,10 +164,12 @@ def main() -> None:
                 # a 60 s sync interval (BASELINE.md) — must stay under it.
                 "etl_cycle_seconds": etl_cycle_s,
                 "etl_cycle_budget_seconds": 60,
-                # host-speed yardstick (see _calibrate) — normalize
-                # cross-round per-query ratios by this before reading
-                # them as regressions
+                # host-speed yardsticks (see _calibrate/_calibrate_scan):
+                # normalize cross-round per-query ratios by the one that
+                # matches the query's bottleneck (JVM compute vs scan+
+                # shuffle) before reading them as regressions
                 "calibration_seconds": calibration_s,
+                "scan_calibration_seconds": scan_calibration_s,
                 "queries_file": "BENCH_DETAIL.json",
             }
         )

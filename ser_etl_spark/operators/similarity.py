@@ -225,14 +225,31 @@ def lsh_ann_topk(
     q = [float(v) for v in query_vec]
     dim = len(q)
     matrix = _plane_matrix(vectors.sparkSession, dim, planes)
-    bucketed = vectors.withColumn("_bucket", _srp_bucket(vec_col, matrix))
     qbucket = _srp_bucket_py(q, matrix)
+    # Same-bucket-as-query filter, written as one sign-match conjunct per
+    # plane instead of `_srp_bucket(vec) == qbucket`: the packed-bucket
+    # form put all `planes` expanded dot products into ONE expression
+    # tree, which blew janino's 64 KB method limit together with the
+    # cosine projection and dropped the stage to interpreted execution.
+    # Separate conjuncts are separate trees codegen compiles
+    # independently; `~(proj >= 0)` (not `proj < 0`) keeps NaN
+    # projections in bucket-bit 0 exactly as the packed form did.
+    cond = None
+    for p, coeffs in enumerate(matrix):
+        proj = F.expr(
+            " + ".join(
+                f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
+            )
+        )
+        bit_set = (qbucket >> p) & 1
+        this = (proj >= 0) if bit_set else ~(proj >= 0)
+        cond = this if cond is None else cond & this
     sim = F.expr(
         f"{_dot_lit_sql(vec_col, q)}"
         f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
     )
     return (
-        bucketed.filter(F.col("_bucket") == F.lit(qbucket))
+        vectors.filter(cond)
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -328,27 +345,56 @@ def ivf_centroids(
     return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
 
 
-def _nearest_centroid(
-    vec: str, vec_norm: str, centroids: list[tuple[int, list[float]]]
-) -> Column:
-    """Argmax-cosine centroid id for an array expression.
+def _with_nearest_centroid(
+    df: DataFrame,
+    vec: str,
+    vec_norm: str,
+    centroids: list[tuple[int, list[float]]],
+    out: str = "_cid",
+) -> DataFrame:
+    """Append the argmax-cosine centroid id (ties to lowest cid) as
+    column ``out``; every per-centroid similarity is rounded to 4
+    decimals first so the argmax is bit-reproducible cross-engine.
 
-    Single ``array_max`` over ``struct(round(cos,4), -cid, cid)`` — each
-    centroid similarity is evaluated exactly once per row; rounding to 4
-    decimals keeps the argmax (and its tie-break on lowest cid)
-    bit-reproducible against other engines. Centroid norms fold to
-    driver-side constants; the row norm is computed once and shared.
+    Codegen shape matters here: the round-4 form was ONE
+    ``array_max(array(named_struct(...) x K))`` expression — K expanded
+    64-term dot products in a single tree — which exceeds janino's 64 KB
+    per-method limit, so the whole stage silently fell back to
+    interpreted execution AND paid a failed multi-second compile per job
+    (ivf_ann_topk benched ~3.8 s on 2000 rows). Instead the K rounded
+    cosines land as SEPARATE projection columns (separate expression
+    trees, which codegen splits into separate compiled methods), and the
+    argmax reads those columns several times (greatest + per-centroid
+    tie-break) — the multiple references keep CollapseProject from
+    inlining the expensive trees back into one giant expression.
     """
-    entries = []
+    cs_cols: list[tuple[int, str]] = []
+    exprs = []
     for cid, cvec in centroids:
+        name = f"_csx{cid}"
         cs = (
             f"round({_dot_lit_sql(vec, cvec)}"
             f" / (({vec_norm}) * ({_pynorm(cvec)!r})), 4)"
         )
-        entries.append(
-            f"named_struct('cs', {cs}, 'prio', {-cid}, 'cid', {cid})"
+        cs_cols.append((cid, name))
+        # `+ monotonically_increasing_id()*0` adds an EXACT integer zero
+        # (value unchanged) but marks the column nondeterministic, which
+        # stops CollapseProject / PushDownPredicate from splicing the K
+        # expanded dot products into every downstream reference — without
+        # the barrier the optimizer inlined each 64-term tree ~9x into
+        # one 620 KB filter expression (14k element references) and the
+        # query ran 6x SLOWER than the form this replaced.
+        exprs.append(
+            (F.expr(cs) + F.monotonically_increasing_id() * F.lit(0)).alias(name)
         )
-    return F.expr(f"array_max(array({', '.join(entries)})).cid")
+    scored = df.select("*", *exprs)
+    best = F.greatest(*[F.col(n) for _, n in cs_cols])
+    cid_col = F.least(
+        *[F.when(F.col(n) == best, F.lit(cid)) for cid, n in cs_cols]
+    )
+    return scored.select("*", cid_col.alias(out)).drop(
+        *[n for _, n in cs_cols]
+    )
 
 
 def ivf_assign(
@@ -371,9 +417,8 @@ def ivf_assign(
         F.col(vec_col),
         _norm_col(vec_col, dim).alias("_nv"),
     )
-    return p.select(
-        F.col(id_col),
-        _nearest_centroid(vec_col, "_nv", cents).alias("centroid_id"),
+    return _with_nearest_centroid(p, vec_col, "_nv", cents, "centroid_id").select(
+        F.col(id_col), "centroid_id"
     )
 
 
@@ -422,7 +467,7 @@ def ivf_ann_topk(
     )
     sim = F.expr(f"{_dot_lit_sql(vec_col, q)} / (_nv * ({_pynorm(q)!r}))")
     return (
-        p.withColumn("_cid", _nearest_centroid(vec_col, "_nv", cents))
+        _with_nearest_centroid(p, vec_col, "_nv", cents, "_cid")
         .filter(F.col("_cid").isin(probes))
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
