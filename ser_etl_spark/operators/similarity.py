@@ -1010,51 +1010,64 @@ def hard_negative_mine(
     (the floor is part of the mining semantics — practical miners cut at
     a similarity band — and the scale lever, see ``HARD_NEG_FLOOR``).
 
-    Scale shape: one branch per anchor, each the proven exact-ANN shape
-    (literal-coefficient codegen dot + floor filter + per-branch top-k
-    via ``TakeOrderedAndProject`` — per-partition heaps, no shuffle),
-    unioned and ranked over the <= Q*k survivors. A single fused scan
-    computing all anchors' scores at once was tried and rejected: Q
-    expanded 64-dim dot products in one stage exceed janino's method
-    limit, so the whole stage silently drops out of codegen — Q
-    compiled branches beat one interpreted scan. For large anchor
-    batches brute force is the wrong tool regardless of fusion; mining
-    then goes through the bucketed LSH/IVF paths above, which prune the
-    corpus before any scoring.
+    Scale shape: ONE fused corpus scan scores all anchors (at 100 TB a
+    per-anchor branch plan reads the corpus Q times — IO, not compute,
+    is the budget), then explode -> floor filter -> per-anchor ranking
+    window over only the floor survivors. Rounds 1-4 ran per-anchor
+    branches because Q expanded 64-dim dot products in one expression
+    tree exceed janino's method limit (the stage silently dropped to
+    interpreted execution); the fused form is now viable because each
+    anchor's score lands as a SEPARATE projection column behind an
+    exact-zero ``monotonically_increasing_id()*0`` barrier — separate
+    trees compile as separate methods, and the barrier stops the
+    optimizer from splicing them back into one giant generator input
+    (see ``_with_nearest_centroid``). For large anchor batches brute
+    force is the wrong tool regardless — mining then goes through the
+    bucketed LSH/IVF paths above, which prune the corpus before any
+    scoring.
 
     Scores are rounded to 4 decimals before ranking so both engines
     order identically; ties break on vec_id.
     """
-    branches = []
-    for q_id, q_label, q in queries:
-        sim = F.expr(
-            f"{_dot_lit_sql(vec_col, q)}"
-            f" / ({_norm_sql(vec_col, len(q))} * ({_pynorm(q)!r}))"
-        )
-        branches.append(
-            vectors.filter(F.col("label") != F.lit(q_label))
-            .select(
-                F.lit(q_id).cast("bigint").alias("q_id"),
-                F.col(id_col),
-                "label",
-                F.round(sim, 4).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= floor)
-            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-            .limit(k)
-        )
-    candidates = branches[0]
-    for b in branches[1:]:
-        candidates = candidates.unionAll(b)
     from pyspark.sql.window import Window
 
+    dim = len(queries[0][2])
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = vectors.select(
+        F.col(id_col),
+        F.col("label"),
+        F.col(vec_col),
+        (F.expr(_norm_sql(vec_col, dim)) + barrier).alias("_nv"),
+    )
+    sim_cols = []
+    for q_id, _, q in queries:
+        sim = F.expr(f"{_dot_lit_sql(vec_col, q)} / (_nv * ({_pynorm(q)!r}))")
+        sim_cols.append((F.round(sim, 4) + barrier).alias(f"_sim{q_id}"))
+    p1 = p0.select(F.col(id_col), F.col("label"), *sim_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(q_id).cast("bigint").alias("q_id"),
+                F.lit(q_label).alias("q_label"),
+                F.col(f"_sim{q_id}").alias("cos_sim"),
+            )
+            for q_id, q_label, _ in queries
+        ]
+    )
+    cand = (
+        p1.select(F.col(id_col), F.col("label"), F.explode(entries).alias("s"))
+        .select(id_col, "label", "s.q_id", "s.q_label", "s.cos_sim")
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("cos_sim") >= floor)
+        )
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
-        candidates.withColumn(
-            "neg_rank", F.row_number().over(w).cast("bigint")
-        )
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= k)
         .select("q_id", "neg_rank", id_col, "label", "cos_sim")
         .orderBy("q_id", "neg_rank")
     )
@@ -1086,10 +1099,11 @@ def hard_negative_mine(
     """,
     description="hard-negative mining for contrastive training: per query "
     "point, the top-5 most-similar CROSS-label vectors above a 0.30 "
-    "cosine floor — one compiled TakeOrderedAndProject branch per anchor "
-    "(kept per-anchor for the janino method-size limit), the floor "
-    "prunes before the shuffle, only candidates reach the per-query "
-    "ranking window",
+    "cosine floor — ONE fused corpus scan scores all anchors (since r5: "
+    "per-anchor score columns behind a codegen barrier compile as "
+    "separate methods, lifting the janino limit that forced per-anchor "
+    "branch scans in r4), the floor prunes before the shuffle, only "
+    "candidates reach the per-query ranking window",
     covers=("N-sim",),
 )
 def hard_negative_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -352,11 +352,16 @@ def test_bigram_rare_ratio_builds_bigrams_without_window(spark, sf_small):
     assert "Window" not in plan, plan
 
 
-def test_hard_negative_branches_are_topk_heaps(spark, sf_small):
-    """Each anchor's branch must be per-partition top-k (no global sort,
-    no window over corpus-sized input); the expanded scoring expressions
-    must stay compiled — a janino failure would silently drop the scan
-    out of codegen (the rejected fused-scan formulation did exactly
-    that)."""
+def test_hard_negative_is_single_fused_scan(spark, sf_small):
+    """All anchors must be scored in ONE corpus scan (a per-anchor branch
+    plan reads the corpus Q times — at 100 TB the IO, not the dot
+    products, is the budget), with the floor filter applied before the
+    ranking window's exchange so the window only sees candidates."""
+    import re as _re
+
     plan = _plan(spark, sf_small, "hard_negative_mining")
-    assert "TakeOrderedAndProject" in plan, plan
+    scans = _re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Window" in plan, plan
+    # floor filter sits below the exchange feeding the window
+    assert plan.index("Filter") < plan.index("Window"), plan
