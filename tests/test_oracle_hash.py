@@ -141,6 +141,61 @@ class TestPythonVsDuckDB:
             assert int(h) == xxh64_long(LONGS[i])
 
 
+def _random_corpus(n: int = 400, seed: int = 20240814) -> list[str]:
+    """Seeded mixed-shape strings: every tail-length class, multi-stripe
+    lengths, unicode, repeated chars, realistic tokens."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-#@€ñ語"
+    out = []
+    for _ in range(n):
+        ln = rng.choice([0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32,
+                         33, 40, 63, 64, 65, 100, 200, rng.randrange(0, 300)])
+        out.append("".join(rng.choice(alphabet) for _ in range(ln)))
+    return out
+
+
+class TestRandomCorpusThreeWay:
+    """Batch three-way pin over a seeded random corpus: DuckDB staged SQL
+    == pure Python == Spark, for strings and for the hashInt rehash the
+    MinHash/Count-Min/Bloom oracles build on."""
+
+    def test_duckdb_strings(self):
+        corpus = _random_corpus()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE rc AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, ?)" for i in range(len(corpus)))
+            + ") v(id, s)",
+            corpus,
+        )
+        ctes, fin = stages_to_ctes("b", xxh64_str_stage_cols("s", "_h"), "_t")
+        rows = con.execute(
+            f"WITH b AS (SELECT id, s FROM rc){ctes} "
+            f"SELECT id, _h FROM {fin} ORDER BY id"
+        ).fetchall()
+        for i, h in rows:
+            assert int(h) == xxh64_bytes(corpus[i].encode("utf-8")), repr(
+                corpus[i]
+            )
+
+    def test_spark_strings_and_rehash(self, spark):
+        corpus = _random_corpus(150)
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(corpus)], "id long, s string"
+        )
+        rows = df.select(
+            "id",
+            F.xxhash64("s").alias("h"),
+            F.xxhash64(F.xxhash64("s"), F.lit(3)).alias("hr"),
+        ).collect()
+        for r in rows:
+            u = xxh64_bytes(corpus[r["id"]].encode("utf-8"))
+            assert r["h"] == to_signed(u)
+            assert r["hr"] == to_signed(xxh64_int(3, xxh64_long(to_signed(u))))
+
+
 class TestPlaneMatrix:
     def test_python_planes_equal_spark_expression(self, spark):
         """The SRP hyperplanes are now computed driver-side from the
