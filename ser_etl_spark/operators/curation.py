@@ -299,7 +299,6 @@ def _bloom_contamination_oracle(m_bits: int = 1 << 20, k: int = 3) -> str:
     from ser_etl_spark.oracle_hash import (
         stages_to_ctes,
         xxh64_int_rehash_stage_cols,
-        xxh64_long_stage_cols,
         xxh64_str_stage_cols,
     )
 
@@ -307,16 +306,19 @@ def _bloom_contamination_oracle(m_bits: int = 1 << 20, k: int = 3) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
         "t[i+0]", "t[i]"
     )
+    # Spark's multi-arg xxhash64(sh, seed) folds left: the string hash
+    # of `sh` (seed 42) directly SEEDS the 4-byte hashInt over `seed` —
+    # no intermediate hashLong (that layer belongs only to MinHash's
+    # explicit two-call xxhash64(xxhash64(sh), k) form; the Count-Min
+    # oracle note has the full story, and tests pin the positions
+    # against Spark).
     str_ctes, str_fin = stages_to_ctes(
         "dsh", xxh64_str_stage_cols("sh", "_bb", pfx="_bxs"), "_bsa"
     )
-    long_ctes, long_fin = stages_to_ctes(
-        str_fin, xxh64_long_stage_cols("_bb", "_bh1", pfx="_bxl"), "_bsb"
-    )
     seed_ctes, seed_fin = stages_to_ctes(
-        long_fin,
+        str_fin,
         xxh64_int_rehash_stage_cols(
-            "_bh1", list(range(k)), out_fmt="_bs{k}", pfx="_bp", signed=False
+            "_bb", list(range(k)), out_fmt="_bs{k}", pfx="_bp", signed=False
         ),
         "_bsc",
     )
@@ -334,7 +336,7 @@ def _bloom_contamination_oracle(m_bits: int = 1 << 20, k: int = 3) -> str:
       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
             FROM toks WHERE len(t) >= {n})),
     dsh AS (SELECT DISTINCT sh FROM sh5
-    ){str_ctes}{long_ctes}{seed_ctes}, pos AS (
+    ){str_ctes}{seed_ctes}, pos AS (
       {pos_rows}
     ), bench_pos AS (
       SELECT DISTINCT p.seed, p.pos

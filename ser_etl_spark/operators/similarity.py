@@ -177,22 +177,6 @@ def _plane_matrix(
     return _PLANE_CACHE[key]
 
 
-def _srp_bucket(vec: str, matrix: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id (long) for an array expression —
-    one SQL string of expanded multiply-add chains per plane."""
-    plane_sqls = []
-    for p, coeffs in enumerate(matrix):
-        proj = " + ".join(
-            f"{_elem_sql(vec, i)}*({c!r})" for i, c in enumerate(coeffs)
-        )
-        bit = f"(CASE WHEN ({proj}) >= 0 THEN 1L ELSE 0L END)"
-        plane_sqls.append(f"shiftleft({bit}, {p})")
-    bucket = plane_sqls[0]
-    for term in plane_sqls[1:]:
-        bucket = f"({bucket} ^ {term})"
-    return F.expr(bucket)
-
-
 def _srp_bucket_py(vec: list[float], matrix: list[list[float]]) -> int:
     """Driver-side bucket of a literal vector — same left-to-right IEEE
     accumulation as the SQL form, so the bits agree."""
@@ -232,8 +216,12 @@ def lsh_ann_topk(
     # tree, which blew janino's 64 KB method limit together with the
     # cosine projection and dropped the stage to interpreted execution.
     # Separate conjuncts are separate trees codegen compiles
-    # independently; `~(proj >= 0)` (not `proj < 0`) keeps NaN
-    # projections in bucket-bit 0 exactly as the packed form did.
+    # independently. Bit semantics must match the packed CASE exactly:
+    # a NaN projection satisfies `proj >= 0` in Spark (NaN sorts above
+    # every value) -> bucket-bit 1 in both forms, and a NULL projection
+    # (NULL element / short array) fell to the CASE's ELSE -> bit 0, so
+    # the conjunct coalesces NULL to false rather than letting a
+    # three-valued `~NULL` silently drop the row.
     cond = None
     for p, coeffs in enumerate(matrix):
         proj = F.expr(
@@ -241,8 +229,8 @@ def lsh_ann_topk(
                 f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
             )
         )
-        bit_set = (qbucket >> p) & 1
-        this = (proj >= 0) if bit_set else ~(proj >= 0)
+        bit = F.coalesce(proj >= 0, F.lit(False))
+        this = bit if (qbucket >> p) & 1 else ~bit
         cond = this if cond is None else cond & this
     sim = F.expr(
         f"{_dot_lit_sql(vec_col, q)}"
@@ -367,6 +355,15 @@ def _with_nearest_centroid(
     argmax reads those columns several times (greatest + per-centroid
     tie-break) — the multiple references keep CollapseProject from
     inlining the expensive trees back into one giant expression.
+
+    Precise status (pinned by tests/test_plans.py's compile guard):
+    ivf_assign's stage now compiles cleanly. ivf_ann_topk fuses this
+    argmax WITH the final query-cosine projection into one whole-stage
+    ``processNext``, whose combined straight-line code still crosses the
+    64 KB limit — that one query keeps a single interpreted stage (the
+    restructure still cut it 3.8 -> ~1.8 s by shrinking the 620 KB
+    inlined plan); breaking the fusion would need a mid-plan exchange,
+    which is the wrong trade at corpus scale.
     """
     cs_cols: list[tuple[int, str]] = []
     exprs = []
@@ -586,8 +583,9 @@ def _duck_norm(arr: str, dim: int) -> str:
 
 
 def _srp_bucket_duck(arr: str, matrix: list[list[float]]) -> str:
-    """DuckDB twin of ``_srp_bucket``: same left-to-right multiply-add
-    chains over the same plane literals, so the bits agree."""
+    """Packed SRP bucket id in DuckDB: the same left-to-right
+    multiply-add chains over the same plane literals as the builder's
+    per-plane sign conjuncts, so the bits agree."""
     plane_sqls = []
     for p, coeffs in enumerate(matrix):
         proj = " + ".join(

@@ -196,6 +196,56 @@ class TestRandomCorpusThreeWay:
             assert r["hr"] == to_signed(xxh64_int(3, xxh64_long(to_signed(u))))
 
 
+class TestBucketPins:
+    """Pin the INTERNAL hash values the sketch/dedup oracles rely on, not
+    just their final outputs — a round-5 review found the Count-Min/Bloom
+    oracles emulating ``xxhash64(xxhash64(tok), seed)`` instead of
+    Spark's one-call ``xxhash64(tok, seed)`` while every fixture output
+    still matched (min-over-seeds masked the bucket differences on a
+    31-token vocabulary). Output-level parity cannot catch that class;
+    these value-level pins do."""
+
+    def test_count_min_buckets_match_spark(self, spark, sf_small):
+        from ser_etl_spark.sources.parquet import load_table
+
+        toks = (
+            load_table(spark, sf_small, "documents")
+            .select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), " +")
+                ).alias("tok")
+            )
+            .distinct()
+        )
+        rows = toks.select(
+            "tok",
+            *[
+                F.pmod(F.xxhash64("tok", F.lit(s)), F.lit(2048)).alias(f"b{s}")
+                for s in range(4)
+            ],
+        ).collect()
+        assert rows
+        for r in rows:
+            u = xxh64_bytes(r["tok"].encode("utf-8"))
+            for s in range(4):
+                # one-call fold: string hash SEEDS the int hash directly
+                assert r[f"b{s}"] == xxh64_int(s, u) % 2048
+
+    def test_minhash_rehash_is_the_two_call_form(self, spark):
+        """MinHash's ``xxhash64(xxhash64(sh), k)`` IS two calls — the
+        string hash emerges as a signed long column and re-enters as an
+        8-byte hashLong — unlike the one-call fold above."""
+        df = spark.createDataFrame([("alpha beta",)], "s string")
+        row = df.select(
+            F.xxhash64(F.xxhash64("s"), F.lit(5)).alias("two_call"),
+            F.xxhash64("s", F.lit(5)).alias("one_call"),
+        ).first()
+        u = xxh64_bytes(b"alpha beta")
+        assert row["two_call"] == to_signed(xxh64_int(5, xxh64_long(u)))
+        assert row["one_call"] == to_signed(xxh64_int(5, u))
+        assert row["two_call"] != row["one_call"]
+
+
 class TestPlaneMatrix:
     def test_python_planes_equal_spark_expression(self, spark):
         """The SRP hyperplanes are now computed driver-side from the

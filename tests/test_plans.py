@@ -331,6 +331,42 @@ def test_bm25_is_topk_with_broadcast_stats(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
 
 
+def _jvm_stderr_during(fn) -> str:
+    """Run ``fn`` while fd 2 is redirected to a temp file and return what
+    was written — the JVM logs codegen failures straight to fd 2, which
+    pytest's capsys cannot see."""
+    import os
+    import tempfile
+
+    saved = os.dup(2)
+    with tempfile.TemporaryFile(mode="w+b") as tf:
+        os.dup2(tf.fileno(), 2)
+        try:
+            fn()
+        finally:
+            os.dup2(saved, 2)
+            os.close(saved)
+        tf.seek(0)
+        return tf.read().decode("utf-8", "replace")
+
+
+@pytest.mark.parametrize(
+    "name", ["lsh_ann_topk", "ivf_assign", "hard_negative_mining"]
+)
+def test_expanded_vector_stages_compile(spark, sf_small, name):
+    """The barrier-column restructure must keep these stages INSIDE
+    whole-stage codegen: a janino 'Code grows beyond 64 KB' failure is
+    silent (the stage falls back to interpreted execution and pays a
+    failed multi-second compile per job), so pin the absence of the
+    error at the fd level. Known residual: ivf_ann_topk's fully fused
+    argmax+cosine stage still exceeds the limit (documented in
+    _with_nearest_centroid) and is deliberately NOT in this list."""
+    err = _jvm_stderr_during(
+        lambda: QUERIES[name].builder(spark, sf_small).collect()
+    )
+    assert "Failed to compile" not in err, err[-2000:]
+
+
 def test_pack_sequences_single_group_shuffle(spark, sf_small):
     """The packer's only data-sized shuffle is ONE hash partition on the
     (source, shard) group key feeding FlatMapGroupsInPandas — token
