@@ -201,10 +201,10 @@ def lsh_ann_topk(
     """Approximate top-k: score only vectors in the query's SRP bucket.
 
     With ``planes`` bits the corpus shards into 2^planes buckets; the
-    scan cost drops by that factor at some recall cost (multi-probe =
-    union of neighboring buckets would raise recall; kept single-probe
-    for clarity). The bucketed table would be precomputed/persisted in
-    a real deployment.
+    scan cost drops by that factor at some recall cost
+    (:func:`lsh_ann_multiprobe` is the recall lever — it widens the
+    probe to neighboring buckets). The bucketed table would be
+    precomputed/persisted in a real deployment.
     """
     q = [float(v) for v in query_vec]
     dim = len(q)
@@ -238,6 +238,66 @@ def lsh_ann_topk(
     )
     return (
         vectors.filter(cond)
+        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_ann_multiprobe(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 4,
+    max_mismatches: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe SRP ANN: score vectors whose bucket differs from the
+    query's in at most ``max_mismatches`` sign bits.
+
+    The standard recall lever for hash-bucketed ANN (Lv et al.'s
+    multi-probe LSH): near neighbors that land just across one
+    hyperplane are the dominant misses of single-probe, so probing the
+    ``planes`` Hamming-1 neighbor buckets too recovers most of them
+    while still scanning only ``(1 + planes)/2^planes`` of the corpus
+    (~31% here vs ~6% single-probe — recall/cost dial, not free lunch).
+
+    Plan shape: the per-plane sign projections land as separate
+    barrier-protected columns (the janino discipline of
+    ``_with_nearest_centroid``); the probe filter is then one small
+    expression counting sign matches over those column refs, and the
+    cosine scoring/top-k is identical to :func:`lsh_ann_topk`. NULL
+    projections coalesce to bucket-bit 0 and NaN satisfies ``>= 0``
+    (bit 1) — the same bit semantics as the single-probe form and the
+    generated oracle.
+    """
+    q = [float(v) for v in query_vec]
+    dim = len(q)
+    matrix = _plane_matrix(vectors.sparkSession, dim, planes)
+    qbucket = _srp_bucket_py(q, matrix)
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    proj_cols = []
+    for p, coeffs in enumerate(matrix):
+        proj = F.expr(
+            " + ".join(
+                f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
+            )
+        )
+        proj_cols.append((proj + barrier).alias(f"_pl{p}"))
+    scored = vectors.select(F.col(id_col), F.col(vec_col), *proj_cols)
+    matches = None
+    for p in range(planes):
+        bit = F.coalesce(F.col(f"_pl{p}") >= 0, F.lit(False))
+        qbit = bool((qbucket >> p) & 1)
+        hit = F.when(bit == F.lit(qbit), 1).otherwise(0)
+        matches = hit if matches is None else matches + hit
+    sim = F.expr(
+        f"{_dot_lit_sql(vec_col, q)}"
+        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
+    )
+    return (
+        scored.filter(matches >= planes - max_mismatches)
         .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -634,6 +694,48 @@ def _lsh_ann_oracle(k: int = 10, planes: int = 4, dim: int | None = None) -> str
 def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), vec, k=10)
+
+
+def _lsh_multiprobe_oracle(
+    k: int = 10, planes: int = 4, max_mismatches: int = 1,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of ``lsh_ann_multiprobe``: packed buckets from the
+    same plane literals, probe set = Hamming distance <= max_mismatches
+    from the vec_id=0 row's bucket, identical scoring/tie-break."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    bkt = _srp_bucket_duck("embedding", m)
+    dot = _duck_dot("b.embedding", "q.qv", dim)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 0
+    )
+    SELECT b.vec_id,
+           round({dot} / ({_duck_norm("b.embedding", dim)}
+                 * {_duck_norm("q.qv", dim)}), 4) AS cos_sim
+    FROM b, q
+    WHERE bit_count(xor(b.bkt, q.qb)) <= {max_mismatches}
+    ORDER BY cos_sim DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "lsh_ann_multiprobe",
+    oracle=_lsh_multiprobe_oracle(),
+    description="multi-probe SRP ANN: top-10 over the query's bucket "
+    "PLUS its 4 Hamming-1 neighbor buckets — the standard recall lever "
+    "for hash-bucketed similarity search (scans ~31% of the corpus vs "
+    "~6% single-probe); oracle-backed, recall-vs-single-probe pinned in "
+    "tests",
+    covers=("N-sim",),
+)
+def lsh_ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vector(spark, sf_dir)
+    return lsh_ann_multiprobe(load_table(spark, sf_dir, "embeddings"), vec, k=10)
 
 
 @register(

@@ -135,6 +135,32 @@ class TestSimilarity:
         # single-probe bucket at 8 planes shrinks the scanned corpus
         assert 1 <= len(rows) <= 10
 
+    def test_multiprobe_widens_candidates_and_recall(self, vectors):
+        """Multi-probe must (a) scan a strict superset of the
+        single-probe candidate set, and (b) never lose recall vs exact
+        top-k — the whole point of the recall lever."""
+        from ser_etl_spark.operators.similarity import lsh_ann_multiprobe
+
+        vec = list(vectors.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = {r["vec_id"] for r in cosine_topk(vectors, vec, k=10).collect()}
+        single = {r["vec_id"] for r in lsh_ann_topk(vectors, vec, k=10).collect()}
+        multi = {
+            r["vec_id"]
+            for r in lsh_ann_multiprobe(vectors, vec, k=10).collect()
+        }
+        assert multi and list(multi)  # non-empty; query's own bucket probed
+        r_single = len(single & exact) / len(exact)
+        r_multi = len(multi & exact) / len(exact)
+        assert r_multi >= r_single
+        # max_mismatches = planes degenerates to exact brute force
+        full = [
+            r["vec_id"]
+            for r in lsh_ann_multiprobe(
+                vectors, vec, k=10, max_mismatches=4
+            ).collect()
+        ]
+        assert set(full) == exact
+
     def test_neardup_blocks_by_label(self, vectors):
         pairs = embedding_neardup_pairs(vectors, threshold=0.35).collect()
         labels = {
