@@ -294,7 +294,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     (near-cliques), so a handful of rounds suffices at any corpus size.
     ``localCheckpoint`` truncates the lineage each round so plans stay
     flat; the driver loop is control flow only — per-round data never
-    leaves the executors (the convergence check is a count).
+    leaves the executors.
+
+    Per-round cost is TWO shuffles (the edge-contribution join and the
+    min-aggregate — the round-4 form paid a third to join updated labels
+    back against old ones for the convergence flag): each round unions
+    every node's own label with its neighbors' and takes the per-node
+    MIN. Convergence is detected from the label-sum instead — labels
+    only ever decrease, so the exact decimal SUM of labels is strictly
+    decreasing until the fixpoint, and an unchanged sum IS convergence
+    (decimal accumulation: a wrapped 64-bit sum could alias two distinct
+    label states at corpus scale).
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -305,31 +315,30 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     changed = -1
     for _ in range(max_iter):
-        nbr_min = (
+        contrib = (
             edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("dst").alias("node"), "label")
         )
-        new_label = F.least(
-            F.col("label"), F.coalesce("nbr_label", F.col("label"))
-        )
-        # The convergence signal rides along as a flag column inside the
-        # SAME checkpointed pass — counting it is a scan of the
-        # checkpoint, not the extra updated-vs-old shuffle join (one
-        # fewer shuffle per round).
         updated = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
-            .select(
-                "node",
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("_changed"),
-            )
+            labels.select("node", "label")
+            .union(contrib)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        new_sum = label_sum(updated)
+        labels = updated
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         if changed == 0:
             break
     if changed != 0:
@@ -339,8 +348,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         # never produce — so treat it as the caller's bug/misuse.
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); a duplicate graph this "
-            f"deep is pathological — raise max_iter or pre-split the input"
+            f"(label sum still decreasing); a duplicate graph this deep "
+            f"is pathological — raise max_iter or pre-split the input"
         )
     return labels.select(
         F.col("node").alias("doc_id"),
