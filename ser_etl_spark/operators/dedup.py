@@ -300,12 +300,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     min-aggregate — the round-4 form paid a third to join updated labels
     back against old ones for the convergence flag): each round unions
     every node's own label with its neighbors' and takes the per-node
-    MIN. Convergence is detected from the label-sum instead — labels
-    only ever decrease, so the exact decimal SUM of labels is strictly
-    decreasing until the fixpoint, and an unchanged sum IS convergence
-    (decimal accumulation: a wrapped 64-bit sum could alias two distinct
-    label states at corpus scale).
+    MIN. Convergence for NUMERIC ids is detected from the label-sum —
+    labels only ever decrease, so the exact decimal SUM of labels is
+    strictly decreasing until the fixpoint, and an unchanged sum IS
+    convergence (decimal accumulation: a wrapped 64-bit sum could alias
+    two distinct label states at corpus scale; a NULL sum — which would
+    make ``None == None`` declare false convergence — is rejected
+    loudly). Non-numeric ids (content-hash strings) cannot use a sum,
+    so they keep the exact, type-agnostic changed-count join and pay
+    the third shuffle.
     """
+    from pyspark.sql.types import NumericType
+
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint()
@@ -315,13 +321,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
 
     def label_sum(df: DataFrame) -> object:
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        if row["n"] > 0 and row["s"] is None:
+            raise RuntimeError(
+                "duplicate_clusters: label sum is NULL on a non-empty "
+                "numeric label set — convergence cannot be detected"
+            )
+        return row["s"]
 
-    prev_sum = label_sum(labels)
+    prev_sum = label_sum(labels) if numeric_ids else None
     changed = -1
     for _ in range(max_iter):
         contrib = (
@@ -335,10 +349,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = label_sum(updated)
+        if numeric_ids:
+            new_sum = label_sum(updated)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                updated.alias("u")
+                .join(
+                    labels.alias("o"),
+                    F.col("u.node") == F.col("o.node"),
+                )
+                .filter(F.col("u.label") != F.col("o.label"))
+                .count()
+            )
         labels = updated
-        changed = 0 if new_sum == prev_sum else 1
-        prev_sum = new_sum
         if changed == 0:
             break
     if changed != 0:

@@ -113,6 +113,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (norm(a) * norm(b))
 
 
+def _query_cosine_topk(
+    df: DataFrame,
+    q: list[float],
+    k: int,
+    vec_col: str,
+    id_col: str,
+    norm_sql: str | None = None,
+) -> DataFrame:
+    """The canonical query-cosine ranking tail shared by every ANN
+    variant: ``round(dot(vec, q) / (norm * |q|), 4)`` ranked DESC with
+    the vec_id tie-break and a top-k limit. One definition so a future
+    rounding or tie-break change cannot silently diverge between the
+    exact, single-probe, multi-probe and IVF paths (each has a
+    generated oracle twin that must keep matching). ``norm_sql``
+    overrides the row-norm expression (IVF passes its precomputed
+    column)."""
+    sim = F.expr(
+        f"{_dot_lit_sql(vec_col, q)}"
+        f" / ({norm_sql or _norm_sql(vec_col, len(q))} * ({_pynorm(q)!r}))"
+    )
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -122,19 +149,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest by cosine to a literal query vector."""
     q = [float(v) for v in query_vec]
-    dim = len(q)
-    sim = F.expr(
-        f"{_dot_lit_sql(vec_col, q)}"
-        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
-    )
-    return (
-        vectors.select(
-            F.col(id_col),
-            F.round(sim, 4).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _query_cosine_topk(vectors, q, k, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +190,15 @@ def _plane_matrix(
             for p in range(planes)
         ]
     return _PLANE_CACHE[key]
+
+
+def _plane_proj_sql(coeffs: list[float], vec_col: str) -> str:
+    """One hyperplane's expanded projection — the shared generator for
+    the single- and multi-probe sign filters (left-to-right, matching
+    ``_srp_bucket_py`` and the oracle bitwise)."""
+    return " + ".join(
+        f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
+    )
 
 
 def _srp_bucket_py(vec: list[float], matrix: list[list[float]]) -> int:
@@ -224,24 +248,11 @@ def lsh_ann_topk(
     # three-valued `~NULL` silently drop the row.
     cond = None
     for p, coeffs in enumerate(matrix):
-        proj = F.expr(
-            " + ".join(
-                f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
-            )
-        )
+        proj = F.expr(_plane_proj_sql(coeffs, vec_col))
         bit = F.coalesce(proj >= 0, F.lit(False))
         this = bit if (qbucket >> p) & 1 else ~bit
         cond = this if cond is None else cond & this
-    sim = F.expr(
-        f"{_dot_lit_sql(vec_col, q)}"
-        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
-    )
-    return (
-        vectors.filter(cond)
-        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _query_cosine_topk(vectors.filter(cond), q, k, vec_col, id_col)
 
 
 def lsh_ann_multiprobe(
@@ -277,14 +288,10 @@ def lsh_ann_multiprobe(
     matrix = _plane_matrix(vectors.sparkSession, dim, planes)
     qbucket = _srp_bucket_py(q, matrix)
     barrier = F.monotonically_increasing_id() * F.lit(0)
-    proj_cols = []
-    for p, coeffs in enumerate(matrix):
-        proj = F.expr(
-            " + ".join(
-                f"{_elem_sql(vec_col, i)}*({c!r})" for i, c in enumerate(coeffs)
-            )
-        )
-        proj_cols.append((proj + barrier).alias(f"_pl{p}"))
+    proj_cols = [
+        (F.expr(_plane_proj_sql(coeffs, vec_col)) + barrier).alias(f"_pl{p}")
+        for p, coeffs in enumerate(matrix)
+    ]
     scored = vectors.select(F.col(id_col), F.col(vec_col), *proj_cols)
     matches = None
     for p in range(planes):
@@ -292,15 +299,8 @@ def lsh_ann_multiprobe(
         qbit = bool((qbucket >> p) & 1)
         hit = F.when(bit == F.lit(qbit), 1).otherwise(0)
         matches = hit if matches is None else matches + hit
-    sim = F.expr(
-        f"{_dot_lit_sql(vec_col, q)}"
-        f" / ({_norm_sql(vec_col, dim)} * ({_pynorm(q)!r}))"
-    )
-    return (
-        scored.filter(matches >= planes - max_mismatches)
-        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-        .limit(k)
+    return _query_cosine_topk(
+        scored.filter(matches >= planes - max_mismatches), q, k, vec_col, id_col
     )
 
 
@@ -522,13 +522,10 @@ def ivf_ann_topk(
     p = vectors.select(
         F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim).alias("_nv")
     )
-    sim = F.expr(f"{_dot_lit_sql(vec_col, q)} / (_nv * ({_pynorm(q)!r}))")
-    return (
+    return _query_cosine_topk(
         _with_nearest_centroid(p, vec_col, "_nv", cents, "_cid")
-        .filter(F.col("_cid").isin(probes))
-        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-        .limit(k)
+        .filter(F.col("_cid").isin(probes)),
+        q, k, vec_col, id_col, norm_sql="_nv",
     )
 
 

@@ -136,30 +136,40 @@ class TestSimilarity:
         assert 1 <= len(rows) <= 10
 
     def test_multiprobe_widens_candidates_and_recall(self, vectors):
-        """Multi-probe must (a) scan a strict superset of the
-        single-probe candidate set, and (b) never lose recall vs exact
-        top-k — the whole point of the recall lever."""
+        """Multi-probe must scan a superset of the single-probe
+        CANDIDATE set (observed by ranking with k >= corpus, which
+        returns every candidate) and must not lose top-k recall vs
+        exact — the whole point of the recall lever."""
         from ser_etl_spark.operators.similarity import lsh_ann_multiprobe
 
         vec = list(vectors.filter(F.col("vec_id") == 0).first()["embedding"])
+        n = vectors.count()
+        single_cand = {
+            r["vec_id"] for r in lsh_ann_topk(vectors, vec, k=n).collect()
+        }
+        multi_cand = {
+            r["vec_id"]
+            for r in lsh_ann_multiprobe(vectors, vec, k=n).collect()
+        }
+        assert 0 in multi_cand  # the query's own bucket is always probed
+        assert single_cand <= multi_cand
+        assert len(multi_cand) < n  # still pruning, not brute force
+
         exact = {r["vec_id"] for r in cosine_topk(vectors, vec, k=10).collect()}
         single = {r["vec_id"] for r in lsh_ann_topk(vectors, vec, k=10).collect()}
         multi = {
             r["vec_id"]
             for r in lsh_ann_multiprobe(vectors, vec, k=10).collect()
         }
-        assert multi and list(multi)  # non-empty; query's own bucket probed
-        r_single = len(single & exact) / len(exact)
-        r_multi = len(multi & exact) / len(exact)
-        assert r_multi >= r_single
+        assert len(multi & exact) >= len(single & exact)
         # max_mismatches = planes degenerates to exact brute force
-        full = [
+        full = {
             r["vec_id"]
             for r in lsh_ann_multiprobe(
                 vectors, vec, k=10, max_mismatches=4
             ).collect()
-        ]
-        assert set(full) == exact
+        }
+        assert full == exact
 
     def test_neardup_blocks_by_label(self, vectors):
         pairs = embedding_neardup_pairs(vectors, threshold=0.35).collect()
