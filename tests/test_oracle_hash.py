@@ -196,6 +196,31 @@ class TestRandomCorpusThreeWay:
             assert r["hr"] == to_signed(xxh64_int(3, xxh64_long(to_signed(u))))
 
 
+class TestHypothesisFuzz:
+    def test_arbitrary_unicode_strings(self):
+        """Property fuzz beyond the seeded corpus: any unicode string's
+        staged-SQL hash equals the Python reference (which TestPythonVsSpark
+        pins to Spark). One connection, one prepared chain, per-example
+        substitution."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE one(s VARCHAR)")
+        ctes, fin = stages_to_ctes("b", xxh64_str_stage_cols("s", "_h"), "_t")
+        sql = f"WITH b AS (SELECT s FROM one){ctes} SELECT _h FROM {fin}"
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.text(max_size=120))
+        def check(s: str) -> None:
+            con.execute("DELETE FROM one")
+            con.execute("INSERT INTO one VALUES (?)", [s])
+            (h,) = con.execute(sql).fetchone()
+            assert int(h) == xxh64_bytes(s.encode("utf-8")), repr(s)
+
+        check()
+
+
 class TestBucketPins:
     """Pin the INTERNAL hash values the sketch/dedup oracles rely on, not
     just their final outputs — a round-5 review found the Count-Min/Bloom
