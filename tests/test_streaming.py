@@ -332,3 +332,66 @@ class TestSessionTimeout:
             (u, a.timestamp(), b.timestamp(), n) for (u, a, b, n) in s
         }
         assert canon(got) == canon(expected)
+
+    def test_timeout_watermark_boundary_is_strict(self, spark, tmp_path):
+        """Pin the exact flush boundary the sessionizer ORACLE encodes:
+        a timeout fires iff deadline_ms (last_event_ms + gap_ms) is
+        STRICTLY below the final watermark (max_event_ms - delay_ms).
+        The fixtures never land on the equality case, so construct it:
+        user 1 has one open session at t0; user 2's lone event places
+        the watermark exactly AT user 1's deadline (no flush) or 1 ms
+        past it (flush). Guards both the strict `<` and the
+        milliseconds-floor watermark arithmetic against Spark-version
+        drift."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ser_etl_spark.streaming.sessions import (
+            SESSION_GAP_S,
+            streaming_sessions_timeout,
+        )
+        from ser_etl_spark.streaming.windows import (
+            replay_to_batch,
+            streaming_events,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def run_case(name: str, t2: dt.datetime):
+            d = tmp_path / name
+            d.mkdir()
+            table = pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array([t0, t2], pa.timestamp("us")),
+                    "user_id": pa.array([1, 2], pa.int64()),
+                    "event_type": pa.array(["view", "view"]),
+                    "value": pa.array([1.0, 1.0]),
+                    "props": pa.array(["{}", "{}"]),
+                }
+            )
+            pq.write_table(table, d / "events.parquet")
+            rows = replay_to_batch(
+                spark,
+                lambda s: streaming_sessions_timeout(
+                    streaming_events(s, str(d))
+                ),
+                f"wm_boundary_{name}",
+                mode="update",
+            ).collect()
+            return {(r["user_id"], r["events"]) for r in rows}
+
+        # watermark delay is 1 s; deadline(u1) = t0_ms + gap_ms.
+        # Case A: max_ts = t0 + gap + 1s  => wm == deadline -> NO flush.
+        at_boundary = run_case(
+            "at", t0 + dt.timedelta(seconds=SESSION_GAP_S + 1)
+        )
+        assert at_boundary == set()
+        # Case B: 1 ms past => wm = deadline + 1 -> user 1 flushes.
+        past_boundary = run_case(
+            "past",
+            t0 + dt.timedelta(seconds=SESSION_GAP_S + 1, milliseconds=1),
+        )
+        assert past_boundary == {(1, 1)}
