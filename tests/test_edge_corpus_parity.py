@@ -1,0 +1,94 @@
+"""Differential parity on an adversarial corpus the fixtures don't cover.
+
+The generated hash oracles (MinHash/SimHash/Count-Min/Bloom/packing) are
+hash-green on the synthetic fixtures, but those have a benign shape:
+ASCII text, 30+ tokens per doc, a tiny vocabulary. This suite re-runs
+the Spark-vs-DuckDB compare over a corpus built to hit the seams —
+empty text, whitespace-only, below-shingle-threshold docs, exact
+duplicates, unicode/multi-byte tokens, single very long repeated-token
+docs — so an oracle that quietly disagrees outside the fixture
+distribution fails here first.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
+
+from ser_etl_spark.registry import all_queries
+from tests.oracle import compare
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "", "en", "web", 0),
+    (1, "   ", "en", "web", 3),
+    (2, "one", "en", "web", 3),
+    (3, "two tokens", "en", "web", 10),
+    (4, "exactly three tokens", "en", "books", 20),
+    (5, "exactly three tokens", "en", "books", 20),  # exact duplicate
+    (6, "exactly three tokens here", "en", "books", 25),  # near-dup
+    (7, "naïve café über münchen — unicode tokens everywhere", "de", "web", 51),
+    (8, "語 言 處 理 模 型 訓 練 資 料 管 線", "zh", "web", 35),
+    (9, " ".join(["repeat"] * 40), "en", "code", 279),
+    (10, " ".join(f"tok{i}" for i in range(64)), "en", "code", 443),
+    (11, "Tabs\tand\nnewlines stay intact inside text", "en", "web", 42),
+    (12, "exactly  three   tokens", "en", "books", 23),  # multi-space
+]
+
+#: Document-table queries whose oracles exercise the generated hash SQL
+#: or shingle/token pipelines.
+EDGE_QUERIES = [
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_guarded",
+    "dedup_clusters",
+    "dedup_canonical",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "count_min_tokens",
+    "decontamination",
+    "decontamination_bloom",
+    "pack_sequences",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_corpus")
+    cols = list(zip(*EDGE_DOCS))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1]),
+            "lang": pa.array(cols[2]),
+            "source": pa.array(cols[3]),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(table, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_con(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_parity(spark, edge_dir, edge_con, name):
+    spec = all_queries()[name]
+    problems = compare(
+        name, spec.builder(spark, edge_dir), edge_con, spec.oracle
+    )
+    assert not problems, "\n".join(problems)
