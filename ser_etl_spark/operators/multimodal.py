@@ -78,14 +78,19 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> bytes:
 
     Real decoding needs codec libraries absent from this environment;
     ``fake=True`` returns a deterministic digest-stream standing in for
-    decoded bytes so downstream plumbing can be exercised.
+    decoded bytes so downstream plumbing can be exercised. The fake
+    digest is keyed on the payload's lowercase HEX rendering (not the
+    raw bytes): string-domain input keeps the stub expressible in any
+    SQL engine whose sha256 takes VARCHAR only (the differential oracle
+    replays it bit-exactly), while the Spark-side input stays a genuine
+    ``binary`` column end to end.
     """
     if not fake:
         raise NotImplementedError(
             "media decoding requires codec libraries (Pillow/ffmpeg); "
             "pass fake=True for the deterministic test decoder"
         )
-    return hashlib.sha256(b"decoded:" + payload).digest()
+    return hashlib.sha256(b"decoded:" + payload.hex().encode()).digest()
 
 
 def feature_schema(id_col: str = "doc_id") -> StructType:
@@ -120,7 +125,9 @@ def extract_features(
         for pdf in it:
             feats = []
             for payload in pdf["payload"]:
-                decoded = hashlib.sha256(b"decoded:" + bytes(payload)).digest()
+                decoded = hashlib.sha256(
+                    b"decoded:" + bytes(payload).hex().encode()
+                ).digest()
                 feats.append(
                     [
                         int.from_bytes(decoded[4 * i : 4 * i + 4], "big")
@@ -173,11 +180,50 @@ def frame_sample_query(spark, sf_dir):
     return sample_frames(with_fake_payload(docs), every_n=30)
 
 
+def _hexint_sql(col: str, start: int) -> str:
+    """DuckDB SQL for the big-endian integer of 8 hex chars of ``col``
+    starting at 1-based position ``start`` — the SQL twin of
+    ``int.from_bytes(digest[4i:4i+4], 'big')`` over the hex rendering.
+    Every term is an exact integer < 2^32, so the sum is exact."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + ")"
+
+
+def _multimodal_oracle(dims: int = 2) -> str:
+    """DuckDB twin of ``multimodal_features_query``: the fake payload is
+    replayed hex-domain (4 chained sha256 hex digests — exactly what
+    ``with_fake_payload``'s bytes render to via ``.hex()``), the fake
+    decode is ``sha256('decoded:' || payload_hex)``, and each feature is
+    8 hex chars converted to an exact integer / 2^32."""
+    payload_hex = " || ".join(
+        f"sha256(CAST(doc_id AS VARCHAR) || ':{i}')" for i in range(4)
+    )
+    feats = ", ".join(
+        f"round(CAST({_hexint_sql('dh', 8 * i + 1)} AS DOUBLE)"
+        f" / 4294967296.0, 6) AS f{i}"
+        for i in range(dims)
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, {payload_hex} AS payload_hex FROM documents
+    ), d AS (
+      SELECT doc_id, sha256('decoded:' || payload_hex) AS dh FROM p
+    )
+    SELECT doc_id, {feats} FROM d
+    """
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas feature extraction is not SQL-expressible
+    oracle=_multimodal_oracle(),
     description="binary media payload -> Arrow-batched (stub) feature "
-    "extraction via mapInPandas; deterministic fake decoder",
+    "extraction via mapInPandas; deterministic fake decoder keyed on the "
+    "payload's hex rendering, so the whole Arrow path (binary column -> "
+    "pandas batch -> sha256 stream -> float features) replays bit-exactly "
+    "in the SQL oracle (oracle-backed since r6)",
     covers=("N-multimodal",),
 )
 def multimodal_features_query(spark, sf_dir):
