@@ -339,9 +339,14 @@ def test_expanded_vector_stages_compile(sf_small):
     the stderr it inherited at launch, so an in-process fd redirect
     cannot see it (a round-5 review caught exactly that vacuous form of
     this test); instead run the queries in a SUBPROCESS whose stderr is
-    captured for real. ivf_ann_topk — whose fully fused argmax+cosine
-    stage is documented to still exceed the limit — runs as the
-    POSITIVE control: its error must appear, proving the capture works.
+    captured for real. The r6 write-time ANN layout removed the one
+    documented interpreted stage (the registry ivf_ann_topk probe now
+    reads precomputed centroid partitions + vnorm, so the fused
+    argmax+cosine expression no longer exists) — ALL four registry ANN
+    queries must now compile clean. The SCAN-time ivf_ann_topk function,
+    which still fuses the centroid argmax with the query-cosine
+    projection in one stage, remains the POSITIVE control: its error
+    must appear, proving the capture works.
     """
     import subprocess
     import sys
@@ -355,11 +360,19 @@ spark = get_spark(conf={{"spark.ui.enabled": "false",
 from ser_etl_spark.registry import all_queries
 Q = all_queries()
 import sys
-for name in ("lsh_ann_topk", "ivf_assign", "hard_negative_mining"):
+import tempfile
+from ser_etl_spark.operators.similarity import build_ann_index
+build_ann_index(spark, {sf_small!r}, tempfile.mkdtemp(prefix="annidx_"))
+print("CLEAN_DONE build_ann_index", file=sys.stderr, flush=True)
+for name in ("lsh_ann_topk", "ivf_assign", "hard_negative_mining",
+             "ivf_ann_topk", "lsh_ann_multiprobe"):
     Q[name].builder(spark, {sf_small!r}).collect()
     print("CLEAN_DONE " + name, file=sys.stderr, flush=True)
 print("CONTROL_START", file=sys.stderr, flush=True)
-Q["ivf_ann_topk"].builder(spark, {sf_small!r}).collect()
+from ser_etl_spark.operators.similarity import ivf_ann_topk, _query_vector
+from ser_etl_spark.sources.parquet import load_table
+emb = load_table(spark, {sf_small!r}, "embeddings")
+ivf_ann_topk(emb, _query_vector(spark, {sf_small!r}), k=10).collect()
 spark.stop()
 """
     proc = subprocess.run(
@@ -371,7 +384,7 @@ spark.stop()
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     clean, _, control = proc.stderr.partition("CONTROL_START")
-    assert clean.count("CLEAN_DONE") == 3, proc.stderr[-3000:]
+    assert clean.count("CLEAN_DONE") == 6, proc.stderr[-3000:]
     assert "Failed to compile" not in clean, clean[-3000:]
     # positive control: the known-failing stage must surface the error,
     # otherwise this test has silently stopped observing codegen at all
@@ -412,3 +425,70 @@ def test_hard_negative_is_single_fused_scan(spark, sf_small):
     assert "Window" in plan, plan
     # floor filter sits below the exchange feeding the window
     assert plan.index("Filter") < plan.index("Window"), plan
+
+
+def test_ann_index_probes_prune_partitions(spark, sf_small):
+    """Directive-r6 #1: the persisted ANN layout must turn every probe
+    into partition pruning — PartitionFilters carries the bucket/list
+    predicate (the scan never touches non-matching directories), and the
+    layout on disk actually shards the corpus so the pruned fraction is
+    a strict subset."""
+    import glob
+    import os
+
+    from ser_etl_spark.operators import similarity as S
+
+    vec = S._query_vector(spark, sf_small)
+    idx = S.ensure_ann_index(spark, sf_small)
+
+    def pf(df) -> str:
+        m = re.search(r"PartitionFilters: \[(.+?)\]", explain_string(df))
+        assert m, explain_string(df)
+        return m.group(1)
+
+    single = S.lsh_ann_topk_indexed(spark, sf_small, vec, k=10)
+    assert "srp_bucket" in pf(single)
+    multi = S.lsh_ann_topk_indexed(spark, sf_small, vec, k=10, max_mismatches=1)
+    assert re.search(r"srp_bucket#\d+ IN \(", pf(multi))
+    ivf = S.ivf_ann_topk_indexed(spark, sf_small, vec, k=10)
+    assert re.search(r"centroid_id#\d+ IN \(", pf(ivf))
+
+    # the layout genuinely shards: >1 bucket directory exists, so the
+    # single-bucket probe reads a strict subset of the data files
+    bucket_dirs = glob.glob(os.path.join(idx, "srp_bucket=*"))
+    assert len(bucket_dirs) > 1, bucket_dirs
+    all_files = glob.glob(os.path.join(idx, "srp_bucket=*", "*", "*.parquet"))
+    qb = S._srp_bucket_py(vec, S._plane_matrix(spark, len(vec), S.ANN_PLANES))
+    probe_files = glob.glob(
+        os.path.join(idx, f"srp_bucket={qb}", "*", "*.parquet")
+    )
+    assert 0 < len(probe_files) < len(all_files), (len(probe_files), len(all_files))
+
+
+def test_ann_indexed_probes_match_scan_probes(spark, sf_small):
+    """The write-time layout is a pure layout change: indexed probes must
+    return bit-identical rows to the scan-time filter forms."""
+    from ser_etl_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_indexed,
+        lsh_ann_multiprobe,
+        lsh_ann_topk,
+        lsh_ann_topk_indexed,
+        _query_vector,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vec = _query_vector(spark, sf_small)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(lsh_ann_topk_indexed(spark, sf_small, vec, k=10)) == rows(
+        lsh_ann_topk(emb, vec, k=10)
+    )
+    assert rows(
+        lsh_ann_topk_indexed(spark, sf_small, vec, k=10, max_mismatches=1)
+    ) == rows(lsh_ann_multiprobe(emb, vec, k=10, max_mismatches=1))
+    assert rows(ivf_ann_topk_indexed(spark, sf_small, vec, k=10)) == rows(
+        ivf_ann_topk(emb, vec, k=10)
+    )
