@@ -61,8 +61,15 @@ def _dim(vectors: DataFrame, vec_col: str) -> int:
 
 
 def _elem_sql(arr: str, i: int) -> str:
-    """SQL for component i (0-based) of an array expression, as double."""
-    return f"CAST(({arr})[{i}] AS DOUBLE)"
+    """SQL for component i (0-based) of an array expression, as double.
+
+    ``get()`` rather than ``[]``: under Spark 4's ANSI default, indexing
+    past the end of an array THROWS (INVALID_ARRAY_INDEX) — ``get``
+    returns NULL, matching DuckDB's out-of-range list access, so a
+    length-mismatched vector degrades to a NULL score on both engines
+    instead of failing the job (pinned by
+    tests/test_edge_vectors_parity.py's short-array row)."""
+    return f"CAST(get(({arr}), {i}) AS DOUBLE)"
 
 
 def _dot_lit_sql(arr: str, vals: list[float]) -> str:
@@ -493,8 +500,14 @@ def ivf_assign(
         F.col(vec_col),
         _norm_col(vec_col, dim).alias("_nv"),
     )
+    # -1 sentinel = "no assignable list": a degenerate vector (zero-norm,
+    # NULL element, short array) scores NULL against every centroid. A
+    # NULL in the output's BIGINT column would make the driver's pandas
+    # rendering float the whole column, so the sentinel keeps the dtype
+    # integral in both engines (oracle mirrors it).
     return _with_nearest_centroid(p, vec_col, "_nv", cents, "centroid_id").select(
-        F.col(id_col), "centroid_id"
+        F.col(id_col),
+        F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id"),
     )
 
 
@@ -993,8 +1006,8 @@ def _ivf_assign_oracle(
     centroid (same bits as ``_with_nearest_centroid``), argmax via
     ROW_NUMBER with the cid tie-break. DuckDB's default NULLS LAST on the
     DESC sort plus the CASE make an all-NULL row (zero-norm vector)
-    surface a NULL centroid_id — exactly the builder's
-    greatest/when/least NULL propagation."""
+    surface the -1 sentinel — exactly the builder's greatest/when/least
+    NULL propagation coalesced to -1."""
     dim = EMB_DIM if dim is None else dim
     return f"""
     WITH c AS (
@@ -1005,7 +1018,7 @@ def _ivf_assign_oracle(
              {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
       FROM embeddings e CROSS JOIN c
     )
-    SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS centroid_id
+    SELECT vec_id, CASE WHEN cs IS NULL THEN -1 ELSE cid END AS centroid_id
     FROM scored
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
     """

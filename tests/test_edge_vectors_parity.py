@@ -1,0 +1,184 @@
+"""Differential parity for the similarity family on seam vectors.
+
+The embeddings fixture is benign — full-length, finite, nonzero
+float32 vectors — so the LSH NULL->bit-0 / NaN->bit-1 semantics, the
+zero-norm nullif guard, and the short-array/NULL-element propagation in
+the generated ANN oracles were hand-reasoned rather than fixture-proven
+(round-5 verdict gap). This suite runs the ANN registry queries over a
+corpus built to hit exactly those seams and compares Spark vs DuckDB
+bit-for-bit, write-time index layout included (the registry probes
+build and read the partitioned layout for this corpus too).
+
+Corpus contract: vec_id 0 is the query point and vec_ids 0..7 are the
+IVF coarse centroids, so those eight stay well-formed; every seam
+vector sits at vec_id >= 8. quantize/project run on a reduced corpus:
+their representations diverge BY DESIGN on rows the cosine family
+tolerates (posexplode emits one row per *present* element, so a short
+array changes the row count; Spark's non-ANSI CAST(NaN AS INT) yields 0
+where DuckDB errors) — the reduced set still covers the zero-vector,
+negative-zero, denormal and exact-duplicate seams.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ser_etl_spark.registry import all_queries
+from tests.oracle import compare
+
+DIM = 64
+
+
+def _well_formed(vid: int) -> list[float]:
+    # arbitrary deterministic nonzero pattern; float32 storage is what
+    # both engines read, so no value needs to be "nice"
+    return [((vid * 31 + i * 7) % 13 - 6) / 7.0 + 0.01 for i in range(DIM)]
+
+
+def _edge_vectors():
+    rows: list[tuple[int, list, int]] = []
+    for vid in range(8):  # query point + IVF centroids: well-formed
+        rows.append((vid, _well_formed(vid), vid % 4))
+    rows.append((8, [0.0] * DIM, 0))  # zero vector: cosine undefined
+    nanv = _well_formed(9)
+    nanv[3] = math.nan
+    rows.append((9, nanv, 1))  # NaN element: NaN propagates, sorts first
+    nullv = _well_formed(10)
+    nullv[3] = None
+    rows.append((10, nullv, 2))  # NULL element: NULL propagates, sorts last
+    rows.append((11, _well_formed(11)[:5], 3))  # short array: NULL via [i]
+    rows.append((12, _well_formed(1), 0))  # exact duplicate of vec_id 1
+    rows.append((13, [-0.0] * DIM, 1))  # negative zero: still zero-norm
+    infv = _well_formed(14)
+    infv[0] = math.inf
+    rows.append((14, infv, 2))  # inf element: inf/inf -> NaN both engines
+    rows.append((15, [1e-40] * DIM, 3))  # float32 denormals: tiny norm
+    return rows
+
+
+#: seams the fixed-width quantize/unnest and project representations
+#: cannot express identically in both engines (see module docstring)
+_REDUCED_EXCLUDES = {9, 10, 11, 14}
+
+FULL_QUERIES = [
+    "ann_cosine_topk",
+    "lsh_ann_topk",
+    "lsh_ann_multiprobe",
+    "ivf_assign",
+    "ivf_ann_topk",
+]
+
+REDUCED_QUERIES = [
+    "embedding_quantize",
+    "embedding_project",
+]
+
+
+def _write_embeddings(path, rows) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.fixture(scope="module")
+def edge_vec_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_vectors")
+    _write_embeddings(d / "embeddings.parquet", _edge_vectors())
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def reduced_vec_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_vectors_reduced")
+    rows = [r for r in _edge_vectors() if r[0] not in _REDUCED_EXCLUDES]
+    _write_embeddings(d / "embeddings.parquet", rows)
+    return str(d)
+
+
+def _con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def edge_vec_con(edge_vec_dir):
+    con = _con(edge_vec_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def reduced_vec_con(reduced_vec_dir):
+    con = _con(reduced_vec_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FULL_QUERIES)
+def test_edge_vector_parity(spark, edge_vec_dir, edge_vec_con, name):
+    spec = all_queries()[name]
+    problems = compare(
+        name, spec.builder(spark, edge_vec_dir), edge_vec_con, spec.oracle
+    )
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", REDUCED_QUERIES)
+def test_reduced_edge_vector_parity(
+    spark, reduced_vec_dir, reduced_vec_con, name
+):
+    spec = all_queries()[name]
+    problems = compare(
+        name, spec.builder(spark, reduced_vec_dir), reduced_vec_con, spec.oracle
+    )
+    assert not problems, "\n".join(problems)
+
+
+def test_degenerate_rows_place_deterministically(spark, edge_vec_dir):
+    """Pin the seam ordering contract the oracles rely on: NaN scores
+    sort first, NULL scores (zero-norm / NULL-element / short-array)
+    sort last, and the exact duplicate of a centroid assigns to it."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.similarity import ivf_assign
+    from ser_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, edge_vec_dir, "embeddings")
+    assign = {
+        r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb).collect()
+    }
+    assert assign[12] == 1  # exact duplicate of centroid 1
+    for degenerate in (8, 10, 11, 13):  # zero, NULL, short, -0.0
+        assert assign[degenerate] == -1, (degenerate, assign[degenerate])
+    assert assign[9] >= 0  # NaN scores NaN, still assigns
+    # zero-norm rows never enter a cosine top-k: scored NULL, sorted last
+    from ser_etl_spark.operators.similarity import (
+        _query_vector,
+        cosine_topk,
+    )
+
+    vec = _query_vector(spark, edge_vec_dir)
+    top = cosine_topk(emb, vec, k=16).collect()
+    sims = [r["cos_sim"] for r in top]
+    # NaN rows (vec 9: NaN element; vec 14: inf/inf) lead, NULLs trail
+    assert all(
+        s is not None and math.isnan(s) for s in sims[:2]
+    ), sims
+    assert all(s is None for s in sims[-4:]), sims
