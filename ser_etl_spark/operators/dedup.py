@@ -276,6 +276,29 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: every node takes the min of its
+    own and its neighbors' labels.
+
+    Exactly one edge-contribution join plus one min-aggregate — the
+    per-round data cost of :func:`duplicate_clusters`. Its physical plan
+    carries THREE Exchange nodes (edges side + labels side feeding the
+    join, then the aggregate's hashpartitioning on node), i.e. two
+    logical shuffles of the data per round; the r4 form paid a second
+    join (labels-vs-updated) per round for the convergence flag. Pinned
+    by tests/test_plans.py so a rewrite can't silently reintroduce it.
+    """
+    contrib = edges.join(labels, edges.src == labels.node).select(
+        F.col("dst").alias("node"), "label"
+    )
+    return (
+        labels.select("node", "label")
+        .union(contrib)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """Connected components over ``(doc_a, doc_b)`` duplicate pairs:
     ``(doc_id, cluster_id, is_survivor)`` with ``cluster_id`` = the
@@ -338,17 +361,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     prev_sum = label_sum(labels) if numeric_ids else None
     changed = -1
     for _ in range(max_iter):
-        contrib = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        updated = (
-            labels.select("node", "label")
-            .union(contrib)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+        updated = _propagation_round(edges, labels).localCheckpoint()
         if numeric_ids:
             new_sum = label_sum(updated)
             changed = 0 if new_sum == prev_sum else 1
