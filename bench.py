@@ -167,9 +167,14 @@ def main() -> None:
                 # host-speed yardsticks (see _calibrate/_calibrate_scan):
                 # normalize cross-round per-query ratios by the one that
                 # matches the query's bottleneck (JVM compute vs scan+
-                # shuffle) before reading them as regressions
+                # shuffle) before reading them as regressions. The scan
+                # yardstick is PRIMARY for cross-round comparison: r5
+                # proved the compute yardstick can diverge 1.6x from
+                # observed query drift (host IO/steal it cannot see),
+                # while most registry queries are scan+shuffle-bound.
                 "calibration_seconds": calibration_s,
                 "scan_calibration_seconds": scan_calibration_s,
+                "primary_yardstick": "scan_calibration_seconds",
                 "queries_file": "BENCH_DETAIL.json",
             }
         )
