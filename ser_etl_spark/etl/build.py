@@ -58,6 +58,13 @@ class TableLayout:
     #: `partitionBy(to_date(updated_at))` — time-range queries prune
     #: whole directories before any I/O happens). Must be low-cardinality.
     partition_by: str | None = None
+    #: materialize the ANN probe layout next to the table (embedding
+    #: tables only): a `<name>_ann_index` directory partitioned by
+    #: (srp_bucket, centroid_id) so LSH/IVF probes prune partitions
+    #: instead of scanning the corpus — the vector-search member of the
+    #: index-replacement family (see operators/similarity.py
+    #: build_ann_index / lsh_ann_topk_indexed).
+    ann_index: bool = False
 
 
 @dataclass(frozen=True)
@@ -133,6 +140,15 @@ def build_snapshot(
         if layout.partition_by and layout.partition_by in df.columns:
             writer = writer.partitionBy(layout.partition_by)
         writer.parquet(os.path.join(out_dir, name))
+        if layout.ann_index and "embedding" in df.columns:
+            from ser_etl_spark.operators.similarity import ann_layout_frame
+
+            (
+                ann_layout_frame(df)
+                .write.mode("overwrite")
+                .partitionBy("srp_bucket", "centroid_id")
+                .parquet(os.path.join(out_dir, f"{name}_ann_index"))
+            )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

@@ -620,9 +620,33 @@ def build_ann_index(
     expanded norm expression — doubles round-trip parquet losslessly, so
     indexed and scan-time probes return identical bits.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    laid = ann_layout_frame(
+        load_table(spark, sf_dir, "embeddings"), planes, num_centroids,
+        vec_col, id_col,
+    )
+    (
+        laid.write.mode("overwrite")
+        .partitionBy("srp_bucket", "centroid_id")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ann_layout_frame(
+    emb: DataFrame,
+    planes: int = ANN_PLANES,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ANN layout as a DataFrame: the input plus ``vnorm``,
+    ``srp_bucket`` and ``centroid_id``, repartitioned for a
+    ``partitionBy(srp_bucket, centroid_id)`` write. Shared by
+    :func:`build_ann_index` and ``etl.build.build_snapshot`` (a
+    ``TableLayout(ann_index=True)`` materializes this next to the table
+    during the snapshot build — the production write-time path)."""
     dim = _dim(emb, vec_col)
-    matrix = _plane_matrix(spark, dim, planes)
+    matrix = _plane_matrix(emb.sparkSession, dim, planes)
     # Separate barrier-protected projection columns per plane (the janino
     # discipline of _with_nearest_centroid / lsh_ann_multiprobe).
     barrier = F.monotonically_increasing_id() * F.lit(0)
@@ -654,13 +678,7 @@ def build_ann_index(
     #    by tests/test_plans.py's subprocess stderr capture).
     p = p.repartition(F.col("srp_bucket"))
     cents = ivf_centroids(emb, num_centroids, vec_col, id_col)
-    laid = _with_nearest_centroid(p, vec_col, "vnorm", cents, "centroid_id")
-    (
-        laid.write.mode("overwrite")
-        .partitionBy("srp_bucket", "centroid_id")
-        .parquet(out_dir)
-    )
-    return out_dir
+    return _with_nearest_centroid(p, vec_col, "vnorm", cents, "centroid_id")
 
 
 def _source_fingerprint(path: str) -> str:

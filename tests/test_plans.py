@@ -536,3 +536,32 @@ def test_dedup_propagation_round_shuffle_count(spark):
         re.findall(r"\(\d+\) Exchange", explain_string(labels))
     )
     assert len(exchanges) - base == 3, plan
+
+
+def test_snapshot_ann_layout_prunes(spark, sf_small, tmp_path):
+    """TableLayout(ann_index=True) materializes the ANN probe layout
+    inside the snapshot build (the production write-time path); a bucket
+    probe over it is partition pruning, same as the on-demand index."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.etl.build import build_snapshot
+    from ser_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_small, "embeddings")
+    report = build_snapshot(
+        {"embeddings": emb},
+        str(tmp_path),
+        layouts={"embeddings": TableLayout(unique_key="vec_id",
+                                           ann_index=True)},
+    )
+    assert report.tables["embeddings"] > 0
+    vec = S._query_vector(spark, sf_small)
+    qb = S._srp_bucket_py(vec, S._plane_matrix(spark, len(vec), S.ANN_PLANES))
+    probe = (
+        spark.read.parquet(str(tmp_path / "embeddings_ann_index"))
+        .filter(F.col("srp_bucket") == qb)
+    )
+    plan = explain_string(probe)
+    m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
+    assert m and "srp_bucket" in m.group(1), plan
+    assert probe.count() > 0
