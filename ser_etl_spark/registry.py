@@ -62,14 +62,16 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-5 curation: every query whose implementation was rewritten this
-#: round is held out by hand — the source-hash heuristic only sees the
-#: BUILDER function and the oracle text, so rewrites inside shared
-#: helpers (_with_nearest_centroid, duplicate_clusters, replay_to_batch,
-#: _query_cosine_topk) are invisible to it. Held out: the five
-#: oracle-conversions' builders plus ivf_assign, dedup_clusters,
-#: dedup_canonical, ann_cosine_topk and the four batch-replayed
-#: streaming queries (Arrow hand-off rewrite).
+#: Round-6 curation (regenerated from the r1-r5 union, 120 green): every
+#: query the r6 work touched is held out by hand — the source-hash
+#: heuristic only sees the BUILDER function and the oracle text, so
+#: rewrites inside shared helpers are invisible to it. Held out: the
+#: write-time-layout probes + their seam-hardened oracles
+#: (ann_cosine_topk, lsh_ann_topk, lsh_ann_multiprobe, ivf_assign,
+#: ivf_ann_topk), the _elem_sql get() dependents (embedding_quantize,
+#: embedding_neardup, hard_negative_mining), the hex-domain conversion
+#: (multimodal_features), the spread-probe fix (name_edit_neardup) and
+#: the _propagation_round refactor (dedup_clusters, dedup_canonical).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "approx_sketches",
     "bigram_rare_ratio",
@@ -90,16 +92,13 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "doc_chunks",
     "doc_repetition",
     "embedding_centroids",
-    "embedding_neardup",
     "embedding_project",
-    "embedding_quantize",
     "event_value_pivot",
     "excess_order_counts",
     "fingerprint",
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
-    "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
     "important_stock",
@@ -115,9 +114,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "max_watermark",
     "measures_unpivot",
     "min_cost_supplier",
+    "minhash_lsh_pairs",
     "moving_spend_90d",
-    "multimodal_features",
-    "name_edit_neardup",
     "nation_market_share",
     "nation_revenue_share",
     "nation_trade_volume",
@@ -128,6 +126,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "order_priority_check",
     "order_reconciliation",
     "order_seasonality",
+    "pack_sequences",
     "pii_scrub",
     "price_percentiles",
     "pricing_summary",
@@ -149,6 +148,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "session_concurrency",
     "sessionize_events",
     "shipping_priority",
+    "simhash_pairs",
     "small_order_revenue",
     "sole_returning_supplier",
     "source_cap",
@@ -156,8 +156,12 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "stats_moments",
     "stocked_parts_promotion",
     "stratified_sample",
+    "streaming_exact_dedup",
     "streaming_sessions",
     "streaming_sessions_timeout",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
+    "streaming_view_clicks",
     "summary_view",
     "supplier_variety",
     "table_profile",
