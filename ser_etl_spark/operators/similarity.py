@@ -638,13 +638,20 @@ def ann_layout_frame(
     num_centroids: int = IVF_CENTROIDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The ANN layout as a DataFrame: the input plus ``vnorm``,
     ``srp_bucket`` and ``centroid_id``, repartitioned for a
     ``partitionBy(srp_bucket, centroid_id)`` write. Shared by
     :func:`build_ann_index` and ``etl.build.build_snapshot`` (a
     ``TableLayout(ann_index=True)`` materializes this next to the table
-    during the snapshot build — the production write-time path)."""
+    during the snapshot build — the production write-time path).
+
+    ``centroids`` freezes the coarse quantizer: an incremental upsert
+    (:func:`upsert_ann_index`) must lay out NEW vectors with the
+    centroids the existing index was built with, or assignments drift
+    between old and new partitions. Default (None) derives them from
+    ``emb`` — the full-build path."""
     dim = _dim(emb, vec_col)
     matrix = _plane_matrix(emb.sparkSession, dim, planes)
     # Separate barrier-protected projection columns per plane (the janino
@@ -677,7 +684,7 @@ def ann_layout_frame(
     #    build silently drops to interpreted execution (pinned compiled
     #    by tests/test_plans.py's subprocess stderr capture).
     p = p.repartition(F.col("srp_bucket"))
-    cents = ivf_centroids(emb, num_centroids, vec_col, id_col)
+    cents = centroids or ivf_centroids(emb, num_centroids, vec_col, id_col)
     return _with_nearest_centroid(p, vec_col, "vnorm", cents, "centroid_id")
 
 
@@ -732,6 +739,69 @@ def ensure_ann_index(
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def index_centroids(
+    spark: SparkSession,
+    idx_dir: str,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """The frozen coarse quantizer of an existing index, read back from
+    the index itself (O(K) rows collected — same cost class as shipping
+    a trained quantizer). Reading from the index rather than the source
+    table means maintenance never depends on the original corpus
+    snapshot still being around."""
+    rows = (
+        spark.read.parquet(idx_dir)
+        .filter(F.col(id_col) < num_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def upsert_ann_index(
+    spark: SparkSession,
+    idx_dir: str,
+    new_vectors: DataFrame,
+    planes: int = ANN_PLANES,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: lay out only the NEW vectors —
+    with the index's frozen quantizer — and append their files into the
+    matching partition directories.
+
+    This is the A2/A16 incremental-sync story applied to the vector
+    index: the corpus grows by a delta, so only the delta pays the
+    layout cost (projections + centroid argmax + one small shuffle),
+    while probes keep pruning the same partition scheme — new files
+    simply join their directories. Append-only by design: replacing a
+    changed vector is a snapshot-rebuild concern (``build_snapshot`` +
+    ``publish_snapshot``'s atomic repoint), not an in-place file edit —
+    at 100 TB an in-place read-modify-write of live index partitions is
+    exactly the non-atomic mutation the manifest-resolved snapshot
+    model exists to avoid.
+
+    Bit-compatibility: the frozen centroids and the data-independent
+    hyperplanes make the delta's bucket/centroid assignments identical
+    to what a full rebuild over the grown corpus would produce, so
+    upserted and rebuilt indexes answer probes with the same rows
+    (pinned by tests/test_llm_ops.py).
+    """
+    cents = index_centroids(spark, idx_dir, num_centroids, vec_col, id_col)
+    laid = ann_layout_frame(
+        new_vectors, planes, num_centroids, vec_col, id_col, centroids=cents
+    )
+    (
+        laid.write.mode("append")
+        .partitionBy("srp_bucket", "centroid_id")
+        .parquet(idx_dir)
+    )
 
 
 def _hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:

@@ -920,3 +920,81 @@ class TestPackOracle:
         )
         got = {r["v"]: r["s"] for r in sdf.collect()}
         assert {k: int(x) for k, x in duck.items()} == got
+
+
+class TestAnnIndexMaintenance:
+    """Incremental index upsert: a delta laid out with the frozen
+    quantizer and appended into the partition dirs must answer probes
+    identically to a full rebuild over the grown corpus."""
+
+    def _probe_lsh(self, spark, idx, vec, k=10):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators import similarity as S
+
+        matrix = S._plane_matrix(spark, len(vec), S.ANN_PLANES)
+        qb = S._srp_bucket_py(vec, matrix)
+        df = spark.read.parquet(idx).filter(F.col("srp_bucket") == qb)
+        return sorted(
+            tuple(r)
+            for r in S._query_cosine_topk(
+                df, vec, k, "embedding", "vec_id", norm_sql="vnorm"
+            ).collect()
+        )
+
+    def _probe_ivf(self, spark, idx, vec, k=10, nprobe=2):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators import similarity as S
+
+        cents = S.index_centroids(spark, idx)
+        probes = S._ivf_probe_ids(vec, cents, nprobe)
+        df = spark.read.parquet(idx).filter(F.col("centroid_id").isin(probes))
+        return sorted(
+            tuple(r)
+            for r in S._query_cosine_topk(
+                df, vec, k, "embedding", "vec_id", norm_sql="vnorm"
+            ).collect()
+        )
+
+    def test_upsert_equals_rebuild(self, spark, sf_small, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        n = emb.count()
+        half = n // 2
+        base = emb.filter(F.col("vec_id") < half)  # contains centroids 0..7
+        delta = emb.filter(F.col("vec_id") >= half)
+
+        full_dir = str(tmp_path / "full")
+        inc_dir = str(tmp_path / "inc")
+        for src, path in ((emb, full_dir), (base, inc_dir)):
+            (
+                S.ann_layout_frame(src)
+                .write.partitionBy("srp_bucket", "centroid_id")
+                .parquet(path)
+            )
+        S.upsert_ann_index(spark, inc_dir, delta)
+
+        assert spark.read.parquet(inc_dir).count() == n
+        vec = S._query_vector(spark, sf_small)
+        assert self._probe_lsh(spark, inc_dir, vec) == self._probe_lsh(
+            spark, full_dir, vec
+        )
+        assert self._probe_ivf(spark, inc_dir, vec) == self._probe_ivf(
+            spark, full_dir, vec
+        )
+        # frozen quantizer: delta rows assigned with base centroids match
+        # the full rebuild's assignment partition-for-partition
+        inc_parts = sorted(
+            tuple(r) for r in spark.read.parquet(inc_dir)
+            .select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        full_parts = sorted(
+            tuple(r) for r in spark.read.parquet(full_dir)
+            .select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        assert inc_parts == full_parts
