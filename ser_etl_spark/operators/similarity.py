@@ -1168,6 +1168,55 @@ def _ivf_ann_oracle(
     """
 
 
+def _ann_layout_oracle(
+    planes: int = ANN_PLANES,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of the persisted index's partition columns: the packed
+    SRP bucket from the same plane literals and the nearest-centroid
+    assignment with the -1 degenerate sentinel."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    bkt = _srp_bucket_duck("e.embedding", m)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c
+    ), a AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN -1 ELSE cid END AS centroid_id
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    )
+    SELECT e.vec_id, {bkt} AS srp_bucket, a.centroid_id
+    FROM embeddings e JOIN a USING (vec_id)
+    """
+
+
+@register(
+    "ann_index_layout",
+    oracle=_ann_layout_oracle(),
+    description="the write-time ANN layout itself as a relation: every "
+    "vector's persisted (srp_bucket, centroid_id) partition assignment, "
+    "read back from the materialized index and checked against the "
+    "generated bucket/assignment SQL — the index build (not just probes "
+    "over it) faces the oracle; degenerate vectors carry the -1 sentinel",
+    covers=("N-sim",),
+)
+def ann_index_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ann_index(spark, sf_dir)
+    return spark.read.parquet(idx).select(
+        "vec_id",
+        "srp_bucket",
+        F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id"),
+    )
+
+
 @register(
     "ivf_ann_topk",
     oracle=_ivf_ann_oracle(),
@@ -1308,6 +1357,136 @@ def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("_mx") / F.lit(127.0)).alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: quantized approximate scan -> exact rescore
+# ---------------------------------------------------------------------------
+
+#: candidate pool the cheap quantized stage hands to the exact stage
+RESCORE_POOL = 50
+
+
+def quantized_rescore_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = RESCORE_POOL,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: rank the whole corpus by cosine over the
+    int8-RECONSTRUCTED vectors (cheap stage), keep the top ``m``
+    candidates, rescore them exactly, return the top ``k``.
+
+    The standard production ANN serving pattern: the scan stage reads
+    4x fewer bytes (int8 vs float32 — at 100 TB the quantized table is
+    the materialized artifact ``quantize_embeddings`` exists to
+    produce), and full-precision vectors are fetched for only ``m``
+    rows. Composes with the partition layout: run the cheap stage over
+    the probed partitions of :func:`build_ann_index` and the scan
+    fraction multiplies with the byte saving.
+
+    Determinism: quantization is exact integer math, reconstruction is
+    one exact double multiply per component, and both stages round to 4
+    decimals with the vec_id tie-break — the oracle replays every step
+    bit-for-bit. The exact stage reuses ``_query_cosine_topk``'s
+    scoring (nullif zero-norm guard included), so a degenerate vector
+    can enter the candidate pool but never the final top-k.
+    """
+    q = [float(v) for v in query_vec]
+    if dim is None:
+        dim = len(q)
+    quant = quantize_embeddings(vectors.select(id_col, vec_col), vec_col, dim)
+
+    def recon(i: int) -> str:
+        return f"(CAST(get((qvec), {i}) AS DOUBLE) * scale)"
+
+    rdot = " + ".join(f"{recon(i)}*({q[i]!r})" for i in range(dim))
+    rnorm = "sqrt(" + " + ".join(
+        f"{recon(i)}*{recon(i)}" for i in range(dim)
+    ) + ")"
+    approx = F.expr(
+        f"({rdot}) / nullif(({rnorm}) * ({_pynorm(q)!r}), 0.0D)"
+    )
+    cand = (
+        quant.select(F.col(id_col), F.round(approx, 4).alias("approx_sim"))
+        .orderBy(F.col("approx_sim").desc(), F.col(id_col).asc())
+        .limit(m)
+    )
+    # m rows — broadcast the candidate ids back onto the corpus so the
+    # exact stage is a broadcast semi-join + m dot products, no shuffle
+    full = vectors.select(id_col, vec_col).join(
+        F.broadcast(cand.select(id_col)), id_col
+    )
+    return _query_cosine_topk(full, q, k, vec_col, id_col)
+
+
+def _quantized_rescore_oracle(
+    k: int = 10, m: int = RESCORE_POOL, dim: int | None = None
+) -> str:
+    """DuckDB twin of ``quantized_rescore_topk``: the proven quantize
+    expressions, per-component reconstruction with the same operation
+    order, round(approx, 4) + vec_id tie-break for the candidate cut,
+    then the exact ``_duck_cos4`` rescore."""
+    dim = EMB_DIM if dim is None else dim
+
+    def elem(i: int) -> str:
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    mx = (
+        "greatest(1e-30, "
+        + ", ".join(f"abs({elem(i)})" for i in range(dim))
+        + ")"
+    )
+    comps = ", ".join(
+        f"CAST(round({elem(i)} * 127.0 / mx) AS INTEGER)" for i in range(dim)
+    )
+
+    def recon(i: int) -> str:
+        return f"(CAST(qvec[{i + 1}] AS DOUBLE) * scale)"
+
+    rdot = " + ".join(
+        f"{recon(i)}*CAST(q.qv[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+    rnorm = "sqrt(" + " + ".join(
+        f"{recon(i)}*{recon(i)}" for i in range(dim)
+    ) + ")"
+    return f"""
+    WITH mq AS (SELECT vec_id, embedding, {mx} AS mx FROM embeddings),
+    qn AS (
+      SELECT vec_id, [{comps}] AS qvec, mx / 127.0 AS scale FROM mq
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT qn.vec_id,
+             round(({rdot}) / nullif(({rnorm})
+                   * {_duck_norm("q.qv", dim)}, 0.0), 4) AS approx_sim
+      FROM qn, q
+      ORDER BY approx_sim DESC, qn.vec_id ASC
+      LIMIT {m}
+    )
+    SELECT e.vec_id, {_duck_cos4("e.embedding", "q.qv", dim)} AS cos_sim
+    FROM cand JOIN embeddings e USING (vec_id), q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_quantized_rescore",
+    oracle=_quantized_rescore_oracle(),
+    description="two-stage retrieval: corpus ranked by cosine over int8-"
+    "reconstructed vectors (4x fewer bytes scanned at 100 TB), top-50 "
+    "candidates rescored at full precision via a broadcast semi-join, "
+    "exact top-10 returned — quantization, reconstruction, both "
+    "rankings and both tie-breaks replayed bit-exactly in the oracle",
+    covers=("N-sim",),
+)
+def ann_quantized_rescore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vector(spark, sf_dir)
+    return quantized_rescore_topk(load_table(spark, sf_dir, "embeddings"), vec)
 
 
 def _rademacher_matrix(in_dim: int, out_dim: int, seed: int):

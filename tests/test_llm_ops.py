@@ -998,3 +998,46 @@ class TestAnnIndexMaintenance:
             .select("vec_id", "srp_bucket", "centroid_id").collect()
         )
         assert inc_parts == full_parts
+
+
+class TestQuantizedRescore:
+    """Two-stage retrieval invariants: the exact stage really is exact,
+    and the quantized candidate stage loses little at 8 bits."""
+
+    def test_rescored_scores_are_exact(self, spark, sf_small):
+        from ser_etl_spark.operators.similarity import (
+            _query_vector,
+            cosine_topk,
+            quantized_rescore_topk,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        vec = _query_vector(spark, sf_small)
+        exact = {
+            r["vec_id"]: r["cos_sim"]
+            for r in cosine_topk(emb, vec, k=200).collect()
+        }
+        out = quantized_rescore_topk(emb, vec, k=10).collect()
+        assert len(out) == 10
+        for r in out:
+            # every returned score equals the brute-force score for that id
+            assert exact[r["vec_id"]] == r["cos_sim"], r
+
+    def test_recall_vs_bruteforce(self, spark, sf_small):
+        from ser_etl_spark.operators.similarity import (
+            _query_vector,
+            cosine_topk,
+            quantized_rescore_topk,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        vec = _query_vector(spark, sf_small)
+        exact_ids = {r["vec_id"] for r in cosine_topk(emb, vec, k=10).collect()}
+        got_ids = {
+            r["vec_id"] for r in quantized_rescore_topk(emb, vec, k=10).collect()
+        }
+        # int8 reconstruction error is tiny relative to top-10 gaps; the
+        # 50-candidate pool should recover (nearly) the whole exact set
+        assert len(exact_ids & got_ids) >= 8, (exact_ids, got_ids)

@@ -365,7 +365,7 @@ from ser_etl_spark.operators.similarity import build_ann_index
 build_ann_index(spark, {sf_small!r}, tempfile.mkdtemp(prefix="annidx_"))
 print("CLEAN_DONE build_ann_index", file=sys.stderr, flush=True)
 for name in ("lsh_ann_topk", "ivf_assign", "hard_negative_mining",
-             "ivf_ann_topk", "lsh_ann_multiprobe"):
+             "ivf_ann_topk", "lsh_ann_multiprobe", "ann_quantized_rescore"):
     Q[name].builder(spark, {sf_small!r}).collect()
     print("CLEAN_DONE " + name, file=sys.stderr, flush=True)
 print("CONTROL_START", file=sys.stderr, flush=True)
@@ -384,7 +384,7 @@ spark.stop()
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     clean, _, control = proc.stderr.partition("CONTROL_START")
-    assert clean.count("CLEAN_DONE") == 6, proc.stderr[-3000:]
+    assert clean.count("CLEAN_DONE") == 7, proc.stderr[-3000:]
     assert "Failed to compile" not in clean, clean[-3000:]
     # positive control: the known-failing stage must surface the error,
     # otherwise this test has silently stopped observing codegen at all
