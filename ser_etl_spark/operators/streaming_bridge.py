@@ -234,11 +234,16 @@ def streaming_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ser_etl_spark.streaming.sessions import streaming_sessions
 
     sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    # 16 state partitions: the r6 sweep over {4,8,16,32} at sf0.1 put the
+    # sessionizer's sweet spot at 16 (2.75 s vs 3.02 s at the replay
+    # default 8) — enough stores to parallelize the pandas state op,
+    # not so many that per-store setup dominates
     result = replay_to_batch(
         spark,
         lambda s: streaming_sessions(streaming_events(s, sf_dir)),
         sink,
         mode="update",
+        shuffle_partitions=16,
     )
     # no ORDER BY: the ~94k-session result is compared order-insensitively
     # (rows-only driver record) and the sort costs ~0.5 s at sf0.1
@@ -275,11 +280,13 @@ def streaming_sessions_timeout_query(
     from ser_etl_spark.streaming.sessions import streaming_sessions_timeout
 
     sink = f"stream_sesst_{uuid.uuid4().hex[:8]}"
+    # 16 state partitions — see streaming_sessions_query's sweep note
     result = replay_to_batch(
         spark,
         lambda s: streaming_sessions_timeout(streaming_events(s, sf_dir)),
         sink,
         mode="update",
+        shuffle_partitions=16,
     )
     # no ORDER BY — same rationale as streaming_sessions
     return result
