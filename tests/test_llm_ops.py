@@ -1000,6 +1000,52 @@ class TestAnnIndexMaintenance:
         assert inc_parts == full_parts
 
 
+    def test_upsert_with_degenerate_delta(self, spark, tmp_path):
+        """A delta containing seam vectors (zero vector -> NULL centroid,
+        short array) appends into the hive-default partition and reads
+        back with NULL centroid_id — maintenance never chokes on rows
+        the quantizer can't place."""
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators import similarity as S
+        from tests.test_edge_vectors_parity import (
+            _edge_vectors,
+            _write_embeddings,
+        )
+
+        rows = _edge_vectors()
+        base = [r for r in rows if r[0] < 8]
+        delta = [r for r in rows if r[0] in (8, 11, 12)]  # zero, short, dup
+        base_dir = tmp_path / "base"
+        delta_dir = tmp_path / "delta"
+        base_dir.mkdir()
+        delta_dir.mkdir()
+        _write_embeddings(base_dir / "embeddings.parquet", base)
+        _write_embeddings(delta_dir / "embeddings.parquet", delta)
+
+        idx = str(tmp_path / "idx")
+        (
+            S.ann_layout_frame(
+                spark.read.parquet(str(base_dir / "embeddings.parquet"))
+            )
+            .write.partitionBy("srp_bucket", "centroid_id")
+            .parquet(idx)
+        )
+        S.upsert_ann_index(
+            spark,
+            idx,
+            spark.read.parquet(str(delta_dir / "embeddings.parquet")),
+        )
+        out = spark.read.parquet(idx)
+        assert out.count() == len(base) + len(delta)
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in out.select("vec_id", "centroid_id").collect()
+        }
+        assert got[8] is None and got[11] is None  # degenerate -> NULL list
+        assert got[12] == 1  # duplicate of centroid 1, frozen quantizer
+
+
 class TestQuantizedRescore:
     """Two-stage retrieval invariants: the exact stage really is exact,
     and the quantized candidate stage loses little at 8 bits."""
