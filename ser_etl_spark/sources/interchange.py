@@ -66,6 +66,25 @@ class JsonSource:
         return reader.json(_table_file(self.path, table, "json"))
 
 
+@dataclass(frozen=True)
+class OrcSource:
+    """A directory of ``<table>.orc`` files (or dirs of part files).
+
+    Unlike CSV/JSON this is a real columnar format — predicate pushdown
+    and column pruning reach the ORC scan exactly as they do for parquet
+    (plan-asserted in tests), so an ORC lake can be EXTRACTED from
+    efficiently, not just landed. The engine's own snapshots stay
+    parquet; this source exists because ORC is the other columnar
+    format large Hive/Trino estates standardize on, and "switch to this
+    repo" must not require converting the estate first. Schema is taken
+    from the ORC footer (self-describing — no inference pass)."""
+
+    path: str
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.orc(_table_file(self.path, table, "orc"))
+
+
 def _table_file(root: str, table: str, ext: str) -> str:
     file_style = os.path.join(root, f"{table}.{ext}")
     if "://" in root:
@@ -92,3 +111,10 @@ def write_json(df: DataFrame, path: str) -> None:
         .option("timestampNTZFormat", TS_FORMAT)
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Export a DataFrame as ORC part files (columnar: stripe-level
+    min/max indexes serve downstream pushdown; TIMESTAMP_NTZ round-trips
+    natively, no format option needed)."""
+    df.write.mode("overwrite").orc(path)

@@ -224,3 +224,43 @@ class TestJdbcProbeSeam:
         _, opts = fake.loads[0]
         assert opts["lowerBound"] == "5"
         assert opts["upperBound"] == "50"
+
+
+class TestOrcInterchange:
+    """ORC as a columnar extraction source: exact round-trip (NTZ
+    timestamps included), predicate pushdown into the ORC scan, and the
+    same ETL extraction plumbing as parquet/CSV."""
+
+    def test_roundtrip_and_pushdown(self, spark, sf_small, tmp_path):
+        import re
+
+        from ser_etl_spark.session import explain_string
+        from ser_etl_spark.sources.interchange import OrcSource, write_orc
+        from ser_etl_spark.sources.parquet import load_table
+
+        events = load_table(spark, sf_small, "events")
+        root = str(tmp_path)
+        write_orc(events, f"{root}/events")
+        back = OrcSource(root).read(spark, "events")
+        assert back.schema == events.schema  # NTZ ts survives exactly
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, events.collect())
+        )
+        filtered = back.filter(F.col("user_id") < 50)
+        plan = explain_string(filtered)
+        m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+        assert m and "user_id" in m.group(1), plan
+
+    def test_feeds_etl_extraction(self, spark, sf_small, tmp_path):
+        from ser_etl_spark.etl.extract import extract_table
+        from ser_etl_spark.sources.interchange import OrcSource, write_orc
+        from ser_etl_spark.sources.parquet import load_table
+
+        events = load_table(spark, sf_small, "events")
+        write_orc(events, f"{tmp_path}/events")
+        src = OrcSource(str(tmp_path))
+        full = extract_table(spark, src, "events", ts_col="ts")
+        assert full.count() == events.count()
+        since = events.agg(F.max("ts")).first()[0]
+        inc = extract_table(spark, src, "events", since=since, ts_col="ts")
+        assert inc.count() == 0
