@@ -1087,3 +1087,27 @@ class TestQuantizedRescore:
         # int8 reconstruction error is tiny relative to top-10 gaps; the
         # 50-candidate pool should recover (nearly) the whole exact set
         assert len(exact_ids & got_ids) >= 8, (exact_ids, got_ids)
+
+
+def test_hamming_ball_properties():
+    """Probe-set combinatorics: |ball(r)| = sum of C(planes, i) for
+    i <= r, always contains the center, monotone in r, and every member
+    is within Hamming distance r."""
+    from itertools import combinations
+    from math import comb
+
+    from ser_etl_spark.operators.similarity import _hamming_ball
+
+    for planes in (1, 4, 8):
+        for center in (0, (1 << planes) // 2 + 1, (1 << planes) - 1):
+            prev: set[int] = set()
+            for r in range(planes + 1):
+                ball = _hamming_ball(center, planes, r)
+                assert len(ball) == len(set(ball))  # no duplicates
+                assert center in ball
+                assert set(ball) >= prev  # monotone widening
+                assert len(ball) == sum(comb(planes, i) for i in range(r + 1))
+                for b in ball:
+                    assert bin(b ^ center).count("1") <= r
+                    assert 0 <= b < (1 << planes)
+                prev = set(ball)
