@@ -1099,7 +1099,7 @@ def test_hamming_ball_properties():
     from ser_etl_spark.operators.similarity import _hamming_ball
 
     for planes in (1, 4, 8):
-        for center in (0, (1 << planes) // 2 + 1, (1 << planes) - 1):
+        for center in {0, (1 << planes) >> 1, (1 << planes) - 1}:
             prev: set[int] = set()
             for r in range(planes + 1):
                 ball = _hamming_ball(center, planes, r)
