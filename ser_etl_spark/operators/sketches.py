@@ -290,3 +290,94 @@ def _count_min_oracle(
 )
 def count_min_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimates(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the deterministic,
+# differentially-testable member of the approximate-distinct family
+# ---------------------------------------------------------------------------
+
+#: k-min set size; standard error ~ 1/sqrt(k) ≈ 6.25%
+KMV_K = 256
+
+_TWO64 = 18446744073709551616
+
+
+def kmv_distinct(df: DataFrame, column: str, k: int = KMV_K) -> DataFrame:
+    """Approximate distinct count via the k minimum hash values:
+    ``D_hat = (k-1) * 2^64 / h_(k)`` where ``h_(k)`` is the k-th
+    smallest unsigned xxhash64 over the distinct values (Bar-Yossef et
+    al. 2002; the estimator behind theta sketches).
+
+    Why this exists next to HLL++ (``approx_sketches``): HLL register
+    layouts are engine-internal, so its estimates can only be
+    bound-tested. The KMV estimate is a pure function of the hash
+    values — with the staged XXH64 emulation the WHOLE sketch replays
+    bit-exactly in SQL, making this the oracle-backed member of the
+    family. Scale shape: one distinct aggregate, then a k-row
+    TakeOrdered (per-partition partial top-k — the k-min set is a
+    mergeable summary, like every KMV/theta sketch); the final state is
+    k values regardless of data volume.
+    """
+    hu = F.expr(
+        f"CAST(xxhash64({column}) AS DECIMAL(20,0))"
+        f" + CASE WHEN xxhash64({column}) < 0"
+        f" THEN CAST({_TWO64} AS DECIMAL(20,0))"
+        f" ELSE CAST(0 AS DECIMAL(20,0)) END"
+    )
+    kmin = (
+        df.select(F.col(column))
+        .distinct()
+        .select(hu.alias("hu"))
+        .orderBy(F.col("hu").asc())
+        .limit(k)
+    )
+    scale = float((k - 1) * _TWO64)  # exact: (k-1) * 2^64 is a dyadic int
+    cnt = F.count(F.lit(1))
+    # fewer than k distinct values: the k-min set IS the full hash set,
+    # so the count is the exact answer (standard KMV degenerate case)
+    est = F.when(cnt < k, cnt.cast("double")).otherwise(
+        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+    )
+    return kmin.agg(
+        F.max("hu").cast("string").alias("kth_hash"),
+        est.alias("distinct_estimate"),
+        F.lit(k).alias("k"),
+    )
+
+
+def _kmv_oracle(column: str, table: str, k: int = KMV_K) -> str:
+    """DuckDB twin: the staged XXH64 chain over the distinct values
+    (unsigned HUGEINT out), same order/limit/max, same one double
+    division. ``kth_hash`` travels as VARCHAR — a DECIMAL/HUGEINT output
+    column would be floated by the driver's pandas rendering."""
+    from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_long_stage_cols
+
+    ctes, fin = stages_to_ctes("dv", xxh64_long_stage_cols("v", "_kh"), "_ks")
+    scale = float((k - 1) * _TWO64)
+    return f"""
+    WITH dv AS (SELECT DISTINCT {column} AS v FROM {table}){ctes},
+    kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k})
+    SELECT CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
+           CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+           END AS distinct_estimate,
+           {k} AS k
+    FROM kmin
+    """
+
+
+@register(
+    "kmv_distinct",
+    oracle=_kmv_oracle("l_partkey", "lineitem"),
+    description="KMV (k-minimum-values) approximate distinct count of "
+    "lineitem part keys: k=256 smallest unsigned xxhash64 values over "
+    "the distinct keys, estimate (k-1)*2^64/h_(k) — deterministic under "
+    "any partitioning and oracle-backed through the staged XXH64 "
+    "emulation (the differentially-testable complement to the "
+    "engine-internal HLL++ in approx_sketches); mergeable k-min-set "
+    "state, error bound ~1/sqrt(k) pinned vs the exact count in tests",
+    covers=("B4",),
+)
+def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_distinct(load_table(spark, sf_dir, "lineitem"), "l_partkey")

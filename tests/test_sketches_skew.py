@@ -180,3 +180,38 @@ class TestCountMin:
             for r in count_min_estimates(docs, w=1 << 16, d=4).collect()
         }
         assert got == {"a": 4, "b": 3, "c": 1, "x": 1}
+
+
+class TestKmvDistinct:
+    def test_estimate_within_error_bound(self, spark, sf_medium):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.operators.sketches import KMV_K, kmv_distinct
+        from ser_etl_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_medium, "lineitem")
+        exact = li.select(F.countDistinct("l_partkey")).first()[0]
+        assert exact > 256  # the formula path, not the below-k exact path
+        est = kmv_distinct(li, "l_partkey").first()["distinct_estimate"]
+        # std error ~ 1/sqrt(k) = 6.25% at k=256; 15% is a ~2.4-sigma
+        # bound on a deterministic (hash-fixed) estimate
+        assert abs(est - exact) / exact < 0.15, (est, exact)
+
+    def test_deterministic_under_repartitioning(self, spark, sf_small):
+        from ser_etl_spark.operators.sketches import kmv_distinct
+        from ser_etl_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_small, "lineitem")
+        a = kmv_distinct(li, "l_partkey").first()
+        b = kmv_distinct(li.repartition(13), "l_partkey").first()
+        assert tuple(a) == tuple(b)
+
+    def test_exact_below_k(self, spark):
+        """Fewer than k distinct values: the k-min set holds ALL hashes,
+        and the estimate is still within the error bound (KMV degrades
+        gracefully, it does not blow up)."""
+        from ser_etl_spark.operators.sketches import kmv_distinct
+
+        df = spark.range(0, 100).withColumnRenamed("id", "v")
+        est = kmv_distinct(df, "v", k=256).first()["distinct_estimate"]
+        assert est == 100.0, est  # below-k path is exact
