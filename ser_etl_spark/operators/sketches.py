@@ -319,19 +319,43 @@ def kmv_distinct(df: DataFrame, column: str, k: int = KMV_K) -> DataFrame:
     mergeable summary, like every KMV/theta sketch); the final state is
     k values regardless of data volume.
     """
+    return kmv_estimate(kmv_kmin(df, column, k), k)
+
+
+def kmv_kmin(df: DataFrame, column: str, k: int = KMV_K) -> DataFrame:
+    """The KMV summary itself: the k smallest unsigned xxhash64 values
+    over the column's distinct values, as a one-column ``hu`` DataFrame.
+    This is the mergeable state — :func:`kmv_merge` combines summaries
+    from different tables/partitions/days losslessly."""
     hu = F.expr(
         f"CAST(xxhash64({column}) AS DECIMAL(20,0))"
         f" + CASE WHEN xxhash64({column}) < 0"
         f" THEN CAST({_TWO64} AS DECIMAL(20,0))"
         f" ELSE CAST(0 AS DECIMAL(20,0)) END"
     )
-    kmin = (
+    return (
         df.select(F.col(column))
         .distinct()
         .select(hu.alias("hu"))
         .orderBy(F.col("hu").asc())
         .limit(k)
     )
+
+
+def kmv_merge(kmins: list[DataFrame], k: int = KMV_K) -> DataFrame:
+    """Merge KMV summaries: union the k-min sets, dedupe, keep the k
+    smallest. Exactly equal to sketching the unioned inputs directly —
+    every hash among the union's k smallest is among its own side's k
+    smallest — which is the theorem that makes the sketch mergeable
+    (pinned by test). O(sides * k) rows of state, never data-sized."""
+    merged = kmins[0]
+    for other in kmins[1:]:
+        merged = merged.union(other)
+    return merged.distinct().orderBy(F.col("hu").asc()).limit(k)
+
+
+def kmv_estimate(kmin: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The estimator over a k-min summary (exact count below k)."""
     scale = float((k - 1) * _TWO64)  # exact: (k-1) * 2^64 is a dyadic int
     cnt = F.count(F.lit(1))
     # fewer than k distinct values: the k-min set IS the full hash set,
@@ -381,3 +405,45 @@ def _kmv_oracle(column: str, table: str, k: int = KMV_K) -> str:
 )
 def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def _kmv_union_oracle(k: int = KMV_K) -> str:
+    """DuckDB twin of the merged-summary union estimate. The oracle
+    sketches the unioned distinct values directly; the builder merges
+    per-table summaries — equal by the k-min merge theorem (every hash
+    among the union's k smallest is among its own side's k smallest)."""
+    from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_long_stage_cols
+
+    ctes, fin = stages_to_ctes("dv", xxh64_long_stage_cols("v", "_kh"), "_ks")
+    scale = float((k - 1) * _TWO64)
+    return f"""
+    WITH dv AS (
+      SELECT o_custkey AS v FROM orders
+      UNION
+      SELECT user_id AS v FROM events
+    ){ctes},
+    kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k})
+    SELECT CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
+           CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+           END AS distinct_estimate,
+           {k} AS k
+    FROM kmin
+    """
+
+
+@register(
+    "kmv_union_distinct",
+    oracle=_kmv_union_oracle(),
+    description="mergeable-sketch set union: per-table KMV summaries of "
+    "orders.o_custkey and events.user_id merged (union of k-min sets, "
+    "re-take k smallest) and estimated — the builder never touches the "
+    "raw union, only O(2k) summary rows, while the oracle sketches the "
+    "raw union directly; their equality IS the k-min merge theorem that "
+    "lets summaries roll up across tables/partitions/days at scale",
+    covers=("B4",),
+)
+def kmv_union_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = kmv_kmin(load_table(spark, sf_dir, "orders"), "o_custkey")
+    b = kmv_kmin(load_table(spark, sf_dir, "events"), "user_id")
+    return kmv_estimate(kmv_merge([a, b]))

@@ -215,3 +215,32 @@ class TestKmvDistinct:
         df = spark.range(0, 100).withColumnRenamed("id", "v")
         est = kmv_distinct(df, "v", k=256).first()["distinct_estimate"]
         assert est == 100.0, est  # below-k path is exact
+
+    def test_merge_equals_direct_sketch_of_union(self, spark, sf_small):
+        """The k-min merge theorem, empirically: merging per-table
+        summaries gives the same summary (and estimate) as sketching
+        the raw union — the property that lets KMV state roll up across
+        tables/partitions/days without touching raw data again."""
+        from ser_etl_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_kmin,
+            kmv_merge,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        orders = load_table(spark, sf_small, "orders")
+        events = load_table(spark, sf_small, "events")
+        merged = kmv_estimate(
+            kmv_merge(
+                [kmv_kmin(orders, "o_custkey"), kmv_kmin(events, "user_id")]
+            )
+        ).first()
+        direct = kmv_estimate(
+            kmv_kmin(
+                orders.select(F.col("o_custkey").alias("v")).union(
+                    events.select(F.col("user_id").alias("v"))
+                ),
+                "v",
+            )
+        ).first()
+        assert tuple(merged) == tuple(direct)
