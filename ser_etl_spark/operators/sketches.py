@@ -323,23 +323,40 @@ def kmv_distinct(df: DataFrame, column: str, k: int = KMV_K) -> DataFrame:
 
 
 def kmv_kmin(df: DataFrame, column: str, k: int = KMV_K) -> DataFrame:
-    """The KMV summary itself: the k smallest unsigned xxhash64 values
-    over the column's distinct values, as a one-column ``hu`` DataFrame.
-    This is the mergeable state — :func:`kmv_merge` combines summaries
-    from different tables/partitions/days losslessly."""
-    hu = F.expr(
-        f"CAST(xxhash64({column}) AS DECIMAL(20,0))"
-        f" + CASE WHEN xxhash64({column}) < 0"
-        f" THEN CAST({_TWO64} AS DECIMAL(20,0))"
-        f" ELSE CAST(0 AS DECIMAL(20,0)) END"
-    )
-    return (
-        df.select(F.col(column))
-        .distinct()
-        .select(hu.alias("hu"))
-        .orderBy(F.col("hu").asc())
-        .limit(k)
-    )
+    """The KMV summary itself: the k smallest DISTINCT unsigned xxhash64
+    values over the column, as a one-column ``hu`` DataFrame. This is
+    the mergeable state — :func:`kmv_merge` combines summaries from
+    different tables/partitions/days losslessly.
+
+    Plan shape (the point of a sketch): a naive
+    ``distinct().orderBy().limit(k)`` pays the COUNT-DISTINCT shuffle —
+    every distinct value crosses the network before the k-min cut. Here
+    each partition keeps its own k smallest distinct hashes in one
+    Arrow pass (bounded O(k) numpy state, the ``heavy_hitters``
+    discipline), so only ``partitions x k`` summary rows shuffle into
+    the final merge. The result — the global k smallest distinct
+    hashes — is identical under any partitioning (pinned by test and by
+    the DuckDB oracle, which computes it the naive way).
+    """
+    hs = df.select(F.xxhash64(F.col(column)).alias("hs"))
+
+    # Self-contained closure: cloudpickle ships it by value (no package
+    # import needed on executors).
+    def kmin_partition(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal
+
+        state = np.array([], dtype=np.uint64)
+        for pdf in batches:
+            u = pdf["hs"].to_numpy(dtype=np.int64).astype(np.uint64)
+            # np.unique sorts ascending; keep the k smallest distinct
+            state = np.unique(np.concatenate([state, u]))[:k]
+        if len(state):
+            yield pd.DataFrame({"hu": [Decimal(int(x)) for x in state]})
+
+    partial = hs.mapInPandas(kmin_partition, "hu decimal(20,0)")
+    return partial.distinct().orderBy(F.col("hu").asc()).limit(k)
 
 
 def kmv_merge(kmins: list[DataFrame], k: int = KMV_K) -> DataFrame:
