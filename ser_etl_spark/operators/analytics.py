@@ -41,6 +41,19 @@ from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
 
+def _epoch_s(col: str) -> "F.Column":
+    """Epoch seconds of an NTZ timestamp column, timezone-pure.
+
+    ``unix_timestamp(cast(c AS TIMESTAMP))`` is the trap this replaces:
+    the cast coerces NTZ through the SESSION timezone, so every derived
+    epoch bucket shifts by the zone offset — identical to this form only
+    under UTC. ``timestampdiff`` over an NTZ pair is pure wall-clock
+    arithmetic, matching DuckDB's ``epoch(ts)`` on naive timestamps."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -948,9 +961,10 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    week = lambda c: F.floor(  # noqa: E731
-        F.unix_timestamp(F.col(c).cast("timestamp")) / F.lit(604800)
-    )
+    # _epoch_s, not unix_timestamp(cast): the cast coerces NTZ through
+    # the SESSION timezone, silently shifting bucket boundaries under any
+    # non-UTC session (caught by the r6 full-surface tz probe).
+    week = lambda c: F.floor(_epoch_s(c) / F.lit(604800))  # noqa: E731
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
         "user_id", week("first_ts").alias("cohort_week")
     )
@@ -1072,9 +1086,13 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize(_t(spark, sf_dir, "events")).select(
         "session_start", "session_end"
     )
+    # _epoch_s keeps the hour buckets timezone-pure: the previous
+    # unix_timestamp(cast) form shifted every bucket by the session-tz
+    # offset, changing boundary membership (and even the row count) under
+    # odd-offset zones like +05:45 — found by the r6 full-surface
+    # Asia/Kathmandu drive, the one MISMATCH in 124 queries.
     hour = lambda c, off=0: (  # noqa: E731
-        F.floor(F.unix_timestamp(F.col(c).cast("timestamp")) / F.lit(3600))
-        + F.lit(off)
+        F.floor(_epoch_s(c) / F.lit(3600)) + F.lit(off)
     ).cast("long")
     deltas = sess.select(
         hour("session_start").alias("hour_bucket"), F.lit(1).cast("long").alias("delta")

@@ -81,3 +81,29 @@ class TestGapFill:
         assert got[("b", 5)] == (1, 1.0)
         # spine is exactly lo..hi per key — no rows outside the bounds
         assert len(got) == 5
+
+
+def test_epoch_bucket_queries_are_timezone_pure(spark, sf_small):
+    """The r6 full-surface Asia/Kathmandu drive caught session_concurrency
+    shifting hour buckets by the session-tz offset (unix_timestamp's
+    NTZ->LTZ cast detour); retention_cohorts shared the pattern with
+    coarser (weekly) exposure. Pin both: identical rows under UTC and an
+    odd-offset zone."""
+    from ser_etl_spark.registry import all_queries
+
+    Q = all_queries()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    per_tz = {}
+    try:
+        for tz in ("UTC", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            per_tz[tz] = {
+                n: sorted(
+                    tuple(r) for r in Q[n].builder(spark, sf_small).collect()
+                )
+                for n in ("session_concurrency", "retention_cohorts")
+            }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    for n in per_tz["UTC"]:
+        assert per_tz["UTC"][n] == per_tz["Asia/Kathmandu"][n], n
