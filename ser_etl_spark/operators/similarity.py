@@ -55,9 +55,12 @@ from ser_etl_spark.sources.parquet import load_table, spread_small_input
 EMB_DIM = 64
 
 
-def _dim(vectors: DataFrame, vec_col: str) -> int:
+def _dim(vectors: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension probed from the first row; None on an empty
+    input (callers either degrade to a typed empty result or raise a
+    clear error — never a bare NoneType crash)."""
     row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"])
+    return None if row is None else int(row["d"])
 
 
 def _elem_sql(arr: str, i: int) -> str:
@@ -341,6 +344,13 @@ def embedding_neardup_pairs(
     applies unchanged.
     """
     dim = _dim(vectors, vec_col)
+    if dim is None:  # empty corpus: no pairs, typed empty result
+        return vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col(block_col).alias("label"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     p = vectors.select(
         F.col(block_col),
         F.col(id_col),
@@ -494,6 +504,10 @@ def ivf_assign(
     inverted list is a contiguous partition for the probe step.
     """
     cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    if not cents:  # empty corpus: nothing to assign, typed empty result
+        return vectors.select(
+            F.col(id_col), F.lit(-1).alias("centroid_id")
+        ).limit(0)
     dim = len(cents[0][1])
     p = vectors.select(
         F.col(id_col),
@@ -653,6 +667,11 @@ def ann_layout_frame(
     between old and new partitions. Default (None) derives them from
     ``emb`` — the full-build path."""
     dim = _dim(emb, vec_col)
+    if dim is None:
+        raise ValueError(
+            "ann_layout_frame: cannot lay out an empty embeddings table "
+            "(no vector to probe the dimension from)"
+        )
     matrix = _plane_matrix(emb.sparkSession, dim, planes)
     # Separate barrier-protected projection columns per plane (the janino
     # discipline of _with_nearest_centroid / lsh_ann_multiprobe).
@@ -910,15 +929,24 @@ def embedding_centroids(
 # ---------------------------------------------------------------------------
 
 
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The corpus vector with vec_id=0 serves as the test query point."""
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
+    """The corpus vector with vec_id=0 serves as the test query point;
+    None when the corpus (or that row) is absent — a query point derived
+    FROM an empty corpus does not exist, so the ANN builders return a
+    typed empty result, matching the oracles (whose query CTE is empty
+    and whose final SELECT therefore yields zero rows)."""
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .first()
     )
-    return list(row["embedding"])
+    return None if row is None else list(row["embedding"])
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """Typed empty (vec_id, cos_sim) result for query-less ANN probes."""
+    return spark.createDataFrame([], "vec_id bigint, cos_sim double")
 
 
 def _duck_elem(arr: str, i: int) -> str:
@@ -971,6 +999,8 @@ def _ann_exact_oracle(k: int = 10, dim: int | None = None) -> str:
 )
 def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
+    if vec is None:
+        return _empty_topk(spark)
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), vec, k=10)
 
 
@@ -1043,6 +1073,8 @@ def _lsh_ann_oracle(k: int = 10, planes: int = 4, dim: int | None = None) -> str
 )
 def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
+    if vec is None:
+        return _empty_topk(spark)
     return lsh_ann_topk_indexed(spark, sf_dir, vec, k=10)
 
 
@@ -1084,6 +1116,8 @@ def _lsh_multiprobe_oracle(
 )
 def lsh_ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
+    if vec is None:
+        return _empty_topk(spark)
     return lsh_ann_topk_indexed(spark, sf_dir, vec, k=10, max_mismatches=1)
 
 
@@ -1209,6 +1243,10 @@ def _ann_layout_oracle(
     covers=("N-sim",),
 )
 def ann_index_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _query_vector(spark, sf_dir) is None:  # empty corpus: no index
+        return spark.createDataFrame(
+            [], "vec_id bigint, srp_bucket int, centroid_id int"
+        )
     idx = ensure_ann_index(spark, sf_dir)
     return spark.read.parquet(idx).select(
         "vec_id",
@@ -1231,6 +1269,8 @@ def ann_index_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
+    if vec is None:
+        return _empty_topk(spark)
     return ivf_ann_topk_indexed(spark, sf_dir, vec, k=10)
 
 
@@ -1285,6 +1325,11 @@ def quantize_embeddings(
     """
     if dim is None:
         dim = _dim(vectors, vec_col)
+        if dim is None:
+            raise ValueError(
+                "quantize_embeddings: empty input and no dim given — "
+                "pass dim explicitly to quantize an empty table"
+            )
     mx = _maxabs_sql(vec_col, dim)
     qvec = "array(" + ", ".join(
         f"CAST(round({_elem_sql(vec_col, i)} * 127.0 / _mx) AS INT)"
@@ -1486,6 +1531,8 @@ def _quantized_rescore_oracle(
 )
 def ann_quantized_rescore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
+    if vec is None:
+        return _empty_topk(spark)
     return quantized_rescore_topk(load_table(spark, sf_dir, "embeddings"), vec)
 
 
@@ -1674,6 +1721,14 @@ def hard_negative_mine(
     """
     from pyspark.sql.window import Window
 
+    if not queries:  # no anchors (empty corpus): typed empty result
+        return vectors.select(
+            F.col(id_col).alias("q_id"),
+            F.lit(1).alias("neg_rank"),
+            F.col(id_col),
+            F.col("label"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     dim = len(queries[0][2])
     barrier = F.monotonically_increasing_id() * F.lit(0)
     p0 = vectors.select(
