@@ -481,10 +481,13 @@ def _with_nearest_centroid(
             (F.expr(cs) + F.monotonically_increasing_id() * F.lit(0)).alias(name)
         )
     scored = df.select("*", *exprs)
-    best = F.greatest(*[F.col(n) for _, n in cs_cols])
-    cid_col = F.least(
-        *[F.when(F.col(n) == best, F.lit(cid)) for cid, n in cs_cols]
-    )
+    # greatest/least require >= 2 args; a degenerate 1-centroid quantizer
+    # (e.g. a 1-row corpus, caught by the r6 one-row probe) reduces to
+    # the single column / single when-branch directly.
+    cs_refs = [F.col(n) for _, n in cs_cols]
+    best = cs_refs[0] if len(cs_refs) == 1 else F.greatest(*cs_refs)
+    whens = [F.when(F.col(n) == best, F.lit(cid)) for cid, n in cs_cols]
+    cid_col = whens[0] if len(whens) == 1 else F.least(*whens)
     return scored.select("*", cid_col.alias(out)).drop(
         *[n for _, n in cs_cols]
     )

@@ -55,10 +55,15 @@ def derive_stats(df: DataFrame) -> DataFrame:
     run the identical double-precision expression tree.
     """
     n = F.col("n")
+    # nullif on the Bessel denominator: sample moments of a single row
+    # are undefined — NULL, matching DuckDB's var_samp (and its float
+    # division-by-zero). Under Spark 4's ANSI default a bare (n-1)
+    # divide THROWS on n=1 (caught by the r6 one-row-corpus probe).
+    nm1 = F.expr("nullif(n - 1, 0)")
     mean_x = F.col("sx") / n
-    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1))
-    cov_xy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1))
-    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1))
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / nm1
+    cov_xy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / nm1
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / nm1
     # Round the derived moments to 9 decimals: the sufficient statistics
     # are bit-exact, but the final double expression differs by ~2 ulp
     # across engines (FMA contraction in native codegen fuses mul+sub

@@ -70,8 +70,9 @@ def register(
 #: (ann_cosine_topk, lsh_ann_topk, lsh_ann_multiprobe, ivf_assign,
 #: ivf_ann_topk), the _elem_sql get() dependents (embedding_quantize,
 #: embedding_neardup, hard_negative_mining), the hex-domain conversion
-#: (multimodal_features), the spread-probe fix (name_edit_neardup) and
-#: the _propagation_round refactor (dedup_clusters, dedup_canonical).
+#: (multimodal_features), the spread-probe fix (name_edit_neardup),
+#: the _propagation_round refactor (dedup_clusters, dedup_canonical)
+#: and the n=1 Bessel-denominator nullif in derive_stats (stats_moments).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "approx_sketches",
     "bigram_rare_ratio",
@@ -153,7 +154,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "sole_returning_supplier",
     "source_cap",
     "source_mixture",
-    "stats_moments",
     "stocked_parts_promotion",
     "stratified_sample",
     "streaming_exact_dedup",

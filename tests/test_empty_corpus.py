@@ -73,3 +73,42 @@ def test_empty_corpus(spark, empty_dir, empty_con, name):
         return
     problems = compare(name, df, empty_con, spec.oracle)
     assert not problems, "\n".join(problems)
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        tb = pq.read_table(f"{src}/{t}.parquet").slice(0, 1)
+        pq.write_table(tb, d / f"{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_row_con(one_row_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{one_row_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_one_row_corpus(spark, one_row_dir, one_row_con, name):
+    """The n=1 boundary (caught two r6 bugs: greatest() arity with a
+    single-centroid quantizer, and the ANSI divide-by-zero in sample
+    moments at n=1). Full oracle compare — no divergence list needed:
+    rollup over one row is ordinary."""
+    spec = QUERIES[name]
+    df = spec.builder(spark, one_row_dir)
+    if spec.oracle is None:
+        df.collect()
+        return
+    problems = compare(name, df, one_row_con, spec.oracle)
+    assert not problems, "\n".join(problems)
