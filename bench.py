@@ -125,6 +125,11 @@ def main() -> None:
 
     _isolate(spark)
     etl_cycle_s = _bench_etl_cycle(spark, sf_dir)
+    # Yardstick again AFTER the run: a large start/end ratio means host
+    # speed shifted DURING the bench (observed 2.2x mid-run steal
+    # windows) — per-query numbers from such a run are suspect even
+    # against their own start-of-run calibration.
+    scan_calibration_end_s = _calibrate_scan(spark, sf_dir)
 
     sf_raw = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -139,6 +144,7 @@ def main() -> None:
         "parity_only_queries": sorted(PARITY_ONLY),
         "calibration_seconds": calibration_s,
         "scan_calibration_seconds": scan_calibration_s,
+        "scan_calibration_end_seconds": scan_calibration_end_s,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -174,6 +180,7 @@ def main() -> None:
                 # while most registry queries are scan+shuffle-bound.
                 "calibration_seconds": calibration_s,
                 "scan_calibration_seconds": scan_calibration_s,
+                "scan_calibration_end_seconds": scan_calibration_end_s,
                 "primary_yardstick": "scan_calibration_seconds",
                 "queries_file": "BENCH_DETAIL.json",
             }
