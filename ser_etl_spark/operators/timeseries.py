@@ -234,3 +234,125 @@ def gap_fill_hourly(
 )
 def gap_filled_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search: top-k most-correlated series
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for exact value accumulation (events.value has ~4
+#: significant decimals; 1e6 leaves headroom while BIGINT sums stay exact)
+_TS_SCALE = 1_000_000
+
+
+def series_similarity_topk(
+    events: DataFrame,
+    ref_user: int,
+    k: int = 10,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Top-k users whose hourly value series correlates most with a
+    reference user's — time-series similarity search as one broadcast
+    join plus two keyed aggregates.
+
+    Shape (the distributed-similarity-search pattern, cf. EDBT'19/'20
+    top-k series search): aggregate the stream to per-(user, hour)
+    series points; the REFERENCE series is tiny (≤ hours in the window)
+    so it broadcasts, the candidate side joins map-side on hour_bucket
+    (shared support = inner join), and Pearson correlation reduces to
+    the six sufficient statistics per candidate — one hash aggregate,
+    then a top-k. No series ever shuffles against another series;
+    at 100 TB the only data-sized operations are the two keyed
+    aggregates.
+
+    Determinism recipe (statistics.py discipline): hour buckets via
+    timezone-pure epoch math, values quantized to 1e-6 and summed as
+    exact BIGINTs (associative — partitioning cannot change them), ONE
+    double expression at the end with a nullif zero-variance guard,
+    rounded to 6 decimals, vec-id tie-break.
+    """
+    hour = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3600)
+    ).cast("long")
+    q = F.round(F.col("value") * F.lit(float(_TS_SCALE)), 0).cast("long")
+    series = (
+        events.select(F.col("user_id"), hour.alias("hour_bucket"), q.alias("qv"))
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.sum("qv").alias("v"))
+    )
+    ref = series.filter(F.col("user_id") == ref_user).select(
+        F.col("hour_bucket"), F.col("v").alias("rv")
+    )
+    cand = series.filter(F.col("user_id") != ref_user)
+    joined = cand.join(F.broadcast(ref), "hour_bucket")
+    stats = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("rv").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("rv") * F.col("rv")).alias("syy"),
+        F.sum(F.col("v") * F.col("rv")).alias("sxy"),
+    )
+    # one double expression from the exact integer sums; zero-variance
+    # candidates (constant series) are undefined -> NULL -> sorted last
+    corr = F.expr(
+        "round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+        " / nullif(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0D), 6)"
+    )
+    return (
+        stats.filter(F.col("n") >= min_overlap)
+        .select("user_id", F.col("n").alias("shared_hours"), corr.alias("corr"))
+        .orderBy(F.col("corr").desc(), F.col("user_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "series_similarity_topk",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hour_bucket,
+             SUM(CAST(round(value * {_TS_SCALE}.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), ref AS (
+      SELECT hour_bucket, v AS rv FROM series WHERE user_id = 1
+    ), stats AS (
+      SELECT c.user_id, COUNT(*) AS n,
+             SUM(c.v) AS sx, SUM(r.rv) AS sy,
+             SUM(c.v * c.v) AS sxx, SUM(r.rv * r.rv) AS syy,
+             SUM(c.v * r.rv) AS sxy
+      FROM series c JOIN ref r USING (hour_bucket)
+      WHERE c.user_id <> 1
+      GROUP BY c.user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS shared_hours,
+           round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0), 6)
+             AS corr
+    FROM stats WHERE n >= 3
+    ORDER BY corr DESC, user_id ASC
+    LIMIT 10
+    """,
+    description="time-series similarity search: top-10 users whose "
+    "hourly value series correlates most with user 1's — reference "
+    "series broadcast, shared-support join, Pearson from six exact "
+    "BIGINT sufficient statistics per candidate (1e-6-quantized values, "
+    "partitioning-independent), one guarded double expression; "
+    "zero-variance series score NULL and sort last",
+    covers=("N-sim", "X-window"),
+)
+def series_similarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_similarity_topk(_t(spark, sf_dir, "events"), ref_user=1)
