@@ -356,3 +356,99 @@ def series_similarity_topk(
 )
 def series_similarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_similarity_topk(_t(spark, sf_dir, "events"), ref_user=1)
+
+
+def pattern_match_topk(
+    events: DataFrame,
+    pattern: tuple[int, ...] = (1, -2, 1),
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (user, hour) windows where the hourly value series best
+    matches an integer convolution ``pattern`` — sliding-window pattern
+    search (the streaming-series-similarity shape) with an EXACT score.
+
+    The default (1, -2, 1) is the discrete-spike detector (second
+    difference): large positive scores are sharp dips, large negative
+    ones sharp spikes. Scoring stays in BIGINT end to end — quantized
+    hourly sums convolved with integer weights — so the ranking is
+    bit-deterministic on any engine with no float seam at all.
+
+    Shape: one keyed aggregate to series points, one window pass per
+    user ordered by hour (LEADs; the window partitioning reuses the
+    aggregate's shuffle key), consecutive-hour guard, TakeOrdered top-k.
+    """
+    hour = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3600)
+    ).cast("long")
+    q = F.round(F.col("value") * F.lit(float(_TS_SCALE)), 0).cast("long")
+    series = (
+        events.select(F.col("user_id"), hour.alias("hour_bucket"), q.alias("v"))
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.sum("v").alias("v"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("hour_bucket").asc())
+    width = len(pattern)
+    leads = series.select(
+        "user_id",
+        "hour_bucket",
+        "v",
+        *[F.lead("v", i).over(w).alias(f"_v{i}") for i in range(1, width)],
+        *[
+            F.lead("hour_bucket", i).over(w).alias(f"_h{i}")
+            for i in range(1, width)
+        ],
+    )
+    consecutive = None
+    for i in range(1, width):
+        ok = F.col(f"_h{i}") == F.col("hour_bucket") + F.lit(i)
+        consecutive = ok if consecutive is None else consecutive & ok
+    score = F.lit(int(pattern[0])) * F.col("v")
+    for i in range(1, width):
+        score = score + F.lit(int(pattern[i])) * F.col(f"_v{i}")
+    return (
+        leads.filter(consecutive)
+        .select("user_id", "hour_bucket", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("user_id").asc(),
+                 F.col("hour_bucket").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "pattern_match_topk",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hour_bucket,
+             SUM(CAST(round(value * {_TS_SCALE}.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), leads AS (
+      SELECT user_id, hour_bucket, v,
+             LEAD(v, 1) OVER w AS v1, LEAD(v, 2) OVER w AS v2,
+             LEAD(hour_bucket, 1) OVER w AS h1,
+             LEAD(hour_bucket, 2) OVER w AS h2
+      FROM series
+      WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket ASC)
+    )
+    SELECT user_id, hour_bucket,
+           CAST(1*v + (-2)*v1 + 1*v2 AS BIGINT) AS score
+    FROM leads
+    WHERE h1 = hour_bucket + 1 AND h2 = hour_bucket + 2
+    ORDER BY score DESC, user_id ASC, hour_bucket ASC
+    LIMIT 10
+    """,
+    description="sliding-pattern search over hourly value series: top-10 "
+    "(user, hour) windows by the (1,-2,1) second-difference convolution "
+    "(spike/dip detector) — exact BIGINT scoring end to end (quantized "
+    "sums x integer weights, zero float seams), consecutive-hour guard, "
+    "window pass reuses the aggregate's user-key shuffle",
+    covers=("N-sim", "X-window"),
+)
+def pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pattern_match_topk(_t(spark, sf_dir, "events"))
