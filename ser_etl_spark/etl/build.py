@@ -141,14 +141,24 @@ def build_snapshot(
             writer = writer.partitionBy(layout.partition_by)
         writer.parquet(os.path.join(out_dir, name))
         if layout.ann_index and "embedding" in df.columns:
-            from ser_etl_spark.operators.similarity import ann_layout_frame
-
-            (
-                ann_layout_frame(df)
-                .write.mode("overwrite")
-                .partitionBy("srp_bucket", "centroid_id")
-                .parquet(os.path.join(out_dir, f"{name}_ann_index"))
+            from ser_etl_spark.operators.similarity import (
+                _dim,
+                ann_layout_frame,
             )
+
+            # Degrade, don't die (the A18 discipline applied to the index
+            # artifact): a table whose embedding column carries no actual
+            # vector — every row NULL — has nothing to lay out; skip the
+            # index and let probes fall back, instead of failing the
+            # whole snapshot build. (A zero-ROW table never reaches here:
+            # the n == 0 skip above fires first.)
+            if _dim(df, "embedding") is not None:
+                (
+                    ann_layout_frame(df)
+                    .write.mode("overwrite")
+                    .partitionBy("srp_bucket", "centroid_id")
+                    .parquet(os.path.join(out_dir, f"{name}_ann_index"))
+                )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

@@ -136,6 +136,26 @@ class SnapshotCatalog:
         self._loaded_at = time.monotonic()
         return snapshot_dir
 
+    # -- ANN index resolution (serving path) --------------------------------
+
+    def ann_index_dir(self, table: str = "embeddings") -> str | None:
+        """Path of the current snapshot's ``<table>_ann_index`` artifact —
+        the write-time ANN layout ``build_snapshot`` materializes
+        (``TableLayout(ann_index=True)``) and ``upsert_ann_index``
+        maintains — or ``None`` when the snapshot carries no usable index.
+
+        The serving path: ANN probes called with the resolved snapshot
+        dir (``refresh()``'s return value) resolve this same artifact via
+        ``ensure_ann_index``'s published-first preference, so the gateway
+        exercises exactly the index the ETL publishes — including upsert
+        deltas — with zero on-demand rebuild (pinned by
+        tests/test_gateway.py)."""
+        from ser_etl_spark.operators.similarity import _index_usable
+
+        snapshot_dir = self.refresh()
+        path = os.path.join(snapshot_dir, f"{table}_ann_index")
+        return path if _index_usable(path) else None
+
     # -- time travel (A12) --------------------------------------------------
 
     def versions(self) -> list[str]:

@@ -69,6 +69,12 @@ FULL_QUERIES = [
     "lsh_ann_multiprobe",
     "ivf_assign",
     "ivf_ann_topk",
+    # r7: the indexed two-stage rescore joins the full-corpus suite —
+    # the v2 layout's try_cast quantization (NaN/Inf component -> NULL
+    # qvec entry -> NULL cheap-stage score, sorts last) is replayed by
+    # the oracle's TRY_CAST, so even the int8 path runs the seam corpus
+    # bit-for-bit.
+    "ann_quantized_rescore",
 ]
 
 REDUCED_QUERIES = [

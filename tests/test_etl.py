@@ -112,6 +112,53 @@ class TestBuild:
         assert report.skipped == ("t",)
         assert "t" not in report.tables
 
+    def test_empty_embeddings_with_ann_layout_skips_cleanly(
+        self, spark, tmp_path
+    ):
+        """ADVICE r7: a zero-row incremental snapshot build with
+        TableLayout(ann_index=True) must not raise from the layout's
+        dimension probe — the A18 empty-skip fires before the ann-index
+        materialization ever runs."""
+        from ser_etl_spark.etl.build import TableLayout
+
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>, label int"
+        )
+        report = build_snapshot(
+            {"embeddings": empty},
+            str(tmp_path / "b4"),
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+        )
+        assert report.skipped == ("embeddings",)
+        assert not (tmp_path / "b4" / "embeddings_ann_index").exists()
+
+    def test_all_null_embeddings_with_ann_layout_degrades(
+        self, spark, tmp_path
+    ):
+        """The adjacent real hole: a NON-empty table whose embedding
+        column is all NULL has no vector to probe a dimension from — the
+        build writes the table but skips the index artifact instead of
+        crashing the snapshot."""
+        from ser_etl_spark.etl.build import TableLayout
+
+        df = spark.createDataFrame(
+            [(1, None, 0), (2, None, 1)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        report = build_snapshot(
+            {"embeddings": df},
+            str(tmp_path / "b5"),
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+        )
+        assert report.tables["embeddings"] == 2
+        assert not (tmp_path / "b5" / "embeddings_ann_index").exists()
+
 
 class TestPublish:
     def _build(self, spark, source, tmp_path, n=1):

@@ -743,3 +743,70 @@ class TestExplain:
         engine = SparkQueryEngine(spark, SnapshotCatalog(spark, sf_small))
         with pytest.raises(QueryRejected):
             engine.explain_query("DROP TABLE orders")
+
+
+class TestSnapshotAnnIndex:
+    """Directive-r7 #3: the serving path must exercise the same ANN
+    artifact the ETL publishes — probes through a published snapshot
+    resolve `<table>_ann_index` with ZERO on-demand rebuild, including
+    after an `upsert_ann_index` delta."""
+
+    def _publish_with_index(self, spark, sf_small, tmp_path):
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        build = str(tmp_path / "build")
+        report = build_snapshot(
+            {"embeddings": emb},
+            build,
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+        )
+        store = str(tmp_path / "store")
+        publish_snapshot(build, store, tables=report.tables, views={})
+        return SnapshotCatalog(spark, store)
+
+    def test_probe_reads_published_index_zero_rebuild(
+        self, spark, sf_small, tmp_path
+    ):
+        import os
+        import tempfile
+
+        from ser_etl_spark.operators import similarity as S
+
+        cat = self._publish_with_index(spark, sf_small, tmp_path)
+        snap = cat.refresh()
+        idx = cat.ann_index_dir()
+        assert idx == os.path.join(snap, "embeddings_ann_index")
+        # ensure_ann_index resolves the SAME published artifact
+        assert S.ensure_ann_index(spark, snap) == idx
+
+        uid = getattr(os, "getuid", lambda: "na")()
+        cache_root = os.path.join(
+            tempfile.gettempdir(), f"ser_etl_ann_index_{uid}"
+        )
+        before = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        vec = S._query_vector(spark, snap)
+        assert len(S.lsh_ann_topk_indexed(spark, snap, vec, k=10).collect()) > 0
+        assert len(S.ivf_ann_topk_indexed(spark, snap, vec, k=10).collect()) > 0
+        assert (
+            len(S.quantized_rescore_topk_indexed(spark, snap, vec).collect())
+            > 0
+        )
+        after = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert before == after  # zero on-demand rebuild
+
+    def test_snapshot_without_index_returns_none(self, spark, sf_small):
+        from ser_etl_spark.gateway.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, sf_small)  # plain fixture dir, no index
+        assert cat.ann_index_dir() is None

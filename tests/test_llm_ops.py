@@ -1000,6 +1000,54 @@ class TestAnnIndexMaintenance:
         assert inc_parts == full_parts
 
 
+    def test_indexed_probes_after_upsert_equal_scan(
+        self, spark, sf_small, tmp_path
+    ):
+        """Directive-r7 #4: after an upsert delta, the REGISTERED indexed
+        probe functions (resolving the published `<table>_ann_index` and
+        reading the quantizer from the index itself) must equal the
+        scan-time probes over the grown corpus — probe selection cannot
+        drift from the persisted centroid_id partitioning."""
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        n = emb.count()
+        half = n // 2
+        base = emb.filter(F.col("vec_id") < half)  # contains centroids 0..7
+        delta = emb.filter(F.col("vec_id") >= half)
+
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"embeddings": base},
+            snap,
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+        )
+        # incremental sync: delta appended to the table AND the index
+        delta.write.mode("append").parquet(f"{snap}/embeddings")
+        S.upsert_ann_index(spark, f"{snap}/embeddings_ann_index", delta)
+
+        idx = S.ensure_ann_index(spark, snap)
+        assert idx == f"{snap}/embeddings_ann_index"  # published, not tmp
+
+        vec = S._query_vector(spark, sf_small)
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        assert rows(S.lsh_ann_topk_indexed(spark, snap, vec, k=10)) == rows(
+            S.lsh_ann_topk(emb, vec, k=10)
+        )
+        assert rows(S.ivf_ann_topk_indexed(spark, snap, vec, k=10)) == rows(
+            S.ivf_ann_topk(emb, vec, k=10)
+        )
+
     def test_upsert_with_degenerate_delta(self, spark, tmp_path):
         """A delta containing seam vectors (zero vector -> NULL centroid,
         short array) appends into the hive-default partition and reads

@@ -465,6 +465,27 @@ def test_ann_index_probes_prune_partitions(spark, sf_small):
     assert 0 < len(probe_files) < len(all_files), (len(probe_files), len(all_files))
 
 
+def test_quantized_rescore_reads_materialized_int8(spark, sf_small):
+    """Directive-r7 #1: the two-stage rescore's cheap stage must READ
+    the write-time int8 artifact, never re-quantize the float corpus per
+    query — (a) no quantize expressions (the greatest(1e-30, ...) max-abs
+    chain) anywhere in the per-query plan, (b) the cheap-stage scan's
+    ReadSchema carries qvec/scale and NOT the float embedding column
+    (4x byte saving), and (c) every index scan is partition-pruned to
+    the probed centroid lists (scan fraction multiplies with the byte
+    saving)."""
+    plan = _plan(spark, sf_small, "ann_quantized_rescore")
+    assert "1.0E-30" not in plan, plan  # quantization paid at build time
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    cheap = [s for s in schemas if "qvec" in s]
+    assert cheap, schemas
+    assert all("embedding" not in s for s in cheap), cheap
+    pfs = re.findall(r"PartitionFilters: \[(.+?)\]", plan)
+    assert pfs and all(
+        re.search(r"centroid_id#\d+ IN \(", pf) for pf in pfs
+    ), plan
+
+
 def test_ann_indexed_probes_match_scan_probes(spark, sf_small):
     """The write-time layout is a pure layout change: indexed probes must
     return bit-identical rows to the scan-time filter forms."""
