@@ -68,85 +68,112 @@ def approx_sketches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def heavy_hitters(
-    docs: DataFrame, k: int = 200, top: int = 50, text_col: str = "text"
-) -> DataFrame:
-    """Misra-Gries heavy hitters over whitespace tokens.
-
-    The third classic mergeable sketch after HLL and quantile summaries:
-    each partition keeps at most ``k`` counters (decrementing all when
-    full — the Misra-Gries step), then the tiny per-partition summaries
-    (≤ k rows each) are summed globally. Guarantees: every token with
-    true frequency > N/k survives, and ``true_count - est_freq <=
-    max_undercount`` where ``max_undercount`` is the TOTAL decrement
-    count across ALL partition summaries — a token fully evicted from
-    some partition still loses at most that partition's decrements, so
-    only the global total bounds every token (summing decrements over
-    just the partitions where a token survived does not).
-
-    Scale: the shuffle carries ≤ partitions × k summary rows instead of
-    one row per token occurrence — the vocabulary long tail never
-    crosses the network (contrast ``token_frequencies``, the exact
-    form). Python cost is one Arrow pass (mapInPandas); the counter
-    loop is a dict over each batch, O(tokens) amortized.
-    """
-    import pandas as pd
-
-    toks = docs.select(
+def _tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token stream (the token_frequencies/count_min form)."""
+    return docs.select(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias("tok")
     )
 
+
+def mg_candidates(
+    toks: DataFrame, k: int = 200, tok_col: str = "tok"
+) -> DataFrame:
+    """Pass 1 of the two-pass heavy-hitter pattern: per-partition
+    Misra-Gries survivor sets (at most ``k`` counters each, decrementing
+    all when full — the classic bounded-state step).
+
+    Guarantee (the pigeonhole + MG survival argument): any token with
+    GLOBAL count > N/k has count > N_p/k in at least one partition p
+    (if c_p <= N_p/k everywhere, summing gives c <= N/k), and within
+    that partition MG can decrement it at most N_p/k times, so it
+    survives there. The union of partition survivor sets therefore
+    contains EVERY global heavy hitter — candidates may include extras,
+    never miss one. Shuffle: ≤ partitions x k candidate rows; the
+    vocabulary long tail never crosses the network.
+    """
+    import pandas as pd
+
     def mg_partition(batches):
         counters: dict[str, int] = {}
-        decrements = 0
         for pdf in batches:
-            for tok in pdf["tok"]:
+            for tok in pdf[tok_col]:
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < k:
                     counters[tok] = 1
                 else:
                     # Misra-Gries: decrement everything, evict zeros
-                    decrements += 1
                     for key in list(counters):
                         counters[key] -= 1
                         if counters[key] == 0:
                             del counters[key]
         if counters:
-            # `dec` is carried ONCE per partition (first row), so a plain
-            # global SUM(dec) yields the all-partition decrement total.
-            yield pd.DataFrame(
-                {
-                    "tok": list(counters),
-                    "cnt": list(counters.values()),
-                    "dec": [decrements] + [0] * (len(counters) - 1),
-                }
-            )
+            yield pd.DataFrame({tok_col: list(counters)})
 
-    summaries = toks.mapInPandas(mg_partition, "tok string, cnt long, dec long")
-    # Both branches consume the SAME groupBy exchange (ReuseExchange), so
-    # the scan + Arrow sketch pass runs once; the global decrement total
-    # re-aggregates the ≤ partitions×k grouped rows, not the corpus.
-    grouped = summaries.groupBy("tok").agg(
-        F.sum("cnt").alias("est_freq"), F.sum("dec").alias("_dec")
-    )
-    total_dec = grouped.agg(F.sum("_dec").alias("max_undercount"))
+    return toks.mapInPandas(mg_partition, f"{tok_col} string").distinct()
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = 200, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic heavy hitters: every token with true frequency
+    > N/k, with its EXACT count — the standard two-pass pattern
+    (Misra-Gries candidates -> exact rescore), r7 directive #2.
+
+    Pass 1 (:func:`mg_candidates`) is partition-dependent bounded-state
+    sketching, but it only has to be a SUPERSET of the true heavy
+    hitters (guaranteed; see its docstring). Pass 2 broadcast-semi-joins
+    the small candidate set back onto the token stream and counts
+    exactly, then keeps only ``freq * k > N`` — so the OUTPUT is a pure
+    function of the data, independent of partitioning, and
+    SQL-expressible (the same move that made KMV the oracle-backed
+    approximate-distinct in r6). At most ``k - 1`` rows can satisfy the
+    threshold, so the result is always tiny.
+
+    Scale: two passes over the token stream (the price of determinism);
+    pass 1 shuffles ≤ partitions x k candidate rows, pass 2's hash
+    aggregate is map-side-partial over ≤ |candidates| distinct keys, and
+    the stream total N rides the same scan as a 1-row aggregate
+    broadcast back. The exact single-pass estimate form stays available
+    via ``count_min_estimates`` (overcount-bounded) when two passes are
+    too dear.
+    """
+    toks = _tokens(docs, text_col)
+    cands = mg_candidates(toks, k)
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        grouped.drop("_dec")
-        .crossJoin(F.broadcast(total_dec))
-        .orderBy(F.col("est_freq").desc(), F.col("tok").asc())
-        .limit(top)
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * F.lit(k) > F.col("_n"))
+        .select("tok", "freq")
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
     )
 
 
 @register(
     "heavy_hitters",
-    oracle=None,  # sketch estimates depend on partitioning; tests bound
-    # them against the exact token_frequencies answer instead
-    description="Misra-Gries heavy-hitter tokens (k=200 counters per "
-    "partition, mergeable summaries) — the bounded-state form of "
-    "token_frequencies: the vocabulary long tail never crosses the "
-    "network",
+    oracle="""
+    WITH tk AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n FROM tk
+    )
+    SELECT tok, freq FROM tf, n
+    WHERE freq * 200 > n
+    ORDER BY freq DESC, tok ASC
+    """,
+    description="deterministic heavy hitters: every token with true "
+    "frequency > N/200 with its exact count, via the two-pass "
+    "Misra-Gries-candidates -> broadcast exact-rescore pattern — the "
+    "candidate sketch is partition-dependent but provably a superset, "
+    "so the thresholded output is a pure function of the data "
+    "(oracle-backed since r7; the bounded-state single-pass estimates "
+    "remain available as count_min_tokens)",
     covers=("N-text", "B4"),
 )
 def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:

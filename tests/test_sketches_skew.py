@@ -107,41 +107,51 @@ class TestClusterConvergence:
 
 
 class TestHeavyHitters:
-    def test_misra_gries_bounds_vs_exact(self, spark, sf_small):
-        """Every true heavy hitter survives and estimates never exceed
-        the true count, undercounting by at most the summed decrements."""
+    def test_output_is_exact_threshold_set(self, spark, sf_small):
+        """Directive-r7 #2: the two-pass form must emit EXACTLY the
+        tokens with true frequency > N/k, each with its exact count — a
+        pure function of the data, checked against token_frequencies."""
         from ser_etl_spark.operators.sketches import heavy_hitters
         from ser_etl_spark.operators.text import token_frequencies
         from ser_etl_spark.sources.parquet import load_table
 
         docs = load_table(spark, sf_small, "documents")
         exact = {
-            r["tok"]: r["freq"] for r in token_frequencies(docs, k=10000).collect()
+            r["tok"]: r["freq"]
+            for r in token_frequencies(docs, k=100000).collect()
         }
-        got = heavy_hitters(docs, k=200, top=30).collect()
-        assert got
-        # the bound is the GLOBAL decrement total — identical on every row
-        # (a per-survivor sum would miss partitions the token was evicted
-        # from and not actually bound the undercount)
-        assert len({r["max_undercount"] for r in got}) == 1
-        max_dec = max(r["max_undercount"] for r in got)
-        for r in got:
-            true = exact[r["tok"]]
-            assert r["est_freq"] <= true
-            assert true - r["est_freq"] <= max_dec
-        # the overall top-10 exact tokens all appear in the sketch top-30
-        top_exact = sorted(exact, key=lambda t: (-exact[t], t))[:10]
-        sketch_toks = {r["tok"] for r in got}
-        assert set(top_exact) <= sketch_toks
+        n = sum(exact.values())
+        k = 200
+        want = {t: c for t, c in exact.items() if c * k > n}
+        got = {r["tok"]: r["freq"] for r in heavy_hitters(docs, k=k).collect()}
+        assert got == want
+        assert len(got) < k  # at most k-1 can exceed N/k
+
+    def test_partitioning_independent(self, spark, sf_small):
+        """The MG candidate pass is partition-dependent; the thresholded
+        exact output must NOT be — same rows under any repartitioning."""
+        from ser_etl_spark.operators.sketches import heavy_hitters
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        a = sorted(
+            tuple(r) for r in heavy_hitters(docs.repartition(3), k=200).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in heavy_hitters(docs.repartition(17), k=200).collect()
+        )
+        assert a == b and a
 
     def test_exact_when_counters_fit(self, spark):
-        """With k larger than the vocabulary the sketch IS exact."""
+        """With k large, the threshold N/k drops below 1 occurrence and
+        every token appears with its exact count."""
         from ser_etl_spark.operators.sketches import heavy_hitters
 
         docs = spark.createDataFrame(
             [(1, "a b a c a b"), (2, "a b x")], "doc_id bigint, text string"
         )
-        got = {r["tok"]: r["est_freq"] for r in heavy_hitters(docs, k=50, top=10).collect()}
+        got = {r["tok"]: r["freq"] for r in heavy_hitters(docs, k=50).collect()}
         assert got == {"a": 4, "b": 3, "c": 1, "x": 1}
 
 
