@@ -287,14 +287,26 @@ def series_similarity_topk(
         F.col("hour_bucket"), F.col("v").alias("rv")
     )
     cand = series.filter(F.col("user_id") != ref_user)
-    joined = cand.join(F.broadcast(ref), "hour_bucket")
+    # Accumulate the sufficient statistics in DECIMAL, not BIGINT: v is an
+    # hourly SUM of 1e6-scaled values, so v*v exceeds 2^63 for hot
+    # users/long windows — under Spark's ANSI default that THROWS while
+    # DuckDB's SUM silently promotes to HUGEINT, a divergent failure mode
+    # at scale (ADVICE r7). decimal(19,0) holds any BIGINT; the product is
+    # decimal(38,0) (< 2^126 always fits) and sums stay exact — the oracle
+    # mirrors with explicit HUGEINT casts, so both engines are exact
+    # integers until the single double expression at the end.
+    joined = cand.join(F.broadcast(ref), "hour_bucket").select(
+        "user_id",
+        F.col("v").cast("decimal(19,0)").alias("vx"),
+        F.col("rv").cast("decimal(19,0)").alias("vy"),
+    )
     stats = joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v").alias("sx"),
-        F.sum("rv").alias("sy"),
-        F.sum(F.col("v") * F.col("v")).alias("sxx"),
-        F.sum(F.col("rv") * F.col("rv")).alias("syy"),
-        F.sum(F.col("v") * F.col("rv")).alias("sxy"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+        F.sum(F.col("vx") * F.col("vx")).alias("sxx"),
+        F.sum(F.col("vy") * F.col("vy")).alias("syy"),
+        F.sum(F.col("vx") * F.col("vy")).alias("sxy"),
     )
     # one double expression from the exact integer sums; zero-variance
     # candidates (constant series) are undefined -> NULL -> sorted last
@@ -327,9 +339,11 @@ def series_similarity_topk(
       SELECT hour_bucket, v AS rv FROM series WHERE user_id = 1
     ), stats AS (
       SELECT c.user_id, COUNT(*) AS n,
-             SUM(c.v) AS sx, SUM(r.rv) AS sy,
-             SUM(c.v * c.v) AS sxx, SUM(r.rv * r.rv) AS syy,
-             SUM(c.v * r.rv) AS sxy
+             SUM(CAST(c.v AS HUGEINT)) AS sx,
+             SUM(CAST(r.rv AS HUGEINT)) AS sy,
+             SUM(CAST(c.v AS HUGEINT) * c.v) AS sxx,
+             SUM(CAST(r.rv AS HUGEINT) * r.rv) AS syy,
+             SUM(CAST(c.v AS HUGEINT) * r.rv) AS sxy
       FROM series c JOIN ref r USING (hour_bucket)
       WHERE c.user_id <> 1
       GROUP BY c.user_id
@@ -349,8 +363,9 @@ def series_similarity_topk(
     description="time-series similarity search: top-10 users whose "
     "hourly value series correlates most with user 1's — reference "
     "series broadcast, shared-support join, Pearson from six exact "
-    "BIGINT sufficient statistics per candidate (1e-6-quantized values, "
-    "partitioning-independent), one guarded double expression; "
+    "integer sufficient statistics per candidate (1e-6-quantized "
+    "values; squares accumulate in DECIMAL(38,0)/HUGEINT so hot users "
+    "can't overflow BIGINT divergently), one guarded double expression; "
     "zero-variance series score NULL and sort last",
     covers=("N-sim", "X-window"),
 )

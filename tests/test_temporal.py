@@ -107,3 +107,33 @@ def test_epoch_bucket_queries_are_timezone_pure(spark, sf_small):
         spark.conf.set("spark.sql.session.timeZone", old)
     for n in per_tz["UTC"]:
         assert per_tz["UTC"][n] == per_tz["Asia/Kathmandu"][n], n
+
+
+def test_series_similarity_survives_bigint_overflow_magnitudes(spark):
+    """ADVICE r7: v is an hourly SUM of 1e6-scaled values, so sum(v*v)
+    exceeds 2^63 for hot users — the sufficient statistics must
+    accumulate in DECIMAL (Spark) / HUGEINT (DuckDB oracle), not BIGINT,
+    or Spark's ANSI default throws where DuckDB silently promotes. Drive
+    magnitudes where every square is > 2^63 and pin the exact Pearson
+    endpoints a linear/anti-linear relation must produce."""
+    import datetime as dt
+
+    from ser_etl_spark.operators.timeseries import series_similarity_topk
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    big = 4.0e9  # quantized: 4e15 per event; square 1.6e31 >> 2^63
+    rows = []
+    for h, mult in ((0, 1.0), (1, 2.0), (2, 3.0)):
+        rows.append((1, ts(h), big * mult))          # reference user
+        rows.append((2, ts(h), big * mult * 2.0))    # perfectly correlated
+        rows.append((3, ts(h), big * (4.0 - mult)))  # perfectly anti-corr.
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp_ntz, value double"
+    )
+    got = {
+        r["user_id"]: r["corr"]
+        for r in series_similarity_topk(events, ref_user=1, k=10).collect()
+    }
+    assert got == {2: 1.0, 3: -1.0}
