@@ -112,3 +112,31 @@ def test_one_row_corpus(spark, one_row_dir, one_row_con, name):
         return
     problems = compare(name, df, one_row_con, spec.oracle)
     assert not problems, "\n".join(problems)
+
+
+def test_orc_interchange_inherits_empty_degradation(spark, empty_dir, tmp_path):
+    """Directive-r7 #8: the ORC interchange family inherits the
+    schema-only degradation guarantees — empty tables round-trip
+    write_orc -> OrcSource.read with schema intact and zero rows, and a
+    snapshot re-landed from the ORC extract still drives registry
+    queries to their typed empty results."""
+    from ser_etl_spark.sources.interchange import OrcSource, write_orc
+    from ser_etl_spark.sources.parquet import load_table
+
+    tables = ("documents", "embeddings", "orders")
+    orc_root = tmp_path / "orc"
+    for t in tables:
+        write_orc(load_table(spark, empty_dir, t), str(orc_root / t))
+
+    src = OrcSource(str(orc_root))
+    reland = tmp_path / "reland"
+    for t in tables:
+        df = src.read(spark, t)
+        assert df.count() == 0
+        assert df.schema == load_table(spark, empty_dir, t).schema, t
+        df.write.parquet(str(reland / t))
+
+    for name in ("dedup_exact", "ann_cosine_topk"):
+        out = QUERIES[name].builder(spark, str(reland))
+        assert out.count() == 0
+        assert len(out.schema.fields) > 0
