@@ -180,15 +180,16 @@ def frame_sample_query(spark, sf_dir):
     return sample_frames(with_fake_payload(docs), every_n=30)
 
 
-def _hexint_sql(col: str, start: int) -> str:
-    """DuckDB SQL for the big-endian integer of 8 hex chars of ``col``
-    starting at 1-based position ``start`` — the SQL twin of
-    ``int.from_bytes(digest[4i:4i+4], 'big')`` over the hex rendering.
-    Every term is an exact integer < 2^32, so the sum is exact."""
+def _hexint_sql(col: str, start: int, width: int = 8) -> str:
+    """DuckDB SQL for the big-endian integer of ``width`` hex chars of
+    ``col`` starting at 1-based position ``start`` — the SQL twin of
+    ``int.from_bytes(digest[a:b], 'big')`` over the hex rendering.
+    Every term is an exact integer (< 2^32 at width 8), so the sum is
+    exact."""
     return "(" + " + ".join(
         f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1)"
-        f" * {16 ** (7 - j)}"
-        for j in range(8)
+        f" * {16 ** (width - 1 - j)}"
+        for j in range(width)
     ) + ")"
 
 
@@ -234,3 +235,187 @@ def multimodal_features_query(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection over media payloads
+# ---------------------------------------------------------------------------
+
+#: 16-bit hash bands; Hamming <= PHASH_MAX_HAMMING pairs are near-dups.
+#: 4 bands + threshold 3 gives the pigeonhole guarantee below.
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+#: size of the simulated shared media-asset pool (doc_id mod this):
+#: 256 gives zero collisions at the 50-doc smoke SF, ~244 re-used-asset
+#: pairs at sf0.01, and a dense re-use pattern at bench SF.
+ASSET_POOL = 256
+
+
+def with_asset_payload(
+    docs: DataFrame, id_col: str = "doc_id", n_assets: int = ASSET_POOL
+) -> DataFrame:
+    """Attach a fake binary payload drawn from a SHARED asset pool: the
+    sha256 stream is keyed on ``doc_id % n_assets``, so documents
+    embedding the same asset carry byte-identical media — the re-crawl /
+    re-embed shape real pipelines dedup against (the same stock image
+    under thousands of page ids). Same 128-byte binary column contract
+    as :func:`with_fake_payload`."""
+    key = (F.col(id_col) % F.lit(n_assets)).cast("string")
+    payload = F.unhex(
+        F.concat(
+            *[F.sha2(F.concat(key, F.lit(f":{i}")), 256) for i in range(4)]
+        )
+    )
+    return docs.withColumn("payload", payload)
+
+
+def extract_phash_bands(
+    media_df: DataFrame, id_col: str = "doc_id", bands: int = PHASH_BANDS
+) -> DataFrame:
+    """Arrow-batched perceptual-hash extraction: decode each payload (the
+    stubbed deterministic decoder — a real deployment swaps in DCT-based
+    pHash over pixels) and emit the 64-bit hash as ``bands`` 16-bit
+    integer columns ``b0..b{bands-1}``.
+
+    Band columns, not one 64-bit value, on purpose: they are the LSH
+    blocking keys downstream (:func:`phash_neardup_pairs`) AND they
+    sidestep signed-int64 seams for the top bit. The payload is consumed
+    here — only ``bands`` small ints per row flow into any shuffle.
+    """
+
+    # Self-contained closure (cloudpickle ships it by value); the inline
+    # digest mirrors decode_media(..., fake=True).
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            out: dict[str, list] = {f"b{i}": [] for i in range(bands)}
+            for payload in pdf["payload"]:
+                decoded = hashlib.sha256(
+                    b"decoded:" + bytes(payload).hex().encode()
+                ).digest()
+                for i in range(bands):
+                    out[f"b{i}"].append(
+                        int.from_bytes(decoded[2 * i : 2 * i + 2], "big")
+                    )
+            yield _pd.DataFrame({id_col: pdf[id_col], **out})
+
+    schema = ", ".join(
+        [f"{id_col} long"] + [f"b{i} long" for i in range(bands)]
+    )
+    return media_df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+def phash_neardup_pairs(
+    bands_df: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate media pairs: Hamming distance over the 64-bit
+    perceptual hash <= ``max_hamming``, found WITHOUT an all-pairs join.
+
+    Pigeonhole blocking (the simhash_pairs discipline, dedup.py): a pair
+    differing in <= 3 bits can touch at most 3 of the 4 bands, so at
+    least one 16-bit band is IDENTICAL — candidates are generated by a
+    band-value equi-join (one shuffle on (band_idx, band_val); block
+    sizes are bounded by band-value collision counts, never corpus^2),
+    then verified with the exact popcount over all bands. Dedup of
+    multi-band matches happens on the small candidate set.
+    """
+    expl = bands_df.select(
+        "*",
+        F.posexplode(
+            F.array(*[F.col(f"b{i}") for i in range(bands)])
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.b{i}").alias(f"a{i}") for i in range(bands)],
+            *[F.col(f"b.b{i}").alias(f"c{i}") for i in range(bands)],
+        )
+        .distinct()
+    )
+    ham = None
+    for i in range(bands):
+        t = F.expr(f"bit_count(a{i} ^ c{i})")
+        ham = t if ham is None else ham + t
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _phash_oracle(
+    max_hamming: int = PHASH_MAX_HAMMING, bands: int = PHASH_BANDS
+) -> str:
+    """DuckDB twin: the asset-pool payload replayed hex-domain (sha256
+    chains over the asset id), the fake decode, 4-hex-char band
+    extraction via exact strpos arithmetic, the same band-blocked
+    candidate join, and xor+bit_count verification."""
+    payload_hex = " || ".join(
+        f"sha256(CAST(doc_id % {ASSET_POOL} AS VARCHAR) || ':{i}')"
+        for i in range(4)
+    )
+    band_cols = ", ".join(
+        f"{_hexint_sql('dh', 4 * i + 1, 4)} AS b{i}" for i in range(bands)
+    )
+    band_list = "[" + ", ".join(f"b{i}" for i in range(bands)) + "]"
+    ham = " + ".join(f"bit_count(xor(a{i}, c{i}))" for i in range(bands))
+    a_cols = ", ".join(f"a.b{i} AS a{i}" for i in range(bands))
+    c_cols = ", ".join(f"b.b{i} AS c{i}" for i in range(bands))
+    return f"""
+    WITH p AS (
+      SELECT doc_id, {payload_hex} AS payload_hex FROM documents
+    ), d AS (
+      SELECT doc_id, sha256('decoded:' || payload_hex) AS dh FROM p
+    ), bands AS (
+      SELECT doc_id, {band_cols} FROM d
+    ), expl AS (
+      SELECT doc_id, b0, b1, b2, b3, i.i AS band_idx,
+             {band_list}[i.i] AS band_val
+      FROM bands, (SELECT unnest([1, 2, 3, 4]) AS i) i
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {a_cols}, {c_cols}
+      FROM expl a JOIN expl b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand
+    WHERE {ham} <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "media_phash_neardup",
+    oracle=_phash_oracle(),
+    description="multimodal near-dup detection: 64-bit perceptual hash "
+    "(stub decoder; DCT pHash in a real deployment) as 4x16-bit bands "
+    "extracted in one Arrow pass, pigeonhole band-blocking (Hamming<=3 "
+    "implies an identical band) -> band-value equi-join candidates -> "
+    "exact popcount verify — no all-pairs join, payloads never shuffle; "
+    "shared-asset-pool fake payloads (doc_id % 256) give documents "
+    "genuinely re-used media to find, and the whole path (binary column "
+    "-> Arrow batch -> bands -> blocked join) replays bit-exactly in SQL",
+    covers=("N-multimodal", "N-dedup"),
+)
+def media_phash_neardup_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = extract_phash_bands(with_asset_payload(docs))
+    return phash_neardup_pairs(bands)

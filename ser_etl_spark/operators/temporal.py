@@ -250,3 +250,81 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type", "value"
     )
     return latest_per_key(events, "user_id", "ts", "event_id")
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    ``(from_type, to_type, n_transitions, p)`` where ``p`` is the
+    row-normalized transition probability.
+
+    The sequence-mining complement to the funnel/attribution family:
+    models *what follows what* (session simulation, next-event
+    prediction features, bot-pattern detection) instead of matching one
+    fixed pattern. One per-key window pass (LEAD over ``ts, tiebreak`` —
+    deterministic under concurrent equal timestamps), then a hash
+    aggregate on the (from, to) pair; the matrix is |types|^2 rows, so
+    the normalizing per-from totals are a window over the tiny aggregate
+    — nothing data-sized after the single keyed shuffle. ``p`` is two
+    exact BIGINT counts -> one double division, round 6 (the
+    cross-engine determinism recipe).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totw = Window.partitionBy("from_type")
+    p = F.round(
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(totw).cast("double"),
+        6,
+    )
+    return counts.select(
+        "from_type", "to_type", "n_transitions", p.alias("p")
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC)
+               AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                        AS DOUBLE), 6) AS p
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+    description="first-order Markov transition matrix over per-user "
+    "event sequences: (from, to) counts + row-normalized probabilities "
+    "— one LEAD window pass (deterministic event_id tiebreak), one hash "
+    "aggregate; normalization is a window over the |types|^2 aggregate, "
+    "nothing data-sized after the single keyed shuffle",
+    covers=("X-window", "B5"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return transition_matrix(events, "user_id", "ts", "event_type", "event_id")

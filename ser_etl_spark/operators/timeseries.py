@@ -245,6 +245,27 @@ def gap_filled_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS_SCALE = 1_000_000
 
 
+def hourly_series(events: DataFrame) -> DataFrame:
+    """Per-(user, hour) quantized series points ``(user_id, hour_bucket,
+    v)`` — the shared first stage of the series-search family: hour
+    buckets via timezone-pure NTZ epoch math, values quantized to 1e-6
+    and summed as exact BIGINTs (associative — partitioning cannot
+    change them). One hash aggregate; map-side partials mean the shuffle
+    carries one row per (user, hour)."""
+    hour = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3600)
+    ).cast("long")
+    q = F.round(F.col("value") * F.lit(float(_TS_SCALE)), 0).cast("long")
+    return (
+        events.select(F.col("user_id"), hour.alias("hour_bucket"), q.alias("v"))
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
 def series_similarity_topk(
     events: DataFrame,
     ref_user: int,
@@ -271,18 +292,7 @@ def series_similarity_topk(
     double expression at the end with a nullif zero-variance guard,
     rounded to 6 decimals, vec-id tie-break.
     """
-    hour = F.floor(
-        F.expr(
-            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        )
-        / F.lit(3600)
-    ).cast("long")
-    q = F.round(F.col("value") * F.lit(float(_TS_SCALE)), 0).cast("long")
-    series = (
-        events.select(F.col("user_id"), hour.alias("hour_bucket"), q.alias("qv"))
-        .groupBy("user_id", "hour_bucket")
-        .agg(F.sum("qv").alias("v"))
-    )
+    series = hourly_series(events)
     ref = series.filter(F.col("user_id") == ref_user).select(
         F.col("hour_bucket"), F.col("v").alias("rv")
     )
@@ -392,18 +402,7 @@ def pattern_match_topk(
     user ordered by hour (LEADs; the window partitioning reuses the
     aggregate's shuffle key), consecutive-hour guard, TakeOrdered top-k.
     """
-    hour = F.floor(
-        F.expr(
-            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        )
-        / F.lit(3600)
-    ).cast("long")
-    q = F.round(F.col("value") * F.lit(float(_TS_SCALE)), 0).cast("long")
-    series = (
-        events.select(F.col("user_id"), hour.alias("hour_bucket"), q.alias("v"))
-        .groupBy("user_id", "hour_bucket")
-        .agg(F.sum("v").alias("v"))
-    )
+    series = hourly_series(events)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("hour_bucket").asc())
@@ -467,3 +466,115 @@ def pattern_match_topk(
 )
 def pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_match_topk(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# series anomaly detection: exact-integer z-score outliers
+# ---------------------------------------------------------------------------
+
+
+def series_anomalies(
+    events: DataFrame,
+    z_sq_threshold: int = 9,
+    min_hours: int = 24,
+) -> DataFrame:
+    """Hours whose value deviates more than ``sqrt(z_sq_threshold)``
+    standard deviations from the user's own mean — per-series anomaly
+    detection with an EXACT integer predicate (data-quality gate for
+    training pipelines: flag corrupted feeds / bot bursts before they
+    poison aggregates).
+
+    The float-seam-free trick: the z-score test ``|v - mean| > z * σ``
+    squares to ``(n*v - sx)^2 > z^2 * (n*sxx - sx^2)`` after multiplying
+    both sides by ``n^2`` — every term an exact integer (v is the
+    1e-6-quantized hourly BIGINT sum; squares accumulate in
+    decimal(38,0) / HUGEINT per the series_similarity_topk overflow
+    discipline), so membership is bit-deterministic on any engine and
+    any partitioning, with NO sqrt/division in the predicate. The
+    reported ``zsq`` ( = z^2, exact integers -> one double division,
+    round 4) is presentation only.
+
+    Shape: one hash aggregate to series points, then per-user whole-
+    partition window sums REUSING the aggregate's user-side shuffle —
+    the per-user statistics never leave their partition, and no
+    series-vs-series traffic exists at all. Magnitude bound: terms stay
+    under decimal(38,0) while n * (hourly |v|)^2 < 1e38 — hourly sums up
+    to ~1e15 (1e9 raw units) with 1e6 hours/user, documented headroom
+    far beyond the fixture's 1e12 class.
+    """
+    from pyspark.sql import Window
+
+    series = hourly_series(events)
+    w = Window.partitionBy("user_id")
+    d = F.col("v").cast("decimal(19,0)")
+    scored = series.select(
+        "user_id",
+        "hour_bucket",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(d).over(w).alias("sx"),
+        F.sum(d * d).over(w).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    dev = nd * F.col("v").cast("decimal(19,0)") - F.col("sx")
+    varn = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    zsq = F.round(
+        dev.cast("double") * dev.cast("double")
+        / F.expr("nullif(CAST((CAST(n AS DECIMAL(20,0)) * sxx - sx * sx) "
+                 "AS DOUBLE), 0.0D)"),
+        4,
+    )
+    return (
+        scored.filter(
+            (F.col("n") >= min_hours)
+            & (dev * dev > F.lit(z_sq_threshold) * varn)
+        )
+        .select(
+            "user_id",
+            "hour_bucket",
+            F.col("v").alias("qv"),
+            F.col("n").alias("n_hours"),
+            zsq.alias("zsq"),
+        )
+        .orderBy("user_id", "hour_bucket")
+    )
+
+
+@register(
+    "series_anomalies",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hour_bucket,
+             SUM(CAST(round(value * {_TS_SCALE}.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT user_id, hour_bucket, v,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(v AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(v AS HUGEINT) * v) OVER w AS sxx
+      FROM series
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, hour_bucket, v AS qv, CAST(n AS BIGINT) AS n_hours,
+           round(CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
+                 * CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
+                 / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0), 4) AS zsq
+    FROM st
+    WHERE n >= 24
+      AND (n*CAST(v AS HUGEINT) - sx) * (n*CAST(v AS HUGEINT) - sx)
+          > 9 * (n*sxx - sx*sx)
+    ORDER BY user_id, hour_bucket
+    """,
+    description="per-series anomaly detection: hours deviating > 3 "
+    "sigma from the user's own mean, decided by the EXACT integer "
+    "predicate (n*v - sx)^2 > 9*(n*sxx - sx^2) (squared z-test, n^2-"
+    "scaled — no sqrt/division, bit-deterministic under any "
+    "partitioning; squares in decimal(38,0)/HUGEINT); per-user window "
+    "sums reuse the series aggregate's shuffle, zero series-vs-series "
+    "traffic",
+    covers=("N-sim", "X-window", "B4"),
+)
+def series_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_anomalies(_t(spark, sf_dir, "events"))

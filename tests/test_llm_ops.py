@@ -1159,3 +1159,74 @@ def test_hamming_ball_properties():
                     assert bin(b ^ center).count("1") <= r
                     assert 0 <= b < (1 << planes)
                 prev = set(ball)
+
+
+class TestPhashNeardup:
+    """Pigeonhole blocking guarantee: every pair within the Hamming
+    threshold is found; pairs that differ in every band are correctly
+    missed only when beyond the threshold."""
+
+    def _bands(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+        )
+
+    def test_finds_all_pairs_within_threshold(self, spark):
+        from ser_etl_spark.operators.multimodal import phash_neardup_pairs
+
+        base = [0xAAAA, 0x5555, 0x0F0F, 0xF0F0]
+        rows = [
+            (0, *base),
+            (1, *base),                                   # hamming 0
+            (2, base[0] ^ 1, *base[1:]),                  # hamming 1
+            (3, base[0] ^ 1, base[1] ^ 2, base[2] ^ 4, base[3]),  # 3
+            (4, base[0] ^ 1, base[1] ^ 2, base[2] ^ 4, base[3] ^ 8),  # 4
+            (5, 0x1111, 0x2222, 0x3333, 0x4444),          # far away
+        ]
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in phash_neardup_pairs(self._bands(spark, rows)).collect()
+        }
+        # every <=3 pair vs doc 0 found with its exact distance
+        assert got[(0, 1)] == 0 and got[(1, 2)] == 1
+        assert got[(0, 2)] == 1 and got[(0, 3)] == 3
+        # hamming-4-with-a-shared-band pairs are candidates but fail the
+        # exact verify; doc 4 differs from doc 0 in all four bands AND
+        # exceeds the threshold — absent either way
+        assert (0, 4) not in got and (0, 5) not in got
+        assert got[(3, 4)] == 1  # 3 and 4 differ by one bit in b3
+
+    def test_shared_band_beyond_threshold_rejected(self, spark):
+        """A candidate pair (identical band 0) with total Hamming 6 must
+        be generated by the block join and then rejected by the exact
+        popcount — blocking recall, verification precision."""
+        from ser_etl_spark.operators.multimodal import phash_neardup_pairs
+
+        rows = [
+            (0, 7, 0, 0, 0),
+            (1, 7, 3, 3, 3),  # same b0, hamming 6 overall
+        ]
+        got = phash_neardup_pairs(self._bands(spark, rows)).collect()
+        assert got == []
+
+    def test_asset_pool_pairs_share_assets(self, spark, sf_small):
+        """Registered-query semantics: every reported pair is a genuine
+        asset re-use (doc ids congruent mod the pool) at hamming 0."""
+        from ser_etl_spark.operators.multimodal import (
+            ASSET_POOL,
+            extract_phash_bands,
+            phash_neardup_pairs,
+            with_asset_payload,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents").select("doc_id")
+        pairs = phash_neardup_pairs(
+            extract_phash_bands(with_asset_payload(docs))
+        ).collect()
+        n_docs = docs.count()
+        if n_docs > ASSET_POOL:
+            assert pairs
+        for r in pairs:
+            assert r["hamming"] == 0
+            assert r["id_a"] % ASSET_POOL == r["id_b"] % ASSET_POOL

@@ -137,3 +137,58 @@ def test_series_similarity_survives_bigint_overflow_magnitudes(spark):
         for r in series_similarity_topk(events, ref_user=1, k=10).collect()
     }
     assert got == {2: 1.0, 3: -1.0}
+
+
+def test_series_anomalies_flags_spike_not_constant(spark):
+    """Exact-integer z-test semantics: an obvious spike in an otherwise
+    flat-ish series is flagged; a perfectly constant series (zero
+    variance) yields nothing; series under min_hours are ignored."""
+    import datetime as dt
+
+    from ser_etl_spark.operators.timeseries import series_anomalies
+
+    rows = []
+    for h in range(30):
+        rows.append((1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                     10.0 + (h % 2)))           # user 1: mild alternation
+        rows.append((2, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                     5.0))                       # user 2: constant
+    rows.append((1, dt.datetime(2024, 1, 2, 6), 10_000.0))  # the spike
+    rows.append((3, dt.datetime(2024, 1, 1), 99.0))         # too short
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp_ntz, value double"
+    )
+    got = series_anomalies(events, min_hours=24).collect()
+    assert [(r["user_id"], r["zsq"] > 9.0) for r in got] == [(1, True)]
+    assert got[0]["qv"] == 10_000 * 1_000_000
+
+
+def test_transition_matrix_exact_counts_and_probs(spark):
+    import datetime as dt
+
+    from ser_etl_spark.operators.temporal import transition_matrix
+
+    def ev(i, u, t):
+        return (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), t)
+
+    rows = [
+        ev(0, 1, "view"), ev(1, 1, "view"), ev(2, 1, "click"),
+        ev(3, 1, "view"),
+        ev(4, 2, "view"), ev(5, 2, "click"), ev(6, 2, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+        for r in transition_matrix(
+            events, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == {
+        ("view", "view"): (1, 0.333333),
+        ("view", "click"): (2, 0.666667),
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+    }
