@@ -203,25 +203,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    num_perm: int = 64,
-    bands: int = 16,
-    n: int = 3,
+def minhash_band_entries(
+    docs: DataFrame, num_perm: int = 64, bands: int = 16, n: int = 3
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
-
-    ``bands`` bands of ``num_perm/bands`` rows: pairs agreeing on any
-    full band become candidates (S-curve threshold ~= (1/b)^(1/r) ~ 0.5
-    for 16x4); candidates are then verified with *exact* Jaccard on the
-    shingle sets, so false positives are eliminated and the output is a
-    subset of the exact similarity join — recall, not precision, is the
-    LSH trade-off.
-    """
+    """LSH band keys ``(doc_id, band, bucket)``: each band's signature
+    rows compressed through one xxhash64 so the candidate join keys on a
+    single long. The shared blocking stage of the MinHash dedup family —
+    in an incremental deployment the CORPUS side of this table is the
+    persisted artifact (built once at snapshot time, appended per sync,
+    the ANN-index discipline) and only new documents pay the signature
+    cost."""
     rows_per_band = num_perm // bands
     with_sig = minhash_signatures(docs, num_perm, n)
-    band_entries = with_sig.select(
+    return with_sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -240,6 +234,25 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    ``bands`` bands of ``num_perm/bands`` rows: pairs agreeing on any
+    full band become candidates (S-curve threshold ~= (1/b)^(1/r) ~ 0.5
+    for 16x4); candidates are then verified with *exact* Jaccard on the
+    shingle sets, so false positives are eliminated and the output is a
+    subset of the exact similarity join — recall, not precision, is the
+    LSH trade-off.
+    """
+    band_entries = minhash_band_entries(docs, num_perm, bands, n)
     a, b = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
         a.join(
@@ -980,3 +993,104 @@ def name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus, one-sided candidates
+# ---------------------------------------------------------------------------
+
+
+def delta_dedup_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW document batch against an
+    EXISTING corpus: ``(corpus_doc, delta_doc, jaccard)`` for every
+    delta document whose MinHash bands collide with a corpus document
+    and whose exact shingle Jaccard clears ``threshold``.
+
+    The A2/A16 incremental story applied to dedup (the reason crawl
+    pipelines don't re-dedup the world per batch): the candidate join is
+    ONE-SIDED — delta bands against corpus bands — so the pair space is
+    bounded by |delta| x band collisions and the corpus is never paired
+    against itself. At 100 TB the corpus band table is the persisted
+    artifact (:func:`minhash_band_entries`, built at snapshot time and
+    appended per sync, exactly the ANN-index maintenance discipline) and
+    each batch pays only its own signatures plus the blocked join.
+    Verification is exact Jaccard, so output is a subset of the exact
+    cross join — the minhash_lsh_pairs guarantee, one-sided.
+    """
+    cb = minhash_band_entries(corpus, num_perm, bands, n)
+    db = minhash_band_entries(delta, num_perm, bands, n)
+    candidates = (
+        db.alias("d")
+        .join(
+            cb.alias("c"),
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("d.doc_id").alias("delta_doc"),
+        )
+        .distinct()
+    )
+    cs = shingle_sets(corpus, n).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("s").alias("sa")
+    )
+    ds = shingle_sets(delta, n).select(
+        F.col("doc_id").alias("delta_doc"), F.col("s").alias("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        candidates.join(cs, "corpus_doc")
+        .join(ds, "delta_doc")
+        .select("corpus_doc", "delta_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("delta_doc", "corpus_doc")
+    )
+
+
+#: modulo split simulating a sync batch: doc_id % 4 == 3 is the newly
+#: arrived quarter, the rest is the standing corpus.
+_DELTA_MOD, _DELTA_REM = 4, 3
+
+
+def _delta_dedup_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin: the proven full MinHash-LSH pipeline restricted to
+    CROSS-side pairs (exactly the candidate set the one-sided join
+    generates — a one-sided band join yields the cross subset of the
+    full band join), re-labeled to (corpus_doc, delta_doc)."""
+    full = _minhash_lsh_oracle(threshold)
+    m, r = _DELTA_MOD, _DELTA_REM
+    return f"""
+    SELECT CASE WHEN doc_a % {m} = {r} THEN doc_b ELSE doc_a END AS corpus_doc,
+           CASE WHEN doc_a % {m} = {r} THEN doc_a ELSE doc_b END AS delta_doc,
+           jaccard
+    FROM ({full}) q
+    WHERE (doc_a % {m} = {r}) <> (doc_b % {m} = {r})
+    ORDER BY delta_doc, corpus_doc
+    """
+
+
+@register(
+    "incremental_dedup",
+    oracle=_delta_dedup_oracle(),
+    description="incremental dedup: the newly-arrived batch (doc_id % 4 "
+    "== 3, a simulated sync delta) near-dup-matched against the standing "
+    "corpus via a ONE-SIDED MinHash band join + exact Jaccard verify — "
+    "the corpus is never paired against itself, so each batch pays only "
+    "its own signatures plus the blocked join (the A2 incremental story "
+    "applied to dedup; corpus bands are the persisted artifact at scale)",
+    covers=("N-dedup", "A2"),
+)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+    return delta_dedup_pairs(docs.filter(~is_delta), docs.filter(is_delta))

@@ -2006,3 +2006,129 @@ def hard_negative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_small_input(load_table(spark, sf_dir, "embeddings")),
         _query_points(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# index-blocked embedding near-dup: the persisted ANN layout as the blocker
+# ---------------------------------------------------------------------------
+
+
+def ann_blocked_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked by the persisted ANN index
+    partitions: candidates are pairs sharing BOTH their ``srp_bucket``
+    and ``centroid_id``, scored exactly within the block.
+
+    The index-powered completion of :func:`embedding_neardup_pairs`
+    (whose ``label`` blocking is an IVF stand-in): here the blocker is
+    the real write-time layout, so the self-join's key IS the physical
+    partitioning — each (bucket, list) block is read co-located, the
+    pair space is bounded by block sizes (never corpus^2), and the
+    persisted ``vnorm`` removes the norm recomputation. Standard
+    LSH-dedup recall semantics: a pair must agree on all hyperplane
+    signs and the coarse quantizer to be considered (deterministic, and
+    replayed exactly by the oracle — like ``minhash_lsh_pairs``, the
+    blocking is part of the operator's definition, not a hidden
+    approximation).
+    """
+    from ser_etl_spark.sources.parquet import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    dim = _dim(emb, "embedding")
+    if dim is None:  # empty corpus: no index, no pairs
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
+    idx = ensure_ann_index(spark, sf_dir)
+    cols = ("vec_id", "embedding", "vnorm", "srp_bucket", "centroid_id")
+    df = spark.read.parquet(idx).select(*cols)
+    a = df.select(
+        F.col("srp_bucket").alias("bk"),
+        F.col("centroid_id").alias("cd"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = df.select(
+        F.col("srp_bucket").alias("bk"),
+        F.col("centroid_id").alias("cd"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    sim = F.round(
+        F.expr(
+            f"{_dot_cols_sql('va', 'vb', dim)}"
+            " / nullif(na * nb, 0.0D)"
+        ),
+        4,
+    )
+    return (
+        a.join(b, ["bk", "cd"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _ann_blocked_neardup_oracle(
+    threshold: float = 0.35,
+    planes: int = ANN_PLANES,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: the proven layout CTEs (bucket literals + nearest-
+    centroid assignment, NULL for degenerate rows so they can never pair
+    — equality join semantics match Spark's), the same block self-join
+    and the exact rounded cosine. The builder reads the persisted
+    layout; the oracle re-derives it — their equality extends the
+    ann_index_layout check to the pair surface."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    bkt = _srp_bucket_duck("e.embedding", m)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c
+    ), asg AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS centroid_id
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), l AS (
+      SELECT e.vec_id, e.embedding, {bkt} AS srp_bucket, asg.centroid_id
+      FROM embeddings e JOIN asg USING (vec_id)
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           {_duck_cos4("x.embedding", "y.embedding", dim)} AS cos_sim
+    FROM l x JOIN l y
+      ON x.srp_bucket = y.srp_bucket AND x.centroid_id = y.centroid_id
+     AND x.vec_id < y.vec_id
+    WHERE {_duck_cos4("x.embedding", "y.embedding", dim)} >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "ann_blocked_neardup",
+    oracle=_ann_blocked_neardup_oracle(),
+    description="embedding near-dup pairs blocked by the persisted ANN "
+    "index partitions (srp_bucket AND centroid_id must match): the "
+    "write-time layout is the blocker, so the self-join key IS the "
+    "physical partitioning — co-located block reads, pair space bounded "
+    "by block sizes, persisted vnorm reused; exact rounded cosine "
+    "verification within blocks, LSH-dedup recall semantics replayed "
+    "exactly by the oracle (the label-blocked embedding_neardup's "
+    "index-powered completion)",
+    covers=("N-sim", "N-dedup"),
+)
+def ann_blocked_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_blocked_neardup(spark, sf_dir)

@@ -1230,3 +1230,30 @@ class TestPhashNeardup:
         for r in pairs:
             assert r["hamming"] == 0
             assert r["id_a"] % ASSET_POOL == r["id_b"] % ASSET_POOL
+
+
+class TestDeltaDedup:
+    def test_one_sided_join_equals_cross_subset_of_full(self, spark, docs):
+        """The one-sided band join must find exactly the cross-side
+        subset of the full minhash_lsh_pairs result — the corpus never
+        pairs against itself, and nothing cross-side is lost."""
+        from ser_etl_spark.operators.dedup import (
+            delta_dedup_pairs,
+            minhash_lsh_pairs,
+        )
+
+        is_delta = (F.col("doc_id") % 4) == 3
+        got = {
+            (r["corpus_doc"], r["delta_doc"]): r["jaccard"]
+            for r in delta_dedup_pairs(
+                docs.filter(~is_delta), docs.filter(is_delta)
+            ).collect()
+        }
+        want = {}
+        for r in minhash_lsh_pairs(docs, 0.5).collect():
+            a, b = r["doc_a"], r["doc_b"]
+            if (a % 4 == 3) != (b % 4 == 3):
+                pair = (b, a) if a % 4 == 3 else (a, b)
+                want[pair] = r["jaccard"]
+        assert got == want
+        assert all(c % 4 != 3 and d % 4 == 3 for c, d in got)
