@@ -557,7 +557,8 @@ def series_anomalies(
       FROM series
       WINDOW w AS (PARTITION BY user_id)
     )
-    SELECT user_id, hour_bucket, v AS qv, CAST(n AS BIGINT) AS n_hours,
+    SELECT user_id, hour_bucket, CAST(v AS BIGINT) AS qv,
+           CAST(n AS BIGINT) AS n_hours,
            round(CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
                  * CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
                  / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0), 4) AS zsq
