@@ -399,8 +399,12 @@ def pattern_match_topk(
     bit-deterministic on any engine with no float seam at all.
 
     Shape: one keyed aggregate to series points, one window pass per
-    user ordered by hour (LEADs; the window partitioning reuses the
-    aggregate's shuffle key), consecutive-hour guard, TakeOrdered top-k.
+    user ordered by hour (LEADs). The window's user-only partitioning
+    is a second exchange, but it moves only the AGGREGATED series — one
+    row per (user, hour), never the event stream (shuffling raw events
+    by user to share the first exchange would forfeit map-side partial
+    aggregation, a worse trade at scale). Consecutive-hour guard, then
+    TakeOrdered top-k.
     """
     series = hourly_series(events)
     from pyspark.sql.window import Window
@@ -460,8 +464,9 @@ def pattern_match_topk(
     description="sliding-pattern search over hourly value series: top-10 "
     "(user, hour) windows by the (1,-2,1) second-difference convolution "
     "(spike/dip detector) — exact BIGINT scoring end to end (quantized "
-    "sums x integer weights, zero float seams), consecutive-hour guard, "
-    "window pass reuses the aggregate's user-key shuffle",
+    "sums x integer weights, zero float seams), consecutive-hour guard; "
+    "the window pass re-shuffles only the aggregated series (one row "
+    "per user-hour), never the event stream",
     covers=("N-sim", "X-window"),
 )
 def pattern_match_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,9 +500,10 @@ def series_anomalies(
     round 4) is presentation only.
 
     Shape: one hash aggregate to series points, then per-user whole-
-    partition window sums REUSING the aggregate's user-side shuffle —
-    the per-user statistics never leave their partition, and no
-    series-vs-series traffic exists at all. Magnitude bound: terms stay
+    partition window sums over the AGGREGATED series — the second
+    exchange moves one row per (user, hour), never the event stream,
+    and no series-vs-series traffic exists at all. Magnitude bound:
+    terms stay
     under decimal(38,0) while n * (hourly |v|)^2 < 1e38 — hourly sums up
     to ~1e15 (1e9 raw units) with 1e6 hours/user, documented headroom
     far beyond the fixture's 1e12 class.
@@ -573,8 +579,8 @@ def series_anomalies(
     "predicate (n*v - sx)^2 > 9*(n*sxx - sx^2) (squared z-test, n^2-"
     "scaled — no sqrt/division, bit-deterministic under any "
     "partitioning; squares in decimal(38,0)/HUGEINT); per-user window "
-    "sums reuse the series aggregate's shuffle, zero series-vs-series "
-    "traffic",
+    "sums shuffle only the aggregated series rows, zero series-vs-"
+    "series traffic",
     covers=("N-sim", "X-window", "B4"),
 )
 def series_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
