@@ -327,6 +327,13 @@ def phash_neardup_pairs(
     then verified with the exact popcount over all bands. Dedup of
     multi-band matches happens on the small candidate set.
     """
+    # ONE exploded frame self-joined through aliases (the
+    # minhash_lsh_pairs shape): both join inputs are the identical
+    # subplan, so at scale (sort-merge join) AQE's runtime exchange
+    # reuse computes the scan + Arrow decode + explode ONCE and replays
+    # the shuffle output for the other side (ReusedExchange verified in
+    # the executed plan — the broadcast form at tiny SF recomputes, by
+    # design).
     expl = bands_df.select(
         "*",
         F.posexplode(
