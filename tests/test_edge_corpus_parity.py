@@ -92,3 +92,83 @@ def test_edge_corpus_parity(spark, edge_dir, edge_con, name):
         name, spec.builder(spark, edge_dir), edge_con, spec.oracle
     )
     assert not problems, "\n".join(problems)
+
+
+#: the giant-clique corpus: every document byte-identical (the r6 manual
+#: probe made permanent — transitive dedup must produce ONE cluster, the
+#: band joins a complete candidate graph, and nothing times out or
+#: diverges on the pathological all-pairs shape)
+CLIQUE_DOCS = [
+    (i, "the same exact document body repeated everywhere", "en",
+     ("web", "books", "code")[i % 3], 46)
+    for i in range(40)
+]
+
+CLIQUE_QUERIES = [
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_guarded",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
+    "dedup_canonical",
+    "incremental_dedup",
+    "media_phash_neardup",
+    "heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def clique_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("clique_corpus")
+    cols = list(zip(*CLIQUE_DOCS))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1]),
+            "lang": pa.array(cols[2]),
+            "source": pa.array(cols[3]),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(table, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def clique_con(clique_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{clique_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CLIQUE_QUERIES)
+def test_identical_corpus_parity(spark, clique_dir, clique_con, name):
+    spec = all_queries()[name]
+    problems = compare(
+        name, spec.builder(spark, clique_dir), clique_con, spec.oracle
+    )
+    assert not problems, "\n".join(problems)
+
+
+def test_identical_corpus_collapses_to_one_cluster(spark, clique_dir):
+    """Semantics, not just parity: 40 identical docs are one duplicate
+    clique — one cluster label, one canonical survivor (doc_id 0)."""
+    Q = all_queries()
+    labels = {
+        r["cluster_id"]
+        for r in Q["dedup_clusters"].builder(spark, clique_dir).collect()
+    }
+    assert labels == {0}
+    survivors = [
+        r["doc_id"]
+        for r in Q["dedup_canonical"].builder(spark, clique_dir).collect()
+    ]
+    assert survivors == [0]
