@@ -62,18 +62,22 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-6 curation (regenerated from the r1-r5 union, 120 green): every
-#: query the r6 work touched is held out by hand — the source-hash
+#: Round-7 curation (regenerated from the r1-r6 union, 126 green): every
+#: query the r7 work touched is held out by hand — the source-hash
 #: heuristic only sees the BUILDER function and the oracle text, so
 #: rewrites inside shared helpers are invisible to it. Held out: the
-#: write-time-layout probes + their seam-hardened oracles
-#: (ann_cosine_topk, lsh_ann_topk, lsh_ann_multiprobe, ivf_assign,
-#: ivf_ann_topk), the _elem_sql get() dependents (embedding_quantize,
-#: embedding_neardup, hard_negative_mining), the hex-domain conversion
-#: (multimodal_features), the spread-probe fix (name_edit_neardup),
-#: the _propagation_round refactor (dedup_clusters, dedup_canonical)
-#: and the n=1 Bessel-denominator nullif in derive_stats (stats_moments).
+#: v2-index dependents (lsh_ann_topk, lsh_ann_multiprobe, ivf_ann_topk,
+#: ann_index_layout, ann_quantized_rescore — the persisted layout gained
+#: int8 qvec/scale columns and snapshot-first resolution), the _dim
+#: helper dependents (embedding_neardup, hard_negative_mining), the
+#: minhash_band_entries refactor (minhash_lsh_pairs), the hourly_series
+#: refactor + decimal overflow fix (series_similarity_topk,
+#: pattern_match_topk), and the two-pass rewrite (heavy_hitters, now
+#: oracle-backed). The five r7-new queries (series_anomalies,
+#: event_transitions, media_phash_neardup, ann_blocked_neardup,
+#: incremental_dedup) have never had a row and lead the window anyway.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    "ann_cosine_topk",
     "approx_sketches",
     "bigram_rare_ratio",
     "bm25_search",
@@ -87,6 +91,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dataset_split",
     "decontamination",
     "decontamination_bloom",
+    "dedup_canonical",
+    "dedup_clusters",
     "dedup_exact",
     "dedup_fingerprint",
     "disjunctive_revenue",
@@ -94,19 +100,22 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "doc_repetition",
     "embedding_centroids",
     "embedding_project",
+    "embedding_quantize",
     "event_value_pivot",
     "excess_order_counts",
     "fingerprint",
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
-    "heavy_hitters",
     "idle_customers",
     "important_stock",
     "incremental_scan",
+    "ivf_assign",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",
+    "kmv_distinct",
+    "kmv_union_distinct",
     "lang_id",
     "large_orders",
     "latest_event_per_user",
@@ -115,8 +124,9 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "max_watermark",
     "measures_unpivot",
     "min_cost_supplier",
-    "minhash_lsh_pairs",
     "moving_spend_90d",
+    "multimodal_features",
+    "name_edit_neardup",
     "nation_market_share",
     "nation_revenue_share",
     "nation_trade_volume",
@@ -154,6 +164,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "sole_returning_supplier",
     "source_cap",
     "source_mixture",
+    "stats_moments",
     "stocked_parts_promotion",
     "stratified_sample",
     "streaming_exact_dedup",
