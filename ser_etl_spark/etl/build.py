@@ -65,6 +65,12 @@ class TableLayout:
     #: index-replacement family (see operators/similarity.py
     #: build_ann_index / lsh_ann_topk_indexed).
     ann_index: bool = False
+    #: materialize the MinHash band artifact next to the table (document
+    #: tables only): a `<name>_minhash_bands` directory partitioned by
+    #: band, so incremental dedup joins new batches against persisted
+    #: bands instead of re-signing the corpus per sync (see
+    #: operators/dedup.py build_minhash_bands / delta_dedup_pairs).
+    minhash_bands: bool = False
 
 
 @dataclass(frozen=True)
@@ -159,6 +165,15 @@ def build_snapshot(
                     .partitionBy("srp_bucket", "centroid_id")
                     .parquet(os.path.join(out_dir, f"{name}_ann_index"))
                 )
+        if layout.minhash_bands and "text" in df.columns:
+            from ser_etl_spark.operators.dedup import minhash_band_entries
+
+            (
+                minhash_band_entries(df)
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(os.path.join(out_dir, f"{name}_minhash_bands"))
+            )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

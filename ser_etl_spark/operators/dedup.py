@@ -1007,6 +1007,7 @@ def delta_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     n: int = 3,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW document batch against an
     EXISTING corpus: ``(corpus_doc, delta_doc, jaccard)`` for every
@@ -1017,14 +1018,23 @@ def delta_dedup_pairs(
     pipelines don't re-dedup the world per batch): the candidate join is
     ONE-SIDED — delta bands against corpus bands — so the pair space is
     bounded by |delta| x band collisions and the corpus is never paired
-    against itself. At 100 TB the corpus band table is the persisted
-    artifact (:func:`minhash_band_entries`, built at snapshot time and
-    appended per sync, exactly the ANN-index maintenance discipline) and
-    each batch pays only its own signatures plus the blocked join.
-    Verification is exact Jaccard, so output is a subset of the exact
-    cross join — the minhash_lsh_pairs guarantee, one-sided.
+    against itself. ``corpus_bands`` is the PERSISTED band artifact
+    (:func:`build_minhash_bands` at snapshot time,
+    :func:`upsert_minhash_bands` per sync, resolved via
+    :func:`ensure_minhash_bands` — the registered query reads it), so a
+    batch pays only its own signatures plus the blocked join; passing
+    None computes corpus bands inline (the first-build path).
+    Verification is exact Jaccard over shingle sets computed ONLY for
+    candidate-matched docs (semi-join first): the corpus text is
+    re-read just for the rows the bands flagged, never re-shingled
+    wholesale. Output is a subset of the exact cross join — the
+    minhash_lsh_pairs guarantee, one-sided.
     """
-    cb = minhash_band_entries(corpus, num_perm, bands, n)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_entries(corpus, num_perm, bands, n)
+    )
     db = minhash_band_entries(delta, num_perm, bands, n)
     candidates = (
         db.alias("d")
@@ -1039,10 +1049,20 @@ def delta_dedup_pairs(
         )
         .distinct()
     )
-    cs = shingle_sets(corpus, n).select(
+    corpus_hit = corpus.join(
+        candidates.select(F.col("corpus_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    delta_hit = delta.join(
+        candidates.select(F.col("delta_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    cs = shingle_sets(corpus_hit, n).select(
         F.col("doc_id").alias("corpus_doc"), F.col("s").alias("sa")
     )
-    ds = shingle_sets(delta, n).select(
+    ds = shingle_sets(delta_hit, n).select(
         F.col("doc_id").alias("delta_doc"), F.col("s").alias("sb")
     )
     jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
@@ -1055,6 +1075,94 @@ def delta_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("delta_doc", "corpus_doc")
     )
+
+
+#: bump to invalidate previously materialized band directories
+MINHASH_BANDS_VERSION = 1
+
+
+def build_minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> str:
+    """Materialize the documents table's MinHash band entries — the
+    write-time artifact :func:`delta_dedup_pairs` joins new batches
+    against (the ANN-index discipline applied to dedup: pay the
+    signature pass once at snapshot build, serve every subsequent batch
+    from the persisted bands). ``partitionBy("band")`` so each band's
+    entries are a contiguous directory; per-doc rows are independent, so
+    the artifact appends per sync (:func:`upsert_minhash_bands`) and
+    any doc_id predicate pushes into the scan."""
+    ents = minhash_band_entries(
+        load_table(spark, sf_dir, "documents"), num_perm, bands, n
+    )
+    ents.write.mode("overwrite").partitionBy("band").parquet(out_dir)
+    return out_dir
+
+
+def upsert_minhash_bands(
+    spark: SparkSession, bands_dir: str, new_docs: DataFrame,
+    num_perm: int = 64, bands: int = 16, n: int = 3,
+) -> None:
+    """Append a new batch's band entries into the persisted artifact —
+    per-doc rows are independent (no frozen state to respect, unlike the
+    ANN quantizer), so append IS rebuild for the grown corpus."""
+    (
+        minhash_band_entries(new_docs, num_perm, bands, n)
+        .write.mode("append").partitionBy("band").parquet(bands_dir)
+    )
+
+
+def ensure_minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> str:
+    """Resolve the materialized band artifact for ``sf_dir``: prefer the
+    PUBLISHED ``documents_minhash_bands`` directory (written by
+    ``build_snapshot`` with ``TableLayout(minhash_bands=True)``), else a
+    per-user tmp cache keyed by a recursive source fingerprint — the
+    same published-first resolution ``ensure_ann_index`` uses."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.operators.similarity import _source_fingerprint
+    from ser_etl_spark.sources.parquet import table_path
+
+    published = os.path.join(sf_dir, "documents_minhash_bands")
+    if (
+        (num_perm, bands, n) == (64, 16, 3)
+        and os.path.exists(os.path.join(published, "_SUCCESS"))
+    ):
+        return published
+
+    src = table_path(sf_dir, "documents")
+    key_src = (
+        f"v{MINHASH_BANDS_VERSION}:{os.path.realpath(src)}:"
+        f"{_source_fingerprint(src)}:{num_perm}:{bands}:{n}"
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: "na")()
+    root = os.path.join(tempfile.gettempdir(), f"ser_etl_minhash_bands_{uid}")
+    out = os.path.join(root, key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    tmp = f"{out}.build-{os.getpid()}"
+    build_minhash_bands(spark, sf_dir, tmp, num_perm, bands, n)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 #: modulo split simulating a sync batch: doc_id % 4 == 3 is the newly
@@ -1085,12 +1193,24 @@ def _delta_dedup_oracle(threshold: float = 0.5) -> str:
     description="incremental dedup: the newly-arrived batch (doc_id % 4 "
     "== 3, a simulated sync delta) near-dup-matched against the standing "
     "corpus via a ONE-SIDED MinHash band join + exact Jaccard verify — "
-    "the corpus is never paired against itself, so each batch pays only "
-    "its own signatures plus the blocked join (the A2 incremental story "
-    "applied to dedup; corpus bands are the persisted artifact at scale)",
+    "the corpus is never paired against itself, and the corpus side "
+    "READS the materialized band artifact (build/ensure_minhash_bands, "
+    "published-first resolution like the ANN index) so each batch pays "
+    "only its own signatures, the blocked join, and candidate-"
+    "restricted verification (the A2 incremental story applied to dedup)",
     covers=("N-dedup", "A2"),
 )
 def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:  # empty corpus: no bands artifact, no pairs
+        return spark.createDataFrame(
+            [], "corpus_doc bigint, delta_doc bigint, jaccard double"
+        )
     is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
-    return delta_dedup_pairs(docs.filter(~is_delta), docs.filter(is_delta))
+    bands_dir = ensure_minhash_bands(spark, sf_dir)
+    corpus_bands = spark.read.parquet(bands_dir).filter(~is_delta)
+    return delta_dedup_pairs(
+        docs.filter(~is_delta),
+        docs.filter(is_delta),
+        corpus_bands=corpus_bands,
+    )

@@ -1257,3 +1257,83 @@ class TestDeltaDedup:
                 want[pair] = r["jaccard"]
         assert got == want
         assert all(c % 4 != 3 and d % 4 == 3 for c, d in got)
+
+    def test_persisted_bands_resolve_through_snapshot_zero_rebuild(
+        self, spark, sf_small, tmp_path
+    ):
+        """The corpus band table is a real write-time artifact: built by
+        build_snapshot(minhash_bands=True), resolved published-first by
+        ensure_minhash_bands (no tmp-cache build), appended by
+        upsert_minhash_bands, and the one-sided dedup over it matches
+        the inline-computed form."""
+        import os
+        import tempfile
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators.dedup import (
+            delta_dedup_pairs,
+            ensure_minhash_bands,
+            minhash_band_entries,
+            upsert_minhash_bands,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        is_delta = (F.col("doc_id") % 4) == 3
+        corpus, delta = docs.filter(~is_delta), docs.filter(is_delta)
+
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"documents": corpus},
+            snap,
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id", minhash_bands=True
+                )
+            },
+            views={},
+        )
+        assert os.path.exists(
+            os.path.join(snap, "documents_minhash_bands", "_SUCCESS")
+        )
+        uid = getattr(os, "getuid", lambda: "na")()
+        cache_root = os.path.join(
+            tempfile.gettempdir(), f"ser_etl_minhash_bands_{uid}"
+        )
+        before = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        bands_dir = ensure_minhash_bands(spark, snap)
+        assert bands_dir == os.path.join(snap, "documents_minhash_bands")
+        persisted = spark.read.parquet(bands_dir)
+        got = sorted(
+            tuple(r)
+            for r in delta_dedup_pairs(
+                corpus, delta, corpus_bands=persisted
+            ).collect()
+        )
+        inline = sorted(
+            tuple(r) for r in delta_dedup_pairs(corpus, delta).collect()
+        )
+        assert got == inline
+        after = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert before == after  # zero on-demand rebuild
+
+        # append-is-rebuild: upserting the delta makes the artifact equal
+        # to the bands of the grown corpus
+        upsert_minhash_bands(spark, bands_dir, delta)
+        grown = sorted(
+            tuple(r)
+            for r in spark.read.parquet(bands_dir)
+            .select("doc_id", "band", "bucket")
+            .collect()
+        )
+        direct = sorted(
+            tuple(r)
+            for r in minhash_band_entries(docs)
+            .select("doc_id", "band", "bucket")
+            .collect()
+        )
+        assert grown == direct
