@@ -6,10 +6,14 @@ HyperLogLog++ for distinct counts and a quantile summary for
 percentiles — both built into Spark, both mergeable map-side, so the
 shuffle carries fixed-size sketch state instead of values.
 
-Sketch outputs are engine-specific (Spark's HLL++ and DuckDB's HLL give
-different estimates for the same data), so these register as rows-only
-queries; tests bound the estimates against the exact answers instead of
-an oracle hash.
+Native sketch outputs are engine-specific (Spark's HLL++ and DuckDB's
+HLL give different estimates for the same data), so ``approx_sketches``
+registers rows-only with bound tests. Every OTHER sketch here is
+deliberately the differentially-testable member of its family:
+Count-Min cells are associative sums over emulated-xxhash64 buckets,
+the KMV distinct/union/intersection estimators are pure functions of
+the staged hash values, and heavy hitters is the two-pass
+candidates-then-exact-rescore form — all oracle-backed.
 """
 
 from __future__ import annotations
@@ -491,3 +495,113 @@ def kmv_union_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_kmin(load_table(spark, sf_dir, "orders"), "o_custkey")
     b = kmv_kmin(load_table(spark, sf_dir, "events"), "user_id")
     return kmv_estimate(kmv_merge([a, b]))
+
+
+def kmv_overlap(
+    a_kmin: DataFrame, b_kmin: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Set-OVERLAP estimate from two KMV summaries (the theta-sketch
+    intersection pattern): take the union's k smallest hashes ``U``,
+    count how many are members of BOTH input summaries, and scale —
+    ``est_intersection = (|U ∩ A ∩ B| / |U|) * est_distinct(U)``.
+
+    Why it matters: cross-table overlap ("how many customers also appear
+    in the event stream?") is an exact COUNT(DISTINCT) over a JOIN at
+    100 TB — two data-sized shuffles. Here each side is summarized
+    independently (mergeable k-min state, O(k) rows), the estimate
+    composes from summaries alone, and — because every input is a pure
+    function of the hash values — the WHOLE estimator replays in SQL:
+    the oracle-backed member of the sketch-intersection family, like
+    KMV itself vs HLL. Membership tests are exact semi-joins over k-row
+    frames; everything after the two per-side sketches is O(k).
+
+    Standard error grows as overlap shrinks (ρ·k samples) — the usual
+    theta-sketch caveat; the fixture's ~50% overlap sits comfortably.
+    """
+    u = kmv_merge([a_kmin, b_kmin], k)
+    in_both = (
+        u.join(a_kmin.select("hu"), "hu", "left_semi")
+        .join(b_kmin.select("hu"), "hu", "left_semi")
+    )
+    scale = float((k - 1) * _TWO64)
+    ucnt = F.count(F.lit(1))
+    est_union = F.when(ucnt < k, ucnt.cast("double")).otherwise(
+        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+    )
+    stats = u.agg(
+        ucnt.alias("u_size"),
+        est_union.alias("est_union"),
+    )
+    both = in_both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        stats.crossJoin(F.broadcast(both))
+        .select(
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("u_size").cast("long").alias("u_size"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("u_size").cast("double")
+                * F.col("est_union"),
+                4,
+            ).alias("overlap_estimate"),
+        )
+    )
+
+
+def _kmv_overlap_oracle(k: int = KMV_K) -> str:
+    """DuckDB twin: both per-side k-min sets from the staged XXH64
+    chain, union re-cut to k, exact membership via IN, the same
+    below-k-exact union estimate and one rounded double expression."""
+    from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_long_stage_cols
+
+    a_ctes, a_fin = stages_to_ctes(
+        "dva", xxh64_long_stage_cols("v", "_kh", pfx="_kxa"), "_ksa"
+    )
+    b_ctes, b_fin = stages_to_ctes(
+        "dvb", xxh64_long_stage_cols("v", "_kh", pfx="_kxb"), "_ksb"
+    )
+    scale = float((k - 1) * _TWO64)
+    return f"""
+    WITH dva AS (SELECT DISTINCT o_custkey AS v FROM orders){a_ctes},
+    dvb AS (SELECT DISTINCT user_id AS v FROM events){b_ctes},
+    ka AS (SELECT _kh FROM {a_fin} ORDER BY _kh ASC LIMIT {k}),
+    kb AS (SELECT _kh FROM {b_fin} ORDER BY _kh ASC LIMIT {k}),
+    u AS (
+      SELECT _kh FROM (SELECT _kh FROM ka UNION SELECT _kh FROM kb)
+      ORDER BY _kh ASC LIMIT {k}
+    ),
+    stats AS (
+      SELECT COUNT(*) AS u_size,
+             CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+             END AS est_union
+      FROM u
+    ),
+    hits AS (
+      SELECT COUNT(*) AS n_both FROM u
+      WHERE _kh IN (SELECT _kh FROM ka) AND _kh IN (SELECT _kh FROM kb)
+    )
+    SELECT CAST(n_both AS BIGINT) AS n_both,
+           CAST(u_size AS BIGINT) AS u_size,
+           round(CAST(n_both AS DOUBLE) / CAST(u_size AS DOUBLE)
+                 * est_union, 4) AS overlap_estimate
+    FROM stats, hits
+    """
+
+
+@register(
+    "kmv_overlap",
+    oracle=_kmv_overlap_oracle(),
+    description="mergeable-sketch set INTERSECTION: overlap of "
+    "orders.o_custkey and events.user_id estimated purely from the two "
+    "k-min summaries (theta-sketch pattern: union's k smallest, exact "
+    "membership in both sides, scale by the union estimate) — the "
+    "100 TB form of COUNT(DISTINCT) over a join, composed from O(k) "
+    "summary state with no data-sized join anywhere; deterministic and "
+    "oracle-backed like the rest of the KMV family",
+    covers=("B4", "B11"),
+)
+def kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = kmv_kmin(load_table(spark, sf_dir, "orders"), "o_custkey")
+    b = kmv_kmin(load_table(spark, sf_dir, "events"), "user_id")
+    return kmv_overlap(a, b)

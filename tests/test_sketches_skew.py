@@ -254,3 +254,34 @@ class TestKmvDistinct:
             )
         ).first()
         assert tuple(merged) == tuple(direct)
+
+
+class TestKmvOverlap:
+    def test_estimate_tracks_exact_overlap(self, spark, sf_small):
+        """The summary-composed intersection estimate must land near the
+        exact |A ∩ B| (k=256 → ~6% std error on the union; overlap
+        scaling widens it — allow a generous band), and be deterministic
+        under repartitioning."""
+        from ser_etl_spark.operators.sketches import kmv_kmin, kmv_overlap
+        from ser_etl_spark.sources.parquet import load_table
+
+        orders = load_table(spark, sf_small, "orders")
+        events = load_table(spark, sf_small, "events")
+        exact = (
+            orders.select(F.col("o_custkey").alias("v"))
+            .intersect(events.select(F.col("user_id").alias("v")))
+            .count()
+        )
+        row = kmv_overlap(
+            kmv_kmin(orders, "o_custkey"), kmv_kmin(events, "user_id")
+        ).first()
+        assert row["u_size"] >= 1
+        est = row["overlap_estimate"]
+        assert exact > 0
+        assert abs(est - exact) <= max(0.35 * exact, 10.0), (est, exact)
+
+        row2 = kmv_overlap(
+            kmv_kmin(orders.repartition(7), "o_custkey"),
+            kmv_kmin(events.repartition(3), "user_id"),
+        ).first()
+        assert tuple(row2) == tuple(row)
