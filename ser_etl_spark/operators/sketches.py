@@ -538,9 +538,11 @@ def kmv_overlap(
         .select(
             F.col("n_both").cast("long").alias("n_both"),
             F.col("u_size").cast("long").alias("u_size"),
+            # nullif: an EMPTY union (no inputs at all) has no defined
+            # overlap ratio — NULL estimate, and no ANSI divide-by-zero
             F.round(
                 F.col("n_both").cast("double")
-                / F.col("u_size").cast("double")
+                / F.expr("nullif(CAST(u_size AS DOUBLE), 0.0D)")
                 * F.col("est_union"),
                 4,
             ).alias("overlap_estimate"),
@@ -583,7 +585,8 @@ def _kmv_overlap_oracle(k: int = KMV_K) -> str:
     )
     SELECT CAST(n_both AS BIGINT) AS n_both,
            CAST(u_size AS BIGINT) AS u_size,
-           round(CAST(n_both AS DOUBLE) / CAST(u_size AS DOUBLE)
+           round(CAST(n_both AS DOUBLE)
+                 / nullif(CAST(u_size AS DOUBLE), 0.0)
                  * est_union, 4) AS overlap_estimate
     FROM stats, hits
     """
