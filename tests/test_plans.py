@@ -586,3 +586,30 @@ def test_snapshot_ann_layout_prunes(spark, sf_small, tmp_path):
     m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
     assert m and "srp_bucket" in m.group(1), plan
     assert probe.count() > 0
+
+
+def test_incremental_dedup_reads_persisted_bands(spark, sf_small):
+    """The corpus side of incremental dedup must READ the materialized
+    band artifact (a parquet scan of the *_minhash_bands layout), not
+    re-derive corpus signatures — the wired form of the A2 story."""
+    plan = _plan(spark, sf_small, "incremental_dedup")
+    assert re.search(r"minhash_bands", plan), plan[:2000]
+
+
+def test_series_anomalies_two_exchange_shape(spark, sf_small):
+    """One (user, hour) aggregate exchange + one user-only window
+    exchange over the AGGREGATED series — nothing else moves."""
+    plan = _plan(spark, sf_small, "series_anomalies")
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, parts
+    assert "hour_bucket" in parts[0] and "hour_bucket" not in parts[1], parts
+
+
+def test_phash_and_blocked_neardup_never_cartesian(spark, sf_small):
+    """Band/partition blocking must surface as an equi-join — a
+    CartesianProduct or nested-loop pair join would be the quadratic
+    shape the blocking exists to avoid."""
+    for name in ("media_phash_neardup", "ann_blocked_neardup"):
+        plan = _plan(spark, sf_small, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
