@@ -290,3 +290,45 @@ def streaming_sessions_timeout_query(
     )
     # no ORDER BY — same rationale as streaming_sessions
     return result
+
+
+from ser_etl_spark.operators.dedup import _delta_dedup_oracle
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_delta_dedup_oracle(),
+    description="continuous incremental dedup exercised end-to-end: the "
+    "sync delta (doc_id % 4 == 3) replayed as a multi-file availableNow "
+    "stream, each micro-batch one-sided-band-joined against the "
+    "PERSISTED corpus band artifact via foreachBatch (stream-static, "
+    "zero streaming state — the bands are the state) — oracle-backed "
+    "because a delta doc's matches are independent of other delta docs, "
+    "so the per-batch union is invariant to batch boundaries and equals "
+    "the batch operator's relation",
+    covers=("A16", "N-dedup", "A2"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.operators.dedup import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        ensure_minhash_bands,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.dedup import stream_delta_dedup_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:  # empty corpus: no artifact, no pairs
+        return spark.createDataFrame(
+            [], "corpus_doc bigint, delta_doc bigint, jaccard double"
+        )
+
+    def delta_pred(F):
+        return (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+
+    from pyspark.sql import functions as F
+
+    bands_dir = ensure_minhash_bands(spark, sf_dir)
+    return stream_delta_dedup_replay(
+        spark, sf_dir, docs.filter(delta_pred(F)), bands_dir, delta_pred
+    )

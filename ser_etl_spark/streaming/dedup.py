@@ -53,3 +53,81 @@ def enrich_stream(
     against the dimension as of that batch.
     """
     return events.join(dim, on=on, how=how)
+
+
+def stream_delta_dedup_replay(
+    spark,
+    sf_dir: str,
+    delta: DataFrame,
+    bands_dir: str,
+    delta_pred,
+    threshold: float = 0.5,
+    files: int = 4,
+) -> DataFrame:
+    """Continuous incremental dedup, replayed to completion: the delta
+    arrives as a multi-file ``availableNow`` stream and every
+    micro-batch runs the one-sided band join + candidate-restricted
+    verify against the PERSISTED corpus band artifact via
+    ``foreachBatch`` — the streaming form of the sync-loop upgrade (A16)
+    applied to dedup.
+
+    Soundness of micro-batching: a delta document's matches depend only
+    on that document and the corpus, never on other delta documents, so
+    the union of per-batch outputs is INVARIANT to batch boundaries —
+    equal to the batch operator and therefore to the same SQL oracle
+    (pinned by the driver check; batch-boundary independence is the
+    property that makes one-sided dedup a sound continuous operation,
+    where the symmetric pair join is not: it would miss delta-delta
+    pairs split across batches).
+
+    Per batch the corpus side is re-resolved from paths on the batch's
+    own session (stream-static pattern, like ``enrich_stream`` — a
+    snapshot refresh is picked up without restarting); state is ZERO:
+    no watermark, no store — the persisted bands ARE the state, exactly
+    as they are for the batch form. Batch results are collected
+    driver-side (pairs are output-sized, not data-sized) and unioned.
+    """
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.operators.dedup import delta_dedup_pairs
+    from ser_etl_spark.sources.parquet import load_table
+
+    tmp = tempfile.mkdtemp(prefix="ser_etl_delta_stream_")
+    ckpt = tmp + "_ckpt"
+    schema = "corpus_doc bigint, delta_doc bigint, jaccard double"
+    try:
+        delta.repartition(files).write.mode("overwrite").parquet(tmp)
+        rows: list[tuple] = []
+
+        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+            s = batch_df.sparkSession
+            from pyspark.sql import functions as F
+
+            corpus = load_table(s, sf_dir, "documents").filter(
+                ~delta_pred(F)
+            )
+            corpus_bands = s.read.parquet(bands_dir).filter(~delta_pred(F))
+            out = delta_dedup_pairs(
+                corpus, batch_df, threshold, corpus_bands=corpus_bands
+            )
+            rows.extend(tuple(r) for r in out.collect())
+
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(rows, schema).orderBy(
+            "delta_doc", "corpus_doc"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

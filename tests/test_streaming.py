@@ -395,3 +395,49 @@ class TestSessionTimeout:
             t0 + dt.timedelta(seconds=SESSION_GAP_S + 1, milliseconds=1),
         )
         assert past_boundary == {(1, 1)}
+
+
+def test_stream_delta_dedup_invariant_to_batch_boundaries(spark, sf_small):
+    """The soundness claim itself: the per-batch union must be identical
+    under different micro-batchings (1 file vs 7 files) AND equal to the
+    batch operator — a delta doc's matches never depend on other delta
+    docs."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.dedup import (
+        delta_dedup_pairs,
+        ensure_minhash_bands,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.dedup import stream_delta_dedup_replay
+
+    docs = load_table(spark, sf_small, "documents")
+
+    def delta_pred(F_):
+        return (F_.col("doc_id") % 4) == 3
+
+    delta = docs.filter(delta_pred(F))
+    corpus = docs.filter(~delta_pred(F))
+    bands_dir = ensure_minhash_bands(spark, sf_small)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = rows(
+        stream_delta_dedup_replay(
+            spark, sf_small, delta, bands_dir, delta_pred, files=1
+        )
+    )
+    many = rows(
+        stream_delta_dedup_replay(
+            spark, sf_small, delta, bands_dir, delta_pred, files=7
+        )
+    )
+    batch = rows(
+        delta_dedup_pairs(
+            corpus,
+            delta,
+            corpus_bands=spark.read.parquet(bands_dir).filter(~delta_pred(F)),
+        )
+    )
+    assert one == many == batch and batch
