@@ -190,17 +190,18 @@ def minhash_signatures(
     """
     exploded = shingle_rows(docs, n)
     base = exploded.select("doc_id", F.xxhash64("sh").alias("_b"))
-    hashed = base.select(
-        "doc_id",
-        *[F.xxhash64("_b", F.lit(k)).alias(f"_h{k}") for k in range(num_perm)],
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"_h{k}").alias(f"_h{k}") for k in range(num_perm)]
-    )
-    return mins.select(
-        "doc_id",
-        F.array(*[F.col(f"_h{k}") for k in range(num_perm)]).alias("sig"),
-    )
+    # ONE generated SQL string, not num_perm Column objects: composing
+    # ~200 Column nodes in Python costs a py4j round-trip per node
+    # (measured ~1 s of driver time PER CALL at any data size — it
+    # dominated the per-micro-batch cost of the streaming delta-dedup
+    # replay), while string assembly is free and the server parses it in
+    # one call (the module-level discipline similarity.py documents).
+    # Identical expressions: xxhash64(_b, k) with an INT literal, MIN
+    # per permutation (partial aggregation intact), array-packed.
+    sig = "array(" + ", ".join(
+        f"min(xxhash64(_b, {k}))" for k in range(num_perm)
+    ) + ")"
+    return base.groupBy("doc_id").agg(F.expr(sig).alias("sig"))
 
 
 def minhash_band_entries(
@@ -215,24 +216,22 @@ def minhash_band_entries(
     cost."""
     rows_per_band = num_perm // bands
     with_sig = minhash_signatures(docs, num_perm, n)
+    # One generated explode(array(named_struct(...))) string — same
+    # py4j-chatter discipline as the signature aggregate above; the
+    # bucket stays Spark's multi-argument xxhash64 over the band's
+    # signature values (element_at is 1-based in both forms).
+    structs = ", ".join(
+        "named_struct('band', {i}, 'bucket', xxhash64({elems}))".format(
+            i=i,
+            elems=", ".join(
+                f"element_at(sig, {i * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
+    )
     return with_sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", i * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 

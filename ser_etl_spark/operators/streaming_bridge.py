@@ -329,6 +329,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     bands_dir = ensure_minhash_bands(spark, sf_dir)
+    # files=2: enough to PROVE multi-batch execution while keeping the
+    # replay cost ~2 plan-fixed batch overheads (~2.5 s each at any test
+    # SF — per-batch cost is Catalyst planning + stage scheduling, not
+    # data, and amortizes over real batch volumes in production); the
+    # 1-vs-7-file invariance is pinned separately in tests.
     return stream_delta_dedup_replay(
-        spark, sf_dir, docs.filter(delta_pred(F)), bands_dir, delta_pred
+        spark, sf_dir, docs.filter(delta_pred(F)), bands_dir, delta_pred,
+        files=2,
     )

@@ -104,6 +104,12 @@ def stream_delta_dedup_replay(
             s = batch_df.sparkSession
             from pyspark.sql import functions as F
 
+            # The micro-batch session is an isolated clone — tune ITS
+            # shuffle width to the batch scale without touching the
+            # caller's session (the replay_to_batch discipline): a sync
+            # batch is delta-sized, and scheduling 32 tasks per tiny
+            # shuffle stage dominates the replay cost at test SF.
+            s.conf.set("spark.sql.shuffle.partitions", "8")
             corpus = load_table(s, sf_dir, "documents").filter(
                 ~delta_pred(F)
             )
