@@ -159,7 +159,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "session_concurrency",
     "sessionize_events",
     "shipping_priority",
-    "simhash_pairs",
     "small_order_revenue",
     "sole_returning_supplier",
     "source_cap",
