@@ -1080,6 +1080,27 @@ def delta_dedup_pairs(
 MINHASH_BANDS_VERSION = 1
 
 
+def _bands_usable(path: str) -> bool:
+    """True when ``path`` holds a complete band artifact: committed
+    (_SUCCESS), band-partitioned, and carrying the expected data columns
+    (one parquet-footer read — the `_index_usable` discipline)."""
+    import glob
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    parts = glob.glob(os.path.join(path, "band=*", "*.parquet"))
+    if not parts:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        names = set(pq.read_schema(parts[0]).names)
+    except Exception:
+        return False
+    return {"doc_id", "bucket"}.issubset(names)
+
+
 def build_minhash_bands(
     spark: SparkSession,
     sf_dir: str,
@@ -1137,10 +1158,7 @@ def ensure_minhash_bands(
     from ser_etl_spark.sources.parquet import table_path
 
     published = os.path.join(sf_dir, "documents_minhash_bands")
-    if (
-        (num_perm, bands, n) == (64, 16, 3)
-        and os.path.exists(os.path.join(published, "_SUCCESS"))
-    ):
+    if (num_perm, bands, n) == (64, 16, 3) and _bands_usable(published):
         return published
 
     src = table_path(sf_dir, "documents")
