@@ -2132,3 +2132,159 @@ def _ann_blocked_neardup_oracle(
 )
 def ann_blocked_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_blocked_neardup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# label cohesion: embedding-cluster quality QA
+# ---------------------------------------------------------------------------
+
+
+def label_cohesion(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label cluster quality: member count and the mean cosine of
+    members to their label's mean-vector centroid — the embedding-QA
+    gate a training pipeline runs before trusting labels/clusters
+    (collapsed or incoherent labels surface as low cohesion).
+
+    Determinism recipe (every piece proven elsewhere): centroids are the
+    exact integer-space means of :func:`embedding_centroids` (1e-9
+    quantization, BIGINT sums), collected O(L x dim) to the driver —
+    the ivf_centroids cost class — and baked into the scan as literals;
+    each member scores ONE rounded cosine against its own label's
+    centroid (per-label barrier-protected expression columns, the
+    `_with_nearest_centroid` codegen discipline, picked by label
+    equality); cosines quantize to exact 1e4-scaled BIGINTs (try_cast:
+    a NaN-element member contributes NULL, excluded from the mean, and
+    can never fail the job) and sum associatively, with ONE double
+    division per label at the end. One corpus scan, one label-keyed
+    hash aggregate with map-side partials — nothing data-sized moves.
+    """
+    spark = vectors.sparkSession
+    dim = _dim(vectors, vec_col)
+    if dim is None:  # empty corpus: no labels, typed empty result
+        return spark.createDataFrame(
+            [], f"{label_col} int, n_members bigint, cohesion double"
+        )
+    exploded = vectors.select(
+        F.col(label_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    # try_cast (unlike embedding_centroids' plain cast): a NaN/Inf
+    # component becomes NULL and drops out of BOTH the sum and the count
+    # — one poisoned vector shifts its label's centroid instead of
+    # failing the QA job under ANSI, and DuckDB's TRY_CAST replays it
+    # (this op runs the full adversarial seam corpus).
+    q9 = F.expr(
+        "try_cast(round(CAST(_x AS DOUBLE) * 1000000000.0D) AS LONG)"
+    )
+    rows = (
+        exploded.groupBy("grp", "dim")
+        .agg(
+            (F.sum(q9).cast("double") / (F.lit(1.0e9) * F.count(q9))).alias(
+                "cv"
+            )
+        )
+        .collect()
+    )
+    cents: dict[int, list[float]] = {}
+    for r in rows:
+        # cv is NULL only when EVERY member's component at this dim was
+        # NaN/absent — keep the 0.0 default (a no-information dimension
+        # contributes nothing to the dot product)
+        if r["cv"] is not None:
+            cents.setdefault(int(r["grp"]), [0.0] * dim)[r["dim"]] = float(
+                r["cv"]
+            )
+        else:
+            cents.setdefault(int(r["grp"]), [0.0] * dim)
+    labels = sorted(cents)
+
+    p = vectors.select(
+        F.col(label_col), _norm_col(vec_col, dim).alias("_nv"),
+        F.col(vec_col),
+    )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    exprs = []
+    for i, lab in enumerate(labels):
+        cv = cents[lab]
+        cs = (
+            f"try_cast(round(({_dot_lit_sql(vec_col, cv)}"
+            f" / nullif((_nv) * ({_pynorm(cv)!r}), 0.0D)) * 10000.0)"
+            f" AS LONG)"
+        )
+        exprs.append((F.expr(cs) + barrier).alias(f"_lc{i}"))
+    scored = p.select(label_col, *exprs)
+    pick = None
+    for i, lab in enumerate(labels):
+        cond = F.col(label_col) == F.lit(lab)
+        pick = (
+            F.when(cond, F.col(f"_lc{i}"))
+            if pick is None
+            else pick.when(cond, F.col(f"_lc{i}"))
+        )
+    return (
+        scored.select(F.col(label_col), pick.alias("_q"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                "round(CAST(sum(_q) AS DOUBLE)"
+                " / nullif(10000.0D * count(_q), 0.0D), 6)"
+            ).alias("cohesion"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def _label_cohesion_oracle(dim: int | None = None) -> str:
+    """DuckDB twin: the proven exact-integer centroid means (the
+    embedding_centroids oracle), re-packed to per-label lists ordered by
+    dim, then the same rounded-cosine quantization (TRY_CAST NaN->NULL),
+    BIGINT sum and single division."""
+    dim = EMB_DIM if dim is None else dim
+    cos = (
+        f"({_duck_dot('e.embedding', 'cl.c', dim)}"
+        f" / nullif({_duck_norm('e.embedding', dim)}"
+        f" * {_duck_norm('cl.c', dim)}, 0.0)) * 10000.0"
+    )
+    return f"""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim,
+             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS cv
+      FROM ex GROUP BY label, dim
+    ), cl AS (
+      SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY label
+    ), scored AS (
+      SELECT e.label,
+             TRY_CAST(round({cos}) AS BIGINT) AS q
+      FROM embeddings e JOIN cl ON e.label = cl.label
+    )
+    SELECT label, COUNT(*) AS n_members,
+           round(CAST(SUM(q) AS DOUBLE)
+                 / nullif(10000.0 * COUNT(q), 0.0), 6) AS cohesion
+    FROM scored GROUP BY label ORDER BY label
+    """
+
+
+@register(
+    "label_cohesion",
+    oracle=_label_cohesion_oracle(),
+    description="embedding-cluster quality QA: per-label member count + "
+    "mean cosine of members to their label's exact integer-space mean "
+    "centroid (collected O(L x dim), baked as literals; one corpus scan "
+    "with barrier-protected per-label cosine columns, 1e4-quantized "
+    "BIGINT mean — partitioning-independent, NaN members excluded via "
+    "try_cast on both engines); the gate that catches collapsed or "
+    "incoherent label clusters before training trusts them",
+    covers=("N-sim", "B5"),
+)
+def label_cohesion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_cohesion(load_table(spark, sf_dir, "embeddings"))

@@ -75,6 +75,11 @@ FULL_QUERIES = [
     # the oracle's TRY_CAST, so even the int8 path runs the seam corpus
     # bit-for-bit.
     "ann_quantized_rescore",
+    # r7: label cohesion is NaN-robust end to end (try_cast in BOTH the
+    # centroid quantization and the member-score quantization), unlike
+    # the by-design-reduced embedding_centroids — so it runs the full
+    # seam corpus.
+    "label_cohesion",
 ]
 
 REDUCED_QUERIES = [
