@@ -62,20 +62,17 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-7 curation (regenerated from the r1-r6 union, 126 green): every
-#: query the r7 work touched is held out by hand — the source-hash
-#: heuristic only sees the BUILDER function and the oracle text, so
-#: rewrites inside shared helpers are invisible to it. Held out: the
-#: v2-index dependents (lsh_ann_topk, lsh_ann_multiprobe, ivf_ann_topk,
-#: ann_index_layout, ann_quantized_rescore — the persisted layout gained
-#: int8 qvec/scale columns and snapshot-first resolution), the _dim
-#: helper dependents (embedding_neardup, hard_negative_mining), the
-#: minhash_band_entries refactor (minhash_lsh_pairs), the hourly_series
-#: refactor + decimal overflow fix (series_similarity_topk,
-#: pattern_match_topk), and the two-pass rewrite (heavy_hitters, now
-#: oracle-backed). The five r7-new queries (series_anomalies,
-#: event_transitions, media_phash_neardup, ann_blocked_neardup,
-#: incremental_dedup) have never had a row and lead the window anyway.
+#: Round-8 curation (regenerated from the r1-r7 union, 134 green): every
+#: query the r8 work touches is held out by hand (the source-hash
+#: heuristic only sees the builder function and oracle text). Held out:
+#: label_cohesion (full rewrite: broadcast centroid join replaces the
+#: per-label literal columns), the ensure_ann_index freshness-gate
+#: dependents (lsh_ann_topk, lsh_ann_multiprobe, ivf_ann_topk,
+#: ann_quantized_rescore, ann_blocked_neardup, ann_index_layout — the
+#: artifact gains a source-fingerprint manifest at build/upsert time),
+#: and the ensure_minhash_bands dependents (minhash_lsh_pairs,
+#: incremental_dedup, streaming_incremental_dedup). New r8 queries have
+#: never had a row and lead the window anyway.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_cosine_topk",
     "approx_sketches",
@@ -99,14 +96,18 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "doc_chunks",
     "doc_repetition",
     "embedding_centroids",
+    "embedding_neardup",
     "embedding_project",
     "embedding_quantize",
+    "event_transitions",
     "event_value_pivot",
     "excess_order_counts",
     "fingerprint",
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
+    "hard_negative_mining",
+    "heavy_hitters",
     "idle_customers",
     "important_stock",
     "incremental_scan",
@@ -115,6 +116,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "join_fact_dim",
     "json_props_stats",
     "kmv_distinct",
+    "kmv_overlap",
     "kmv_union_distinct",
     "lang_id",
     "large_orders",
@@ -123,6 +125,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
+    "media_phash_neardup",
     "min_cost_supplier",
     "moving_spend_90d",
     "multimodal_features",
@@ -138,6 +141,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "order_reconciliation",
     "order_seasonality",
     "pack_sequences",
+    "pattern_match_topk",
     "pii_scrub",
     "price_percentiles",
     "pricing_summary",
@@ -156,9 +160,12 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "salted_segment_sales",
     "select_all",
     "select_columns",
+    "series_anomalies",
+    "series_similarity_topk",
     "session_concurrency",
     "sessionize_events",
     "shipping_priority",
+    "simhash_pairs",
     "small_order_revenue",
     "sole_returning_supplier",
     "source_cap",
