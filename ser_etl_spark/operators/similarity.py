@@ -2151,16 +2151,24 @@ def label_cohesion(
 
     Determinism recipe (every piece proven elsewhere): centroids are the
     exact integer-space means of :func:`embedding_centroids` (1e-9
-    quantization, BIGINT sums), collected O(L x dim) to the driver —
-    the ivf_centroids cost class — and baked into the scan as literals;
-    each member scores ONE rounded cosine against its own label's
-    centroid (per-label barrier-protected expression columns, the
-    `_with_nearest_centroid` codegen discipline, picked by label
-    equality); cosines quantize to exact 1e4-scaled BIGINTs (try_cast:
-    a NaN-element member contributes NULL, excluded from the mean, and
-    can never fail the job) and sum associatively, with ONE double
-    division per label at the end. One corpus scan, one label-keyed
-    hash aggregate with map-side partials — nothing data-sized moves.
+    quantization, BIGINT sums — partitioning-independent doubles),
+    aggregated to ONE (label, centroid-array) row per label and
+    broadcast-joined back onto the members; each member scores ONE
+    rounded cosine against its joined centroid via the module's
+    expanded per-component double expressions (dim-bounded — the plan
+    is O(dim) and **O(1) in label cardinality**, unlike the r7
+    per-label-literal form whose L expression columns + L-branch CASE
+    hit the py4j/janino cliff at realistic label counts); cosines
+    quantize to exact 1e4-scaled BIGINTs (try_cast: a NaN-element
+    member contributes NULL, excluded from the mean, and can never fail
+    the job) and sum associatively, with ONE double division per label
+    at the end. Two corpus scans (centroid pass + scoring pass), one
+    broadcast of L rows, label-keyed hash aggregates with map-side
+    partials — nothing data-sized moves, and no driver collect at all:
+    labels of any cardinality (and NULL labels) flow through. A label
+    whose members all lack vectors keeps its member count with NULL
+    cohesion (left join); a dimension that is NaN/absent in every
+    member contributes 0.0 to the centroid on both engines.
     """
     spark = vectors.sparkSession
     dim = _dim(vectors, vec_col)
@@ -2180,53 +2188,42 @@ def label_cohesion(
     q9 = F.expr(
         "try_cast(round(CAST(_x AS DOUBLE) * 1000000000.0D) AS LONG)"
     )
-    rows = (
+    # One row per (label, centroid array): dims re-packed in dim order;
+    # a dim whose every member component was NaN/absent has cv NULL —
+    # coalesced to 0.0 (a no-information dimension contributes nothing
+    # to the dot product), mirrored by the oracle's coalesce.
+    cent = (
         exploded.groupBy("grp", "dim")
         .agg(
             (F.sum(q9).cast("double") / (F.lit(1.0e9) * F.count(q9))).alias(
                 "cv"
             )
         )
-        .collect()
-    )
-    cents: dict[int, list[float]] = {}
-    for r in rows:
-        # cv is NULL only when EVERY member's component at this dim was
-        # NaN/absent — keep the 0.0 default (a no-information dimension
-        # contributes nothing to the dot product)
-        if r["cv"] is not None:
-            cents.setdefault(int(r["grp"]), [0.0] * dim)[r["dim"]] = float(
-                r["cv"]
-            )
-        else:
-            cents.setdefault(int(r["grp"]), [0.0] * dim)
-    labels = sorted(cents)
-
-    p = vectors.select(
-        F.col(label_col), _norm_col(vec_col, dim).alias("_nv"),
-        F.col(vec_col),
-    )
-    barrier = F.monotonically_increasing_id() * F.lit(0)
-    exprs = []
-    for i, lab in enumerate(labels):
-        cv = cents[lab]
-        cs = (
-            f"try_cast(round(({_dot_lit_sql(vec_col, cv)}"
-            f" / nullif((_nv) * ({_pynorm(cv)!r}), 0.0D)) * 10000.0)"
-            f" AS LONG)"
+        .groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("cv")))
+            ).alias("_dc")
         )
-        exprs.append((F.expr(cs) + barrier).alias(f"_lc{i}"))
-    scored = p.select(label_col, *exprs)
-    pick = None
-    for i, lab in enumerate(labels):
-        cond = F.col(label_col) == F.lit(lab)
-        pick = (
-            F.when(cond, F.col(f"_lc{i}"))
-            if pick is None
-            else pick.when(cond, F.col(f"_lc{i}"))
+        .select(
+            F.col("grp").alias(label_col),
+            F.expr("transform(_dc, s -> coalesce(s.cv, 0.0D))").alias("_c"),
         )
+    )
+    # Left join: labels with no centroid (every member's vector NULL or
+    # empty) keep their member count with NULL cohesion; NULL labels
+    # never equi-match and likewise score NULL — no driver-side int()
+    # cast to crash on them. Centroids are O(L) rows: broadcast.
+    members = vectors.select(F.col(label_col), F.col(vec_col)).join(
+        F.broadcast(cent), on=label_col, how="left"
+    )
+    cs = (
+        f"try_cast(round(({_dot_cols_sql(vec_col, '_c', dim)}"
+        f" / nullif({_norm_sql(vec_col, dim)} * {_norm_sql('_c', dim)},"
+        f" 0.0D)) * 10000.0) AS LONG)"
+    )
     return (
-        scored.select(F.col(label_col), pick.alias("_q"))
+        members.select(F.col(label_col), F.expr(cs).alias("_q"))
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -2242,8 +2239,11 @@ def label_cohesion(
 def _label_cohesion_oracle(dim: int | None = None) -> str:
     """DuckDB twin: the proven exact-integer centroid means (the
     embedding_centroids oracle), re-packed to per-label lists ordered by
-    dim, then the same rounded-cosine quantization (TRY_CAST NaN->NULL),
-    BIGINT sum and single division."""
+    dim (all-NULL dims coalesced to 0.0 like the Spark transform), then
+    the same rounded-cosine quantization (TRY_CAST NaN->NULL), BIGINT
+    sum and single division. LEFT JOIN so a label whose members all
+    lack vectors keeps its member count with NULL cohesion — matching
+    the Spark left broadcast join (ADVICE r8 alignment)."""
     dim = EMB_DIM if dim is None else dim
     cos = (
         f"({_duck_dot('e.embedding', 'cl.c', dim)}"
@@ -2261,11 +2261,12 @@ def _label_cohesion_oracle(dim: int | None = None) -> str:
                / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS cv
       FROM ex GROUP BY label, dim
     ), cl AS (
-      SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY label
+      SELECT label, list(coalesce(cv, 0.0) ORDER BY dim) AS c
+      FROM cent GROUP BY label
     ), scored AS (
       SELECT e.label,
              TRY_CAST(round({cos}) AS BIGINT) AS q
-      FROM embeddings e JOIN cl ON e.label = cl.label
+      FROM embeddings e LEFT JOIN cl ON e.label = cl.label
     )
     SELECT label, COUNT(*) AS n_members,
            round(CAST(SUM(q) AS DOUBLE)
@@ -2279,11 +2280,13 @@ def _label_cohesion_oracle(dim: int | None = None) -> str:
     oracle=_label_cohesion_oracle(),
     description="embedding-cluster quality QA: per-label member count + "
     "mean cosine of members to their label's exact integer-space mean "
-    "centroid (collected O(L x dim), baked as literals; one corpus scan "
-    "with barrier-protected per-label cosine columns, 1e4-quantized "
-    "BIGINT mean — partitioning-independent, NaN members excluded via "
-    "try_cast on both engines); the gate that catches collapsed or "
-    "incoherent label clusters before training trusts them",
+    "centroid (aggregated to L (label, centroid-array) rows and "
+    "broadcast-LEFT-joined onto members — plan size O(dim), O(1) in "
+    "label cardinality, no driver collect; 1e4-quantized BIGINT mean — "
+    "partitioning-independent, NaN members excluded via try_cast on "
+    "both engines, vector-less labels kept with NULL cohesion); the "
+    "gate that catches collapsed or incoherent label clusters before "
+    "training trusts them",
     covers=("N-sim", "B5"),
 )
 def label_cohesion_query(spark: SparkSession, sf_dir: str) -> DataFrame:

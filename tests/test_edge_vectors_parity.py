@@ -56,12 +56,24 @@ def _edge_vectors():
     infv[0] = math.inf
     rows.append((14, infv, 2))  # inf element: inf/inf -> NaN both engines
     rows.append((15, [1e-40] * DIM, 3))  # float32 denormals: tiny norm
+    # r8 (ADVICE label_cohesion seams, now fixture-proven): a label
+    # whose EVERY member is NaN at some dim (centroid cv NULL ->
+    # coalesce 0.0 on both engines) and a label whose every member
+    # lacks a vector (kept with NULL cohesion via LEFT join on both
+    # engines). The third seam — a NULL label — lives in its own
+    # corpus (test_label_cohesion_null_label): an INTEGER label column
+    # containing NULLs floats under the driver's pandas path, so it
+    # must stay out of the shared strict-compare corpus.
+    allnan = _well_formed(16)
+    allnan[2] = math.nan
+    rows.append((16, allnan, 4))  # single-member label: dim 2 all-NaN
+    rows.append((17, None, 5))  # vector-less label
     return rows
 
 
 #: seams the fixed-width quantize/unnest and project representations
 #: cannot express identically in both engines (see module docstring)
-_REDUCED_EXCLUDES = {9, 10, 11, 14}
+_REDUCED_EXCLUDES = {9, 10, 11, 14, 16, 17}
 
 FULL_QUERIES = [
     "ann_cosine_topk",
@@ -176,9 +188,11 @@ def test_degenerate_rows_place_deterministically(spark, edge_vec_dir):
         r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb).collect()
     }
     assert assign[12] == 1  # exact duplicate of centroid 1
-    for degenerate in (8, 10, 11, 13):  # zero, NULL, short, -0.0
+    # zero, NULL-element, short, -0.0, NULL-vector
+    for degenerate in (8, 10, 11, 13, 17):
         assert assign[degenerate] == -1, (degenerate, assign[degenerate])
     assert assign[9] >= 0  # NaN scores NaN, still assigns
+    assert assign[16] >= 0  # NaN at one dim: same class as vec 9
     # zero-norm rows never enter a cosine top-k: scored NULL, sorted last
     from ser_etl_spark.operators.similarity import (
         _query_vector,
@@ -188,8 +202,47 @@ def test_degenerate_rows_place_deterministically(spark, edge_vec_dir):
     vec = _query_vector(spark, edge_vec_dir)
     top = cosine_topk(emb, vec, k=16).collect()
     sims = [r["cos_sim"] for r in top]
-    # NaN rows (vec 9: NaN element; vec 14: inf/inf) lead, NULLs trail
+    # NaN rows (vec 9: NaN element; vec 14: inf/inf; vec 16: NaN dim)
+    # lead; NULLs (3 of the 5 fit within k=16 over the 18-row corpus)
+    # trail
     assert all(
-        s is not None and math.isnan(s) for s in sims[:2]
+        s is not None and math.isnan(s) for s in sims[:3]
     ), sims
-    assert all(s is None for s in sims[-4:]), sims
+    assert all(s is None for s in sims[-3:]), sims
+
+
+def test_label_cohesion_null_label(spark, tmp_path_factory):
+    """The third ADVICE r8 seam: a NULL label must not crash (the r7
+    implementation int()-cast collected labels driver-side) and must
+    agree with the oracle value-for-value. Separate corpus because an
+    INTEGER label column containing NULLs floats under the driver's
+    pandas path — a dtype rendering artifact, not a value divergence —
+    so the strict oracle_type_problems gate would flag the shared
+    corpus for every labelled query."""
+    from ser_etl_spark.registry import all_queries
+    from tests.oracle import (
+        canonical_rows,
+        duckdb_result,
+        spark_result,
+    )
+
+    d = tmp_path_factory.mktemp("edge_vectors_null_label")
+    rows = _edge_vectors()
+    rows.append((18, _well_formed(18), None))  # NULL label, real vector
+    _write_embeddings(d / "embeddings.parquet", rows)
+    con = _con(str(d))
+    try:
+        spec = all_queries()["label_cohesion"]
+        s_cols, s_rows = spark_result(spec.builder(spark, str(d)))
+        d_cols, d_rows = duckdb_result(con, spec.oracle)
+        assert sorted(s_cols) == sorted(d_cols)
+        assert canonical_rows(s_cols, s_rows) == canonical_rows(
+            d_cols, d_rows
+        )
+        # the NULL-label member forms its own group: counted, and with
+        # no centroid to equi-match, its cohesion is NULL on both sides
+        null_grp = [r for r in s_rows if r[0] is None]
+        assert len(null_grp) == 1
+        assert null_grp[0][1] == 1 and null_grp[0][2] is None
+    finally:
+        con.close()

@@ -613,3 +613,63 @@ def test_phash_and_blocked_neardup_never_cartesian(spark, sf_small):
         plan = _plan(spark, sf_small, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_label_cohesion_plan_constant_in_label_cardinality(spark, tmp_path):
+    """r8 (VERDICT directive #1): label_cohesion's plan must not grow
+    with label cardinality. The r7 form baked one literal expression
+    column per label plus an L-branch CASE pick — at realistic QA loads
+    (1e3-1e5 labels) the driver burns minutes building the plan and
+    codegen falls over (the documented >~20-looped-Columns cliff). The
+    rewrite broadcast-joins an aggregated (label, centroid) frame, so
+    the scoring expression is O(dim) and independent of L: asserted by
+    comparing optimized-plan sizes at L=5 vs L=600 and by the absence
+    of the per-label _lc columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ser_etl_spark.operators.similarity import label_cohesion
+    from ser_etl_spark.sources.parquet import load_table
+
+    dim = 8
+
+    def corpus(path, n_labels: int) -> None:
+        ids, vecs, labels = [], [], []
+        for lab in range(n_labels):
+            for m in range(3):
+                ids.append(lab * 3 + m)
+                # identical members per label => cohesion exactly 1.0
+                vecs.append([float((lab + i) % 7 + 1) for i in range(dim)])
+                labels.append(lab)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            ),
+            path,
+        )
+
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    small.mkdir()
+    big.mkdir()
+    corpus(small / "embeddings.parquet", 5)
+    corpus(big / "embeddings.parquet", 600)
+
+    plans = {}
+    for d, n in ((small, 5), (big, 600)):
+        df = label_cohesion(load_table(spark, str(d), "embeddings"))
+        plan = explain_string(df)
+        assert "_lc0" not in plan, "per-label literal columns are back"
+        plans[n] = len(plan)
+    # identical corpora schema => identical plan; allow only trivial
+    # drift (plan-id numbering), nothing proportional to 595 labels
+    assert abs(plans[600] - plans[5]) < 200, plans
+
+    # and the big corpus actually runs in bounded time with exact output
+    out = label_cohesion(load_table(spark, str(big), "embeddings")).collect()
+    assert len(out) == 600
+    assert all(r["n_members"] == 3 and r["cohesion"] == 1.0 for r in out)
