@@ -33,6 +33,46 @@ class UniquenessViolation(ValueError):
 
 
 @dataclass(frozen=True)
+class ArtifactCarry:
+    """Incremental artifact maintenance for one table in a snapshot
+    build (VERDICT r8 directive #2): instead of re-deriving the
+    ``<name>_ann_index`` / ``<name>_minhash_bands`` artifact from the
+    full merged table every cycle — at 100 TB a 60 s cadence cannot
+    re-derive an index per cycle — carry the PRIOR snapshot's artifact
+    forward (hardlink copy: O(files), zero data bytes; part files are
+    immutable so snapshots safely share them) and upsert only the
+    delta's rows into the carried copy.
+
+    The caller (``SyncManager``) passes this ONLY when the cycle's
+    delta is pure-append for the table — an UPDATE to an existing key
+    would leave the stale version of that row in the append-only
+    artifact, so updated keys force the full re-derive path."""
+
+    #: prior published snapshot dir holding the artifact to carry
+    prev_snapshot_dir: str
+    #: this cycle's changed-row slice for the table
+    delta: DataFrame
+    #: row count of ``delta`` (already counted by the sync cycle)
+    delta_rows: int
+
+
+def _link_copytree(src: str, dst: str) -> None:
+    """Copy an artifact directory with hardlinks where possible: the
+    carried artifact costs O(number of files), not O(bytes) — the move
+    that makes per-cycle artifact carry viable at scale. Falls back to
+    a byte copy per file on cross-device links."""
+    import shutil
+
+    def _link(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, copy_function=_link)
+
+
+@dataclass(frozen=True)
 class TableLayout:
     """Write layout policy for one table — the index replacement."""
 
@@ -123,6 +163,7 @@ def build_snapshot(
     out_dir: str,
     layouts: dict[str, TableLayout] | None = None,
     views: dict[str, str] | None = None,
+    carry: dict[str, ArtifactCarry] | None = None,
 ) -> BuildReport:
     """Materialize extracted tables as a snapshot directory.
 
@@ -130,8 +171,16 @@ def build_snapshot(
     view, sync.py:69-121): per table, apply the sorted layout, enforce
     uniqueness, write parquet. Empty inputs are skipped (A18,
     sync.py:44-46). Returns per-table row counts for the manifest (A13).
+
+    ``carry`` (r8): per-table :class:`ArtifactCarry` — derived
+    artifacts are hardlink-carried from the prior snapshot and upserted
+    with just the delta instead of re-derived from the full table,
+    when the prior copy is structurally usable AND provably fresh
+    against the prior table (its manifest digest). Ineligible or
+    absent carries fall back to the full re-derive silently.
     """
     layouts = layouts or {}
+    carry = carry or {}
     counts: dict[str, int] = {}
     skipped: list[str] = []
     for name, df in dataframes.items():
@@ -159,20 +208,90 @@ def build_snapshot(
             # whole snapshot build. (A zero-ROW table never reaches here:
             # the n == 0 skip above fires first.)
             if _dim(df, "embedding") is not None:
-                (
-                    ann_layout_frame(df)
-                    .write.mode("overwrite")
-                    .partitionBy("srp_bucket", "centroid_id")
-                    .parquet(os.path.join(out_dir, f"{name}_ann_index"))
+                from ser_etl_spark.artifacts import (
+                    manifest_fresh,
+                    write_manifest,
+                )
+                from ser_etl_spark.operators.similarity import (
+                    ANN_INDEX_VERSION,
+                    _index_usable,
+                    upsert_ann_index,
+                )
+                from ser_etl_spark.sources.parquet import table_path
+
+                idx_dir = os.path.join(out_dir, f"{name}_ann_index")
+                c = carry.get(name)
+                prev_idx = (
+                    os.path.join(c.prev_snapshot_dir, f"{name}_ann_index")
+                    if c is not None
+                    else None
+                )
+                if (
+                    prev_idx is not None
+                    and _index_usable(prev_idx)
+                    and manifest_fresh(
+                        prev_idx,
+                        table_path(c.prev_snapshot_dir, name),
+                        ANN_INDEX_VERSION,
+                    )
+                ):
+                    # carry + delta upsert: O(files) links + O(delta)
+                    # layout work, never a corpus re-derive
+                    _link_copytree(prev_idx, idx_dir)
+                    if c.delta_rows and _dim(c.delta, "embedding") is not None:
+                        upsert_ann_index(df.sparkSession, idx_dir, c.delta)
+                else:
+                    (
+                        ann_layout_frame(df)
+                        .write.mode("overwrite")
+                        .partitionBy("srp_bucket", "centroid_id")
+                        .parquet(idx_dir)
+                    )
+                # freshness manifest (ADVICE r8): digest of the table
+                # dir written above — relative paths/mtimes survive
+                # publish_snapshot's move, so the published copy stays
+                # provably in sync with its table
+                write_manifest(
+                    idx_dir, os.path.join(out_dir, name), ANN_INDEX_VERSION
                 )
         if layout.minhash_bands and "text" in df.columns:
-            from ser_etl_spark.operators.dedup import minhash_band_entries
+            from ser_etl_spark.artifacts import manifest_fresh, write_manifest
+            from ser_etl_spark.operators.dedup import (
+                MINHASH_BANDS_VERSION,
+                _bands_usable,
+                minhash_band_entries,
+                upsert_minhash_bands,
+            )
+            from ser_etl_spark.sources.parquet import table_path
 
-            (
-                minhash_band_entries(df)
-                .write.mode("overwrite")
-                .partitionBy("band")
-                .parquet(os.path.join(out_dir, f"{name}_minhash_bands"))
+            bands_dir = os.path.join(out_dir, f"{name}_minhash_bands")
+            c = carry.get(name)
+            prev_bands = (
+                os.path.join(c.prev_snapshot_dir, f"{name}_minhash_bands")
+                if c is not None
+                else None
+            )
+            if (
+                prev_bands is not None
+                and _bands_usable(prev_bands)
+                and manifest_fresh(
+                    prev_bands,
+                    table_path(c.prev_snapshot_dir, name),
+                    MINHASH_BANDS_VERSION,
+                )
+            ):
+                _link_copytree(prev_bands, bands_dir)
+                if c.delta_rows:
+                    upsert_minhash_bands(df.sparkSession, bands_dir, c.delta)
+            else:
+                (
+                    minhash_band_entries(df)
+                    .write.mode("overwrite")
+                    .partitionBy("band")
+                    .parquet(bands_dir)
+                )
+            write_manifest(
+                bands_dir, os.path.join(out_dir, name), MINHASH_BANDS_VERSION
             )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views

@@ -150,11 +150,26 @@ class SnapshotCatalog:
         exercises exactly the index the ETL publishes — including upsert
         deltas — with zero on-demand rebuild (pinned by
         tests/test_gateway.py)."""
-        from ser_etl_spark.operators.similarity import _index_usable
+        from ser_etl_spark.artifacts import manifest_fresh
+        from ser_etl_spark.operators.similarity import (
+            ANN_INDEX_VERSION,
+            _index_usable,
+        )
 
         snapshot_dir = self.refresh()
         path = os.path.join(snapshot_dir, f"{table}_ann_index")
-        return path if _index_usable(path) else None
+        # structural AND fresh (ADVICE r8): a snapshot table rewritten
+        # under the artifact (not the published model, but defense in
+        # depth) must not serve stale neighbors
+        if not _index_usable(path):
+            return None
+        from ser_etl_spark.sources.parquet import table_path
+
+        if not manifest_fresh(
+            path, table_path(snapshot_dir, table), ANN_INDEX_VERSION
+        ):
+            return None
+        return path
 
     # -- time travel (A12) --------------------------------------------------
 

@@ -1117,24 +1117,40 @@ def build_minhash_bands(
     entries are a contiguous directory; per-doc rows are independent, so
     the artifact appends per sync (:func:`upsert_minhash_bands`) and
     any doc_id predicate pushes into the scan."""
+    from ser_etl_spark.artifacts import write_manifest
+    from ser_etl_spark.sources.parquet import table_path
+
     ents = minhash_band_entries(
         load_table(spark, sf_dir, "documents"), num_perm, bands, n
     )
     ents.write.mode("overwrite").partitionBy("band").parquet(out_dir)
+    # freshness manifest (ADVICE r8): record the source state these
+    # bands reflect, so published-first resolution refuses a stale copy
+    write_manifest(
+        out_dir, table_path(sf_dir, "documents"), MINHASH_BANDS_VERSION
+    )
     return out_dir
 
 
 def upsert_minhash_bands(
     spark: SparkSession, bands_dir: str, new_docs: DataFrame,
     num_perm: int = 64, bands: int = 16, n: int = 3,
+    source_path: str | None = None,
 ) -> None:
     """Append a new batch's band entries into the persisted artifact —
     per-doc rows are independent (no frozen state to respect, unlike the
-    ANN quantizer), so append IS rebuild for the grown corpus."""
+    ANN quantizer), so append IS rebuild for the grown corpus.
+    ``source_path`` = the documents table as grown by this batch: an
+    incremental sync passes it so the freshness manifest keeps matching
+    the rewritten table (the ``upsert_ann_index`` contract)."""
     (
         minhash_band_entries(new_docs, num_perm, bands, n)
         .write.mode("append").partitionBy("band").parquet(bands_dir)
     )
+    if source_path is not None:
+        from ser_etl_spark.artifacts import write_manifest
+
+        write_manifest(bands_dir, source_path, MINHASH_BANDS_VERSION)
 
 
 def ensure_minhash_bands(
@@ -1148,20 +1164,30 @@ def ensure_minhash_bands(
     PUBLISHED ``documents_minhash_bands`` directory (written by
     ``build_snapshot`` with ``TableLayout(minhash_bands=True)``), else a
     per-user tmp cache keyed by a recursive source fingerprint — the
-    same published-first resolution ``ensure_ann_index`` uses."""
+    same published-first resolution ``ensure_ann_index`` uses,
+    including the r8 freshness gate: the published copy is served only
+    while its ``_manifest.json`` digest still matches the live
+    documents table (a corpus rewritten without a matching
+    ``upsert_minhash_bands`` must not silently miss matches)."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from ser_etl_spark.operators.similarity import _source_fingerprint
+    from ser_etl_spark.artifacts import (
+        manifest_fresh,
+        source_fingerprint as _source_fingerprint,
+    )
     from ser_etl_spark.sources.parquet import table_path
 
-    published = os.path.join(sf_dir, "documents_minhash_bands")
-    if (num_perm, bands, n) == (64, 16, 3) and _bands_usable(published):
-        return published
-
     src = table_path(sf_dir, "documents")
+    published = os.path.join(sf_dir, "documents_minhash_bands")
+    if (
+        (num_perm, bands, n) == (64, 16, 3)
+        and _bands_usable(published)
+        and manifest_fresh(published, src, MINHASH_BANDS_VERSION)
+    ):
+        return published
     key_src = (
         f"v{MINHASH_BANDS_VERSION}:{os.path.realpath(src)}:"
         f"{_source_fingerprint(src)}:{num_perm}:{bands}:{n}"

@@ -30,6 +30,11 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.artifacts import (
+    manifest_fresh,
+    source_fingerprint,
+    write_manifest,
+)
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table, spread_small_input
 
@@ -646,6 +651,8 @@ def build_ann_index(
     expanded norm expression — doubles round-trip parquet losslessly, so
     indexed and scan-time probes return identical bits.
     """
+    from ser_etl_spark.sources.parquet import table_path
+
     laid = ann_layout_frame(
         load_table(spark, sf_dir, "embeddings"), planes, num_centroids,
         vec_col, id_col,
@@ -654,6 +661,11 @@ def build_ann_index(
         laid.write.mode("overwrite")
         .partitionBy("srp_bucket", "centroid_id")
         .parquet(out_dir)
+    )
+    # freshness manifest (ADVICE r8): record the source state this index
+    # reflects, so published-first resolution can refuse a stale copy
+    write_manifest(
+        out_dir, table_path(sf_dir, "embeddings"), ANN_INDEX_VERSION
     )
     return out_dir
 
@@ -745,26 +757,9 @@ def ann_layout_frame(
     return _with_nearest_centroid(p, vec_col, "vnorm", cents, "centroid_id")
 
 
-def _source_fingerprint(path: str) -> str:
-    """Cheap change-detection for the cached index: parquet file names +
-    sizes + mtimes (no data read). Recurses with ``os.walk`` so the
-    dir-of-subdirectories layouts ``table_path`` supports (partitioned
-    tables, ``df.write.parquet`` dirs) fingerprint their actual part
-    files instead of degenerating to a constant — a changed partitioned
-    corpus must invalidate the cached index (ADVICE r7)."""
-    if os.path.isdir(path):
-        entries = []
-        for root, dirs, files in os.walk(path):
-            dirs.sort()
-            for n in sorted(files):
-                if not n.endswith(".parquet"):
-                    continue
-                st = os.stat(os.path.join(root, n))
-                rel = os.path.relpath(os.path.join(root, n), path)
-                entries.append((rel, st.st_size, st.st_mtime_ns))
-        return repr(entries)
-    st = os.stat(path)
-    return f"{st.st_size}:{st.st_mtime_ns}"
+#: change-detection for cached/published indexes (moved to
+#: ser_etl_spark.artifacts in r8 so the manifest helpers share it)
+_source_fingerprint = source_fingerprint
 
 
 #: data columns the v2 index must carry for every probe family (the
@@ -811,8 +806,12 @@ def ensure_ann_index(
        :func:`upsert_ann_index` deltas appended since. Serving reads the
        same index the ETL publishes; zero per-query build work. Used
        only for the default (planes, centroids) geometry the build
-       writes, and only when complete and current-version
-       (:func:`_index_usable` — one footer read).
+       writes, and only when complete, current-version
+       (:func:`_index_usable` — one footer read) AND FRESH: the
+       ``_manifest.json`` digest recorded at build/upsert time must
+       still match the live source table, so a corpus rewritten or
+       grown without a matching upsert can never serve stale neighbors
+       (ADVICE r8); structural checks alone would.
     2. The per-user tmp cache, keyed by a recursive source fingerprint
        (path + size + mtime of every part file), so a changed corpus
        rebuilds; a concurrent builder losing the rename race simply
@@ -822,15 +821,15 @@ def ensure_ann_index(
     """
     from ser_etl_spark.sources.parquet import table_path
 
+    src = table_path(sf_dir, "embeddings")
     published = os.path.join(sf_dir, "embeddings_ann_index")
     if (
         planes == ANN_PLANES
         and num_centroids == IVF_CENTROIDS
         and _index_usable(published)
+        and manifest_fresh(published, src, ANN_INDEX_VERSION)
     ):
         return published
-
-    src = table_path(sf_dir, "embeddings")
     key_src = (
         f"v{ANN_INDEX_VERSION}:{os.path.realpath(src)}:"
         f"{_source_fingerprint(src)}:{planes}:{num_centroids}"
@@ -881,6 +880,7 @@ def upsert_ann_index(
     num_centroids: int = IVF_CENTROIDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    source_path: str | None = None,
 ) -> None:
     """Incremental index maintenance: lay out only the NEW vectors —
     with the index's frozen quantizer — and append their files into the
@@ -912,6 +912,14 @@ def upsert_ann_index(
         .partitionBy("srp_bucket", "centroid_id")
         .parquet(idx_dir)
     )
+    # ``source_path`` = the source table AS GROWN by this delta: an
+    # incremental sync appends the delta to the table then upserts the
+    # index, and refreshing the manifest here is what keeps the
+    # published copy servable (manifest_fresh) after the cycle. Omitted
+    # when the delta didn't come from a tracked table rewrite — the
+    # existing manifest still describes the unchanged source.
+    if source_path is not None:
+        write_manifest(idx_dir, source_path, ANN_INDEX_VERSION)
 
 
 def _hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:

@@ -502,11 +502,15 @@ def series_anomalies(
     Shape: one hash aggregate to series points, then per-user whole-
     partition window sums over the AGGREGATED series — the second
     exchange moves one row per (user, hour), never the event stream,
-    and no series-vs-series traffic exists at all. Magnitude bound:
-    terms stay
-    under decimal(38,0) while n * (hourly |v|)^2 < 1e38 — hourly sums up
-    to ~1e15 (1e9 raw units) with 1e6 hours/user, documented headroom
-    far beyond the fixture's 1e12 class.
+    and no series-vs-series traffic exists at all. Magnitude bound
+    (ADVICE r8 correction): the BINDING terms are ``dev^2 = (n*v -
+    sx)^2`` and ``sx*sx``, both bounded by ``(n * max|v|)^2`` — they
+    scale as (n*V)^2, not n*V^2 — so staying under decimal(38,0) /
+    DuckDB HUGEINT (~1.7e38) requires ``n * max|v| < ~1e19``: hourly
+    sums up to ~1e13 with 1e6 hours/user, or ~1e15 with 1e4 hours.
+    Either envelope is far beyond the fixture's ~1e12-value x ~7e2-hour
+    class; a feed that genuinely exceeds it needs the squares split
+    into a wider representation before this predicate is safe.
     """
     from pyspark.sql import Window
 

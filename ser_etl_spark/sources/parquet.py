@@ -66,10 +66,24 @@ def _ns_timestamp_cols(path: str) -> list[str]:
                 return []
             target = os.path.join(path, parts[0])
         schema = pq.read_schema(target)
+        # INT96 timestamps (Spark's legacy LTZ encoding) also surface as
+        # timestamp[ns] in the Arrow schema, but Spark reads them natively
+        # — only true INT64 TIMESTAMP(NANOS) columns need the raw-long
+        # conversion (misflagging INT96 would feed `div 1000` a TIMESTAMP
+        # and fail the read; found by the r8 artifact-carry sync test).
+        phys = {
+            c.name: c.physical_type
+            for c in (
+                pq.ParquetFile(target).metadata.schema.column(i)
+                for i in range(pq.ParquetFile(target).metadata.num_columns)
+            )
+        }
         return [
             f.name
             for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+            if pat.is_timestamp(f.type)
+            and f.type.unit == "ns"
+            and phys.get(f.name) != "INT96"
         ]
     except Exception:
         return []

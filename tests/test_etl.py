@@ -623,3 +623,204 @@ class TestQualityConstraints:
         got = spark.table("items")
         assert "extra" in got.columns  # new schema won
         assert got.count() == 2
+
+
+class TestIncrementalArtifactCarry:
+    """r8 directive #2: on a pure-append incremental cycle the derived
+    artifacts (ANN index, MinHash bands) are hardlink-carried from the
+    prior snapshot and upserted with just the delta — never re-derived
+    from the full corpus — and the result equals a full rebuild."""
+
+    @staticmethod
+    def _inodes(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for n in files:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[os.path.relpath(p, d)] = os.stat(p).st_ino
+        return out
+
+    def test_pure_append_cycle_carries_and_upserts(
+        self, spark, sf_small, tmp_path
+    ):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.operators.dedup import minhash_band_entries
+        from ser_etl_spark.sources.parquet import load_table
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        emb = load_table(spark, sf_small, "embeddings")
+        docs = load_table(spark, sf_small, "documents")
+        half_v = emb.count() // 2  # base keeps IVF seed rows 0..7
+        half_d = docs.count() // 2
+
+        src_dir = str(tmp_path / "src")
+        base_e = emb.filter(F.col("vec_id") < half_v).withColumn(
+            "updated_at", F.lit(t0).cast("timestamp_ntz")
+        )
+        base_d = docs.filter(F.col("doc_id") < half_d).withColumn(
+            "updated_at", F.lit(t0).cast("timestamp_ntz")
+        )
+        base_e.write.parquet(f"{src_dir}/embeddings.parquet")
+        base_d.write.parquet(f"{src_dir}/documents.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("embeddings", "documents"),
+            ts_col="updated_at",
+            layouts={
+                "embeddings": TableLayout(
+                    unique_key="vec_id", ann_index=True
+                ),
+                "documents": TableLayout(
+                    unique_key="doc_id", minhash_bands=True
+                ),
+            },
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        out1 = mgr.run_sync()
+        assert out1.success
+        snap1 = out1.manifest["snapshot_dir"]
+        idx1 = self._inodes(os.path.join(snap1, "embeddings_ann_index"))
+        bands1 = self._inodes(os.path.join(snap1, "documents_minhash_bands"))
+
+        # pure-append delta: brand-new keys at a later watermark
+        delta_e = emb.filter(F.col("vec_id") >= half_v).withColumn(
+            "updated_at", F.lit(t1).cast("timestamp_ntz")
+        )
+        delta_d = docs.filter(F.col("doc_id") >= half_d).withColumn(
+            "updated_at", F.lit(t1).cast("timestamp_ntz")
+        )
+        base_e.unionByName(delta_e).write.mode("overwrite").parquet(
+            f"{src_dir}/embeddings.parquet"
+        )
+        base_d.unionByName(delta_d).write.mode("overwrite").parquet(
+            f"{src_dir}/documents.parquet"
+        )
+
+        out2 = mgr.run_sync()
+        assert out2.success
+        snap2 = out2.manifest["snapshot_dir"]
+        idx2 = self._inodes(os.path.join(snap2, "embeddings_ann_index"))
+        bands2 = self._inodes(os.path.join(snap2, "documents_minhash_bands"))
+
+        # delta-cost assertion: every prior part file was CARRIED
+        # (hardlink — same inode at the same relative path), so the
+        # cycle's artifact work touched only the delta
+        for rel, ino in idx1.items():
+            assert idx2.get(rel) == ino, f"ann index re-derived: {rel}"
+        for rel, ino in bands1.items():
+            assert bands2.get(rel) == ino, f"bands re-derived: {rel}"
+        assert len(idx2) > len(idx1) and len(bands2) > len(bands1)
+
+        # equivalence: carried+upserted artifact == full re-derive
+        grown_e = base_e.unionByName(delta_e).drop("updated_at")
+        got_idx = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(snap2, "embeddings_ann_index")
+            ).select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        want_idx = sorted(
+            tuple(r)
+            for r in S.ann_layout_frame(grown_e)
+            .select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        assert got_idx == want_idx
+        grown_d = base_d.unionByName(delta_d).drop("updated_at")
+        got_b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(snap2, "documents_minhash_bands")
+            ).select("doc_id", "band", "bucket").collect()
+        )
+        want_b = sorted(
+            tuple(r)
+            for r in minhash_band_entries(grown_d)
+            .select("doc_id", "band", "bucket").collect()
+        )
+        assert got_b == want_b
+
+        # and the carried artifacts are FRESH: published-first
+        # resolution serves them with zero rebuild
+        assert S.ensure_ann_index(spark, snap2) == os.path.join(
+            snap2, "embeddings_ann_index"
+        )
+
+    def test_update_cycle_re_derives(self, spark, sf_small, tmp_path):
+        """A delta that UPDATES an existing key must force the full
+        artifact re-derive — append-only carry would keep the stale
+        row's bands alongside the new ones."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.operators.dedup import minhash_band_entries
+        from ser_etl_spark.sources.parquet import load_table
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        docs = load_table(spark, sf_small, "documents").limit(40)
+        src_dir = str(tmp_path / "src")
+        base = docs.withColumn("updated_at", F.lit(t0).cast("timestamp_ntz"))
+        base.write.parquet(f"{src_dir}/documents.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("documents",),
+            ts_col="updated_at",
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id", minhash_bands=True
+                )
+            },
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        out1 = mgr.run_sync()
+        assert out1.success
+        bands1 = self._inodes(
+            os.path.join(out1.manifest["snapshot_dir"],
+                         "documents_minhash_bands")
+        )
+
+        # rewrite one EXISTING doc's text at a later watermark
+        changed = base.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.lit("entirely new text body"))
+            .otherwise(F.col("text")),
+        ).withColumn(
+            "updated_at",
+            F.when(F.col("doc_id") == 0, F.lit(t1).cast("timestamp_ntz")).otherwise(F.col("updated_at")),
+        )
+        changed.write.mode("overwrite").parquet(f"{src_dir}/documents.parquet")
+
+        out2 = mgr.run_sync()
+        assert out2.success
+        snap2 = out2.manifest["snapshot_dir"]
+        bands2 = self._inodes(os.path.join(snap2, "documents_minhash_bands"))
+        # no carried inodes: the artifact was re-derived
+        assert not (set(bands1.values()) & set(bands2.values()))
+        # and it matches the post-update corpus exactly (no stale rows)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(snap2, "documents_minhash_bands")
+            ).select("doc_id", "band", "bucket").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in minhash_band_entries(changed.drop("updated_at"))
+            .select("doc_id", "band", "bucket").collect()
+        )
+        assert got == want

@@ -1029,9 +1029,17 @@ class TestAnnIndexMaintenance:
             },
             views={},
         )
-        # incremental sync: delta appended to the table AND the index
+        # incremental sync: delta appended to the table AND the index;
+        # source_path refreshes the freshness manifest to the GROWN
+        # table (r8) — without it ensure_ann_index would correctly
+        # refuse the now-stale published copy
         delta.write.mode("append").parquet(f"{snap}/embeddings")
-        S.upsert_ann_index(spark, f"{snap}/embeddings_ann_index", delta)
+        S.upsert_ann_index(
+            spark,
+            f"{snap}/embeddings_ann_index",
+            delta,
+            source_path=f"{snap}/embeddings",
+        )
 
         idx = S.ensure_ann_index(spark, snap)
         assert idx == f"{snap}/embeddings_ann_index"  # published, not tmp
@@ -1047,6 +1055,86 @@ class TestAnnIndexMaintenance:
         assert rows(S.ivf_ann_topk_indexed(spark, snap, vec, k=10)) == rows(
             S.ivf_ann_topk(emb, vec, k=10)
         )
+
+    def test_stale_published_index_refused(self, spark, sf_small, tmp_path):
+        """ADVICE r8 (medium): a published index whose source table was
+        rewritten WITHOUT a matching upsert must NOT be served — before
+        this gate, ensure_ann_index preferred any structurally-usable
+        published copy and probes silently missed true neighbors. The
+        freshness manifest detects the drift and resolution falls back
+        to the fingerprint-keyed cache (which reflects the live table)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        half = emb.count() // 2
+        base = emb.filter(F.col("vec_id") < half)
+
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"embeddings": base},
+            snap,
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+        )
+        # fresh build: published copy is served
+        assert S.ensure_ann_index(spark, snap) == f"{snap}/embeddings_ann_index"
+
+        # the table grows but the index is NOT upserted: stale
+        emb.filter(F.col("vec_id") >= half).write.mode("append").parquet(
+            f"{snap}/embeddings"
+        )
+        idx = S.ensure_ann_index(spark, snap)
+        assert idx != f"{snap}/embeddings_ann_index"
+        assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+        # the fallback index reflects the GROWN corpus — a probe through
+        # it sees the appended vectors the stale copy would have missed
+        vec = S._query_vector(spark, sf_small)
+        assert sorted(
+            tuple(r) for r in S.lsh_ann_topk_indexed(spark, snap, vec, k=10)
+            .collect()
+        ) == sorted(
+            tuple(r) for r in S.lsh_ann_topk(emb, vec, k=10).collect()
+        )
+
+    def test_stale_published_bands_refused(self, spark, sf_small, tmp_path):
+        """The band-artifact twin of the stale-index gate: rewriting the
+        documents table without upsert_minhash_bands must push
+        ensure_minhash_bands off the published copy."""
+        import os
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators.dedup import ensure_minhash_bands
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        is_delta = (F.col("doc_id") % 4) == 3
+
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"documents": docs.filter(~is_delta)},
+            snap,
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id", minhash_bands=True
+                )
+            },
+            views={},
+        )
+        published = os.path.join(snap, "documents_minhash_bands")
+        assert ensure_minhash_bands(spark, snap) == published
+
+        docs.filter(is_delta).write.mode("append").parquet(
+            f"{snap}/documents"
+        )
+        assert ensure_minhash_bands(spark, snap) != published
 
     def test_upsert_with_degenerate_delta(self, spark, tmp_path):
         """A delta containing seam vectors (zero vector -> NULL centroid,
