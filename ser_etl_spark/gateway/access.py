@@ -271,3 +271,29 @@ class GatewayFront:
                 duration_ms=(time.monotonic() - start) * 1000.0,
                 pattern=pattern,
             )
+
+    def health(self) -> dict:
+        """Liveness + snapshot-freshness envelope — the reference's
+        ``GET /health`` (``api-service/src/main.py:78-82``) extended
+        with what a snapshot-serving gateway actually needs monitored:
+        resolved snapshot version, its age against the catalog TTL, and
+        the registered tables. Unauthenticated by design (liveness
+        probes run before any token exists) and side-effect-free (no
+        refresh is forced)."""
+        doc: dict[str, Any] = {"status": "healthy", "timestamp": time.time()}
+        catalog = getattr(self.engine, "catalog", None)
+        if catalog is not None and hasattr(catalog, "status"):
+            doc.update(catalog.status())
+        return doc
+
+    def close(self) -> None:
+        """Shutdown cleanup — the reference's ``shutdown_event`` hook
+        (``api-service/src/main.py:133-137``): release the catalog's
+        cached state and log the shutdown. Idempotent; the front remains
+        usable afterwards (the next query re-resolves the snapshot)."""
+        catalog = getattr(self.engine, "catalog", None)
+        if catalog is not None and hasattr(catalog, "close"):
+            catalog.close()
+        log_request(
+            "gateway.shutdown", client="-", status="ok", duration_ms=0.0
+        )

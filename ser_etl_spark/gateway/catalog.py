@@ -54,6 +54,7 @@ class SnapshotCatalog:
         self._version: str | None = None
         self._loaded_at: float = 0.0
         self._cached: tuple[str, ...] = ()
+        self._registered: tuple[str, ...] = ()
 
     # -- manifest resolution ------------------------------------------------
 
@@ -123,6 +124,7 @@ class SnapshotCatalog:
             self._cached = ()
             registered = register_views(self.spark, snapshot_dir, **kwargs)
             view_names = self._register_manifest_views()
+            self._registered = tuple(registered) + tuple(view_names)
             if self.cache_tables:
                 # Pin exactly the views THIS catalog just registered —
                 # enumerating the session catalog instead would pin (and
@@ -135,6 +137,43 @@ class SnapshotCatalog:
         self._resolved_dir, self._version = snapshot_dir, version
         self._loaded_at = time.monotonic()
         return snapshot_dir
+
+    # -- health / shutdown (reference main.py:78-82, :133-137) --------------
+
+    def status(self) -> dict:
+        """Freshness snapshot for the gateway's health envelope: resolved
+        version, age against the TTL, and the views this catalog
+        registered — without forcing a re-resolve (health checks must
+        stay cheap and side-effect-free)."""
+        age = (
+            time.monotonic() - self._loaded_at
+            if self._resolved_dir is not None
+            else None
+        )
+        return {
+            "snapshot_version": self._version,
+            "snapshot_dir": self._resolved_dir,
+            "snapshot_age_s": round(age, 3) if age is not None else None,
+            "ttl_s": self.ttl_s,
+            "stale": self._stale(),
+            "tables": list(self._registered),
+        }
+
+    def close(self) -> None:
+        """Shutdown cleanup (the reference's ``shutdown_event`` →
+        ``query_engine.cleanup()``): drop every cache pin this catalog
+        created and forget the resolved snapshot, so a later use
+        re-resolves from the manifest. Idempotent."""
+        for name in self._cached:
+            try:
+                self.spark.catalog.uncacheTable(name)
+            except Exception:  # pragma: no cover - already gone
+                pass
+        self._cached = ()
+        self._registered = ()
+        self._resolved_dir = None
+        self._version = None
+        self._loaded_at = 0.0
 
     # -- ANN index resolution (serving path) --------------------------------
 

@@ -361,6 +361,53 @@ class TestGatewayFront:
         assert ok["duration_ms"] >= 0 and ok["pattern"]
         assert denied["status"] == "401"
 
+    def test_health_envelope(self, engine):
+        """Reference GET /health (main.py:78-82) extended with snapshot
+        freshness: version, age vs the 120 s TTL, registered tables."""
+        front = self._front(engine)
+        front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+        h = front.health()
+        assert h["status"] == "healthy" and h["timestamp"] > 0
+        assert h["ttl_s"] == engine.catalog.ttl_s
+        assert h["stale"] is False  # just refreshed by the query
+        assert h["snapshot_age_s"] is not None and h["snapshot_age_s"] >= 0
+        assert "lineitem" in h["tables"]
+        # plain-directory layout has no manifest version; a published
+        # store would carry one — the key must exist either way
+        assert "snapshot_version" in h
+
+    def test_health_before_first_query_is_cheap(self, spark, sf_small):
+        """Liveness probes run before any query (and before any token
+        exists): health must not force a snapshot resolve."""
+        front = self._front(
+            SparkQueryEngine(spark, SnapshotCatalog(spark, sf_small))
+        )
+        h = front.health()
+        assert h["status"] == "healthy"
+        assert h["snapshot_dir"] is None and h["stale"] is True
+
+    def test_close_releases_catalog_and_logs(self, spark, sf_small, caplog):
+        """Reference shutdown hook (main.py:133-137): close() drops the
+        catalog's cache pins and resolved state, logs the shutdown, and
+        leaves the front reusable (next query re-resolves)."""
+        import json as _json
+        import logging
+
+        catalog = SnapshotCatalog(spark, sf_small, cache_tables=True)
+        eng = SparkQueryEngine(spark, catalog)
+        front = self._front(eng)
+        front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+        assert catalog._cached  # pins exist while serving
+        with caplog.at_level(logging.INFO, logger="ser_etl_spark.gateway"):
+            front.close()
+        assert catalog._cached == ()
+        assert front.health()["snapshot_dir"] is None
+        events = [_json.loads(r.message)["event"] for r in caplog.records]
+        assert "gateway.shutdown" in events
+        # reusable: the next query re-resolves and re-pins
+        res = front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
+        assert res.row_count == 1 and catalog._cached
+
 
 class TestTimeTravel:
     """A12: versioned snapshots stay readable until retention (zero-copy
