@@ -1257,3 +1257,172 @@ def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(is_delta),
         corpus_bands=corpus_bands,
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup: duplicated token SPANS across documents
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_tokens: int = 20,
+    max_anchor_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated token SPANS: for every ordered doc pair,
+    each maximal run of >= ``min_tokens`` consecutive IDENTICAL tokens
+    shared between the two texts, as ``(doc_a, doc_b, a_start, b_start,
+    span_tokens)`` with 1-based token offsets.
+
+    The "exact substring dedup" of the public LLM-dedup literature
+    (boilerplate, licenses, templated headers duplicated verbatim across
+    crawls — removed span-wise, not doc-wise), re-expressed as pure
+    equi-joins instead of a suffix array:
+
+    1. **anchor k-grams** — every k-token window of every doc as
+       ``(doc_id, pos, gram)`` (the :func:`shingle_rows` token
+       convention, positions kept);
+    2. **inverted-index candidate join** — anchors equi-joined on the
+       gram STRING (exact — no hash collisions), ``doc_a < doc_b``;
+    3. **diagonal run verification** — a common run of ``R`` tokens is
+       exactly ``R - k + 1`` consecutive anchor matches on one diagonal
+       (``diag = ib - ia``): gaps-and-islands per (pair, diag) —
+       ``ia - row_number()`` groups each maximal run — then
+       ``span_tokens = run_length + k - 1``. Anchor-gram equality at
+       every consecutive offset implies token-wise equality of the whole
+       span (tokens are whitespace-free, so the space-joined gram is
+       unambiguous), making the result EXACT, not probabilistic.
+
+    Scale: anchors are one row per token position (the shingle pipeline's
+    cost class); the join is a shuffle on the gram; the window moves only
+    MATCHED anchors. ``max_anchor_df`` drops grams appearing in more than
+    that many docs before pairing — the :func:`ngram_jaccard_pairs`
+    sub-quadratic guard; a true span whose every k-gram is that common is
+    boilerplate beyond the cap's df and is the one recall trade
+    (``None`` = exact, bounded corpora only).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), " +").alias("_t"),
+    ).filter(F.size("_t") >= k)
+    t = F.col("_t")
+    idx = toks.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size(t) - (k - 1))).alias("pos"),
+    )
+    i = F.col("pos")
+    gram = F.concat_ws(
+        " ",
+        F.element_at(t, i),
+        *[F.element_at(t, i + j) for j in range(1, k)],
+    )
+    anch = idx.select(id_col, "pos", gram.alias("g"))
+    if max_anchor_df is not None:
+        freq = (
+            anch.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") > max_anchor_df)
+            .select("g")
+        )
+        anch = anch.join(freq, "g", "left_anti")
+    pairs = (
+        anch.alias("a")
+        .join(
+            anch.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.pos").alias("ia"),
+            (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = pairs.withColumn("grp", F.col("ia") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("ia").cast("long").alias("a_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") + F.col("diag")).cast("long").alias("b_start"),
+            "span_tokens",
+        )
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    )
+
+
+def _substring_dedup_oracle(
+    k: int = 8, min_tokens: int = 20, max_anchor_df: int = 100
+) -> str:
+    """DuckDB twin: identical anchor grams (1-based list comprehension +
+    generate_subscripts for positions), the same df guard, candidate
+    join, and diagonal gaps-and-islands run aggregation."""
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(k)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), gl AS (
+      SELECT doc_id, [{gram} for i in range(1, len(t) - {k - 2})] AS gs
+      FROM toks WHERE len(t) >= {k}
+    ), anch AS (
+      SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g
+      FROM gl
+    ), fr AS (
+      SELECT g FROM anch GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) > {max_anchor_df}
+    ), a2 AS (
+      SELECT * FROM anch ANTI JOIN fr USING (g)
+    ), pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia,
+             b.pos - a.pos AS diag
+      FROM a2 a JOIN a2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, diag, ia,
+             ia - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+      FROM pr
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(ia) AS BIGINT) AS a_start,
+           CAST(MIN(ia) + diag AS BIGINT) AS b_start,
+           CAST(COUNT(*) + {k - 1} AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) + {k - 1} >= {min_tokens}
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """
+
+
+@register(
+    "substring_dedup",
+    oracle=_substring_dedup_oracle(),
+    description="substring-level exact dedup: maximal duplicated token "
+    "spans (>= 20 tokens) across document pairs via an anchor-k-gram "
+    "inverted index + diagonal run verification — a common R-token run "
+    "is exactly R-k+1 consecutive anchor matches on one (pair, diagonal), "
+    "so gaps-and-islands over matched anchors recovers every span "
+    "EXACTLY with equi-joins only (the suffix-array dedup of the public "
+    "literature, Spark-shaped); df-capped anchors keep the self-join "
+    "sub-quadratic",
+    covers=("N-dedup",),
+)
+def substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup_spans(
+        spread_small_input(load_table(spark, sf_dir, "documents"))
+    )

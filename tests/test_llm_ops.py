@@ -1425,3 +1425,54 @@ class TestDeltaDedup:
             .collect()
         )
         assert grown == direct
+
+
+class TestSubstringDedup:
+    """Exact-span semantics of substring_dedup_spans on a hand-built
+    corpus: offsets, maximality, multiple spans per pair, threshold and
+    df-guard behavior."""
+
+    @staticmethod
+    def _mk(spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_single_span_offsets_exact(self, spark):
+        from ser_etl_spark.operators.dedup import substring_dedup_spans
+
+        shared = " ".join(f"s{i}" for i in range(25))
+        docs = self._mk(spark, [
+            (1, "a1 a2 a3 a4 a5 " + shared + " a6 a7"),
+            (2, "b1 b2 " + shared + " b3"),
+        ])
+        got = [tuple(r) for r in substring_dedup_spans(docs).collect()]
+        # doc 1: span starts at token 6 (1-based); doc 2: token 3
+        assert got == [(1, 2, 6, 3, 25)]
+
+    def test_multiple_and_subthreshold_spans(self, spark):
+        from ser_etl_spark.operators.dedup import substring_dedup_spans
+
+        s1 = " ".join(f"x{i}" for i in range(20))
+        s2 = " ".join(f"y{i}" for i in range(21))
+        small = " ".join(f"z{i}" for i in range(10))  # below min_tokens
+        docs = self._mk(spark, [
+            (1, s1 + " a1 a2 a3 " + s2 + " a4 " + small),
+            (2, "b1 " + s1 + " b2 b3 " + s2 + " b4 " + small + " b5"),
+        ])
+        got = [tuple(r) for r in substring_dedup_spans(docs).collect()]
+        assert (1, 2, 1, 2, 20) in got      # s1
+        assert (1, 2, 24, 24, 21) in got    # s2
+        assert all(r[4] >= 20 for r in got)  # the 10-token span is out
+        assert len(got) == 2
+
+    def test_df_guard_drops_ubiquitous_grams(self, spark):
+        from ser_etl_spark.operators.dedup import substring_dedup_spans
+
+        boiler = " ".join(f"c{i}" for i in range(30))
+        rows = [(i, boiler) for i in range(1, 6)]
+        docs = self._mk(spark, rows)
+        # cap below the df: every anchor dropped, no pairs at all
+        assert substring_dedup_spans(docs, max_anchor_df=3).count() == 0
+        # exact mode: all 10 ordered pairs carry the full span
+        exact = substring_dedup_spans(docs, max_anchor_df=None).collect()
+        assert len(exact) == 10
+        assert all(r["span_tokens"] == 30 for r in exact)

@@ -673,3 +673,12 @@ def test_label_cohesion_plan_constant_in_label_cardinality(spark, tmp_path):
     out = label_cohesion(load_table(spark, str(big), "embeddings")).collect()
     assert len(out) == 600
     assert all(r["n_members"] == 3 and r["cohesion"] == 1.0 for r in out)
+
+
+def test_substring_dedup_never_cartesian(spark, sf_small):
+    """The anchor inverted index must surface as an equi-join on the
+    gram (plus the diagonal window over matched anchors only) — never a
+    pair-enumerating nested loop."""
+    plan = _plan(spark, sf_small, "substring_dedup")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
