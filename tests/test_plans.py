@@ -682,3 +682,74 @@ def test_substring_dedup_never_cartesian(spark, sf_small):
     plan = _plan(spark, sf_small, "substring_dedup")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_literal_baking_operators_plan_constant_in_corpus_size(
+    spark, tmp_path
+):
+    """r8 (VERDICT optional #8, now a permanent gate): the operators
+    that bake driver-collected values as literal expression columns —
+    ivf_assign (K=8 centroids -> _csx{cid} columns) and
+    hard_negative_mine (HARD_NEG_QUERIES=5 anchors -> _sim{q} columns)
+    — must have plan/expression counts bounded by their CONSTANTS, not
+    by data cardinality. A 20x corpus (with 20x distinct labels) must
+    produce the same number of per-literal columns; if a future change
+    makes the fan-out data-dependent, this trips before the
+    py4j/janino cliff does."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ser_etl_spark.operators.similarity import (
+        HARD_NEG_QUERIES,
+        IVF_CENTROIDS,
+        hard_negative_mine,
+        ivf_assign,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+
+    dim = 8
+
+    def corpus(path, n_rows: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n_rows), pa.int64()),
+                    "embedding": pa.array(
+                        [
+                            [((v * 13 + i * 5) % 11 - 5) / 6.0 + 0.02
+                             for i in range(dim)]
+                            for v in range(n_rows)
+                        ],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [v % max(1, n_rows // 3) for v in range(n_rows)],
+                        pa.int32(),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    counts = {}
+    for tag, n in (("small", 60), ("big", 1200)):
+        d = tmp_path / tag
+        d.mkdir()
+        corpus(d / "embeddings.parquet", n)
+        emb = load_table(spark, str(d), "embeddings")
+        ivf_plan = explain_string(ivf_assign(emb))
+        anchors = [
+            (int(r["vec_id"]), int(r["label"]), [float(v) for v in r["embedding"]])
+            for r in emb.orderBy("vec_id").limit(HARD_NEG_QUERIES).collect()
+        ]
+        hn_plan = explain_string(hard_negative_mine(emb, anchors))
+        counts[tag] = (
+            len(set(_re.findall(r"_csx\d+", ivf_plan))),
+            len(set(_re.findall(r"_sim\d+", hn_plan))),
+        )
+    assert counts["small"] == counts["big"], counts
+    ivf_cols, hn_cols = counts["big"]
+    assert ivf_cols == IVF_CENTROIDS
+    assert hn_cols == HARD_NEG_QUERIES
