@@ -47,6 +47,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return file_style if os.path.exists(file_style) else dir_style
 
 
+#: (target file, size, mtime_ns) -> ns columns. ``load_table`` runs for
+#: every table of every query build, and the footer read here was a
+#: measurable slice of sub-second queries' driver time; the stat-keyed
+#: memo makes repeat builds free while a rewrite (new mtime/size) still
+#: re-probes.
+_NS_COLS_CACHE: dict[tuple[str, int, int], list[str]] = {}
+
+
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
 
@@ -64,29 +72,50 @@ def _ns_timestamp_cols(path: str) -> list[str]:
             parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
             if not parts:
                 return []
-            target = os.path.join(path, parts[0])
+            target = os.path.join(path, sorted(parts)[0])
+        st = os.stat(target)
+        key = (target, st.st_size, st.st_mtime_ns)
+        hit = _NS_COLS_CACHE.get(key)
+        if hit is not None:
+            return hit
         schema = pq.read_schema(target)
-        # INT96 timestamps (Spark's legacy LTZ encoding) also surface as
-        # timestamp[ns] in the Arrow schema, but Spark reads them natively
-        # — only true INT64 TIMESTAMP(NANOS) columns need the raw-long
-        # conversion (misflagging INT96 would feed `div 1000` a TIMESTAMP
-        # and fail the read; found by the r8 artifact-carry sync test).
-        phys = {
-            c.name: c.physical_type
-            for c in (
-                pq.ParquetFile(target).metadata.schema.column(i)
-                for i in range(pq.ParquetFile(target).metadata.num_columns)
-            )
-        }
-        return [
+        candidates = [
             f.name
             for f in schema
-            if pat.is_timestamp(f.type)
-            and f.type.unit == "ns"
-            and phys.get(f.name) != "INT96"
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
         ]
+        if candidates:
+            # INT96 timestamps (Spark's legacy LTZ encoding) also surface
+            # as timestamp[ns] in the Arrow schema, but Spark reads them
+            # natively — only true INT64 TIMESTAMP(NANOS) columns need the
+            # raw-long conversion (misflagging INT96 would feed `div 1000`
+            # a TIMESTAMP and fail the read; found by the r8
+            # artifact-carry sync test). The physical-type probe is only
+            # paid when a ns-unit column actually exists.
+            md = pq.ParquetFile(target).metadata
+            phys = {
+                md.schema.column(i).name: md.schema.column(i).physical_type
+                for i in range(md.num_columns)
+            }
+            candidates = [
+                n for n in candidates if phys.get(n) != "INT96"
+            ]
+        _NS_COLS_CACHE[key] = candidates
+        return candidates
     except Exception:
         return []
+
+
+#: (path, listing fingerprint) -> (owning session, DataFrame). Each
+#: ``spark.read.parquet`` costs ~90 ms of JVM driver time (file listing +
+#: footer schema inference) and a multi-table query build pays it 5-7
+#: times — the dominant driver cost of every sub-second query. DataFrames
+#: are immutable and lazily executed, so reuse is safe; staleness is
+#: handled by keying on the part-file listing fingerprint (any rewrite,
+#: append, or overwrite changes size/mtime and misses the cache), and a
+#: hit is served only to the session that built it. Bounded LRU.
+_DF_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+_DF_CACHE_MAX = 64
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,7 +124,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond timestamp columns are normalized to Spark's native
     microsecond TimestampType (truncation, matching DuckDB's cast).
     """
+    from ser_etl_spark.artifacts import source_fingerprint
+
     path = table_path(sf_dir, name)
+    try:
+        key = (path, source_fingerprint(path))
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _DF_CACHE.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     ns_cols = _ns_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -112,6 +151,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    if key is not None:
+        if len(_DF_CACHE) >= _DF_CACHE_MAX:
+            _DF_CACHE.pop(next(iter(_DF_CACHE)))
+        _DF_CACHE[key] = (spark, df)
     return df
 
 

@@ -407,6 +407,12 @@ class TestGatewayFront:
         # reusable: the next query re-resolves and re-pins
         res = front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
         assert res.row_count == 1 and catalog._cached
+        # close again (idempotent) so the shared session leaves no cache
+        # pins behind — a pinned parquet relation would make every later
+        # same-path read in the suite resolve to InMemoryRelation and
+        # break scan-shape plan assertions
+        front.close()
+        assert catalog._cached == ()
 
 
 class TestTimeTravel:
