@@ -2299,3 +2299,87 @@ def _label_cohesion_oracle(dim: int | None = None) -> str:
 )
 def label_cohesion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_cohesion(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic-duplicate canonical corpus over the ANN index blocks
+# ---------------------------------------------------------------------------
+
+
+def semdedup_canonical(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """The semantically deduplicated embedding corpus: every vector
+    except non-survivor members of semantic-duplicate clusters — the
+    SemDeDup recipe of the public LLM-data literature (cluster the
+    embedding space, drop all but one member of each near-identical
+    group) assembled from this module's verified pieces:
+
+    1. :func:`ann_blocked_neardup` — near-dup pairs blocked by the
+       PERSISTED index partitions (the write-time (srp_bucket,
+       centroid_id) layout is the cluster structure SemDeDup computes
+       ad hoc; here it is already on disk and co-located);
+    2. ``duplicate_clusters`` (operators/dedup.py) — transitive closure
+       by iterative min-label propagation, two shuffles per round;
+    3. survivor anti-join — the right side is only the duplicate
+       LOSERS, so AQE broadcasts it at any realistic dup rate.
+
+    Same terminal-step semantics as ``dedup_canonical`` for text, with
+    the embedding column as the identity signal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _dim(emb, "embedding") is None:  # empty corpus: nothing to drop
+        return spark.createDataFrame([], "vec_id bigint, label int")
+    from ser_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = ann_blocked_neardup(spark, sf_dir, threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(~F.col("is_survivor"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return (
+        emb.join(losers, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin: the full ann_blocked_neardup pair pipeline as a
+    subquery, recursive reachability over its undirected edges (the
+    ``dedup_clusters`` oracle pattern), survivors kept."""
+    inner = _ann_blocked_neardup_oracle(threshold)
+    return f"""
+    WITH RECURSIVE prs AS (
+      SELECT id_a, id_b FROM ({inner}) q
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ), reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.node
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)
+    )
+    ORDER BY e.vec_id
+    """
+
+
+@register(
+    "semdedup_canonical",
+    oracle=_semdedup_oracle(),
+    description="SemDeDup: the semantically deduplicated embedding "
+    "corpus — near-dup pairs blocked by the persisted ANN index "
+    "partitions, transitive closure via min-label propagation, one "
+    "survivor kept per semantic cluster (anti-join whose right side is "
+    "only the dup losers); the embedding-space twin of dedup_canonical",
+    covers=("N-dedup", "N-sim"),
+)
+def semdedup_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_canonical(spark, sf_dir)

@@ -702,3 +702,104 @@ def bigram_rare_ratio(
 )
 def bigram_rare_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_rare_ratio(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence lift: association mining over the top vocabulary
+# ---------------------------------------------------------------------------
+
+
+def token_cooccurrence(
+    docs: DataFrame, top_n: int = 40, min_pairs: int = 5
+) -> DataFrame:
+    """Document-level co-occurrence lift for the top-``top_n`` vocabulary:
+    ``(tok_a, tok_b, n_ab, lift)`` where ``lift = P(a,b)/(P(a)P(b))``
+    over document presence — the association-mining signal (topic
+    clumps, templated boilerplate, collocations) a corpus-analysis pass
+    feeds curation with.
+
+    All-pairs token co-occurrence is quadratic in vocabulary; the
+    standard bound is to mine only the head: the top-N tokens by
+    document frequency (one hash-agg + TakeOrdered, broadcast back), so
+    the within-document self-join fans out at most C(N,2) pairs per doc
+    — a constant. Counts stay exact integers end to end; lift is ONE
+    double division of exact BIGINT products (``n_ab * n_docs`` over
+    ``n_a * n_b``), rounded to 6 — bit-deterministic cross-engine, no
+    log/exp.
+    """
+    presence = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    ).distinct()
+    n_docs = presence.select("doc_id").distinct().count()
+    head = (
+        presence.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .orderBy(F.col("n_tok").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+    p = presence.join(F.broadcast(head), "tok").select(
+        "doc_id", "tok", "n_tok"
+    )
+    pairs = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    lift = F.round(
+        (F.col("n_ab") * F.lit(n_docs)).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double"),
+        6,
+    )
+    return (
+        pairs.select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+@register(
+    "token_cooccurrence",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM pres),
+    head AS (
+      SELECT tok, COUNT(*) AS n_tok FROM pres GROUP BY tok
+      ORDER BY n_tok DESC, tok ASC LIMIT 40
+    ), p AS (
+      SELECT pres.doc_id, pres.tok, head.n_tok
+      FROM pres JOIN head USING (tok)
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.n_tok AS n_a,
+             b.n_tok AS n_b, COUNT(*) AS n_ab
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 5
+    )
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(CAST(n_ab * nd.n AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE), 6) AS lift
+    FROM pairs, nd
+    ORDER BY tok_a, tok_b
+    """,
+    description="association mining over the vocabulary head: document-"
+    "level co-occurrence lift for the top-40 tokens (head by df, "
+    "broadcast; within-doc self-join bounded at C(40,2) pairs per doc; "
+    "lift = one double division of exact BIGINT products, no log)",
+    covers=("N-text",),
+)
+def token_cooccurrence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_cooccurrence(load_table(spark, sf_dir, "documents"))

@@ -589,3 +589,85 @@ def series_anomalies(
 )
 def series_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_anomalies(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# rolling active users: sliding-window distinct via bounded expansion
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(events: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Trailing-``window_hours`` distinct active users per hour bucket
+    (the DAU-over-sliding-window analytic): for every hour present in
+    the data, how many distinct users had at least one event in
+    ``(hour - window_hours, hour]``.
+
+    Sliding-window COUNT(DISTINCT) has no shuffle-free exact form, and
+    the naive range join (hours x events, BETWEEN predicate) is a
+    nested loop at scale. The scalable exact plan is **bounded window
+    expansion**: dedup to (user, hour) presence rows first (one
+    aggregate — the explosive raw event stream collapses to at most
+    |users| x |hours| rows), explode each presence row into the
+    ``window_hours`` window-ends it contributes to (a narrow,
+    constant-factor generator — no shuffle), keep only window-ends that
+    actually occur in the data (broadcast semi-join against the tiny
+    distinct-hours set), and finish with one two-phase
+    ``count_distinct`` keyed on the window-end. Cost:
+    ``window_hours x |presence rows|`` narrow work + two keyed
+    shuffles, independent of raw event volume beyond the first dedup.
+    """
+    hour = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3600)
+    ).cast("long")
+    presence = (
+        events.select(F.col("user_id"), hour.alias("hour_bucket")).distinct()
+    )
+    hours = presence.select("hour_bucket").distinct()
+    expanded = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("hour_bucket"),
+                F.col("hour_bucket") + F.lit(window_hours - 1),
+            )
+        ).alias("window_end"),
+    )
+    return (
+        expanded.join(
+            F.broadcast(hours.select(F.col("hour_bucket").alias("window_end"))),
+            "window_end",
+            "left_semi",
+        )
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("window_end")
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hour_bucket
+      FROM events
+    ), hours AS (SELECT DISTINCT hour_bucket FROM uh)
+    SELECT h.hour_bucket AS window_end,
+           COUNT(DISTINCT u.user_id) AS active_users
+    FROM hours h
+    JOIN uh u ON u.hour_bucket BETWEEN h.hour_bucket - 23 AND h.hour_bucket
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="trailing-24h distinct active users per hour: presence "
+    "dedup -> bounded x24 window expansion (narrow generator, no range "
+    "join) -> broadcast semi-join on occurring hours -> one two-phase "
+    "count_distinct keyed on window-end; the oracle brute-forces the "
+    "BETWEEN range join the expansion replaces",
+    covers=("X-window",),
+)
+def rolling_active_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_active_users(_t(spark, sf_dir, "events"))
