@@ -731,7 +731,12 @@ def token_cooccurrence(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
     ).distinct()
-    n_docs = presence.select("doc_id").distinct().count()
+    # n_docs rides in the plan as a broadcast 1-row aggregate (the
+    # synth_partsupp trick) instead of a driver-side count: no separate
+    # job, and all three presence subtrees stay in ONE plan so the
+    # distinct's Exchange is reused (ReusedExchange) rather than the
+    # token stream being re-deduped per branch.
+    nd = presence.agg(F.count_distinct("doc_id").alias("_nd"))
     head = (
         presence.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
@@ -758,12 +763,13 @@ def token_cooccurrence(
         .filter(F.col("n_ab") >= min_pairs)
     )
     lift = F.round(
-        (F.col("n_ab") * F.lit(n_docs)).cast("double")
+        (F.col("n_ab") * F.col("_nd")).cast("double")
         / (F.col("n_a") * F.col("n_b")).cast("double"),
         6,
     )
     return (
-        pairs.select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
+        pairs.crossJoin(F.broadcast(nd))
+        .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
         .orderBy("tok_a", "tok_b")
     )
 
