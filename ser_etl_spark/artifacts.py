@@ -65,16 +65,22 @@ def source_digest(path: str) -> str:
 
 
 def write_manifest(
-    artifact_dir: str, source_path: str, artifact_version: int
+    artifact_dir: str,
+    source_path: str,
+    artifact_version: int,
+    extra: dict | None = None,
 ) -> None:
     """Record the artifact's version and its source table's digest —
     called after every successful build/upsert, so the manifest always
     describes the source state the artifact reflects. Atomic replace:
     a concurrent reader sees either the old or the new manifest, never
-    a torn file."""
+    a torn file. ``extra`` carries artifact-specific exact scalars
+    (e.g. the postings index's corpus totals) that must travel with the
+    artifact and merge per upsert."""
     doc = {
         "artifact_version": artifact_version,
         "source_digest": source_digest(source_path),
+        **(extra or {}),
     }
     fd, tmp = tempfile.mkstemp(dir=artifact_dir, suffix=".manifest.tmp")
     try:
@@ -102,3 +108,12 @@ def manifest_fresh(
         doc.get("artifact_version") == artifact_version
         and doc.get("source_digest") == source_digest(source_path)
     )
+
+
+def read_manifest(artifact_dir: str) -> dict:
+    """The artifact's manifest, ``{}`` when missing/unreadable."""
+    try:
+        with open(os.path.join(artifact_dir, MANIFEST_NAME)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}

@@ -111,6 +111,13 @@ class TableLayout:
     #: bands instead of re-signing the corpus per sync (see
     #: operators/dedup.py build_minhash_bands / delta_dedup_pairs).
     minhash_bands: bool = False
+    #: build the inverted text index next to the table (text tables
+    #: only): a `<name>_text_postings` directory partitioned by token
+    #: hash bucket with doc lengths denormalized in and exact corpus
+    #: totals in the manifest, so BM25 queries prune to their terms'
+    #: buckets with zero corpus-wide work (see operators/text.py
+    #: build_text_postings / bm25_search_indexed).
+    text_postings: bool = False
 
 
 @dataclass(frozen=True)
@@ -293,6 +300,71 @@ def build_snapshot(
             write_manifest(
                 bands_dir, os.path.join(out_dir, name), MINHASH_BANDS_VERSION
             )
+        if layout.text_postings and "text" in df.columns:
+            from ser_etl_spark.artifacts import (
+                manifest_fresh,
+                read_manifest,
+                write_manifest,
+            )
+            from ser_etl_spark.operators.text import (
+                TEXT_POSTINGS_VERSION,
+                _postings_totals,
+                _postings_usable,
+                postings_frame,
+            )
+            from ser_etl_spark.sources.parquet import table_path
+
+            post_dir = os.path.join(out_dir, f"{name}_text_postings")
+            c = carry.get(name)
+            prev_post = (
+                os.path.join(c.prev_snapshot_dir, f"{name}_text_postings")
+                if c is not None
+                else None
+            )
+            if (
+                prev_post is not None
+                and _postings_usable(prev_post)
+                and manifest_fresh(
+                    prev_post,
+                    table_path(c.prev_snapshot_dir, name),
+                    TEXT_POSTINGS_VERSION,
+                )
+            ):
+                _link_copytree(prev_post, post_dir)
+                totals = read_manifest(post_dir)
+                nd, tt = (
+                    _postings_totals(c.delta) if c.delta_rows else (0, 0)
+                )
+                if c.delta_rows:
+                    (
+                        postings_frame(c.delta)
+                        .write.mode("append")
+                        .partitionBy("tok_bucket")
+                        .parquet(post_dir)
+                    )
+                write_manifest(
+                    post_dir,
+                    os.path.join(out_dir, name),
+                    TEXT_POSTINGS_VERSION,
+                    extra={
+                        "n_docs": int(totals.get("n_docs", 0)) + nd,
+                        "t_toks": int(totals.get("t_toks", 0)) + tt,
+                    },
+                )
+            else:
+                (
+                    postings_frame(df)
+                    .write.mode("overwrite")
+                    .partitionBy("tok_bucket")
+                    .parquet(post_dir)
+                )
+                nd, tt = _postings_totals(df)
+                write_manifest(
+                    post_dir,
+                    os.path.join(out_dir, name),
+                    TEXT_POSTINGS_VERSION,
+                    extra={"n_docs": nd, "t_toks": tt},
+                )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

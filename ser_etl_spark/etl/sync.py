@@ -147,7 +147,9 @@ class SyncManager:
             return extract_table(self.spark, self.source, table), report, None
         merged = merge_incremental(prev, delta, key, self.config.ts_col)
         carry = None
-        if layout is not None and (layout.ann_index or layout.minhash_bands):
+        if layout is not None and (
+            layout.ann_index or layout.minhash_bands or layout.text_postings
+        ):
             from pyspark.sql import functions as F
 
             n_delta = delta.count()

@@ -809,3 +809,286 @@ def token_cooccurrence(
 )
 def token_cooccurrence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_cooccurrence(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (postings) + indexed BM25
+# ---------------------------------------------------------------------------
+
+#: token-hash partition count for the postings layout: a query's terms
+#: prune to |terms| of these directories
+TOK_BUCKETS = 64
+
+#: bump to invalidate previously materialized postings directories
+TEXT_POSTINGS_VERSION = 1
+
+
+def _tok_bucket_py(term: str) -> int:
+    """Driver-side twin of the layout's ``pmod(xxhash64(tok), 64)`` —
+    the engine-exact xxhash64 from oracle_hash, so a probe always lands
+    on the directory the writer chose."""
+    from ser_etl_spark.oracle_hash import to_signed, xxh64_bytes
+
+    return to_signed(xxh64_bytes(term.encode())) % TOK_BUCKETS
+
+
+def postings_frame(docs: DataFrame) -> DataFrame:
+    """The inverted index as a DataFrame: one row per (tok, doc_id) with
+    term frequency and the doc's length denormalized in (``dl`` rides
+    on every posting so scoring needs NO doc-length join at query
+    time), plus the ``tok_bucket`` partition column. Repartitioned by
+    bucket so each partition directory is written by one task."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(dl, "doc_id")
+        .withColumn(
+            "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(TOK_BUCKETS))
+        )
+        .repartition(F.col("tok_bucket"))
+    )
+
+
+def _postings_totals(docs: DataFrame) -> tuple[int, int]:
+    """Exact corpus totals (n_docs, total_tokens) — the scalars BM25
+    needs globally; mergeable across upserts by plain addition."""
+    row = (
+        docs.select(
+            F.size(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("_n")
+        )
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("_n").alias("t"))
+        .first()
+    )
+    return int(row["d"] or 0), int(row["t"] or 0)
+
+
+def build_text_postings(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Materialize the documents table's inverted index — the lexical
+    twin of the ANN index / MinHash band artifacts: pay the tokenize +
+    count pass once at snapshot build, then every BM25 query reads only
+    its terms' ``tok_bucket=...`` directories (partition pruning) with
+    doc lengths already denormalized in. Corpus totals ride in the
+    freshness manifest as exact integers (merged per upsert), so query
+    time needs no corpus-wide aggregate at all."""
+    from ser_etl_spark.artifacts import write_manifest
+    from ser_etl_spark.sources.parquet import table_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        postings_frame(docs)
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(out_dir)
+    )
+    n_docs, t_toks = _postings_totals(docs)
+    write_manifest(
+        out_dir,
+        table_path(sf_dir, "documents"),
+        TEXT_POSTINGS_VERSION,
+        extra={"n_docs": n_docs, "t_toks": t_toks},
+    )
+    return out_dir
+
+
+def upsert_text_postings(
+    spark: SparkSession,
+    postings_dir: str,
+    new_docs: DataFrame,
+    source_path: str | None = None,
+) -> None:
+    """Append a new batch's postings — per-(doc, tok) rows are
+    independent, so append IS rebuild for the grown corpus (the band
+    artifact's property), and the manifest's exact corpus totals merge
+    by addition. ``source_path`` = the documents table as grown by this
+    batch (the ``upsert_ann_index`` contract); without it the digest is
+    not refreshed and published-first resolution will correctly refuse
+    the copy until a rebuild."""
+    from ser_etl_spark.artifacts import read_manifest, write_manifest
+
+    (
+        postings_frame(new_docs)
+        .write.mode("append")
+        .partitionBy("tok_bucket")
+        .parquet(postings_dir)
+    )
+    if source_path is not None:
+        prior = read_manifest(postings_dir)
+        d, t = _postings_totals(new_docs)
+        write_manifest(
+            postings_dir,
+            source_path,
+            TEXT_POSTINGS_VERSION,
+            extra={
+                "n_docs": int(prior.get("n_docs", 0)) + d,
+                "t_toks": int(prior.get("t_toks", 0)) + t,
+            },
+        )
+
+
+def _postings_usable(path: str) -> bool:
+    """Structural check (the ``_index_usable`` discipline): committed,
+    bucket-partitioned, carrying the scoring columns, and with the
+    exact totals present in the manifest."""
+    import glob
+    import os
+
+    from ser_etl_spark.artifacts import read_manifest
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    parts = glob.glob(os.path.join(path, "tok_bucket=*", "*.parquet"))
+    if not parts:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        names = set(pq.read_schema(parts[0]).names)
+    except Exception:
+        return False
+    if not {"doc_id", "tok", "tf", "dl"}.issubset(names):
+        return False
+    m = read_manifest(path)
+    return "n_docs" in m and "t_toks" in m
+
+
+def ensure_text_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Resolve the postings artifact for ``sf_dir``: prefer the
+    PUBLISHED ``documents_text_postings`` directory when structurally
+    usable AND fresh (manifest digest matches the live documents
+    table), else a per-user tmp cache keyed by the recursive source
+    fingerprint — the ``ensure_ann_index`` resolution, third artifact."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.artifacts import manifest_fresh, source_fingerprint
+    from ser_etl_spark.sources.parquet import table_path
+
+    src = table_path(sf_dir, "documents")
+    published = os.path.join(sf_dir, "documents_text_postings")
+    if (
+        _postings_usable(published)
+        and manifest_fresh(published, src, TEXT_POSTINGS_VERSION)
+    ):
+        return published
+
+    key_src = (
+        f"v{TEXT_POSTINGS_VERSION}:{os.path.realpath(src)}:"
+        f"{source_fingerprint(src)}"
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: "na")()
+    root = os.path.join(tempfile.gettempdir(), f"ser_etl_text_postings_{uid}")
+    out = os.path.join(root, key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    tmp = f"{out}.build-{os.getpid()}"
+    build_text_postings(spark, sf_dir, tmp)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def bm25_search_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 over the PERSISTED postings index: the probe reads only the
+    query terms' ``tok_bucket`` directories (PartitionFilters — at 64
+    buckets a 4-term query touches <= 4/64 of the index), doc lengths
+    are already on the posting rows, and the corpus totals come from
+    the manifest as exact integer literals — zero corpus-wide work per
+    query. Bit-identical to the scan-time :func:`bm25_search`: same
+    tf/df/dl/totals values through the same one-division-per-term
+    arithmetic."""
+    from ser_etl_spark.artifacts import read_manifest
+
+    idx = ensure_text_postings(spark, sf_dir)
+    m = read_manifest(idx)
+    n_docs, t_toks = int(m["n_docs"]), int(m["t_toks"])
+    buckets = sorted({_tok_bucket_py(t) for t in query_terms})
+    tf = (
+        spark.read.parquet(idx)
+        .filter(
+            F.col("tok_bucket").isin(buckets)
+            & F.col("tok").isin(*query_terms)
+        )
+        .select("doc_id", "tok", "tf", "dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    piv = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id", "dl")
+        .agg(
+            *[
+                F.max(F.when(F.col("tok") == t, F.col(c))).alias(f"{c}_{i}")
+                for i, t in enumerate(query_terms)
+                for c in ("tf", "df")
+            ]
+        )
+    )
+
+    def term_score(i: int) -> Column:
+        tfc, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        num = 44 * tfc * F.lit(t_toks) * (2 * F.lit(n_docs) - 2 * dfc + 1)
+        den = (
+            20 * tfc * F.lit(t_toks)
+            + 6 * F.lit(t_toks)
+            + 18 * F.col("dl") * F.lit(n_docs)
+        ) * (2 * dfc + 1)
+        return F.coalesce(
+            num.cast("double") / den.cast("double"), F.lit(0.0)
+        )
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    n_hit = F.lit(0)
+    for i in range(len(query_terms)):
+        n_hit = n_hit + F.when(F.col(f"tf_{i}").isNotNull(), 1).otherwise(0)
+    return (
+        piv.select(
+            "doc_id",
+            "dl",
+            n_hit.cast("bigint").alias("n_hit_terms"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "bm25_search_indexed",
+    oracle=_bm25_oracle(),
+    description="BM25 over the PERSISTED inverted index: postings "
+    "partitioned by token-hash bucket (a 4-term query prunes to <= 4/64 "
+    "of the index — PartitionFilters), doc lengths denormalized onto "
+    "posting rows, exact corpus totals served from the artifact "
+    "manifest (merged per upsert) — zero corpus-wide work per query; "
+    "bit-identical to scan-time bm25_search, same oracle; the lexical "
+    "member of the write-time artifact family (ANN index, band table), "
+    "published-first resolution with the freshness gate",
+    covers=("N-text", "A9"),
+)
+def bm25_search_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:  # empty corpus: no index, typed empty result
+        return spark.createDataFrame(
+            [], "doc_id bigint, dl bigint, n_hit_terms bigint, score double"
+        )
+    return bm25_search_indexed(spark, sf_dir)

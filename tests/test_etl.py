@@ -679,7 +679,8 @@ class TestIncrementalArtifactCarry:
                     unique_key="vec_id", ann_index=True
                 ),
                 "documents": TableLayout(
-                    unique_key="doc_id", minhash_bands=True
+                    unique_key="doc_id", minhash_bands=True,
+                    text_postings=True,
                 ),
             },
             views={},
@@ -691,6 +692,7 @@ class TestIncrementalArtifactCarry:
         snap1 = out1.manifest["snapshot_dir"]
         idx1 = self._inodes(os.path.join(snap1, "embeddings_ann_index"))
         bands1 = self._inodes(os.path.join(snap1, "documents_minhash_bands"))
+        posts1 = self._inodes(os.path.join(snap1, "documents_text_postings"))
 
         # pure-append delta: brand-new keys at a later watermark
         delta_e = emb.filter(F.col("vec_id") >= half_v).withColumn(
@@ -719,7 +721,11 @@ class TestIncrementalArtifactCarry:
             assert idx2.get(rel) == ino, f"ann index re-derived: {rel}"
         for rel, ino in bands1.items():
             assert bands2.get(rel) == ino, f"bands re-derived: {rel}"
+        posts2 = self._inodes(os.path.join(snap2, "documents_text_postings"))
+        for rel, ino in posts1.items():
+            assert posts2.get(rel) == ino, f"postings re-derived: {rel}"
         assert len(idx2) > len(idx1) and len(bands2) > len(bands1)
+        assert len(posts2) > len(posts1)
 
         # equivalence: carried+upserted artifact == full re-derive
         grown_e = base_e.unionByName(delta_e).drop("updated_at")
@@ -748,6 +754,20 @@ class TestIncrementalArtifactCarry:
             .select("doc_id", "band", "bucket").collect()
         )
         assert got_b == want_b
+
+        # carried postings: totals merged exactly, still fresh
+        from ser_etl_spark.artifacts import read_manifest
+        from ser_etl_spark.operators.text import (
+            _postings_totals,
+            ensure_text_postings,
+        )
+
+        m = read_manifest(os.path.join(snap2, "documents_text_postings"))
+        nd, tt = _postings_totals(grown_d)
+        assert (m["n_docs"], m["t_toks"]) == (nd, tt)
+        assert ensure_text_postings(spark, snap2) == os.path.join(
+            snap2, "documents_text_postings"
+        )
 
         # and the carried artifacts are FRESH: published-first
         # resolution serves them with zero rebuild

@@ -1476,3 +1476,119 @@ class TestSubstringDedup:
         exact = substring_dedup_spans(docs, max_anchor_df=None).collect()
         assert len(exact) == 10
         assert all(r["span_tokens"] == 30 for r in exact)
+
+
+class TestTextPostings:
+    """The inverted-index artifact (third member of the write-time
+    family): build/ensure/upsert lifecycle, bit-equality of the indexed
+    BM25 with the scan-time form, freshness gating."""
+
+    def test_indexed_equals_scan(self, spark, sf_small):
+        from ser_etl_spark.operators.text import (
+            bm25_search,
+            bm25_search_indexed,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        scan = [
+            tuple(r)
+            for r in bm25_search(
+                load_table(spark, sf_small, "documents")
+            ).collect()
+        ]
+        idx = [tuple(r) for r in bm25_search_indexed(spark, sf_small).collect()]
+        assert idx == scan  # bit-identical, ordering included
+
+    def test_published_first_zero_rebuild_and_upsert(
+        self, spark, sf_small, tmp_path
+    ):
+        import os
+        import tempfile
+
+        from ser_etl_spark.artifacts import read_manifest
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators.text import (
+            _postings_totals,
+            ensure_text_postings,
+            postings_frame,
+            upsert_text_postings,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        is_delta = (F.col("doc_id") % 4) == 3
+        base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"documents": base},
+            snap,
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id", text_postings=True
+                )
+            },
+            views={},
+        )
+        published = os.path.join(snap, "documents_text_postings")
+        assert os.path.exists(os.path.join(published, "_SUCCESS"))
+        uid = getattr(os, "getuid", lambda: "na")()
+        cache_root = os.path.join(
+            tempfile.gettempdir(), f"ser_etl_text_postings_{uid}"
+        )
+        before = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert ensure_text_postings(spark, snap) == published
+        after = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert before == after  # zero on-demand rebuild
+
+        # upsert: append delta postings + merge totals + refresh digest
+        delta.write.mode("append").parquet(f"{snap}/documents")
+        upsert_text_postings(
+            spark, published, delta, source_path=f"{snap}/documents"
+        )
+        assert ensure_text_postings(spark, snap) == published  # still fresh
+        grown = sorted(
+            tuple(r)
+            for r in spark.read.parquet(published)
+            .select("doc_id", "tok", "tf", "dl").collect()
+        )
+        direct = sorted(
+            tuple(r)
+            for r in postings_frame(docs)
+            .select("doc_id", "tok", "tf", "dl").collect()
+        )
+        assert grown == direct  # append IS rebuild
+        m = read_manifest(published)
+        nd, tt = _postings_totals(docs)
+        assert (m["n_docs"], m["t_toks"]) == (nd, tt)  # totals merged
+
+    def test_stale_published_postings_refused(self, spark, sf_small, tmp_path):
+        import os
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.operators.text import ensure_text_postings
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        snap = str(tmp_path / "snap")
+        build_snapshot(
+            {"documents": docs.filter(F.col("doc_id") % 4 != 3)},
+            snap,
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id", text_postings=True
+                )
+            },
+            views={},
+        )
+        published = os.path.join(snap, "documents_text_postings")
+        assert ensure_text_postings(spark, snap) == published
+        # table grows without an upsert: published copy must be refused
+        docs.filter(F.col("doc_id") % 4 == 3).write.mode("append").parquet(
+            f"{snap}/documents"
+        )
+        assert ensure_text_postings(spark, snap) != published

@@ -753,3 +753,15 @@ def test_literal_baking_operators_plan_constant_in_corpus_size(
     ivf_cols, hn_cols = counts["big"]
     assert ivf_cols == IVF_CENTROIDS
     assert hn_cols == HARD_NEG_QUERIES
+
+
+def test_bm25_indexed_prunes_token_buckets(spark, sf_small):
+    """The indexed BM25 probe must reach the postings layout as
+    PartitionFilters on tok_bucket (<= |terms| of 64 directories read)
+    and its ReadSchema must carry the denormalized dl — no doc-length
+    join, no corpus-wide aggregate anywhere in the plan."""
+    plan = _plan(spark, sf_small, "bm25_search_indexed")
+    m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
+    assert m and "tok_bucket" in m.group(1), plan[:2000]
+    m2 = re.search(r"ReadSchema: (.+)", plan)
+    assert m2 and "dl" in m2.group(1), plan[:2000]
