@@ -189,23 +189,54 @@ class SnapshotCatalog:
         exercises exactly the index the ETL publishes — including upsert
         deltas — with zero on-demand rebuild (pinned by
         tests/test_gateway.py)."""
-        from ser_etl_spark.artifacts import manifest_fresh
         from ser_etl_spark.operators.similarity import (
             ANN_INDEX_VERSION,
             _index_usable,
         )
 
-        snapshot_dir = self.refresh()
-        path = os.path.join(snapshot_dir, f"{table}_ann_index")
         # structural AND fresh (ADVICE r8): a snapshot table rewritten
         # under the artifact (not the published model, but defense in
         # depth) must not serve stale neighbors
-        if not _index_usable(path):
-            return None
+        return self._artifact_dir(
+            table, "ann_index", _index_usable, ANN_INDEX_VERSION
+        )
+
+    def minhash_bands_dir(self, table: str = "documents") -> str | None:
+        """Path of the current snapshot's ``<table>_minhash_bands``
+        artifact (incremental dedup's corpus band table), or None when
+        absent/stale — the ann_index_dir contract for the band
+        artifact."""
+        from ser_etl_spark.operators.dedup import (
+            MINHASH_BANDS_VERSION,
+            _bands_usable,
+        )
+
+        return self._artifact_dir(
+            table, "minhash_bands", _bands_usable, MINHASH_BANDS_VERSION
+        )
+
+    def text_postings_dir(self, table: str = "documents") -> str | None:
+        """Path of the current snapshot's ``<table>_text_postings``
+        artifact (the BM25 inverted index), or None when absent/stale."""
+        from ser_etl_spark.operators.text import (
+            TEXT_POSTINGS_VERSION,
+            _postings_usable,
+        )
+
+        return self._artifact_dir(
+            table, "text_postings", _postings_usable, TEXT_POSTINGS_VERSION
+        )
+
+    def _artifact_dir(self, table, suffix, usable_fn, version) -> str | None:
+        from ser_etl_spark.artifacts import manifest_fresh
         from ser_etl_spark.sources.parquet import table_path
 
+        snapshot_dir = self.refresh()
+        path = os.path.join(snapshot_dir, f"{table}_{suffix}")
+        if not usable_fn(path):
+            return None
         if not manifest_fresh(
-            path, table_path(snapshot_dir, table), ANN_INDEX_VERSION
+            path, table_path(snapshot_dir, table), version
         ):
             return None
         return path

@@ -1092,3 +1092,72 @@ def bm25_search_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id bigint, dl bigint, n_hit_terms bigint, score double"
         )
     return bm25_search_indexed(spark, sf_dir)
+
+
+def _postings_layout_oracle() -> str:
+    """DuckDB twin of the persisted postings layout: the same tf/dl
+    aggregation plus the staged xxhash64-of-string emulation
+    (oracle_hash) for the bucket assignment — the index BUILD, not just
+    probes over it, faces the oracle (the ann_index_layout
+    discipline)."""
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        tosigned_sql,
+        xxh64_str_stage_cols,
+    )
+
+    ctes, fin = stages_to_ctes(
+        "dt", xxh64_str_stage_cols("tok", "_ph", pfx="_pxs"), "_ps"
+    )
+    signed = tosigned_sql("_ph")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok
+    ), dt AS (
+      SELECT DISTINCT tok FROM tf
+    ){ctes}
+    SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+           CAST(dl.dl AS BIGINT) AS dl,
+           CAST(((({signed}) % {TOK_BUCKETS}) + {TOK_BUCKETS})
+                % {TOK_BUCKETS} AS INT) AS tok_bucket
+    FROM tf JOIN dl USING (doc_id) JOIN {fin} h USING (tok)
+    ORDER BY doc_id, tok
+    """
+
+
+@register(
+    "postings_layout",
+    oracle=_postings_layout_oracle(),
+    description="the persisted inverted-index layout itself as a "
+    "relation: every (doc, token) posting's tf, denormalized doc "
+    "length, and xxhash64 bucket assignment, read back from the "
+    "materialized artifact and checked against staged-hash SQL — the "
+    "postings build (not just BM25 probes over it) faces the oracle",
+    covers=("N-text", "A9"),
+)
+def postings_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:  # empty corpus: no artifact to read back
+        return spark.createDataFrame(
+            [], "doc_id bigint, tok string, tf bigint, dl bigint, "
+            "tok_bucket int"
+        )
+    idx = ensure_text_postings(spark, sf_dir)
+    return (
+        spark.read.parquet(idx)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("tok_bucket").cast("int").alias("tok_bucket"),
+        )
+        .orderBy("doc_id", "tok")
+    )

@@ -863,3 +863,62 @@ class TestSnapshotAnnIndex:
 
         cat = SnapshotCatalog(spark, sf_small)  # plain fixture dir, no index
         assert cat.ann_index_dir() is None
+
+
+class TestSnapshotTextArtifacts:
+    """r8: the band table and postings index resolve through the catalog
+    with the same published-first + freshness contract as the ANN
+    index, and BM25 through a published snapshot rebuilds nothing."""
+
+    def test_published_artifacts_resolve_and_serve(
+        self, spark, sf_small, tmp_path
+    ):
+        import os
+        import tempfile
+
+        from ser_etl_spark.etl.build import TableLayout, build_snapshot
+        from ser_etl_spark.etl.publish import publish_snapshot
+        from ser_etl_spark.operators.text import bm25_search_indexed
+        from ser_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        build = str(tmp_path / "build")
+        report = build_snapshot(
+            {"documents": docs},
+            build,
+            layouts={
+                "documents": TableLayout(
+                    unique_key="doc_id",
+                    minhash_bands=True,
+                    text_postings=True,
+                )
+            },
+            views={},
+        )
+        store = str(tmp_path / "store")
+        publish_snapshot(build, store, tables=report.tables, views={})
+        cat = SnapshotCatalog(spark, store)
+        snap = cat.refresh()
+        assert cat.minhash_bands_dir() == os.path.join(
+            snap, "documents_minhash_bands"
+        )
+        posts = cat.text_postings_dir()
+        assert posts == os.path.join(snap, "documents_text_postings")
+
+        uid = getattr(os, "getuid", lambda: "na")()
+        cache_root = os.path.join(
+            tempfile.gettempdir(), f"ser_etl_text_postings_{uid}"
+        )
+        before = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert len(bm25_search_indexed(spark, snap).collect()) > 0
+        after = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert before == after  # zero on-demand rebuild through the snapshot
+
+    def test_plain_dir_returns_none(self, spark, sf_small):
+        cat = SnapshotCatalog(spark, sf_small)
+        assert cat.minhash_bands_dir() is None
+        assert cat.text_postings_dir() is None
