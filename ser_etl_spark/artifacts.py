@@ -82,7 +82,12 @@ def write_manifest(
         "source_digest": source_digest(source_path),
         **(extra or {}),
     }
-    fd, tmp = tempfile.mkstemp(dir=artifact_dir, suffix=".manifest.tmp")
+    # leading underscore: Spark's directory listing ignores metadata
+    # files, so a reader scanning the artifact DURING the replace window
+    # never sees a non-parquet stray (r8 review finding)
+    fd, tmp = tempfile.mkstemp(
+        dir=artifact_dir, prefix="_manifest-", suffix=".tmp"
+    )
     try:
         with os.fdopen(fd, "w") as fh:
             json.dump(doc, fh)

@@ -72,6 +72,38 @@ def _link_copytree(src: str, dst: str) -> None:
     shutil.copytree(src, dst, copy_function=_link)
 
 
+def _carry_artifact(
+    c: "ArtifactCarry | None",
+    out_dir: str,
+    name: str,
+    suffix: str,
+    version: int,
+    usable_fn,
+    can_upsert: bool = True,
+) -> tuple[str, bool]:
+    """Shared carry-or-rebuild gate for one derived artifact (the three
+    artifact families differ only in builder/upsert calls — r8 review:
+    keeping three hand-synced copies of this gate already produced one
+    behavioral skew). Hardlink-copies the prior snapshot's artifact
+    into the new snapshot when it is structurally usable, provably
+    fresh against the PRIOR table, and the delta is upsert-able;
+    returns ``(artifact_dir, carried)`` — ``carried=False`` means the
+    caller must re-derive from the full table."""
+    from ser_etl_spark.artifacts import manifest_fresh
+    from ser_etl_spark.sources.parquet import table_path
+
+    art_dir = os.path.join(out_dir, f"{name}_{suffix}")
+    if c is None or not can_upsert:
+        return art_dir, False
+    prev = os.path.join(c.prev_snapshot_dir, f"{name}_{suffix}")
+    if usable_fn(prev) and manifest_fresh(
+        prev, table_path(c.prev_snapshot_dir, name), version
+    ):
+        _link_copytree(prev, art_dir)
+        return art_dir, True
+    return art_dir, False
+
+
 @dataclass(frozen=True)
 class TableLayout:
     """Write layout policy for one table — the index replacement."""
@@ -215,37 +247,33 @@ def build_snapshot(
             # whole snapshot build. (A zero-ROW table never reaches here:
             # the n == 0 skip above fires first.)
             if _dim(df, "embedding") is not None:
-                from ser_etl_spark.artifacts import (
-                    manifest_fresh,
-                    write_manifest,
-                )
+                from ser_etl_spark.artifacts import write_manifest
                 from ser_etl_spark.operators.similarity import (
                     ANN_INDEX_VERSION,
                     _index_usable,
                     upsert_ann_index,
                 )
-                from ser_etl_spark.sources.parquet import table_path
 
-                idx_dir = os.path.join(out_dir, f"{name}_ann_index")
                 c = carry.get(name)
-                prev_idx = (
-                    os.path.join(c.prev_snapshot_dir, f"{name}_ann_index")
-                    if c is not None
-                    else None
+                # a delta with rows but no probe-able vector cannot be
+                # laid out with the frozen quantizer; silently skipping
+                # those rows would make the carried artifact diverge
+                # from a rebuild (which lays them out with sentinel
+                # partitions), so such cycles re-derive fully (r8
+                # review finding)
+                can = (
+                    c is None
+                    or c.delta_rows == 0
+                    or _dim(c.delta, "embedding") is not None
                 )
-                if (
-                    prev_idx is not None
-                    and _index_usable(prev_idx)
-                    and manifest_fresh(
-                        prev_idx,
-                        table_path(c.prev_snapshot_dir, name),
-                        ANN_INDEX_VERSION,
-                    )
-                ):
+                idx_dir, carried = _carry_artifact(
+                    c, out_dir, name, "ann_index", ANN_INDEX_VERSION,
+                    _index_usable, can,
+                )
+                if carried:
                     # carry + delta upsert: O(files) links + O(delta)
                     # layout work, never a corpus re-derive
-                    _link_copytree(prev_idx, idx_dir)
-                    if c.delta_rows and _dim(c.delta, "embedding") is not None:
+                    if c.delta_rows:
                         upsert_ann_index(df.sparkSession, idx_dir, c.delta)
                 else:
                     (
@@ -262,32 +290,20 @@ def build_snapshot(
                     idx_dir, os.path.join(out_dir, name), ANN_INDEX_VERSION
                 )
         if layout.minhash_bands and "text" in df.columns:
-            from ser_etl_spark.artifacts import manifest_fresh, write_manifest
+            from ser_etl_spark.artifacts import write_manifest
             from ser_etl_spark.operators.dedup import (
                 MINHASH_BANDS_VERSION,
                 _bands_usable,
                 minhash_band_entries,
                 upsert_minhash_bands,
             )
-            from ser_etl_spark.sources.parquet import table_path
 
-            bands_dir = os.path.join(out_dir, f"{name}_minhash_bands")
-            c = carry.get(name)
-            prev_bands = (
-                os.path.join(c.prev_snapshot_dir, f"{name}_minhash_bands")
-                if c is not None
-                else None
+            bands_dir, carried = _carry_artifact(
+                carry.get(name), out_dir, name, "minhash_bands",
+                MINHASH_BANDS_VERSION, _bands_usable,
             )
-            if (
-                prev_bands is not None
-                and _bands_usable(prev_bands)
-                and manifest_fresh(
-                    prev_bands,
-                    table_path(c.prev_snapshot_dir, name),
-                    MINHASH_BANDS_VERSION,
-                )
-            ):
-                _link_copytree(prev_bands, bands_dir)
+            if carried:
+                c = carry[name]
                 if c.delta_rows:
                     upsert_minhash_bands(df.sparkSession, bands_dir, c.delta)
             else:
@@ -301,36 +317,20 @@ def build_snapshot(
                 bands_dir, os.path.join(out_dir, name), MINHASH_BANDS_VERSION
             )
         if layout.text_postings and "text" in df.columns:
-            from ser_etl_spark.artifacts import (
-                manifest_fresh,
-                read_manifest,
-                write_manifest,
-            )
+            from ser_etl_spark.artifacts import read_manifest, write_manifest
             from ser_etl_spark.operators.text import (
                 TEXT_POSTINGS_VERSION,
                 _postings_totals,
                 _postings_usable,
                 postings_frame,
             )
-            from ser_etl_spark.sources.parquet import table_path
 
-            post_dir = os.path.join(out_dir, f"{name}_text_postings")
-            c = carry.get(name)
-            prev_post = (
-                os.path.join(c.prev_snapshot_dir, f"{name}_text_postings")
-                if c is not None
-                else None
+            post_dir, carried = _carry_artifact(
+                carry.get(name), out_dir, name, "text_postings",
+                TEXT_POSTINGS_VERSION, _postings_usable,
             )
-            if (
-                prev_post is not None
-                and _postings_usable(prev_post)
-                and manifest_fresh(
-                    prev_post,
-                    table_path(c.prev_snapshot_dir, name),
-                    TEXT_POSTINGS_VERSION,
-                )
-            ):
-                _link_copytree(prev_post, post_dir)
+            if carried:
+                c = carry[name]
                 totals = read_manifest(post_dir)
                 nd, tt = (
                     _postings_totals(c.delta) if c.delta_rows else (0, 0)
@@ -342,15 +342,10 @@ def build_snapshot(
                         .partitionBy("tok_bucket")
                         .parquet(post_dir)
                     )
-                write_manifest(
-                    post_dir,
-                    os.path.join(out_dir, name),
-                    TEXT_POSTINGS_VERSION,
-                    extra={
-                        "n_docs": int(totals.get("n_docs", 0)) + nd,
-                        "t_toks": int(totals.get("t_toks", 0)) + tt,
-                    },
-                )
+                extra = {
+                    "n_docs": int(totals.get("n_docs", 0)) + nd,
+                    "t_toks": int(totals.get("t_toks", 0)) + tt,
+                }
             else:
                 (
                     postings_frame(df)
@@ -359,12 +354,13 @@ def build_snapshot(
                     .parquet(post_dir)
                 )
                 nd, tt = _postings_totals(df)
-                write_manifest(
-                    post_dir,
-                    os.path.join(out_dir, name),
-                    TEXT_POSTINGS_VERSION,
-                    extra={"n_docs": nd, "t_toks": tt},
-                )
+                extra = {"n_docs": nd, "t_toks": tt}
+            write_manifest(
+                post_dir,
+                os.path.join(out_dir, name),
+                TEXT_POSTINGS_VERSION,
+                extra=extra,
+            )
         counts[name] = n
     view_defs = DEFAULT_VIEWS if views is None else views
     active_views = {

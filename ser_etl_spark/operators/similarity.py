@@ -2180,9 +2180,20 @@ def label_cohesion(
     """
     spark = vectors.sparkSession
     dim = _dim(vectors, vec_col)
-    if dim is None:  # empty corpus: no labels, typed empty result
-        return spark.createDataFrame(
-            [], f"{label_col} int, n_members bigint, cohesion double"
+    if dim is None:
+        # no probe-able vector anywhere (empty corpus OR every member
+        # vector NULL): the LEFT-join semantics still owe one row per
+        # label — member counts with NULL cohesion — exactly what the
+        # oracle's LEFT JOIN produces for this corpus; an empty frame
+        # here would diverge on a non-empty vector-less corpus (r8
+        # review finding). Degrades to empty output on an empty input.
+        return (
+            vectors.groupBy(label_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.lit(None).cast("double").alias("cohesion"),
+            )
+            .orderBy(label_col)
         )
     exploded = vectors.select(
         F.col(label_col).alias("grp"),
@@ -2328,8 +2339,13 @@ def semdedup_canonical(
     the embedding column as the identity signal.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    if _dim(emb, "embedding") is None:  # empty corpus: nothing to drop
-        return spark.createDataFrame([], "vec_id bigint, label int")
+    if _dim(emb, "embedding") is None:
+        # no probe-able vector anywhere (empty corpus OR every
+        # embedding NULL): no pairs exist, so EVERY row survives — the
+        # oracle's NOT IN over an empty loser set keeps all rows, and
+        # returning an empty frame here would diverge on a non-empty
+        # vector-less corpus (r8 review finding)
+        return emb.select("vec_id", "label").orderBy("vec_id")
     from ser_etl_spark.operators.dedup import duplicate_clusters
 
     pairs = ann_blocked_neardup(spark, sf_dir, threshold).select(

@@ -855,14 +855,20 @@ def postings_frame(docs: DataFrame) -> DataFrame:
 
 def _postings_totals(docs: DataFrame) -> tuple[int, int]:
     """Exact corpus totals (n_docs, total_tokens) — the scalars BM25
-    needs globally; mergeable across upserts by plain addition."""
+    needs globally; mergeable across upserts by plain addition.
+
+    ``n_docs`` counts docs that CONTRIBUTE TOKENS (``count("_n")``, not
+    ``count(*)``): scan-time ``bm25_search`` derives its totals from
+    the token stream, where a NULL-text doc produces no rows — counting
+    it here would inflate N and break the indexed form's bit-equality
+    with the scan/oracle (r8 review finding)."""
     row = (
         docs.select(
             F.size(
                 F.split(F.trim(F.lower(F.col("text"))), " +")
             ).alias("_n")
         )
-        .agg(F.count(F.lit(1)).alias("d"), F.sum("_n").alias("t"))
+        .agg(F.count(F.col("_n")).alias("d"), F.sum("_n").alias("t"))
         .first()
     )
     return int(row["d"] or 0), int(row["t"] or 0)
@@ -1018,6 +1024,14 @@ def bm25_search_indexed(
     from ser_etl_spark.artifacts import read_manifest
 
     idx = ensure_text_postings(spark, sf_dir)
+    if not _postings_usable(idx):
+        # a corpus with rows but no tokenizable text (every text NULL)
+        # builds a ZERO-part-file artifact — spark.read.parquet on it
+        # throws schema-inference errors; scan-time bm25 and the oracle
+        # return no hits for the same corpus (r8 review finding)
+        return spark.createDataFrame(
+            [], "doc_id bigint, dl bigint, n_hit_terms bigint, score double"
+        )
     m = read_manifest(idx)
     n_docs, t_toks = int(m["n_docs"]), int(m["t_toks"])
     buckets = sorted({_tok_bucket_py(t) for t in query_terms})
@@ -1144,12 +1158,15 @@ def _postings_layout_oracle() -> str:
 )
 def postings_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, tok string, tf bigint, dl bigint, "
+        "tok_bucket int"
+    )
     if docs.first() is None:  # empty corpus: no artifact to read back
-        return spark.createDataFrame(
-            [], "doc_id bigint, tok string, tf bigint, dl bigint, "
-            "tok_bucket int"
-        )
+        return empty
     idx = ensure_text_postings(spark, sf_dir)
+    if not _postings_usable(idx):  # tokenless corpus: zero-file artifact
+        return empty
     return (
         spark.read.parquet(idx)
         .select(

@@ -134,6 +134,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key is not None:
         hit = _DF_CACHE.get(key)
         if hit is not None and hit[0] is spark:
+            # true LRU: re-insert on hit so hot fixture tables outlive
+            # one-shot tmp-dir reads under the size bound
+            _DF_CACHE[key] = _DF_CACHE.pop(key)
             return hit[1]
     ns_cols = _ns_timestamp_cols(path)
     if ns_cols:

@@ -172,3 +172,113 @@ def test_identical_corpus_collapses_to_one_cluster(spark, clique_dir):
         for r in Q["dedup_canonical"].builder(spark, clique_dir).collect()
     ]
     assert survivors == [0]
+
+
+# ---------------------------------------------------------------------------
+# r8 review seams: all-NULL text / all-NULL embeddings
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir(tmp_path_factory):
+    """Documents whose text is entirely NULL (plus one tokenless empty
+    string): the token stream is empty, so the postings artifact has
+    zero part files and corpus totals derived from row counts would
+    diverge from totals derived from the token stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nulltext_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([None, None, None], pa.string()),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["web"] * 3),
+                "n_chars": pa.array([0, 0, 0], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["bm25_search_indexed", "postings_layout", "substring_dedup"]
+)
+def test_nulltext_corpus_parity(spark, nulltext_dir, name):
+    """r8 review: a non-empty corpus with no tokenizable text must not
+    crash the postings readers (zero-part-file artifact) and must agree
+    with the oracle (empty results)."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{nulltext_dir}/documents.parquet')"
+        )
+        spec = all_queries()[name]
+        problems = compare(
+            name, spec.builder(spark, nulltext_dir), con, spec.oracle
+        )
+        assert not problems, "\n".join(problems)
+    finally:
+        con.close()
+
+
+def test_null_and_empty_text_totals_match_token_stream(spark, tmp_path):
+    """The manifest's n_docs must equal the token-stream doc count
+    (NULL text excluded, empty-string text included with dl=1) so the
+    indexed BM25 stays bit-equal to the scan form on mixed corpora."""
+    from ser_etl_spark.operators.text import _postings_totals
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "two tokens"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    nd, tt = _postings_totals(docs)
+    assert nd == 2  # doc 1 (one empty token) + doc 2; NULLs excluded
+    assert tt == 3  # 1 + 2 tokens
+
+
+@pytest.fixture(scope="module")
+def nullvec_dir(tmp_path_factory):
+    """Embeddings rows present but every vector NULL — labels intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nullvec_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [None] * 4, pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 0, 1, 2], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["semdedup_canonical", "label_cohesion"])
+def test_nullvec_corpus_parity(spark, nullvec_dir, name):
+    """r8 review: a non-empty corpus whose vectors are all NULL — no
+    pairs and no centroids exist, but ROWS still do: semdedup keeps
+    every row (no losers), label_cohesion owes one row per label with
+    NULL cohesion (the LEFT-join contract). Both vs DuckDB."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{nullvec_dir}/embeddings.parquet')"
+        )
+        spec = all_queries()[name]
+        problems = compare(
+            name, spec.builder(spark, nullvec_dir), con, spec.oracle
+        )
+        assert not problems, "\n".join(problems)
+    finally:
+        con.close()

@@ -844,3 +844,72 @@ class TestIncrementalArtifactCarry:
             .select("doc_id", "band", "bucket").collect()
         )
         assert got == want
+
+
+    def test_all_degenerate_delta_re_derives_ann_index(
+        self, spark, sf_small, tmp_path
+    ):
+        """r8 review: a pure-append delta whose vectors are ALL
+        NULL cannot be laid out with the frozen quantizer — the cycle
+        must fall back to the full re-derive (which gives those rows
+        sentinel partitions) instead of silently dropping them from
+        the carried index."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, FloatType
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.sources.parquet import load_table
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        emb = load_table(spark, sf_small, "embeddings").limit(60)
+        src_dir = str(tmp_path / "src")
+        base = emb.withColumn("updated_at", F.lit(t0).cast("timestamp_ntz"))
+        base.write.parquet(f"{src_dir}/embeddings.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("embeddings",),
+            ts_col="updated_at",
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        assert mgr.run_sync().success
+
+        # append NEW keys whose embeddings are all NULL
+        degenerate = base.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.lit(None).cast(ArrayType(FloatType())).alias("embedding"),
+            F.col("label"),
+            F.lit(t1).cast("timestamp_ntz").alias("updated_at"),
+        ).limit(5)
+        base.unionByName(degenerate).write.mode("overwrite").parquet(
+            f"{src_dir}/embeddings.parquet"
+        )
+        out2 = mgr.run_sync()
+        assert out2.success
+        snap2 = out2.manifest["snapshot_dir"]
+        idx = spark.read.parquet(os.path.join(snap2, "embeddings_ann_index"))
+        # the re-derived index contains the degenerate rows (sentinel
+        # partitions), exactly like a from-scratch build of the grown
+        # table — nothing silently dropped
+        assert idx.count() == 65
+        got = sorted(
+            tuple(r)
+            for r in idx.select("vec_id", "srp_bucket", "centroid_id")
+            .collect()
+        )
+        grown = load_table(spark, snap2, "embeddings").drop("updated_at")
+        want = sorted(
+            tuple(r)
+            for r in S.ann_layout_frame(grown)
+            .select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        assert got == want
