@@ -1426,3 +1426,263 @@ def substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_spans(
         spread_small_input(load_table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# containment join: near-superset detection (quotes, wrapped copies)
+# ---------------------------------------------------------------------------
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Containment similarity join: ``(doc_a, doc_b, containment)``
+    where containment = |shingles(a) ∩ shingles(b)| / |shingles(a)| —
+    the ASYMMETRIC near-dup relation Jaccard misses: a short document
+    quoted or wrapped inside a much longer one has low Jaccard (the
+    union is dominated by the long doc) but containment ~= 1. The
+    public dedup literature uses exactly this for quote/boilerplate
+    copy detection between differently-sized documents.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (one
+    shingle equi-join, shared counts, set sizes joined back; the
+    ``max_shingle_df`` guard bounds candidate fan-out) — only the
+    denominator differs, so BOTH directed pairs are emitted from the
+    one undirected join: (a contained-in b) and (b contained-in a) each
+    test against their own size.
+    """
+    exploded = shingle_rows(docs, n)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_shingle_df is not None:
+        frequent = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(F.broadcast(frequent), "sh", "left_anti")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined = shared.join(na, "doc_a").join(nb, "doc_b")
+    fwd = joined.select(
+        "doc_a",
+        "doc_b",
+        (F.col("shared").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        (F.col("shared").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 50
+    ), exg AS (
+      SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT s2.doc_a, s2.doc_b, s2.shared, sa.n AS na, sb.n AS nb
+      FROM shared s2
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = s2.doc_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = s2.doc_b
+    ), directed AS (
+      SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / na AS containment
+      FROM sized
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b,
+             CAST(shared AS DOUBLE) / nb AS containment
+      FROM sized
+    )
+    SELECT doc_a, doc_b, containment FROM directed
+    WHERE containment >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    description="containment similarity join (|A∩B|/|A| over word "
+    "3-gram shingle sets): the asymmetric near-dup relation that "
+    "catches a short doc quoted/wrapped inside a long one (low Jaccard, "
+    "containment ~1); same guarded inverted-index plan as the Jaccard "
+    "join — one undirected shingle equi-join emits both directed pairs",
+    covers=("N-dedup",),
+)
+def ngram_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), 0.8, max_shingle_df=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# span removal: the substring-dedup family's terminal step
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_tokens: int = 20,
+    max_anchor_df: int | None = 100,
+) -> DataFrame:
+    """Span-cleaned corpus rows: for every document that duplicates
+    >= ``min_tokens``-token spans of an EARLIER document
+    (:func:`substring_dedup_spans`; removal policy = the higher doc_id
+    loses the span, mirroring the min-id-survives convention of
+    ``canonical_corpus``), the document's normalized token stream with
+    those spans cut out — ``(doc_id, kept_tokens, removed_tokens,
+    cleaned_text)``.
+
+    This is what the public exact-substring dedup actually SHIPS:
+    span-wise removal, not doc-wise dropping (the span is boilerplate;
+    the rest of the doc is unique signal worth keeping). Shape: spans
+    explode to their covered positions (data volume = total duplicated
+    tokens, a sliver of the corpus), the token stream of AFFECTED docs
+    only (semi-join first) anti-joins the removal set on (doc, pos),
+    and per-doc reassembly is one sort-free aggregate (collect + sort
+    the bounded per-doc list). Docs with nothing removed pass through
+    untouched and are NOT re-emitted — the output is the delta to
+    apply, which at 100 TB is the only shippable form (rewriting every
+    row to change 1% of them is the anti-pattern).
+
+    ``cleaned_text`` is the NORMALIZED form (lowered, space-joined) —
+    the same token domain the spans were found in; cutting byte ranges
+    from raw text would require raw-offset anchors instead.
+    """
+    spans = substring_dedup_spans(docs, k, min_tokens, max_anchor_df)
+    removed = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("span_tokens") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    affected = removed.select("doc_id").distinct()
+    kept = toks.join(affected, "doc_id", "left_semi").join(
+        removed, ["doc_id", "pos"], "left_anti"
+    )
+    ka = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, tok))), s -> s.tok), ' ')"
+            ).alias("cleaned_text"),
+        )
+    )
+    rc = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("removed_tokens")
+    )
+    return (
+        rc.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            "removed_tokens",
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_removal_oracle(
+    k: int = 8, min_tokens: int = 20, max_anchor_df: int = 100
+) -> str:
+    inner = _substring_dedup_oracle(k, min_tokens, max_anchor_df)
+    return f"""
+    WITH sp AS (
+      SELECT * FROM ({inner}) q
+    ), rem AS (
+      SELECT DISTINCT doc_b AS doc_id,
+             unnest([p for p in range(b_start, b_start + span_tokens)])
+               AS pos
+      FROM sp
+    ), toks2 AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+            FROM documents)
+    ), kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM toks2 tk
+      JOIN (SELECT DISTINCT doc_id FROM rem) af USING (doc_id)
+      ANTI JOIN rem ON rem.doc_id = tk.doc_id AND rem.pos = tk.pos
+    ), rc AS (
+      SELECT doc_id, COUNT(*) AS removed_tokens FROM rem GROUP BY 1
+    ), ka AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY 1
+    )
+    SELECT rc.doc_id,
+           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(rc.removed_tokens AS BIGINT) AS removed_tokens,
+           COALESCE(ka.cleaned_text, '') AS cleaned_text
+    FROM rc LEFT JOIN ka USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "span_removal",
+    oracle=_span_removal_oracle(),
+    description="the substring-dedup family's terminal step: documents "
+    "duplicating >= 20-token spans of an earlier doc get those spans "
+    "CUT (higher doc_id loses, the canonical-corpus convention) — "
+    "span-wise removal over the normalized token stream, emitted as a "
+    "delta of affected docs only (positions explode to the duplicated "
+    "sliver, affected-doc semi-join before any reassembly); what "
+    "public exact-substring dedup actually ships, vs dropping whole "
+    "docs",
+    covers=("N-dedup",),
+)
+def span_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_duplicated_spans(
+        spread_small_input(load_table(spark, sf_dir, "documents"))
+    )

@@ -205,7 +205,9 @@ def nulltext_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["bm25_search_indexed", "postings_layout", "substring_dedup"]
+    "name",
+    ["bm25_search_indexed", "postings_layout", "substring_dedup",
+     "span_removal", "ngram_containment"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

@@ -1592,3 +1592,44 @@ class TestTextPostings:
             f"{snap}/documents"
         )
         assert ensure_text_postings(spark, snap) != published
+
+
+class TestSpanRemoval:
+    def test_cleaned_text_exact(self, spark):
+        from ser_etl_spark.operators.dedup import remove_duplicated_spans
+
+        shared = " ".join(f"s{i}" for i in range(25))
+        docs = spark.createDataFrame(
+            [
+                (1, "a1 a2 " + shared + " a3"),
+                (2, "b1 " + shared + " b2 b3"),  # later doc loses the span
+                (3, "unrelated text entirely here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+        assert set(out) == {2}  # only the affected doc, as a delta
+        r = out[2]
+        assert r["removed_tokens"] == 25
+        assert r["kept_tokens"] == 3
+        assert r["cleaned_text"] == "b1 b2 b3"
+
+    def test_overlapping_spans_remove_union(self, spark):
+        from ser_etl_spark.operators.dedup import remove_duplicated_spans
+
+        s = " ".join(f"s{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, s),                 # earlier doc: keeps everything
+                (2, "x1 " + s + " x2"),  # duplicates doc 1's span
+                (3, s + " y1"),          # duplicates it too (and doc 2's)
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+        assert 1 not in out  # the earliest holder keeps the span
+        assert out[2]["cleaned_text"] == "x1 x2"
+        # doc 3 loses the span once even though it matches BOTH doc 1
+        # and doc 2 (overlapping removal intervals union via distinct)
+        assert out[3]["cleaned_text"] == "y1"
+        assert out[3]["removed_tokens"] == 30
