@@ -765,3 +765,11 @@ def test_bm25_indexed_prunes_token_buckets(spark, sf_small):
     assert m and "tok_bucket" in m.group(1), plan[:2000]
     m2 = re.search(r"ReadSchema: (.+)", plan)
     assert m2 and "dl" in m2.group(1), plan[:2000]
+
+
+def test_containment_and_span_removal_never_cartesian(spark, sf_small):
+    """Both r8 dedup-family additions must stay equi-join shaped."""
+    for name in ("ngram_containment", "span_removal"):
+        plan = _plan(spark, sf_small, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
