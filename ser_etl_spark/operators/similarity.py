@@ -2399,3 +2399,274 @@ def _semdedup_oracle(threshold: float = 0.35) -> str:
 )
 def semdedup_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_canonical(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# k-NN label propagation over the persisted ANN index
+# ---------------------------------------------------------------------------
+
+#: Every vec_id divisible by this is treated as UNLABELED (the probe set)
+#: — a deterministic holdout, so the operator doubles as its own accuracy
+#: harness (`correct` column) without needing a second fixture table.
+KNN_HOLDOUT_MOD = 5
+#: Neighbors voting per probe.
+KNN_K = 5
+
+
+def knn_classify(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    holdout_mod: int = KNN_HOLDOUT_MOD,
+) -> DataFrame:
+    """Semi-supervised k-NN label propagation served by the persisted ANN
+    index: probes (``vec_id % holdout_mod == 0``, their labels held out)
+    join LABELED corpus rows sharing their ``srp_bucket``, take the
+    ``k`` nearest by exact rounded cosine within the bucket, and predict
+    by majority vote (ties to the smaller label). The weak-supervision /
+    auto-labeling pass of a training-data pipeline (propagating a seed
+    label set onto unlabeled crawl items), with the blocking key being
+    the index's physical partitioning.
+
+    Scale shape: the probe-to-corpus join is an equi-join on
+    ``srp_bucket`` — per-bucket candidate sets, never corpus x probes —
+    and the persisted ``vnorm`` removes every norm recomputation. The
+    two windows partition by probe id; the top-k filter compiles to
+    WindowGroupLimit (per-partition heaps before the final sort), so no
+    bucket-sized global sort survives at scale. Like every LSH-family
+    operator here, the single-bucket probe IS the recall semantics
+    (deterministic, replayed exactly by the oracle); the recall lever at
+    production scale is the multiprobe variant's Hamming ball.
+
+    Degenerate corpora (no probeable vector anywhere) replay the
+    oracle's NULL algebra without an index: every SRP projection is NULL
+    -> every plane bit 0 -> all rows share bucket 0, and every cosine is
+    NULL, so the vote falls through to the (NULL-last, n_id ASC)
+    tie-break — identical on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(emb, "embedding")
+    is_probe = (F.col("vec_id") % holdout_mod) == 0
+    if dim is None:
+        base = emb.select("vec_id", "label", F.lit(0).alias("bk"))
+        probes = base.filter(is_probe).select(
+            "bk",
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("true_label"),
+        )
+        nbrs = base.filter(~is_probe & F.col("label").isNotNull()).select(
+            "bk",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("pred_label"),
+        )
+        scored = probes.join(nbrs, "bk").select(
+            "q_id",
+            "true_label",
+            "n_id",
+            "pred_label",
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    else:
+        idx = ensure_ann_index(spark, sf_dir)
+        df = spark.read.parquet(idx).select(
+            "vec_id", "label", "embedding", "vnorm", "srp_bucket"
+        )
+        probes = df.filter(is_probe).select(
+            F.col("srp_bucket").alias("bk"),
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("va"),
+            F.col("vnorm").alias("na"),
+        )
+        nbrs = df.filter(~is_probe & F.col("label").isNotNull()).select(
+            F.col("srp_bucket").alias("bk"),
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("pred_label"),
+            F.col("embedding").alias("vb"),
+            F.col("vnorm").alias("nb"),
+        )
+        sim = F.round(
+            F.expr(
+                f"{_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0D)"
+            ),
+            4,
+        )
+        scored = probes.join(nbrs, "bk").select(
+            "q_id", "true_label", "n_id", "pred_label", sim.alias("cos_sim")
+        )
+    w_near = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    topk = (
+        scored.withColumn("_rn", F.row_number().over(w_near))
+        .filter(F.col("_rn") <= k)
+    )
+    votes = topk.groupBy("q_id", "true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w_vote))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("pred_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _knn_classify_oracle(
+    k: int = KNN_K,
+    holdout_mod: int = KNN_HOLDOUT_MOD,
+    planes: int = ANN_PLANES,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: the same SRP bucket literals, bucket equi-join,
+    rounded-cosine top-k (NULLS LAST both engines) and majority vote
+    with the (votes DESC, label ASC) tie-break."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    bkt = _srp_bucket_duck("e.embedding", m)
+    return f"""
+    WITH l AS (
+      SELECT e.vec_id, e.label, e.embedding, {bkt} AS bk
+      FROM embeddings e
+    ), scored AS (
+      SELECT q.vec_id AS q_id, q.label AS true_label,
+             n.vec_id AS n_id, n.label AS pred_label,
+             {_duck_cos4("q.embedding", "n.embedding", dim)} AS cs
+      FROM l q JOIN l n ON q.bk = n.bk
+      WHERE q.vec_id % {holdout_mod} = 0
+        AND n.vec_id % {holdout_mod} <> 0
+        AND n.label IS NOT NULL
+    ), topk AS (
+      SELECT q_id, true_label, pred_label FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cs DESC, n_id ASC) <= {k}
+    ), votes AS (
+      SELECT q_id, true_label, pred_label, COUNT(*) AS votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT q_id AS vec_id, true_label, pred_label, votes,
+           CAST(pred_label = true_label AS INT) AS correct
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, pred_label ASC) = 1
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "knn_classify",
+    oracle=_knn_classify_oracle(),
+    description="semi-supervised k-NN label propagation over the "
+    "persisted ANN index: held-out probes (vec_id % 5 == 0) equi-join "
+    "labeled rows on their srp_bucket partition, top-5 by exact rounded "
+    "cosine within the bucket (WindowGroupLimit: per-partition heaps), "
+    "majority vote with deterministic tie-breaks; the auto-labeling / "
+    "weak-supervision pass of a training pipeline, with per-probe "
+    "accuracy surfaced in the `correct` column",
+    covers=("N-sim",),
+)
+def knn_classify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_classify(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# label / centroid confusion: clustering-vs-labels QA
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
+    """Confusion matrix between the human label column and the IVF
+    coarse-quantizer assignment: ``(label, centroid_id, n, share)`` with
+    ``share`` = the fraction of the label's members landing on that
+    centroid. The clustering-QA companion to :func:`label_cohesion` —
+    a label whose members scatter across many centroids (low max share)
+    disagrees with embedding-space structure, the signal a curation
+    pipeline uses to find mislabeled or incoherent classes before
+    training on them.
+
+    Scale: :func:`ivf_assign` is one embarrassingly-parallel scan (K dot
+    products per row, no shuffle); the matrix aggregate is |labels| x K
+    rows, the share window runs over that aggregate, and nothing
+    data-sized moves after the first groupBy. Degenerate vectors carry
+    the -1 sentinel list and confuse nothing.
+    """
+    from pyspark.sql.window import Window
+
+    asg = ivf_assign(vectors)
+    joined = asg.join(vectors.select("vec_id", "label"), "vec_id")
+    counts = joined.groupBy("label", "centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("label")
+    share = F.round(
+        F.col("n").cast("double")
+        / F.sum("n").over(w).cast("double"),
+        4,
+    )
+    return counts.select(
+        "label", "centroid_id", "n", share.alias("share")
+    ).orderBy("label", "centroid_id")
+
+
+def _label_centroid_confusion_oracle(
+    num_centroids: int = IVF_CENTROIDS, dim: int | None = None
+) -> str:
+    """DuckDB twin: the proven ivf_assign CTE (expanded nullif-guarded
+    cosines, argmax with cid tie-break, -1 sentinel) grouped against the
+    label column; explicit DOUBLE casts keep the share division out of
+    HUGEINT arithmetic."""
+    dim = EMB_DIM if dim is None else dim
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c
+    ), asg AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN -1 ELSE cid END AS centroid_id
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), g AS (
+      SELECT e.label, a.centroid_id, COUNT(*) AS n
+      FROM embeddings e JOIN asg a USING (vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT label, centroid_id, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE),
+                 4) AS share
+    FROM g ORDER BY label, centroid_id
+    """
+
+
+@register(
+    "label_centroid_confusion",
+    oracle=_label_centroid_confusion_oracle(),
+    description="label-vs-IVF-centroid confusion matrix: every vector's "
+    "coarse-quantizer assignment (one K-dot-product scan, no shuffle) "
+    "grouped against its human label, with per-label share — the "
+    "clustering-agreement QA that surfaces mislabeled or incoherent "
+    "classes; aggregate is |labels| x K rows, nothing data-sized moves "
+    "after the first groupBy",
+    covers=("N-sim",),
+)
+def label_centroid_confusion_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return label_centroid_confusion(load_table(spark, sf_dir, "embeddings"))

@@ -92,6 +92,12 @@ FULL_QUERIES = [
     # the by-design-reduced embedding_centroids — so it runs the full
     # seam corpus.
     "label_cohesion",
+    # r8b: k-NN label propagation (bucket join + vote — NULL cosines
+    # sort last into the n_id tie-break on both engines) and the
+    # label/centroid confusion matrix (-1 sentinel for degenerate rows)
+    # inherit the same seam obligations as their parents.
+    "knn_classify",
+    "label_centroid_confusion",
 ]
 
 REDUCED_QUERIES = [
