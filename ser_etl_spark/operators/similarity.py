@@ -2670,3 +2670,204 @@ def label_centroid_confusion_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return label_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: the index-QA harness
+# ---------------------------------------------------------------------------
+
+#: Anchors (lowest vec_ids) and cutoff for the recall evaluation.
+RECALL_ANCHORS = 5
+RECALL_K = 10
+
+
+def ann_recall_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = RECALL_ANCHORS,
+    k: int = RECALL_K,
+    planes: int = ANN_PLANES,
+) -> DataFrame:
+    """Recall@k of the single-probe SRP bucket ANN against the exact
+    cosine top-k, per anchor — the evaluation harness an index rollout
+    gates on (publish the new layout only if recall holds). Output:
+    ``(anchor_id, n_exact, n_bucket, n_hit, recall)`` where ``n_bucket``
+    is the anchor's candidate-set size (the scan-fraction evidence:
+    bucket size / corpus = the cost side of the recall/cost trade).
+
+    Scale shape: ONE fused corpus scan scores every anchor AND computes
+    each row's SRP bucket (per-anchor score columns and per-plane
+    projections land as separate barrier-protected projections — the
+    janino discipline of :func:`hard_negative_mine`), then the stacked
+    (anchor, score, in_bucket) rows feed two per-anchor ranking windows
+    (WindowGroupLimit: per-partition heaps, no global sort) and
+    anchor-sized aggregates. Nothing but O(n_anchors * k) rows survives
+    the windows; at 100 TB the exact side is the honest cost of ground
+    truth and runs over a corpus SAMPLE at the same plan shape.
+    """
+    anchors = [
+        (a_id, vec)
+        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
+        if vec is not None
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not anchors:
+        return spark.createDataFrame(
+            [],
+            "anchor_id bigint, n_exact bigint, n_bucket bigint, "
+            "n_hit bigint, recall double",
+        )
+    from pyspark.sql.window import Window
+
+    dim = len(anchors[0][1])
+    matrix = _plane_matrix(spark, dim, planes)
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    proj_cols = [
+        (F.expr(_plane_proj_sql(coeffs, "embedding")) + barrier).alias(f"_pl{p}")
+        for p, coeffs in enumerate(matrix)
+    ]
+    p0 = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+        *proj_cols,
+    )
+    bucket = None
+    for i in range(planes):
+        bit = F.when(
+            F.coalesce(F.col(f"_pl{i}") >= 0, F.lit(False)), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sim_cols = []
+    for a_id, q in anchors:
+        sim = F.expr(
+            f"{_dot_lit_sql('embedding', q)}"
+            f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
+        )
+        sim_cols.append((F.round(sim, 4) + barrier).alias(f"_sim{a_id}"))
+    p1 = p0.select(F.col("vec_id"), bucket.alias("_bk"), *sim_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a_id).cast("bigint").alias("a_id"),
+                F.col(f"_sim{a_id}").alias("cos_sim"),
+                (F.col("_bk") == F.lit(_srp_bucket_py(q, matrix))).alias(
+                    "in_bucket"
+                ),
+            )
+            for a_id, q in anchors
+        ]
+    )
+    stacked = p1.select(F.col("vec_id"), F.explode(entries).alias("s")).select(
+        "vec_id", "s.a_id", "s.cos_sim", "s.in_bucket"
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        stacked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("a_id", "vec_id")
+    )
+    approx = (
+        stacked.filter(F.col("in_bucket"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("a_id", "vec_id")
+    )
+    n_exact = exact.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_bucket = (
+        stacked.filter(F.col("in_bucket"))
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+    )
+    n_hit = (
+        exact.join(approx, ["a_id", "vec_id"])
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+    return (
+        n_exact.join(n_bucket, "a_id")
+        .join(n_hit, "a_id", "left")
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            "n_exact",
+            "n_bucket",
+            hit.alias("n_hit"),
+            F.round(
+                hit.cast("double") / F.col("n_exact").cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def _ann_recall_oracle(
+    n_anchors: int = RECALL_ANCHORS,
+    k: int = RECALL_K,
+    planes: int = ANN_PLANES,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: anchor buckets computed IN SQL from the same rows
+    the builder collects (the driver-side ``_srp_bucket_py`` is the
+    pinned bit-twin of this expression), same rounded-cosine rankings,
+    same NULL/NaN ordering, same aggregate tail."""
+    dim = EMB_DIM if dim is None else dim
+    m = _plane_matrix(None, dim, planes)
+    return f"""
+    WITH q AS (
+      SELECT e.vec_id AS a_id, e.embedding AS qv,
+             {_srp_bucket_duck("e.embedding", m)} AS qb
+      FROM embeddings e
+      WHERE e.vec_id < {n_anchors} AND e.embedding IS NOT NULL
+    ), b AS (
+      SELECT e.vec_id, e.embedding,
+             {_srp_bucket_duck("e.embedding", m)} AS bk
+      FROM embeddings e
+    ), scored AS (
+      SELECT q.a_id, b.vec_id,
+             {_duck_cos4("b.embedding", "q.qv", dim)} AS cs,
+             (b.bk = q.qb) AS in_bucket
+      FROM b CROSS JOIN q
+    ), ex AS (
+      SELECT a_id, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
+                                 ORDER BY cs DESC, vec_id ASC) <= {k}
+    ), ap AS (
+      SELECT a_id, vec_id FROM scored WHERE in_bucket
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
+                                 ORDER BY cs DESC, vec_id ASC) <= {k}
+    ), ne AS (
+      SELECT a_id, COUNT(*) AS n_exact FROM ex GROUP BY 1
+    ), nb AS (
+      SELECT a_id, COUNT(*) AS n_bucket FROM scored
+      WHERE in_bucket GROUP BY 1
+    ), nh AS (
+      SELECT ex.a_id, COUNT(*) AS n_hit
+      FROM ex JOIN ap USING (a_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.a_id AS anchor_id, ne.n_exact, nb.n_bucket,
+           CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
+                 / CAST(ne.n_exact AS DOUBLE), 4) AS recall
+    FROM ne
+    JOIN nb ON ne.a_id = nb.a_id
+    LEFT JOIN nh ON ne.a_id = nh.a_id
+    ORDER BY anchor_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    description="recall@10 of the single-probe SRP-bucket ANN vs the "
+    "exact cosine top-10, per anchor, with the bucket's candidate-set "
+    "size as the cost evidence — ONE fused corpus scan scores all "
+    "anchors and computes row buckets (barrier-protected projections), "
+    "two WindowGroupLimit rankings, anchor-sized aggregates; the "
+    "index-rollout QA gate",
+    covers=("N-sim",),
+)
+def ann_recall_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall_eval(spark, sf_dir)

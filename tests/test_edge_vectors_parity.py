@@ -98,6 +98,10 @@ FULL_QUERIES = [
     # inherit the same seam obligations as their parents.
     "knn_classify",
     "label_centroid_confusion",
+    # r8b: recall eval ranks the same rounded cosines with the same
+    # NaN-first/NULL-last DESC ordering on both engines; anchors are
+    # well-formed by the corpus contract (vec_ids 0..7).
+    "ann_recall_eval",
 ]
 
 REDUCED_QUERIES = [
