@@ -173,3 +173,133 @@ def value_histogram(
 )
 def value_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection: exact integer median-absolute-deviation
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group robust outliers by the median-absolute-deviation rule,
+    in EXACT integer arithmetic end to end — the data-quality pass that
+    flags corrupted numeric fields (price glitches, unit mix-ups)
+    without the mean/stddev rule's masking problem (one extreme value
+    inflates the stddev and hides the rest).
+
+    Every quantity is a scaled integer so no float comparison can
+    diverge cross-engine: prices become cents via
+    ``floor(x * 100 + 0.5)``; the group median arrives as ``med2`` = the
+    sum of the 1-or-2 central order statistics (= 2 x median);
+    per-row deviation as ``dev2 = |2 * cents - med2|`` (= 2 x |dev|);
+    the MAD as ``mad2`` = the central-sum of the ``dev2`` ranking
+    (= 4 x MAD). The classic |x - med| > 3 * MAD flag is then the pure
+    integer predicate ``2 * dev2 > 3 * mad2``. A >=half-constant group
+    has MAD 0 and flags every deviating row — the rule's documented
+    degeneracy, identical on both engines.
+
+    Scale shape: one shuffle on the group key, then two in-partition
+    sorted windows (value ranking, deviation ranking) and two
+    partition-wide sums — no joins, no collect, group cardinality
+    unbounded. The exact in-group sort is the honest cost of exact
+    medians; the sketch-based alternative for wider groups is the
+    ``approx_sketches`` KLL family.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("rid"),
+        cents.alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    wg = Window.partitionBy("grp")
+    wv = Window.partitionBy("grp").orderBy(
+        F.col("cents").asc(), F.col("rid").asc()
+    )
+    lo = F.floor((F.col("_n") + 1) / 2)
+    hi = F.floor((F.col("_n") + 2) / 2)
+    central = ((F.col("_rn") == lo).cast("bigint") +
+               (F.col("_rn") == hi).cast("bigint"))
+    s1 = base.withColumn("_rn", F.row_number().over(wv).cast("bigint")) \
+             .withColumn("_n", F.count(F.lit(1)).over(wg).cast("bigint"))
+    s2 = s1.withColumn("med2", F.sum(F.col("cents") * central).over(wg)) \
+           .withColumn("dev2", F.abs(F.lit(2) * F.col("cents") - F.col("med2")))
+    wd = Window.partitionBy("grp").orderBy(
+        F.col("dev2").asc(), F.col("rid").asc()
+    )
+    s3 = s2.withColumn("_rd", F.row_number().over(wd).cast("bigint"))
+    central_d = ((F.col("_rd") == lo).cast("bigint") +
+                 (F.col("_rd") == hi).cast("bigint"))
+    s4 = s3.withColumn("mad2", F.sum(F.col("dev2") * central_d).over(wg))
+    return (
+        s4.filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad2"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rid").alias(id_col),
+            F.col("cents"),
+            F.col("med2"),
+            F.col("dev2"),
+            F.col("mad2"),
+        )
+        .orderBy(group_col, id_col)
+    )
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, event_id AS rid,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE floor(value * 100.0 + 0.5) IS NOT NULL
+    ), s1 AS (
+      SELECT grp, rid, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY cents ASC, rid ASC) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM base
+    ), s2 AS (
+      SELECT *,
+             CAST(SUM(cents * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                               + CAST(rn = (n + 2) // 2 AS BIGINT)))
+                  OVER (PARTITION BY grp) AS BIGINT) AS med2
+      FROM s1
+    ), s3 AS (
+      SELECT *, abs(2 * cents - med2) AS dev2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY abs(2 * cents - med2) ASC,
+                                              rid ASC) AS BIGINT) AS rd
+      FROM s2
+    ), s4 AS (
+      SELECT *,
+             CAST(SUM(dev2 * (CAST(rd = (n + 1) // 2 AS BIGINT)
+                              + CAST(rd = (n + 2) // 2 AS BIGINT)))
+                  OVER (PARTITION BY grp) AS BIGINT) AS mad2
+      FROM s3
+    )
+    SELECT grp AS event_type, rid AS event_id, cents, med2, dev2, mad2
+    FROM s4 WHERE 2 * dev2 > 3 * mad2
+    ORDER BY event_type, event_id
+    """,
+    description="robust outlier detection on event values per type: exact "
+    "integer MAD rule (cents via floor(x*100+0.5), median as the 2x "
+    "central-sum order statistic, MAD as the 4x central-sum of "
+    "deviations, flag = pure integer predicate 2*dev2 > 3*mad2) — one "
+    "shuffle on the group key, two in-partition sorted windows, no "
+    "joins, no floats anywhere a comparison happens",
+    covers=("X-window", "N-quality"),
+)
+def value_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        id_col="event_id",
+    )
