@@ -328,3 +328,84 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     return transition_matrix(events, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# burst detection: sliding event-rate guard
+# ---------------------------------------------------------------------------
+
+#: Sliding window width (seconds) and the rate that flags a burst.
+BURST_WINDOW_S = 3600
+BURST_THRESHOLD = 3
+
+
+def burst_detection(
+    events: DataFrame,
+    window_s: int = BURST_WINDOW_S,
+    threshold: int = BURST_THRESHOLD,
+) -> DataFrame:
+    """Per-user sliding-window event-rate flags: every event whose
+    trailing ``window_s`` seconds (inclusive) contain >= ``threshold``
+    events by the same user. The abuse/bot-rate guard of an event
+    pipeline (the reference's gateway rate-limits REQUESTS at 50/min,
+    ``/root/reference/api-service/src/auth.py``; this is the same
+    semantics applied to the DATA at rest), and the crawler-politeness /
+    burst-QA pass of a training-data pipeline.
+
+    Implemented as a numeric RANGE frame over epoch seconds —
+    ``RANGE BETWEEN window_s - 1 PRECEDING AND CURRENT ROW`` — so the
+    count is event-time true (not bucketed: a burst straddling an hour
+    boundary still flags). Epoch seconds come from ``timestampdiff``
+    over NTZ pairs (timezone-pure; the ``unix_timestamp`` session-tz
+    trap is pinned by the config matrix). Equal-timestamp events are
+    RANGE peers and count together on both engines.
+
+    Scale: one shuffle on user_id, one in-partition sort, O(window)
+    running state per user — the sessionization cost class. The
+    streaming twin of this guard is ``streaming_sliding_counts``.
+    """
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_s").asc())
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    return (
+        events.select("user_id", "event_id", "ts", sec.alias("_s"))
+        .withColumn("n_window", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_window") >= threshold)
+        .select("user_id", "event_id", "n_window")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "burst_detection",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+      FROM events
+    ), c AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY s ASC
+                            RANGE BETWEEN {BURST_WINDOW_S - 1} PRECEDING
+                                      AND CURRENT ROW) AS n_window
+      FROM e
+    )
+    SELECT user_id, event_id, n_window
+    FROM c WHERE n_window >= {BURST_THRESHOLD}
+    ORDER BY user_id, event_id
+    """,
+    description="per-user burst detection: events whose trailing hour "
+    "(inclusive, event-time-true numeric RANGE frame over NTZ epoch "
+    "seconds) contains >= 3 events by the same user — one shuffle on "
+    "user_id, one in-partition sort, O(window) running state; the "
+    "at-rest twin of the gateway's request rate limit and of "
+    "streaming_sliding_counts",
+    covers=("X-window", "N-quality"),
+)
+def burst_detection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return burst_detection(load_table(spark, sf_dir, "events"))
