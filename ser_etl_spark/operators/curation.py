@@ -617,3 +617,120 @@ def source_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix: corpus-level contamination audit
+# ---------------------------------------------------------------------------
+
+#: Shingle width and the boilerplate guard for the source-overlap audit.
+OVERLAP_N = 3
+OVERLAP_MAX_SOURCES = 10
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = OVERLAP_N,
+    max_sources: int = OVERLAP_MAX_SOURCES,
+) -> DataFrame:
+    """Pairwise n-gram overlap between SOURCES: for every source pair
+    sharing at least one word ``n``-gram, the distinct-shingle overlap
+    count and the set Jaccard. The corpus-level contamination audit a
+    pipeline runs when mixing crawls/dumps — two "independent" sources
+    with high Jaccard are mirrors of each other, and training weights
+    that count them twice are wrong (the source-granular companion to
+    the doc-granular ``ngram_jaccard_guarded``).
+
+    Shingling runs directly at source granularity
+    (``shingle_rows(id_col="source")``): token n-grams dedupe straight
+    into (source, shingle) rows — no doc-id join anywhere. Shingles in
+    more than ``max_sources`` sources are dropped by a broadcast
+    anti-join (the heavy-hitter tail is tiny by definition) — the guard
+    that bounds the pair fan-out: each surviving shingle contributes at
+    most C(max_sources, 2) pairs, so the self-join is linear in the
+    shingle table, never |sources|^2 x |vocabulary|. Aggregates are
+    pair-count-sized; nothing document-sized shuffles after the first
+    distinct.
+    """
+    from ser_etl_spark.operators.dedup import shingle_rows
+
+    src_sh = shingle_rows(docs, n=n, id_col="source")
+    wide = (
+        src_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") > max_sources)
+        .select("sh")
+    )
+    guarded = src_sh.join(F.broadcast(wide), "sh", "left_anti")
+    sizes = guarded.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = guarded.select(F.col("source").alias("src_a"), "sh")
+    b = guarded.select(F.col("source").alias("src_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        4,
+    )
+    return (
+        common.join(na, "src_a")
+        .join(nb, "src_b")
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", jac.alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _source_overlap_oracle(
+    n: int = OVERLAP_N, max_sources: int = OVERLAP_MAX_SOURCES
+) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH toks AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source, {gram} AS sh
+      FROM (SELECT source, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM toks WHERE len(t) >= {n})),
+    guarded AS (
+      SELECT source, sh FROM sh
+      WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh
+                       HAVING COUNT(*) > {max_sources})),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM guarded GROUP BY 1),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM guarded a JOIN guarded b
+        ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, c.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 4)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.src_a = sa.source
+    JOIN sizes sb ON c.src_b = sb.source
+    ORDER BY src_a, src_b
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=_source_overlap_oracle(),
+    description="pairwise cross-source n-gram contamination audit: "
+    "distinct (source, 3-gram) rows shingled directly at source "
+    "granularity (no doc join), boilerplate shingles in >10 sources "
+    "dropped via broadcast anti-join (bounds pair fan-out to "
+    "C(10,2) per shingle), inverted-index self-join, per-pair overlap "
+    "count and set Jaccard — the mirror-detection pass run before "
+    "trusting source mixing weights",
+    covers=("N-dedup", "N-text"),
+)
+def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
