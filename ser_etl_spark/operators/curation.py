@@ -734,3 +734,84 @@ def _source_overlap_oracle(
 )
 def source_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate scoring: template/near-template document detection
+# ---------------------------------------------------------------------------
+
+#: A shingle in at least this many documents counts as boilerplate.
+BOILERPLATE_DF = 5
+
+
+def boilerplate_scores(docs: DataFrame, n: int = OVERLAP_N,
+                       min_df: int = BOILERPLATE_DF) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's DISTINCT
+    word ``n``-grams that are corpus-common (document frequency >=
+    ``min_df``). High scores mark templated pages (navigation chrome,
+    license headers, generated listings) — the public-pipeline
+    boilerplate-removal signal (C4/RefinedWeb-class filters), scored
+    here at the document level so curation can threshold or downweight.
+
+    Plan: one shingle pass (distinct (doc_id, sh)), a vocabulary-sized
+    df aggregate, then a join back on the shingle key — co-partitioned
+    with the aggregate's shuffle, so the exchange is reused — and a
+    per-doc hash aggregate. Docs with fewer than ``n`` tokens have no
+    shingle set and no score (dropped by the same length filter on both
+    engines). Nothing wider than the shingle table ever moves.
+    """
+    from ser_etl_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(docs, n=n)
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("bigint")).alias("n_common"),
+        )
+    )
+    score = F.round(
+        F.col("n_common").cast("double") / F.col("n_shingles").cast("double"),
+        4,
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_common", score.alias("boilerplate_score")
+    ).orderBy("doc_id")
+
+
+def _boilerplate_oracle(n: int = OVERLAP_N, min_df: int = BOILERPLATE_DF) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM toks WHERE len(t) >= {n})),
+    d AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+    p AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CAST(df >= {min_df} AS BIGINT)) AS BIGINT) AS n_common
+      FROM sh JOIN d USING (sh) GROUP BY 1)
+    SELECT doc_id, n_shingles, n_common,
+           round(CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+             AS boilerplate_score
+    FROM p ORDER BY doc_id
+    """
+
+
+@register(
+    "boilerplate_score",
+    oracle=_boilerplate_oracle(),
+    description="per-document boilerplate fraction: share of the doc's "
+    "distinct word 3-grams whose corpus document frequency is >= 5 — "
+    "one shingle pass, vocabulary-sized df aggregate, shingle-key join "
+    "reusing the aggregate's exchange, per-doc hash aggregate; the "
+    "template-detection signal of public web-pipeline filters",
+    covers=("N-text", "N-quality"),
+)
+def boilerplate_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_scores(load_table(spark, sf_dir, "documents"))
