@@ -51,6 +51,11 @@ EDGE_QUERIES = [
     "decontamination",
     "decontamination_bloom",
     "pack_sequences",
+    # r8b: the source-granular overlap audit and the boilerplate scorer
+    # share the shingle pipeline and must agree on unicode, multi-space
+    # and repeated-token shapes too.
+    "source_overlap_matrix",
+    "boilerplate_score",
 ]
 
 
@@ -207,7 +212,8 @@ def nulltext_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "name",
     ["bm25_search_indexed", "postings_layout", "substring_dedup",
-     "span_removal", "ngram_containment"],
+     "span_removal", "ngram_containment", "source_overlap_matrix",
+     "boilerplate_score"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
