@@ -2698,12 +2698,14 @@ def ann_recall_eval(
     Scale shape: ONE fused corpus scan scores every anchor AND computes
     each row's SRP bucket (per-anchor score columns and per-plane
     projections land as separate barrier-protected projections — the
-    janino discipline of :func:`hard_negative_mine`), then the stacked
-    (anchor, score, in_bucket) rows feed two per-anchor ranking windows
-    (WindowGroupLimit: per-partition heaps, no global sort) and
-    anchor-sized aggregates. Nothing but O(n_anchors * k) rows survives
-    the windows; at 100 TB the exact side is the honest cost of ground
-    truth and runs over a corpus SAMPLE at the same plan shape.
+    janino discipline of :func:`hard_negative_mine`), then ONE sorted
+    window per anchor yields both the exact rank and the in-bucket rank
+    (a running in_bucket count over the same order), and an anchor-sized
+    aggregate closes it: one scan, one window exchange, one aggregate
+    exchange (pinned by tests/test_plans.py — the naive two-window/join
+    tail re-ran the fused scan once per consumer). The per-anchor sort
+    is the honest cost of exact ground truth; at 100 TB the eval runs
+    over a corpus SAMPLE at the same plan shape.
     """
     anchors = [
         (a_id, vec)
@@ -2761,46 +2763,40 @@ def ann_recall_eval(
     stacked = p1.select(F.col("vec_id"), F.explode(entries).alias("s")).select(
         "vec_id", "s.a_id", "s.cos_sim", "s.in_bucket"
     )
-    w = Window.partitionBy("a_id").orderBy(
+    # Single-pass tail: one sorted window per anchor yields BOTH ranks —
+    # the exact rank (row_number) and the in-bucket rank (running count
+    # of in_bucket rows over the same order, inclusive — for an
+    # in-bucket row that running count IS its rank among bucket rows).
+    # The naive two-window/anti-join formulation re-computed the fused
+    # corpus scan once per consumer (4 scans in the plan); this shape is
+    # pinned to exactly one scan by tests/test_plans.py.
+    w_rank = Window.partitionBy("a_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
-    exact = (
-        stacked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("a_id", "vec_id")
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = stacked.select(
+        "a_id",
+        "in_bucket",
+        F.row_number().over(w_rank).cast("bigint").alias("_er"),
+        F.sum(F.col("in_bucket").cast("bigint")).over(w_run).alias("_bc"),
     )
-    approx = (
-        stacked.filter(F.col("in_bucket"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("a_id", "vec_id")
+    in_exact = F.col("_er") <= k
+    in_approx = F.col("in_bucket") & (F.col("_bc") <= k)
+    agg = ranked.groupBy("a_id").agg(
+        F.sum(in_exact.cast("bigint")).alias("n_exact"),
+        F.max("_bc").alias("n_bucket"),
+        F.sum((in_exact & in_approx).cast("bigint")).alias("n_hit"),
     )
-    n_exact = exact.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    n_bucket = (
-        stacked.filter(F.col("in_bucket"))
-        .groupBy("a_id")
-        .agg(F.count(F.lit(1)).alias("n_bucket"))
-    )
-    n_hit = (
-        exact.join(approx, ["a_id", "vec_id"])
-        .groupBy("a_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
-    return (
-        n_exact.join(n_bucket, "a_id")
-        .join(n_hit, "a_id", "left")
-        .select(
-            F.col("a_id").alias("anchor_id"),
-            "n_exact",
-            "n_bucket",
-            hit.alias("n_hit"),
-            F.round(
-                hit.cast("double") / F.col("n_exact").cast("double"), 4
-            ).alias("recall"),
-        )
-        .orderBy("anchor_id")
-    )
+    return agg.select(
+        F.col("a_id").alias("anchor_id"),
+        "n_exact",
+        "n_bucket",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            4,
+        ).alias("recall"),
+    ).orderBy("anchor_id")
 
 
 def _ann_recall_oracle(
@@ -2830,30 +2826,26 @@ def _ann_recall_oracle(
              {_duck_cos4("b.embedding", "q.qv", dim)} AS cs,
              (b.bk = q.qb) AS in_bucket
       FROM b CROSS JOIN q
-    ), ex AS (
-      SELECT a_id, vec_id FROM scored
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
-                                 ORDER BY cs DESC, vec_id ASC) <= {k}
-    ), ap AS (
-      SELECT a_id, vec_id FROM scored WHERE in_bucket
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
-                                 ORDER BY cs DESC, vec_id ASC) <= {k}
-    ), ne AS (
-      SELECT a_id, COUNT(*) AS n_exact FROM ex GROUP BY 1
-    ), nb AS (
-      SELECT a_id, COUNT(*) AS n_bucket FROM scored
-      WHERE in_bucket GROUP BY 1
-    ), nh AS (
-      SELECT ex.a_id, COUNT(*) AS n_hit
-      FROM ex JOIN ap USING (a_id, vec_id) GROUP BY 1
+    ), ranked AS (
+      SELECT a_id, in_bucket,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY cs DESC, vec_id ASC) AS er,
+             SUM(CAST(in_bucket AS BIGINT)) OVER (
+               PARTITION BY a_id ORDER BY cs DESC, vec_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bc
+      FROM scored
+    ), agg AS (
+      SELECT a_id,
+             CAST(SUM(CAST(er <= {k} AS BIGINT)) AS BIGINT) AS n_exact,
+             CAST(MAX(bc) AS BIGINT) AS n_bucket,
+             CAST(SUM(CAST(er <= {k} AND in_bucket AND bc <= {k}
+                           AS BIGINT)) AS BIGINT) AS n_hit
+      FROM ranked GROUP BY 1
     )
-    SELECT ne.a_id AS anchor_id, ne.n_exact, nb.n_bucket,
-           CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
-           round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE)
-                 / CAST(ne.n_exact AS DOUBLE), 4) AS recall
-    FROM ne
-    JOIN nb ON ne.a_id = nb.a_id
-    LEFT JOIN nh ON ne.a_id = nh.a_id
+    SELECT a_id AS anchor_id, n_exact, n_bucket, n_hit,
+           round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 4)
+             AS recall
+    FROM agg
     ORDER BY anchor_id
     """
 
@@ -2865,8 +2857,8 @@ def _ann_recall_oracle(
     "exact cosine top-10, per anchor, with the bucket's candidate-set "
     "size as the cost evidence — ONE fused corpus scan scores all "
     "anchors and computes row buckets (barrier-protected projections), "
-    "two WindowGroupLimit rankings, anchor-sized aggregates; the "
-    "index-rollout QA gate",
+    "one sorted window yielding both ranks, one anchor-sized "
+    "aggregate; the index-rollout QA gate",
     covers=("N-sim",),
 )
 def ann_recall_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:

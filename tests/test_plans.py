@@ -773,3 +773,61 @@ def test_containment_and_span_removal_never_cartesian(spark, sf_small):
         plan = _plan(spark, sf_small, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r8b_additions_never_cartesian(spark, sf_small):
+    """knn_classify / recall eval / overlap matrix / boilerplate score:
+    every join in the r8b additions is an equi-join (bucket key, shingle
+    key, or anchor id) — a nested-loop anywhere here is corpus^2."""
+    for name in ("knn_classify", "ann_recall_eval", "source_overlap_matrix",
+                 "boilerplate_score", "label_centroid_confusion"):
+        plan = _plan(spark, sf_small, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_classify_reads_persisted_index(spark, sf_small):
+    """The probe/neighbor sides both come from the persisted ANN layout
+    (vnorm reused, srp_bucket read from directories), not a recomputed
+    corpus scan."""
+    plan = _plan(spark, sf_small, "knn_classify")
+    assert "embeddings_ann_index" in plan or "ann_index" in plan, plan
+    assert "vnorm" in plan, plan
+
+
+def test_ranking_windows_use_group_limit(spark, sf_small):
+    """The per-probe top-k window must compile to WindowGroupLimit
+    (per-partition heaps before the final sort): a rank-then-filter that
+    sorts whole partitions is the non-scalable shape. (ann_recall_eval
+    deliberately does NOT qualify — its window also carries the running
+    in-bucket count the n_bucket aggregate needs, so all rows flow.)"""
+    plan = _plan(spark, sf_small, "knn_classify")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_recall_eval_single_corpus_scan(spark, sf_small):
+    """ONE fused scan scores all anchors and buckets all rows: the
+    embeddings parquet appears exactly once in the physical plan (the
+    anchor fetch is a separate driver-side O(n_anchors) job, not part of
+    this plan)."""
+    plan = _plan(spark, sf_small, "ann_recall_eval")
+    assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_source_overlap_guard_is_broadcast_anti_join(spark, sf_small):
+    """The boilerplate-shingle guard anti-joins a broadcast heavy-hitter
+    set — the full shingle table must not re-shuffle for the guard."""
+    plan = _plan(spark, sf_small, "source_overlap_matrix")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_windowed_outlier_and_burst_single_exchange_per_key(spark, sf_small):
+    """value_outliers_mad's two sorted windows and burst_detection's
+    range frame all partition by the same key: exactly ONE shuffle
+    exchange on that key may appear (AQE may add none elsewhere)."""
+    for name, key in (("value_outliers_mad", "grp"),
+                      ("burst_detection", "user_id")):
+        plan = _plan(spark, sf_small, name)
+        exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert len(exchanges) == 1 and exchanges[0].startswith(key), (
+            name, exchanges)
