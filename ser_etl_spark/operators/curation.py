@@ -643,33 +643,44 @@ def source_overlap_matrix(
 
     Shingling runs directly at source granularity
     (``shingle_rows(id_col="source")``): token n-grams dedupe straight
-    into (source, shingle) rows — no doc-id join anywhere. Shingles in
-    more than ``max_sources`` sources are dropped by a broadcast
-    anti-join (the heavy-hitter tail is tiny by definition) — the guard
-    that bounds the pair fan-out: each surviving shingle contributes at
-    most C(max_sources, 2) pairs, so the self-join is linear in the
-    shingle table, never |sources|^2 x |vocabulary|. Aggregates are
-    pair-count-sized; nothing document-sized shuffles after the first
-    distinct.
+    into (source, shingle) rows — no doc-id join anywhere. ONE
+    aggregate on the shingle key then collects each shingle's (sorted)
+    source list; shingles in more than ``max_sources`` sources are
+    dropped right there — the guard that bounds the pair fan-out — and
+    the surviving per-shingle lists expand to at most
+    C(max_sources, 2) ordered pairs by an in-row array transform
+    (bounded: <= 45 structs over a <= 10-element list, never a
+    self-join). Both downstream aggregates (pair counts, per-source
+    sizes) hang off that one vocabulary-sized frame — the exchange is
+    shared, and an earlier inverted-index self-join formulation that
+    re-derived the shingle pipeline per consumer (8 corpus scans in the
+    plan) is exactly what this shape replaces. Nothing document-sized
+    shuffles after the first distinct.
     """
     from ser_etl_spark.operators.dedup import shingle_rows
 
     src_sh = shingle_rows(docs, n=n, id_col="source")
-    wide = (
+    grp = (
         src_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("ns"))
-        .filter(F.col("ns") > max_sources)
-        .select("sh")
+        .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+        .filter(F.size("srcs") <= max_sources)
     )
-    guarded = src_sh.join(F.broadcast(wide), "sh", "left_anti")
-    sizes = guarded.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = guarded.select(F.col("source").alias("src_a"), "sh")
-    b = guarded.select(F.col("source").alias("src_b"), "sh")
+    # all ordered pairs within the sorted source list: i < j => a < b
+    pair_expr = (
+        "flatten(transform(srcs, (a, i) -> "
+        "  transform(slice(srcs, i + 2, size(srcs)), b -> "
+        "    named_struct('src_a', a, 'src_b', b))))"
+    )
     common = (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = (
+        grp.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     na = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
@@ -679,8 +690,8 @@ def source_overlap_matrix(
         4,
     )
     return (
-        common.join(na, "src_a")
-        .join(nb, "src_b")
+        common.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
         .select("src_a", "src_b", "n_common", "n_a", "n_b", jac.alias("jaccard"))
         .orderBy("src_a", "src_b")
     )
@@ -753,19 +764,21 @@ def boilerplate_scores(docs: DataFrame, n: int = OVERLAP_N,
     boilerplate-removal signal (C4/RefinedWeb-class filters), scored
     here at the document level so curation can threshold or downweight.
 
-    Plan: one shingle pass (distinct (doc_id, sh)), a vocabulary-sized
-    df aggregate, then a join back on the shingle key — co-partitioned
-    with the aggregate's shuffle, so the exchange is reused — and a
-    per-doc hash aggregate. Docs with fewer than ``n`` tokens have no
-    shingle set and no score (dropped by the same length filter on both
-    engines). Nothing wider than the shingle table ever moves.
+    Plan: one shingle pass (distinct (doc_id, sh)), ONE exchange on the
+    shingle key where a partition-count window computes each shingle's
+    document frequency in place (no df-table join, no second corpus
+    scan — the agg+join formulation re-ran the shingle pipeline per
+    consumer), then a per-doc hash aggregate. Docs with fewer than
+    ``n`` tokens have no shingle set and no score (dropped by the same
+    length filter on both engines). Nothing wider than the shingle
+    table ever moves.
     """
     from ser_etl_spark.operators.dedup import shingle_rows
 
     sh = shingle_rows(docs, n=n)
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_sh = Window.partitionBy("sh")
     per_doc = (
-        sh.join(df_tbl, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -2597,19 +2597,33 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
     pipeline uses to find mislabeled or incoherent classes before
     training on them.
 
-    Scale: :func:`ivf_assign` is one embarrassingly-parallel scan (K dot
-    products per row, no shuffle); the matrix aggregate is |labels| x K
-    rows, the share window runs over that aggregate, and nothing
-    data-sized moves after the first groupBy. Degenerate vectors carry
-    the -1 sentinel list and confuse nothing.
+    Scale: ONE embarrassingly-parallel scan (K dot products per row, no
+    shuffle — the label rides through the same projection
+    :func:`ivf_assign` uses, so no join back to the corpus); the matrix
+    aggregate is |labels| x K rows, the share window runs over that
+    aggregate, and nothing data-sized moves after the first groupBy.
+    Degenerate vectors carry the -1 sentinel list and confuse nothing.
     """
     from pyspark.sql.window import Window
 
-    asg = ivf_assign(vectors)
-    joined = asg.join(vectors.select("vec_id", "label"), "vec_id")
-    counts = joined.groupBy("label", "centroid_id").agg(
-        F.count(F.lit(1)).alias("n")
+    cents = ivf_centroids(vectors)
+    if not cents:  # empty corpus: typed empty matrix
+        return vectors.select(
+            F.col("label"),
+            F.lit(-1).alias("centroid_id"),
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("share"),
+        ).limit(0)
+    dim = len(cents[0][1])
+    p = vectors.select(
+        F.col("label"),
+        F.col("embedding"),
+        _norm_col("embedding", dim).alias("_nv"),
     )
+    asg = _with_nearest_centroid(p, "embedding", "_nv", cents, "centroid_id")
+    counts = asg.groupBy(
+        "label", F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("label")
     share = F.round(
         F.col("n").cast("double")

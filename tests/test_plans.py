@@ -814,11 +814,27 @@ def test_ann_recall_eval_single_corpus_scan(spark, sf_small):
     assert plan.count("embeddings.parquet") == 1, plan
 
 
-def test_source_overlap_guard_is_broadcast_anti_join(spark, sf_small):
-    """The boilerplate-shingle guard anti-joins a broadcast heavy-hitter
-    set — the full shingle table must not re-shuffle for the guard."""
+def test_source_overlap_guard_inside_single_aggregate(spark, sf_small):
+    """The fan-out guard lives inside the vocabulary aggregate (size
+    filter on the collected per-shingle source list) and pair expansion
+    is an in-row bounded array transform: no shingle-table SELF-join
+    remains (the only joins are the two broadcast size lookups), and the
+    shingle pipeline is not re-derived per consumer (the anti-join
+    formulation this replaces scanned documents 8x)."""
     plan = _plan(spark, sf_small, "source_overlap_matrix")
-    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    assert plan.count("documents.parquet") <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_boilerplate_and_confusion_single_scan(spark, sf_small):
+    """boilerplate_score computes shingle df with a partition window (no
+    df-table join) and label_centroid_confusion carries the label
+    through the assignment scan (no corpus join): one scan each."""
+    for name, f in (("boilerplate_score", "documents.parquet"),
+                    ("label_centroid_confusion", "embeddings.parquet")):
+        plan = _plan(spark, sf_small, name)
+        assert plan.count(f) == 1, (name, plan.count(f))
 
 
 def test_windowed_outlier_and_burst_single_exchange_per_key(spark, sf_small):
