@@ -913,3 +913,110 @@ class TestIncrementalArtifactCarry:
             .select("vec_id", "srp_bucket", "centroid_id").collect()
         )
         assert got == want
+
+
+class TestCompaction:
+    def _fragment(self, spark, sf_small, path, n_files=32):
+        """Write orders as many tiny files — the post-incremental state."""
+        df = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        return df
+
+    def test_compacts_to_target_and_preserves_content(
+        self, spark, sf_small, tmp_path
+    ):
+        from ser_etl_spark.etl.build import compact_table
+
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compact")
+        df = self._fragment(spark, sf_small, src)
+        rep = compact_table(
+            spark, src, dst,
+            TableLayout(unique_key="o_orderkey", sort_col="o_orderdate"),
+            target_file_bytes=1 << 30,
+        )
+        assert rep.files_before == 32
+        assert rep.target_files == 1
+        assert rep.files_after == 1
+        assert rep.rows == df.count()
+        before = sorted(map(tuple, df.collect()))
+        after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+        assert before == after
+
+    def test_compaction_preserves_sorted_range_layout(
+        self, spark, sf_small, tmp_path
+    ):
+        """Multiple output files: key ranges must not overlap (row-group
+        skipping survives compaction)."""
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.build import compact_table
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "compact2")
+        self._fragment(spark, sf_small, src)
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+        )
+        rep = compact_table(
+            spark, src, dst, TableLayout(unique_key="o_orderkey"),
+            target_file_bytes=max(1, total // 4),
+        )
+        assert rep.files_after >= 2
+        import pyarrow.parquet as pq
+
+        spans = []
+        for root, _d, files in os.walk(dst):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    t = pq.read_table(os.path.join(root, f),
+                                      columns=["o_orderkey"])
+                    c = t.column(0).to_pylist()
+                    spans.append((min(c), max(c)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, spans
+
+    def test_compaction_preserves_directory_partitions(
+        self, spark, sf_small, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.build import compact_table
+
+        src = str(tmp_path / "frag3")
+        dst = str(tmp_path / "compact3")
+        ev = spark.read.parquet(os.path.join(sf_small, "events.parquet"))
+        (
+            ev.withColumn("etype", F.col("event_type"))
+            .repartition(16)
+            .write.mode("overwrite")
+            .partitionBy("etype")
+            .parquet(src)
+        )
+        rep = compact_table(
+            spark, src, dst,
+            TableLayout(unique_key="event_id", partition_by="etype"),
+            target_file_bytes=1 << 30,
+        )
+        src_dirs = {d for d in os.listdir(src) if d.startswith("etype=")}
+        dst_dirs = {d for d in os.listdir(dst) if d.startswith("etype=")}
+        assert src_dirs == dst_dirs
+        assert rep.files_after < rep.files_before
+        assert (
+            spark.read.parquet(dst).count()
+            == spark.read.parquet(src).count()
+        )
+
+    def test_compaction_detects_row_drift(self, spark, sf_small, tmp_path):
+        """The verify gate raises if the rewrite lost rows (simulated by
+        compacting a directory that changes mid-flight is not cheaply
+        reproducible; instead pin that verify runs and returns rows)."""
+        from ser_etl_spark.etl.build import compact_table
+
+        src = str(tmp_path / "frag4")
+        dst = str(tmp_path / "compact4")
+        df = self._fragment(spark, sf_small, src, n_files=4)
+        rep = compact_table(spark, src, dst, verify=True)
+        assert rep.rows == df.count()
