@@ -1686,3 +1686,194 @@ def span_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(
         spread_small_input(load_table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy evaluation: the sketch-QA harness
+# ---------------------------------------------------------------------------
+
+
+def minhash_error_eval(
+    docs: DataFrame, num_perm: int = 64, bands: int = 16, n: int = 3
+) -> DataFrame:
+    """Per-candidate-pair MinHash estimation error: for every banded
+    candidate pair, the signature-position agreement estimate
+    ``est_matches / num_perm`` next to the EXACT shingle-set Jaccard
+    and their absolute error — the sketch-QA companion to
+    ``ann_recall_eval`` (recall gates the ANN index; this gates the
+    MinHash family's accuracy before a dedup threshold is trusted).
+    The evaluation population is exactly the pairs the bands surface —
+    the pairs a production run would act on.
+
+    Plan: ONE combined per-doc aggregate (signature mins AND the sorted
+    shingle set in the same groupBy), band keys exploded FROM the
+    signature array (never a shingle re-derive), the banded equi-join
+    for candidates, then two joins back to the per-doc frame for
+    signatures + sets. All joins key on doc ids or band buckets;
+    est_matches is one generated 64-term comparison sum; divisions are
+    by the power-of-two ``num_perm`` (exact) and the int-ratio Jaccard
+    (correctly rounded identically on both engines).
+    """
+    exploded = shingle_rows(docs, n)
+    base = exploded.select("doc_id", "sh", F.xxhash64("sh").alias("_b"))
+    sig = "array(" + ", ".join(
+        f"min(xxhash64(_b, {k}))" for k in range(num_perm)
+    ) + ")"
+    perdoc = base.groupBy("doc_id").agg(
+        F.expr(sig).alias("sig"),
+        F.sort_array(F.collect_set("sh")).alias("s"),
+    )
+    rows_per_band = num_perm // bands
+    structs = ", ".join(
+        "named_struct('band', {i}, 'bucket', xxhash64({elems}))".format(
+            i=i,
+            elems=", ".join(
+                f"element_at(sig, {i * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
+    )
+    entries = perdoc.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = entries.alias("a"), entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    paired = candidates.join(
+        perdoc.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sig").alias("siga"),
+            F.col("s").alias("sa"),
+        ),
+        "doc_a",
+    ).join(
+        perdoc.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sig").alias("sigb"),
+            F.col("s").alias("sb"),
+        ),
+        "doc_b",
+    )
+    match_sum = "CAST(" + " + ".join(
+        f"CAST(element_at(siga, {k + 1}) = element_at(sigb, {k + 1}) AS INT)"
+        for k in range(num_perm)
+    ) + " AS BIGINT)"
+    est = F.col("est_matches").cast("double") / F.lit(float(num_perm))
+    exact = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    ).cast("double")
+    return (
+        paired.withColumn("est_matches", F.expr(match_sum))
+        .withColumn("_exact", exact)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_matches",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(F.col("_exact"), 4).alias("jaccard_exact"),
+            F.round(F.abs(est - F.col("_exact")), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_error_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB twin: the proven signature/band CTE chain of
+    ``_minhash_lsh_oracle`` (bit-equal staged xxhash64), extended with
+    the per-position agreement sum and the exact-Jaccard join."""
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    rows_per_band = num_perm // bands
+    str_ctes, str_fin = stages_to_ctes(
+        "dg", xxh64_str_stage_cols("g", "_mb", pfx="_mxs"), "_msa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_mb", "_mh1", pfx="_mxl"), "_msb"
+    )
+    perm_ctes, perm_fin = stages_to_ctes(
+        long_fin, _minhash_perm_stages("_mh1", num_perm), "_msc"
+    )
+    perm_cols = ", ".join(f"p._mps{k}" for k in range(num_perm))
+    mins = ", ".join(f"MIN(_mps{k}) AS m{k}" for k in range(num_perm))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(
+            f"m{i * rows_per_band + r} AS w{r}" for r in range(rows_per_band)
+        )
+        + " FROM sig"
+        for i in range(bands)
+    )
+    band_eq = " AND ".join(f"a.w{r} = b.w{r}" for r in range(rows_per_band))
+    match_sum = "CAST(" + " + ".join(
+        f"CAST(x.m{k} = y.m{k} AS INT)" for k in range(num_perm)
+    ) + " AS BIGINT)"
+    return f"""
+    WITH {_SHINGLE_CTES}, dg AS (
+      SELECT DISTINCT g FROM ex
+    ){str_ctes}{long_ctes}{perm_ctes}, sigsrc AS (
+      SELECT e.doc_id, {perm_cols}
+      FROM ex e JOIN {perm_fin} p USING (g)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sigsrc GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           {match_sum} AS est_matches,
+           round(CAST({match_sum} AS DOUBLE) / {float(num_perm)!r}, 4)
+             AS est_jaccard,
+           round(CAST(coalesce(s2.shared, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(s2.shared, 0)), 4)
+             AS jaccard_exact,
+           round(abs(CAST({match_sum} AS DOUBLE) / {float(num_perm)!r}
+                     - CAST(coalesce(s2.shared, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(s2.shared, 0))), 4)
+             AS abs_err
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+    LEFT JOIN shared s2 ON s2.doc_a = c.doc_a AND s2.doc_b = c.doc_b
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = c.doc_a
+    JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = c.doc_b
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "minhash_error_eval",
+    oracle=_minhash_error_oracle(),
+    description="MinHash sketch-accuracy QA over the banded candidate "
+    "pairs: per pair, the 64-position signature agreement estimate next "
+    "to the exact shingle-set Jaccard and their absolute error — one "
+    "combined per-doc aggregate (signatures + sorted shingle set), band "
+    "keys exploded from the signature array, banded equi-join, two "
+    "id-keyed joins back; the accuracy gate run before trusting a "
+    "MinHash dedup threshold (the sketch-family twin of "
+    "ann_recall_eval)",
+    covers=("N-dedup", "N-quality"),
+)
+def minhash_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_error_eval(load_table(spark, sf_dir, "documents"))

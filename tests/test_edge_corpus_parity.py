@@ -56,6 +56,7 @@ EDGE_QUERIES = [
     # and repeated-token shapes too.
     "source_overlap_matrix",
     "boilerplate_score",
+    "minhash_error_eval",
 ]
 
 
@@ -120,6 +121,9 @@ CLIQUE_QUERIES = [
     "incremental_dedup",
     "media_phash_neardup",
     "heavy_hitters",
+    # r8b: the sketch-accuracy eval on the complete candidate graph —
+    # every pair is a band candidate, est and exact both 1.0
+    "minhash_error_eval",
 ]
 
 
