@@ -2877,3 +2877,116 @@ def _ann_recall_oracle(
 )
 def ann_recall_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_eval(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# vector quality audit: embeddings-table data QA
+# ---------------------------------------------------------------------------
+
+
+def vector_quality_audit(
+    vectors: DataFrame, expect_dim: int | None = None
+) -> DataFrame:
+    """Per-label embedding-quality audit: how many vectors are NULL,
+    dimension-mismatched, carry NULL/NaN components, or are zero-norm —
+    the ingest gate run BEFORE building the ANN index (degenerate rows
+    land in sentinel partitions, poison cosine rankings, and waste index
+    space; this is the table that tells you how many and where from).
+    Mirrors the reference's QA-before-index intent (the uniqueness gate
+    of ``etl/build.py check_unique``) applied to the vector column.
+
+    One scan, one |labels|-sized hash aggregate with map-side partials;
+    component checks are higher-order EXISTS/aggregate over the array —
+    per-row bounded work, no shuffle beyond the label key. ``expect_dim``
+    defaults to the corpus's probed dimension, so the audit is
+    self-calibrating (and the probe is O(1), not a scan).
+    """
+    dim = expect_dim if expect_dim is not None else _dim(vectors, "embedding")
+    if dim is None:
+        # no probe-able vector anywhere: every row is either NULL or
+        # mismatched-by-definition-unknown; report the NULL counts only
+        return (
+            vectors.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("embedding").isNull().cast("bigint")
+                ).alias("n_null_vec"),
+                F.lit(0).cast("bigint").alias("n_wrong_dim"),
+                F.lit(0).cast("bigint").alias("n_null_elem"),
+                F.lit(0).cast("bigint").alias("n_nan"),
+                F.lit(0).cast("bigint").alias("n_zero_norm"),
+            )
+            .orderBy("label")
+        )
+    has_null_elem = F.expr("exists(embedding, x -> x IS NULL)")
+    has_nan = F.expr("exists(embedding, x -> isnan(x))")
+    # exact zero norm: NO non-NULL nonzero component present (the
+    # predicate inside exists is never NULL, so the three-valued-logic
+    # seam of a forall over NULL elements cannot appear; buckets may
+    # overlap — a [NULL, 0.0] vector is both n_null_elem and
+    # n_zero_norm — identically on both engines)
+    all_zero = F.expr(
+        "NOT exists(embedding, x -> x IS NOT NULL AND x <> CAST(0.0 AS FLOAT))"
+    )
+    ok_vec = F.col("embedding").isNotNull()
+    right_dim = F.size("embedding") == dim
+    return (
+        vectors.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~ok_vec).cast("bigint")).alias("n_null_vec"),
+            F.sum((ok_vec & ~right_dim).cast("bigint")).alias("n_wrong_dim"),
+            F.sum(
+                (ok_vec & F.coalesce(has_null_elem, F.lit(False)))
+                .cast("bigint")
+            ).alias("n_null_elem"),
+            F.sum(
+                (ok_vec & F.coalesce(has_nan, F.lit(False))).cast("bigint")
+            ).alias("n_nan"),
+            F.sum(
+                (ok_vec & F.coalesce(all_zero, F.lit(False))).cast("bigint")
+            ).alias("n_zero_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _vector_quality_oracle(dim: int | None = None) -> str:
+    d = EMB_DIM if dim is None else dim
+    return f"""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(embedding IS NULL AS BIGINT)) AS BIGINT)
+             AS n_null_vec,
+           CAST(SUM(CAST(embedding IS NOT NULL AND len(embedding) <> {d}
+                         AS BIGINT)) AS BIGINT) AS n_wrong_dim,
+           CAST(SUM(CAST(embedding IS NOT NULL AND coalesce(
+                  len(list_filter(embedding, x -> x IS NULL)) > 0, false)
+                         AS BIGINT)) AS BIGINT) AS n_null_elem,
+           CAST(SUM(CAST(embedding IS NOT NULL AND coalesce(
+                  len(list_filter(embedding, x -> isnan(x))) > 0, false)
+                         AS BIGINT)) AS BIGINT) AS n_nan,
+           CAST(SUM(CAST(embedding IS NOT NULL AND coalesce(
+                  len(list_filter(embedding,
+                      x -> x IS NOT NULL AND x <> CAST(0.0 AS FLOAT))) = 0,
+                  false)
+                         AS BIGINT)) AS BIGINT) AS n_zero_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+@register(
+    "vector_quality_audit",
+    oracle=_vector_quality_oracle(),
+    description="per-label embedding data-QA: counts of NULL vectors, "
+    "dimension mismatches, NULL/NaN components and exact zero-norm "
+    "rows — one scan, |labels|-sized hash aggregate with map-side "
+    "partials, bounded per-row array checks; the ingest gate run "
+    "before an ANN index build trusts the vector column",
+    covers=("N-sim", "N-quality"),
+)
+def vector_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector_quality_audit(load_table(spark, sf_dir, "embeddings"))

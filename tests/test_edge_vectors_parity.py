@@ -102,6 +102,9 @@ FULL_QUERIES = [
     # NaN-first/NULL-last DESC ordering on both engines; anchors are
     # well-formed by the corpus contract (vec_ids 0..7).
     "ann_recall_eval",
+    # r8b: the vector-QA audit EXISTS to count exactly these seam rows —
+    # NULL vec, NaN/NULL components, short arrays, zero/neg-zero norms.
+    "vector_quality_audit",
 ]
 
 REDUCED_QUERIES = [
