@@ -435,7 +435,18 @@ def ivf_centroids(
         .orderBy(id_col)
         .collect()
     )
-    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
+    # A centroid row with a NULL vector stays in the quantizer as a
+    # NULL centroid (it scores NULL against everything — exactly what
+    # the oracle's CROSS JOIN produces for that cid); materializing it
+    # as float(None) crashed the driver on degenerate corpora (r8b
+    # review finding).
+    return [
+        (
+            int(r[id_col]),
+            None if r[vec_col] is None else [float(x) for x in r[vec_col]],
+        )
+        for r in rows
+    ]
 
 
 def _with_nearest_centroid(
@@ -477,11 +488,16 @@ def _with_nearest_centroid(
         # nullif: a zero-norm row scores NULL against every centroid, so
         # greatest/when/least below all yield NULL and the row's centroid
         # id is NULL (no nearest list) — matching the oracle's CASE and
-        # the NULL semantics of _query_cosine_topk.
-        cs = (
-            f"round({_dot_lit_sql(vec, cvec)}"
-            f" / nullif(({vec_norm}) * ({_pynorm(cvec)!r}), 0.0D), 4)"
-        )
+        # the NULL semantics of _query_cosine_topk. A NULL centroid
+        # (degenerate quantizer row) scores constant NULL — greatest and
+        # the when-chain skip it, same as the oracle's NULL cs.
+        if cvec is None:
+            cs = "CAST(NULL AS DOUBLE)"
+        else:
+            cs = (
+                f"round({_dot_lit_sql(vec, cvec)}"
+                f" / nullif(({vec_norm}) * ({_pynorm(cvec)!r}), 0.0D), 4)"
+            )
         cs_cols.append((cid, name))
         # `+ monotonically_increasing_id()*0` adds an EXACT integer zero
         # (value unchanged) but marks the column nondeterministic, which
@@ -524,7 +540,15 @@ def ivf_assign(
         return vectors.select(
             F.col(id_col), F.lit(-1).alias("centroid_id")
         ).limit(0)
-    dim = len(cents[0][1])
+    dim = next((len(v) for _, v in cents if v is not None), None)
+    if dim is None:
+        # centroid rows exist but every one is vector-less: each row
+        # scores NULL against each centroid, so the oracle assigns the
+        # -1 sentinel to EVERY row — an empty result here would drop
+        # rows the oracle keeps (r8b review finding).
+        return vectors.select(
+            F.col(id_col), F.lit(-1).alias("centroid_id")
+        )
     p = vectors.select(
         F.col(id_col),
         F.col(vec_col),
@@ -557,8 +581,9 @@ def _ivf_probe_ids(
     def key(cv: tuple[int, list[float]]) -> tuple[int, float, int]:
         cid, vec = cv
         # SQL semantics: any NULL element (out-of-range access on a short
-        # list included) nulls the whole sum -> NULL score.
-        if len(vec) < len(q) or any(x is None for x in vec):
+        # list included) or a NULL centroid nulls the whole sum -> NULL
+        # score.
+        if vec is None or len(vec) < len(q) or any(x is None for x in vec):
             return (2, 0.0, cid)
         dot, na, nb = 0.0, 0.0, 0.0
         for x, y in zip(q, vec):
@@ -1033,24 +1058,90 @@ def embedding_centroids(
 # ---------------------------------------------------------------------------
 
 
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
+#: Sentinel: the vec_id=0 row EXISTS but its embedding is NULL. Distinct
+#: from "no row" (None) because the oracles distinguish them too — an
+#: empty query CTE yields zero rows, while a NULL query vector scores
+#: NULL against every candidate (rows survive under NULLS-LAST ranking
+#: in the exact/LSH family, and vanish under ``cid IN probes`` NULL
+#: propagation in the IVF/rescore family). r8b review finding.
+_NULL_QUERY = object()
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
     """The corpus vector with vec_id=0 serves as the test query point;
     None when the corpus (or that row) is absent — a query point derived
     FROM an empty corpus does not exist, so the ANN builders return a
     typed empty result, matching the oracles (whose query CTE is empty
-    and whose final SELECT therefore yields zero rows)."""
+    and whose final SELECT therefore yields zero rows). A present row
+    whose vector is NULL returns :data:`_NULL_QUERY` (see there). A NULL
+    *element* inside an otherwise-present query vector is out of
+    contract (the fixture/corpus contract keeps vec_id 0 well-formed)."""
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .first()
     )
-    return None if row is None else list(row["embedding"])
+    if row is None:
+        return None
+    if row["embedding"] is None:
+        return _NULL_QUERY
+    return list(row["embedding"])
 
 
 def _empty_topk(spark: SparkSession) -> DataFrame:
     """Typed empty (vec_id, cos_sim) result for query-less ANN probes."""
     return spark.createDataFrame([], "vec_id bigint, cos_sim double")
+
+
+def _null_query_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    max_mismatches: int | None = None,
+) -> DataFrame:
+    """Top-k for a present-but-NULL query vector: every cosine is NULL
+    (NULLS LAST on both engines), so ranking falls to the vec_id
+    tie-break — but the CANDIDATE SET is still the bucket filter, with
+    the query bucket = 0 (every SRP projection of a NULL vector is NULL
+    -> bit 0 on both engines). ``max_mismatches`` None = exact scan (no
+    filter); 0 = single probe (row bucket must be 0); >0 = the Hamming
+    ball around bucket 0 (row bucket popcount <= it). Computed scan-time
+    — a corpus whose query row is NULL may have no buildable index at
+    all (the all-NULL corpus), and this is a degenerate-input path where
+    the plan shape is irrelevant and only oracle parity matters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb
+    dim = _dim(emb, "embedding")
+    if max_mismatches is not None and dim is not None:
+        matrix = _plane_matrix(spark, dim, ANN_PLANES)
+        barrier = F.monotonically_increasing_id() * F.lit(0)
+        bit_cols = [
+            (
+                F.coalesce(
+                    F.expr(_plane_proj_sql(coeffs, "embedding")) >= 0,
+                    F.lit(False),
+                ).cast("int")
+                + barrier.cast("int")
+            ).alias(f"_qb{p}")
+            for p, coeffs in enumerate(matrix)
+        ]
+        pop = None
+        for p in range(len(matrix)):
+            c = F.col(f"_qb{p}")
+            pop = c if pop is None else pop + c
+        cand = (
+            emb.select("vec_id", *bit_cols)
+            .filter(pop <= max_mismatches)
+        )
+    return (
+        cand.select(
+            F.col("vec_id"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+        .orderBy(F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 def _duck_elem(arr: str, i: int) -> str:
@@ -1105,6 +1196,8 @@ def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     if vec is None:
         return _empty_topk(spark)
+    if vec is _NULL_QUERY:  # NULL query: all scores NULL, no filter
+        return _null_query_topk(spark, sf_dir, k=10)
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), vec, k=10)
 
 
@@ -1179,6 +1272,8 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     if vec is None:
         return _empty_topk(spark)
+    if vec is _NULL_QUERY:  # NULL query probes its bucket-0 peers
+        return _null_query_topk(spark, sf_dir, k=10, max_mismatches=0)
     return lsh_ann_topk_indexed(spark, sf_dir, vec, k=10)
 
 
@@ -1222,6 +1317,8 @@ def lsh_ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     if vec is None:
         return _empty_topk(spark)
+    if vec is _NULL_QUERY:  # Hamming ball around bucket 0
+        return _null_query_topk(spark, sf_dir, k=10, max_mismatches=1)
     return lsh_ann_topk_indexed(spark, sf_dir, vec, k=10, max_mismatches=1)
 
 
@@ -1347,9 +1444,17 @@ def _ann_layout_oracle(
     covers=("N-sim",),
 )
 def ann_index_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if _query_vector(spark, sf_dir) is None:  # empty corpus: no index
-        return spark.createDataFrame(
-            [], "vec_id bigint, srp_bucket int, centroid_id int"
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _dim(emb, "embedding") is None:
+        # no buildable index (empty corpus OR no probe-able vector) —
+        # but the LAYOUT relation still owes one row per existing row:
+        # all-NULL projections put every row in bucket 0 with the -1
+        # sentinel, exactly the oracle's algebra (empty in => empty out
+        # falls out of the same projection; r8b review finding)
+        return emb.select(
+            "vec_id",
+            F.lit(0).alias("srp_bucket"),
+            F.lit(-1).alias("centroid_id"),
         )
     idx = ensure_ann_index(spark, sf_dir)
     return spark.read.parquet(idx).select(
@@ -1374,6 +1479,10 @@ def ann_index_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     if vec is None:
+        return _empty_topk(spark)
+    if vec is _NULL_QUERY:
+        # NULL query: every row's assignment check is `NULL IN probes`
+        # -> no row survives the oracle's pruning; typed empty
         return _empty_topk(spark)
     return ivf_ann_topk_indexed(spark, sf_dir, vec, k=10)
 
@@ -1736,6 +1845,9 @@ def ann_quantized_rescore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _query_vector(spark, sf_dir)
     if vec is None:
         return _empty_topk(spark)
+    if vec is _NULL_QUERY:
+        # same `NULL IN probes` pruning as ivf_ann_topk: oracle-empty
+        return _empty_topk(spark)
     return quantized_rescore_topk_indexed(spark, sf_dir, vec)
 
 
@@ -1880,8 +1992,17 @@ def _query_points(
         .select("vec_id", "label", "embedding")
         .collect()
     )
+    # A NULL embedding stays None (callers drop or NULL-score such
+    # anchors — crashing the driver on a degenerate corpus row would
+    # diverge from the oracle's NULL algebra; r8b review finding).
     return [
-        (r["vec_id"], r["label"], [float(v) for v in r["embedding"]])
+        (
+            r["vec_id"],
+            r["label"],
+            None
+            if r["embedding"] is None
+            else [float(v) for v in r["embedding"]],
+        )
         for r in sorted(rows, key=lambda r: r["vec_id"])
     ]
 
@@ -1924,6 +2045,10 @@ def hard_negative_mine(
     """
     from pyspark.sql.window import Window
 
+    # A NULL-embedding anchor scores NULL against every candidate, and
+    # NULL < floor excludes all of them in BOTH engines — dropping the
+    # anchor up front is the same relation without the driver crash.
+    queries = [q for q in queries if q[2] is not None]
     if not queries:  # no anchors (empty corpus): typed empty result
         return vectors.select(
             F.col(id_col).alias("q_id"),
@@ -2614,16 +2739,27 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
             F.lit(0).cast("bigint").alias("n"),
             F.lit(0.0).alias("share"),
         ).limit(0)
-    dim = len(cents[0][1])
-    p = vectors.select(
-        F.col("label"),
-        F.col("embedding"),
-        _norm_col("embedding", dim).alias("_nv"),
-    )
-    asg = _with_nearest_centroid(p, "embedding", "_nv", cents, "centroid_id")
-    counts = asg.groupBy(
-        "label", F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    dim = next((len(v) for _, v in cents if v is not None), None)
+    if dim is None:
+        # centroid rows exist but carry no vector: every row scores NULL
+        # everywhere and the whole corpus lands on the -1 sentinel (the
+        # oracle's CASE; rows must survive — r8b review finding)
+        counts = vectors.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select("label", F.lit(-1).alias("centroid_id"), "n")
+    else:
+        p = vectors.select(
+            F.col("label"),
+            F.col("embedding"),
+            _norm_col("embedding", dim).alias("_nv"),
+        )
+        asg = _with_nearest_centroid(
+            p, "embedding", "_nv", cents, "centroid_id"
+        )
+        counts = asg.groupBy(
+            "label",
+            F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id"),
+        ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("label")
     share = F.round(
         F.col("n").cast("double")

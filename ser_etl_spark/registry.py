@@ -72,7 +72,11 @@ def register(
 #: artifact gains a source-fingerprint manifest at build/upsert time),
 #: and the ensure_minhash_bands dependents (minhash_lsh_pairs,
 #: incremental_dedup, streaming_incremental_dedup). New r8 queries have
-#: never had a row and lead the window anyway.
+#: never had a row and lead the window anyway. r8 continuation: held
+#: out ivf_assign and hard_negative_mining after the degenerate-corpus
+#: hardening of their shared helpers (ivf_centroids /
+#: _with_nearest_centroid / _query_points now tolerate NULL vectors —
+#: the builder hashes did not move, the documented shared-helper rule).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_cosine_topk",
     "approx_sketches",
@@ -106,12 +110,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
-    "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
     "important_stock",
     "incremental_scan",
-    "ivf_assign",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",

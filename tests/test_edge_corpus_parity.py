@@ -275,7 +275,34 @@ def nullvec_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["semdedup_canonical", "label_cohesion"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "semdedup_canonical",
+        "label_cohesion",
+        # r8b hardening: the whole vector family survives a rows-exist/
+        # vectors-all-NULL corpus and matches the oracle's NULL algebra —
+        # ivf_centroids keeps NULL centroids, _query_vector distinguishes
+        # a NULL query (rows survive NULLS-LAST ranking in the exact/LSH
+        # family; `NULL IN probes` empties the IVF/rescore family), and
+        # the layout relation emits (bucket 0, -1) without an index.
+        "ivf_assign",
+        "label_centroid_confusion",
+        "knn_classify",
+        "vector_quality_audit",
+        "ann_recall_eval",
+        "hard_negative_mining",
+        "ann_cosine_topk",
+        "lsh_ann_topk",
+        "lsh_ann_multiprobe",
+        "ivf_ann_topk",
+        "ann_quantized_rescore",
+        "ann_index_layout",
+        "ann_blocked_neardup",
+        "embedding_neardup",
+        "embedding_centroids",
+    ],
+)
 def test_nullvec_corpus_parity(spark, nullvec_dir, name):
     """r8 review: a non-empty corpus whose vectors are all NULL — no
     pairs and no centroids exist, but ROWS still do: semdedup keeps
