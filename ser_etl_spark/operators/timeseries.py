@@ -671,3 +671,105 @@ def rolling_active_users(events: DataFrame, window_hours: int = 24) -> DataFrame
 )
 def rolling_active_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average: irregular-series aggregation
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of ``value`` over irregular event
+    times — the TSDB continuous-aggregate primitive (a sensor that
+    reports on change, a metered rate, a position held between fills):
+    each reading is weighted by how long it was current (until the next
+    event), so burst-sampled periods don't dominate the mean the way
+    they do in a plain AVG.
+
+    Exactness recipe: values quantize to cents (``floor(x*100+0.5)``),
+    durations are integer NTZ seconds (``timestampdiff`` over the LEAD
+    pair — timezone-pure), and the weighted sum accumulates
+    ``cents * seconds`` in DECIMAL(38,0)/HUGEINT — associative integer
+    addition, partitioning-independent — with ONE double division chain
+    at the end, identical on both engines. The last reading per user
+    holds no duration and contributes nothing; an all-same-timestamp
+    user has zero held time and a NULL average (nullif, both engines).
+
+    Scale: one shuffle on user_id, one in-partition sort shared by the
+    LEAD window, then a hash aggregate — the sessionization cost class.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    seg = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            cents.alias("_c"),
+            F.lead("ts").over(w).alias("_nts"),
+        )
+        .filter(F.col("_nts").isNotNull() & F.col("_c").isNotNull())
+        .select(
+            "user_id",
+            "_c",
+            F.expr("timestampdiff(SECOND, ts, _nts)").alias("_dur"),
+        )
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_dur").alias("held_s"),
+        F.sum(
+            (F.col("_c") * F.col("_dur")).cast("decimal(38,0)")
+        ).alias("_ws"),
+    )
+    twa = (
+        F.col("_ws").cast("double")
+        / F.expr("nullif(CAST(held_s AS DOUBLE), 0.0D)")
+        / F.lit(100.0)
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        "held_s",
+        F.round(twa, 4).alias("twa_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts ASC, event_id ASC))
+                        - epoch(ts)) AS BIGINT) AS dur
+      FROM events
+      QUALIFY dur IS NOT NULL AND c IS NOT NULL
+    ), agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_segments,
+             CAST(SUM(dur) AS BIGINT) AS held_s,
+             SUM(c * dur) AS ws
+      FROM seg GROUP BY 1
+    )
+    SELECT user_id, n_segments, held_s,
+           round(CAST(ws AS DOUBLE)
+                 / nullif(CAST(held_s AS DOUBLE), 0.0) / 100.0, 4)
+             AS twa_value
+    FROM agg ORDER BY user_id
+    """,
+    description="per-user time-weighted average of event values over "
+    "irregular times (each reading weighted by how long it was current "
+    "— the TSDB continuous-aggregate primitive): cents x integer NTZ "
+    "seconds accumulated in DECIMAL(38,0)/HUGEINT, one double division "
+    "chain at the end; one user shuffle, one sorted LEAD window, one "
+    "hash aggregate",
+    covers=("X-window", "N-quality"),
+)
+def time_weighted_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_weighted_value(load_table(spark, sf_dir, "events"))
