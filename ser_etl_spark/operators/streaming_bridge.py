@@ -338,3 +338,58 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, docs.filter(delta_pred(F)), bands_dir, delta_pred,
         files=2,
     )
+
+
+@register(
+    "streaming_burst_flags",
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+                 AS s
+      FROM events
+    ), w AS (
+      SELECT s AS window_start, user_id FROM h
+      UNION ALL
+      SELECT s - INTERVAL 30 MINUTE AS window_start, user_id FROM h
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM w
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 3
+    ORDER BY window_start, user_id
+    """,
+    description="streaming twin of burst_detection: per-user 1 h "
+    "windows sliding by 30 min over the watermarked events stream, "
+    "flagged when a window holds >= 3 events (the live abuse/bot-rate "
+    "guard; state bounded by the watermark horizon like any sliding "
+    "agg) — complete-mode availableNow replay, oracle-backed via the "
+    "epoch-aligned half-hour-shift UNION twin",
+    covers=("A16", "N-quality"),
+)
+def streaming_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.streaming.windows import sliding_window_agg
+
+    sink = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    result = replay_to_batch(
+        spark,
+        lambda s: sliding_window_agg(
+            streaming_events(s, sf_dir),
+            window="1 hour",
+            slide="30 minutes",
+            key="user_id",
+        ).filter(F.col("events") >= 3),
+        sink,
+        mode="complete",
+        no_data_batches=False,
+    )
+    return result.orderBy("window_start", "user_id").select(
+        "window_start",
+        "window_end",
+        "user_id",
+        F.col("events").alias("n_events"),
+    )
