@@ -3126,3 +3126,152 @@ def _vector_quality_oracle(dim: int | None = None) -> str:
 )
 def vector_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_quality_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# embedding drift: centroid movement between corpus halves
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid drift between two corpus halves (``vec_id %
+    2``): the cosine between the exact integer-space mean centroid of
+    each half, with both member counts. The QA a pipeline runs when an
+    embedding model or upstream corpus changes — a label whose halves'
+    centroids disagree (low ``drift_cos``) is unstable, and indexes /
+    thresholds tuned on the old half will not transfer.
+
+    Determinism: both centroids use :func:`embedding_centroids`'s
+    1e-9-quantized BIGINT means (partitioning-independent doubles, NaN
+    components try_cast-dropped), re-packed to dim-ordered arrays; the
+    drift cosine is ONE fixed-order expanded 64-term expression over
+    the two centroid arrays — deterministic on both engines without
+    further quantization (unlike label_cohesion's member SUM, nothing
+    here accumulates in a partition-dependent order). A label appears
+    only when BOTH halves have at least one component row (inner join);
+    a dim absent from one half's members makes that drift NULL on both
+    engines (out-of-range access).
+
+    Scale: one posexplode scan, (label, half, dim)-keyed hash
+    aggregates with map-side partials, two |labels|-sized join inputs —
+    nothing data-sized moves after the first aggregate.
+    """
+    dim = _dim(vectors, vec_col)
+    if dim is None:
+        # no component rows anywhere -> no (label, half) centroid rows
+        # -> the inner join is empty on both engines
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{label_col} int, n_a bigint, n_b bigint, drift_cos double",
+        )
+    half = (F.col("vec_id") % 2).alias("half")
+    exploded = vectors.select(
+        F.col(label_col).alias("grp"),
+        half,
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    q9 = F.expr(
+        "try_cast(round(CAST(_x AS DOUBLE) * 1000000000.0D) AS LONG)"
+    )
+    packed = (
+        exploded.groupBy("grp", "half", "dim")
+        .agg(
+            (F.sum(q9).cast("double") / (F.lit(1.0e9) * F.count(q9))).alias(
+                "cv"
+            )
+        )
+        .groupBy("grp", "half")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("cv")))
+            ).alias("_dc")
+        )
+        .select(
+            "grp",
+            "half",
+            F.expr("transform(_dc, s -> coalesce(s.cv, 0.0D))").alias("_c"),
+        )
+    )
+    a = packed.filter(F.col("half") == 0).select(
+        F.col("grp"), F.col("_c").alias("_a")
+    )
+    b = packed.filter(F.col("half") == 1).select(
+        F.col("grp"), F.col("_c").alias("_b")
+    )
+    counts = vectors.select(F.col(label_col).alias("grp"), half).groupBy(
+        "grp", "half"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    na = counts.filter(F.col("half") == 0).select(
+        "grp", F.col("n").alias("n_a")
+    )
+    nb = counts.filter(F.col("half") == 1).select(
+        "grp", F.col("n").alias("n_b")
+    )
+    drift = F.expr(
+        f"round({_dot_cols_sql('_a', '_b', dim)}"
+        f" / nullif({_norm_sql('_a', dim)} * {_norm_sql('_b', dim)},"
+        f" 0.0D), 6)"
+    )
+    return (
+        a.join(b, "grp")
+        .join(na, "grp")
+        .join(nb, "grp")
+        .select(
+            F.col("grp").alias(label_col),
+            "n_a",
+            "n_b",
+            drift.alias("drift_cos"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def _embedding_drift_oracle(dim: int | None = None) -> str:
+    dim = EMB_DIM if dim is None else dim
+    return f"""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, half, dim,
+             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS cv
+      FROM ex GROUP BY 1, 2, 3
+    ), cl AS (
+      SELECT label, half, list(coalesce(cv, 0.0) ORDER BY dim) AS c
+      FROM cent GROUP BY 1, 2
+    ), n AS (
+      SELECT label, vec_id % 2 AS half, COUNT(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    )
+    SELECT a.label, na.n AS n_a, nb.n AS n_b,
+           round({_duck_dot("a.c", "b.c", dim)}
+                 / nullif({_duck_norm("a.c", dim)}
+                          * {_duck_norm("b.c", dim)}, 0.0), 6) AS drift_cos
+    FROM cl a
+    JOIN cl b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    JOIN n na ON na.label = a.label AND na.half = 0
+    JOIN n nb ON nb.label = a.label AND nb.half = 1
+    ORDER BY a.label
+    """
+
+
+@register(
+    "embedding_drift",
+    oracle=_embedding_drift_oracle(),
+    description="per-label centroid drift between corpus halves "
+    "(vec_id % 2): cosine between the two halves' exact "
+    "1e-9-quantized-BIGINT mean centroids plus both member counts — "
+    "one posexplode scan, (label, half, dim) hash aggregates with "
+    "map-side partials, |labels|-sized joins; the stability QA run "
+    "when an embedding model or corpus version changes",
+    covers=("N-sim", "N-quality"),
+)
+def embedding_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_drift(load_table(spark, sf_dir, "embeddings"))

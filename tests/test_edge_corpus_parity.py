@@ -301,6 +301,7 @@ def nullvec_dir(tmp_path_factory):
         "ann_blocked_neardup",
         "embedding_neardup",
         "embedding_centroids",
+        "embedding_drift",
     ],
 )
 def test_nullvec_corpus_parity(spark, nullvec_dir, name):
