@@ -1877,3 +1877,48 @@ def _minhash_error_oracle(num_perm: int = 64, bands: int = 16) -> str:
 )
 def minhash_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_error_eval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=_GUARDED_REACH_CTE
+    + """
+    , lab AS (
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+    description="duplicate-cluster size histogram over the transitive "
+    "closure of the guarded Jaccard pairs: (cluster_size, n_clusters, "
+    "n_docs) — the dedup observability number a curation report leads "
+    "with (how much of the corpus is duplicated, and in what clump "
+    "sizes: many tiny cliques vs one boilerplate giant need different "
+    "responses); aggregates are cluster-count-sized, nothing "
+    "corpus-sized moves past the clustering step",
+    covers=("N-dedup", "B5"),
+)
+def dedup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=50
+    )
+    sizes = (
+        duplicate_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

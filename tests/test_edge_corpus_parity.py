@@ -124,6 +124,9 @@ CLIQUE_QUERIES = [
     # r8b: the sketch-accuracy eval on the complete candidate graph —
     # every pair is a band candidate, est and exact both 1.0
     "minhash_error_eval",
+    # r8b: the 40-identical-docs corpus is ONE cluster of size 40 —
+    # the histogram must say exactly that
+    "dedup_cluster_sizes",
 ]
 
 
