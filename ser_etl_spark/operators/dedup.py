@@ -1479,19 +1479,32 @@ def ngram_containment_pairs(
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     joined = shared.join(na, "doc_a").join(nb, "doc_b")
-    fwd = joined.select(
-        "doc_a",
-        "doc_b",
-        (F.col("shared").cast("double") / F.col("na")).alias("containment"),
-    )
-    rev = joined.select(
-        F.col("doc_b").alias("doc_a"),
-        F.col("doc_a").alias("doc_b"),
-        (F.col("shared").cast("double") / F.col("nb")).alias("containment"),
-    )
+    # Both directed pairs from ONE pass over the undirected join: an
+    # in-row 2-struct explode, not a union of two projections — the
+    # union form re-evaluated the whole inverted-index DAG per branch
+    # (12 corpus scans in the plan; this halves it).
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a"),
+                    F.col("doc_b"),
+                    (F.col("shared").cast("double") / F.col("na")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    (F.col("shared").cast("double") / F.col("nb")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.containment")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("containment") >= threshold)
+        both.filter(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1583,6 +1596,11 @@ def remove_duplicated_spans(
     from raw text would require raw-offset anchors instead.
     """
     spans = substring_dedup_spans(docs, k, min_tokens, max_anchor_df)
+    # localCheckpoint (the duplicate_clusters discipline): `removed` is
+    # output-sized (the duplicated-token sliver) but feeds THREE
+    # consumers below — without truncation each re-evaluates the whole
+    # span-finding DAG (13 corpus scans in the plan; this cuts it to
+    # one span pass + one token pass).
     removed = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -1594,6 +1612,7 @@ def remove_duplicated_spans(
             ).alias("pos"),
         )
         .distinct()
+        .localCheckpoint()
     )
     toks = docs.select(
         "doc_id",
