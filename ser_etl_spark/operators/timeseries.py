@@ -773,3 +773,117 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
 )
 def time_weighted_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_value(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# series autocorrelation: exact-integer lag-1 ACF per user
+# ---------------------------------------------------------------------------
+
+
+def series_autocorr(events: DataFrame, min_pairs: int = 4) -> DataFrame:
+    """Lag-1 autocorrelation of each user's hourly value series — the
+    periodicity/burstiness fingerprint (ACF(1) near +1 = smooth trend,
+    near -1 = alternating spikes, near 0 = white noise), a standard
+    data-quality signal for deciding whether a feed is organic traffic
+    or a synthetic/bot pattern before it enters training aggregates
+    (reference analog: the metrics queries over the events feed,
+    /root/reference/api-service/src/query_engine.py:137).
+
+    Exactness discipline (the ``series_anomalies`` pattern): adjacent
+    pairs are formed only for CONSECUTIVE present hours (``h1 = h+1`` —
+    gaps never fabricate pairs), and every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy² over the 1e-6-quantized BIGINT hourly
+    sums) accumulates in decimal(38,0)/HUGEINT, so the Pearson inputs
+    are bit-identical on any engine under any partitioning; the single
+    float seam is the final presentation division/sqrt, rounded to 4.
+
+    Shape: one hash aggregate (events → series points), one per-user
+    sorted LEAD window over the AGGREGATED series, then a per-user hash
+    aggregate that REUSES the window's hash partitioning — the second
+    exchange moves one row per (user, hour), and nothing downstream of
+    it shuffles again. Magnitude bound as documented on
+    ``series_anomalies``: binding terms scale as (n·max|v|)², safe
+    under decimal(38,0) while n·max|v| < ~1e19.
+    """
+    from pyspark.sql import Window
+
+    series = hourly_series(events)
+    w = Window.partitionBy("user_id").orderBy("hour_bucket")
+    paired = series.select(
+        "user_id",
+        "hour_bucket",
+        "v",
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("hour_bucket", 1).over(w).alias("h1"),
+    ).filter(F.col("h1") == F.col("hour_bucket") + F.lit(1))
+    x = F.col("v").cast("decimal(19,0)")
+    y = F.col("v1").cast("decimal(19,0)")
+    agg = (
+        paired.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+    m = F.col("n_pairs").cast("decimal(20,0)")
+    num = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = m * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(denx.cast("double") * deny.cast("double"))
+    acf1 = F.round(
+        num.cast("double") / F.when(den != F.lit(0.0), den),
+        4,
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        acf1.alias("acf1"),
+    ).orderBy("user_id")
+
+
+@register(
+    "series_autocorr",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS hour_bucket,
+             SUM(CAST(round(value * {_TS_SCALE}.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), leads AS (
+      SELECT user_id, hour_bucket, v,
+             LEAD(v, 1) OVER w AS v1,
+             LEAD(hour_bucket, 1) OVER w AS h1
+      FROM series
+      WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket ASC)
+    ), pairs AS (
+      SELECT user_id, CAST(v AS HUGEINT) AS x, CAST(v1 AS HUGEINT) AS y
+      FROM leads WHERE h1 = hour_bucket + 1
+    ), agg AS (
+      SELECT user_id, COUNT(*) AS m,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs GROUP BY 1 HAVING COUNT(*) >= 4
+    )
+    SELECT user_id, CAST(m AS BIGINT) AS n_pairs,
+           round(CAST(m*sxy - sx*sy AS DOUBLE)
+                 / nullif(sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                               * CAST(m*syy - sy*sy AS DOUBLE)), 0.0), 4)
+             AS acf1
+    FROM agg ORDER BY user_id
+    """,
+    description="per-user lag-1 autocorrelation of the hourly value "
+    "series (periodicity / bot-pattern fingerprint): consecutive-hour "
+    "pairs only, all six sufficient statistics exact in decimal(38,0)/"
+    "HUGEINT over quantized BIGINT sums, one presentation-only double "
+    "division at the end; window + final aggregate share one user_id "
+    "exchange over aggregated series rows",
+    covers=("N-sim", "X-window", "B4"),
+)
+def series_autocorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_autocorr(_t(spark, sf_dir, "events"))

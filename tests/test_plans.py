@@ -848,3 +848,13 @@ def test_windowed_outlier_and_burst_single_exchange_per_key(spark, sf_small):
         exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
         assert len(exchanges) == 1 and exchanges[0].startswith(key), (
             name, exchanges)
+
+
+def test_series_autocorr_two_exchange_shape(spark, sf_small):
+    """Same discipline as series_anomalies: one (user, hour) aggregate
+    exchange, then the user-only exchange shared by the LEAD window and
+    the final per-user aggregate — nothing downstream reshuffles."""
+    plan = _plan(spark, sf_small, "series_autocorr")
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, parts
+    assert "hour_bucket" in parts[0] and "hour_bucket" not in parts[1], parts
