@@ -189,3 +189,145 @@ def _pack_oracle() -> str:
 )
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# shard manifest: byte-balanced training shards via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+#: Coarse doc_id range width for the two-level prefix sum. At 100 TB
+#: (~1e10 docs) a wider bucket leaves ~1e7 bucket rows for the
+#: offset window — megabytes on one task; recurse a third level if the
+#: id space ever outgrows that.
+_SHARD_BUCKET_W = 64
+#: Target shard payload in characters. Production uses ~256 MiB; the
+#: fixture-scale defaults (64-wide buckets, 8 KiB shards) keep BOTH
+#: prefix-sum levels exercised on the 500-doc differential corpus.
+_SHARD_CHARS = 8192
+
+
+def _floordiv_sql(num: str, w: int) -> str:
+    """Engine-exact floor division for possibly-negative BIGINTs: strip
+    the non-negative pmod remainder first so truncating division equals
+    floor division in both engines (pure int64 — no float seam)."""
+    return f"(({num}) - ((({num}) % {w} + {w}) % {w})) // {w}"
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shard_chars: int = _SHARD_CHARS,
+    bucket_w: int = _SHARD_BUCKET_W,
+) -> DataFrame:
+    """Byte-balanced training-shard assignment: every document gets the
+    shard ``floor(start_offset / shard_chars)`` where ``start_offset``
+    is the EXACT number of corpus characters before it in stable doc_id
+    order — the manifest a training-data writer needs to cut ~equal
+    shards without a serial pass (reference analog: the snapshot
+    publish layout, /root/reference/etl-service/src/s3_uploader.py:27).
+
+    The scale problem is the global cumulative sum: a single ORDER BY
+    window is one task over the whole corpus. This uses the standard
+    two-level exact prefix sum instead: (1) hash-aggregate per coarse
+    doc_id bucket (map-side partials, one keyed shuffle), (2) cumsum
+    the TINY bucket-totals series on one task (|buckets| rows, ~1e7 at
+    100 TB), (3) broadcast the offsets back and run the within-bucket
+    cumsum as a per-bucket window — embarrassingly parallel. Every sum
+    is exact BIGINT; floor division goes through the pmod identity so
+    negative ids stay engine-exact. Documents straddling a boundary
+    belong to the shard their START offset lands in (the standard
+    deterministic rule, so shards can overshoot by at most one doc).
+    """
+    from pyspark.sql import Window
+
+    base = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("chars"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"(doc_id - pmod(doc_id, {bucket_w})) div {bucket_w}"
+            ).cast("long"),
+        )
+    )
+    totals = base.groupBy("bucket").agg(F.sum("chars").alias("bucket_chars"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_chars").over(wb), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start_off",
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("chars").over(wd), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"start_off div {shard_chars}").cast("long"),
+        )
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(n_chars, 0) AS chars,
+             {_floordiv_sql('doc_id', _SHARD_BUCKET_W)} AS bucket
+      FROM documents WHERE doc_id IS NOT NULL
+    ), totals AS (
+      SELECT bucket, SUM(chars) AS bucket_chars FROM base GROUP BY 1
+    ), offsets AS (
+      SELECT bucket,
+             COALESCE(SUM(bucket_chars) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+      FROM totals
+    ), assigned AS (
+      SELECT b.doc_id, b.chars,
+             o.bucket_offset + COALESCE(SUM(b.chars) OVER (
+               PARTITION BY b.bucket ORDER BY b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM base b JOIN offsets o USING (bucket)
+    )
+    SELECT CAST(start_off // {_SHARD_CHARS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS shard_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+    description="training-shard manifest: exact byte-balanced shard "
+    "cuts in stable doc_id order via the two-level distributed prefix "
+    "sum (per-bucket partials -> tiny bucket-offset window -> parallel "
+    "within-bucket windows) — no single-task corpus pass, pure BIGINT",
+    covers=("X-split", "X-window"),
+)
+def shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_manifest(load_table(spark, sf_dir, "documents"))

@@ -858,3 +858,17 @@ def test_series_autocorr_two_exchange_shape(spark, sf_small):
     parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert len(parts) == 2, parts
     assert "hour_bucket" in parts[0] and "hour_bucket" not in parts[1], parts
+
+
+def test_shard_manifest_prefix_sum_shape(spark, sf_small):
+    """The two-level prefix sum must keep the single-task window on the
+    BUCKET AGGREGATE only (one SinglePartition exchange, fed by the
+    bucket hash-agg), broadcast the offsets back, and prune the
+    documents scan to (doc_id, n_chars) — text never moves."""
+    plan = _plan(spark, sf_small, "shard_manifest")
+    assert plan.count("Arguments: SinglePartition") == 1, plan[:3000]
+    assert "BroadcastExchange" in plan, plan[:3000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "doc_id:bigint", "n_chars:bigint"
+    }, m and m.group(1)
