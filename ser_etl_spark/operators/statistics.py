@@ -303,3 +303,139 @@ def value_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="event_type",
         id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust aggregates: exact rank-based p05/p95 clipping
+# ---------------------------------------------------------------------------
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized mean — the robust-aggregation counterpart of
+    ``mad_outliers``: instead of FLAGGING extreme rows, clamp every value
+    into the group's exact [p5, p95] order statistics and average the
+    clamped series (the standard defense when a mean must survive
+    heavy-tailed feeds — price glitches, bot bursts — without dropping
+    rows).
+
+    Exactness discipline (the MAD pattern): values become cents via
+    ``floor(x * 100 + 0.5)``; the clip bounds are DISCRETE percentiles —
+    the value at rank ``ceil(q * n)`` in (cents, id) order, a real data
+    point selected by pure integer rank math (no interpolation, no
+    float comparisons, deterministic under ties via the id tiebreak);
+    clamping and the clamped sum stay in BIGINT. The only doubles are
+    the presentation means, one division each, round 4.
+
+    Scale shape: one shuffle on the group key, one in-partition sorted
+    window (rank + the two bound picks as partition-wide conditional
+    sums), then a final hash aggregate that reuses the same
+    partitioning — no joins, no second shuffle, group cardinality
+    unbounded.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("rid"),
+        cents.alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    wg = Window.partitionBy("grp")
+    wv = Window.partitionBy("grp").orderBy(
+        F.col("cents").asc(), F.col("rid").asc()
+    )
+    lo_rank = F.floor((F.col("_n") * lo_pct + 99) / 100)
+    hi_rank = F.floor((F.col("_n") * hi_pct + 99) / 100)
+    s1 = base.withColumn("_rn", F.row_number().over(wv).cast("bigint")) \
+             .withColumn("_n", F.count(F.lit(1)).over(wg).cast("bigint"))
+    s2 = (
+        s1.withColumn(
+            "p05c",
+            F.sum(F.col("cents") * (F.col("_rn") == lo_rank).cast("bigint"))
+            .over(wg),
+        )
+        .withColumn(
+            "p95c",
+            F.sum(F.col("cents") * (F.col("_rn") == hi_rank).cast("bigint"))
+            .over(wg),
+        )
+        .withColumn(
+            "wcents",
+            F.least(F.greatest(F.col("cents"), F.col("p05c")), F.col("p95c")),
+        )
+    )
+    return (
+        s2.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("p05c").alias("p05c"),
+            F.max("p95c").alias("p95c"),
+            F.sum("cents").alias("rawc"),
+            F.sum("wcents").alias("winc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            (F.col("p05c").cast("double") / 100.0).alias("p05"),
+            (F.col("p95c").cast("double") / 100.0).alias("p95"),
+            F.round(F.col("rawc").cast("double") / F.col("n").cast("double")
+                    / 100.0, 4).alias("raw_mean"),
+            F.round(F.col("winc").cast("double") / F.col("n").cast("double")
+                    / 100.0, 4).alias("wins_mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, event_id AS rid,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE floor(value * 100.0 + 0.5) IS NOT NULL
+    ), s1 AS (
+      SELECT grp, rid, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY cents ASC, rid ASC) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM base
+    ), s2 AS (
+      SELECT *,
+             CAST(SUM(cents * CAST(rn = (n * 5 + 99) // 100 AS BIGINT))
+                  OVER (PARTITION BY grp) AS BIGINT) AS p05c,
+             CAST(SUM(cents * CAST(rn = (n * 95 + 99) // 100 AS BIGINT))
+                  OVER (PARTITION BY grp) AS BIGINT) AS p95c
+      FROM s1
+    )
+    SELECT grp AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(p05c) AS DOUBLE) / 100.0 AS p05,
+           CAST(MAX(p95c) AS DOUBLE) / 100.0 AS p95,
+           round(CAST(SUM(cents) AS DOUBLE)
+                 / CAST(MAX(n) AS DOUBLE) / 100.0, 4) AS raw_mean,
+           round(CAST(SUM(least(greatest(cents, p05c), p95c)) AS DOUBLE)
+                 / CAST(MAX(n) AS DOUBLE) / 100.0, 4) AS wins_mean
+    FROM s2 GROUP BY grp ORDER BY grp
+    """,
+    description="per-type winsorized mean: exact discrete p5/p95 order "
+    "statistics (rank = ceil(q*n), id tiebreak — no interpolation), "
+    "BIGINT clamp-and-sum, presentation-only double divisions; one "
+    "group-key shuffle shared by the sorted window and the final "
+    "aggregate",
+    covers=("X-window", "N-quality", "B4"),
+)
+def winsorized_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_stats(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        id_col="event_id",
+    )

@@ -843,7 +843,8 @@ def test_windowed_outlier_and_burst_single_exchange_per_key(spark, sf_small):
     exchange on that key may appear (AQE may add none elsewhere)."""
     for name, key in (("value_outliers_mad", "grp"),
                       ("burst_detection", "user_id"),
-                      ("time_weighted_value", "user_id")):
+                      ("time_weighted_value", "user_id"),
+                      ("winsorized_stats", "grp")):
         plan = _plan(spark, sf_small, name)
         exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
         assert len(exchanges) == 1 and exchanges[0].startswith(key), (
