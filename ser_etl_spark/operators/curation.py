@@ -828,3 +828,169 @@ def _boilerplate_oracle(n: int = OVERLAP_N, min_df: int = BOILERPLATE_DF) -> str
 )
 def boilerplate_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate evaluation: sketch QA for the decontam filter
+# ---------------------------------------------------------------------------
+
+#: Deliberately small filter for the FPR eval: the production 2^20-bit
+#: filter's FPR at fixture scale is ~0 (nothing to measure); 2^12 bits
+#: over the fixture's ~440 benchmark shingles yields a ~2% empirical
+#: rate — enough mass to compare against the analytic bound.
+_FPR_M_BITS = 1 << 12
+
+
+def bloom_fpr_eval(
+    docs: DataFrame,
+    n: int = CONTAMINATION_N,
+    bench_mod: int = BENCH_MOD,
+    m_bits: int = _FPR_M_BITS,
+    k: int = 3,
+) -> DataFrame:
+    """Empirical false-positive rate of the Bloom decontamination
+    filter — the sketch-accuracy QA twin of ``minhash_error_eval``: run
+    the EXACT membership join and the Bloom k-of-k gate over the same
+    distinct train shingles and report how many bloom-positives are not
+    true contaminations. Bloom positivity is a property of the SHINGLE
+    alone, so the whole eval runs at distinct-shingle grain: the probe
+    side never re-touches documents, and the verdict counts are exact
+    BIGINTs (the single double is the presentation rate, round 6).
+
+    Scale shape: two shingle aggregates (train / bench distinct sets),
+    the k-position expansion only on the DISTINCT shingles, broadcast
+    of the (seed, pos) bench set and of the raw bench shingles (both
+    bounded by the benchmark, not the corpus), one keyed self-join on
+    sh for the flag merge. Superset invariant (bloom >= exact, no false
+    negatives) is structural — the same positions are set and probed —
+    so ``n_false_pos = n_bloom_pos - n_exact_pos`` is exact.
+    """
+    from ser_etl_spark.operators.dedup import shingle_rows
+
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bench_sh = (
+        shingle_rows(docs.filter(is_bench), n=n).select("sh").distinct()
+    )
+    train_sh = (
+        shingle_rows(docs.filter(~is_bench), n=n).select("sh").distinct()
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    pos = F.pmod(F.xxhash64(F.col("sh"), F.col("seed")), F.lit(m_bits)).alias(
+        "pos"
+    )
+    bench_pos = bench_sh.select("sh", seeds).select("seed", pos).distinct()
+    bloom_sh = (
+        train_sh.select("sh", seeds)
+        .select("sh", "seed", pos)
+        .join(F.broadcast(bench_pos), ["seed", "pos"])
+        .groupBy("sh")
+        .agg(F.count_distinct("seed").alias("_ns"))
+        .filter(F.col("_ns") == k)
+        .select("sh", F.lit(1).alias("bl"))
+    )
+    flagged = train_sh.join(bloom_sh, "sh", "left").join(
+        F.broadcast(bench_sh.select("sh", F.lit(1).alias("ex"))), "sh", "left"
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.coalesce(F.col("bl"), F.lit(0))).alias("n_bloom_pos"),
+        F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("n_exact_pos"),
+    )
+    fp = F.col("n_bloom_pos") - F.col("n_exact_pos")
+    clean = F.col("n_probed") - F.col("n_exact_pos")
+    return agg.select(
+        "n_probed",
+        "n_bloom_pos",
+        "n_exact_pos",
+        fp.alias("n_false_pos"),
+        F.round(
+            fp.cast("double")
+            / F.when(clean != F.lit(0), clean.cast("double")),
+            6,
+        ).alias("fpr"),
+    )
+
+
+def _bloom_fpr_oracle(m_bits: int = _FPR_M_BITS, k: int = 3) -> str:
+    """DuckDB twin of ``bloom_fpr_eval`` — the ``decontamination_bloom``
+    staged-XXH64 replay at distinct-shingle grain plus the exact
+    membership flag."""
+    assert m_bits & (m_bits - 1) == 0
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_int_rehash_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    n = CONTAMINATION_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
+        "t[i+0]", "t[i]"
+    )
+    str_ctes, str_fin = stages_to_ctes(
+        "dsh", xxh64_str_stage_cols("sh", "_bb", pfx="_bxs"), "_bsa"
+    )
+    seed_ctes, seed_fin = stages_to_ctes(
+        str_fin,
+        xxh64_int_rehash_stage_cols(
+            "_bb", list(range(k)), out_fmt="_bs{k}", pfx="_bp", signed=False
+        ),
+        "_bsc",
+    )
+    pos_rows = "\n      UNION ALL ".join(
+        f"SELECT sh, {s} AS seed, CAST(_bs{s} & {m_bits - 1} AS BIGINT) AS pos "
+        f"FROM {seed_fin}"
+        for s in range(k)
+    )
+    toks_sql = "string_split_regex(trim(lower(text)), ' +')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{n - 1})) AS i
+            FROM toks WHERE len(t) >= {n})),
+    dsh AS (SELECT DISTINCT sh FROM sh5
+    ){str_ctes}{seed_ctes}, pos AS (
+      {pos_rows}
+    ), bench_sh AS (
+      SELECT DISTINCT sh FROM sh5 WHERE doc_id % {BENCH_MOD} = 0
+    ), train_sh AS (
+      SELECT DISTINCT sh FROM sh5 WHERE doc_id % {BENCH_MOD} <> 0
+    ), bench_pos AS (
+      SELECT DISTINCT p.seed, p.pos FROM bench_sh JOIN pos p USING (sh)
+    ), bloom_sh AS (
+      SELECT t.sh FROM train_sh t
+      JOIN pos p USING (sh)
+      JOIN bench_pos b ON b.seed = p.seed AND b.pos = p.pos
+      GROUP BY t.sh HAVING COUNT(DISTINCT p.seed) = {k}
+    ), flagged AS (
+      SELECT t.sh,
+             CASE WHEN bl.sh IS NOT NULL THEN 1 ELSE 0 END AS bl,
+             CASE WHEN ex.sh IS NOT NULL THEN 1 ELSE 0 END AS ex
+      FROM train_sh t
+      LEFT JOIN bloom_sh bl ON bl.sh = t.sh
+      LEFT JOIN bench_sh ex ON ex.sh = t.sh
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(bl) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(ex) AS BIGINT) AS n_exact_pos,
+           CAST(SUM(bl) - SUM(ex) AS BIGINT) AS n_false_pos,
+           round(CAST(SUM(bl) - SUM(ex) AS DOUBLE)
+                 / nullif(CAST(COUNT(*) - SUM(ex) AS DOUBLE), 0.0), 6)
+             AS fpr
+    FROM flagged
+    """
+
+
+@register(
+    "bloom_fpr_eval",
+    oracle=_bloom_fpr_oracle(),
+    description="sketch-accuracy QA: empirical false-positive rate of "
+    "the Bloom decontamination gate vs the exact membership join over "
+    "the same distinct train shingles (deliberately small 2^12-bit "
+    "filter so the fixture has measurable FP mass) — verdict counts "
+    "exact BIGINT, one presentation division; probe work bounded by "
+    "DISTINCT shingles, bench side broadcast",
+    covers=("N-dedup", "N-text"),
+)
+def bloom_fpr_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_fpr_eval(load_table(spark, sf_dir, "documents"))
