@@ -1178,3 +1178,81 @@ def postings_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity: per-doc type-token ratio (repetitiveness filter)
+# ---------------------------------------------------------------------------
+
+
+def lexical_diversity(docs: DataFrame, k: int = 20) -> DataFrame:
+    """The ``k`` most REPETITIVE documents by type-token ratio — the
+    lexical-diversity quality filter (low TTR = few distinct tokens
+    repeated many times: keyword stuffing, template spam, generation
+    loops) that complements ``doc_repetition``'s positional n-gram view
+    with a bag-of-words one.
+
+    Exactness: TTR is reported in integer basis points
+    (``n_types * 10000 div n_tokens``) so selection and ordering never
+    touch a float; ties break on doc_id. Shape: one (doc, token)
+    aggregate (map-side partials collapse repeats early), one per-doc
+    aggregate, then TakeOrderedAndProject for the top-k — no global
+    sort, no second scan of the text.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    ttr_bp = F.expr("(n_types * 10000) div n_tokens")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            ttr_bp.cast("long").alias("ttr_bp"),
+        )
+        .orderBy(F.col("ttr_bp").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "lexical_diversity",
+    oracle="""
+    WITH per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, tok
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST((n_types * 10000) // n_tokens AS BIGINT) AS ttr_bp
+    FROM per_doc
+    ORDER BY ttr_bp ASC, doc_id ASC
+    LIMIT 20
+    """,
+    description="lexical-diversity quality filter: top-20 most "
+    "repetitive docs by integer-basis-point type-token ratio "
+    "(n_types*10000 div n_tokens — no float in selection, doc_id "
+    "tiebreak); (doc,token) agg -> doc agg -> TakeOrderedAndProject",
+    covers=("N-text", "N-quality", "B8"),
+)
+def lexical_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))
