@@ -1117,3 +1117,78 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier): one-pass staircase per group
+# ---------------------------------------------------------------------------
+
+
+def brand_size_skyline(part: DataFrame) -> DataFrame:
+    """Per-brand Pareto frontier of (cheaper, bigger): the parts no
+    other same-brand part beats on BOTH price and size — the classic
+    2-D skyline query (catalog curation: the undominated quality/cost
+    candidates), executed as the one-pass staircase, not the quadratic
+    self-join.
+
+    Under the total order (price_cents ASC, partkey ASC), a part is on
+    the frontier iff its size strictly exceeds the running maximum size
+    of everything ordered before it — one sorted window per brand with
+    an exclusive-preceding MAX frame, exact integer comparisons only
+    (prices quantized to cents via ``floor(x*100+0.5)``; NULL price or
+    size rows excluded up front on both engines). One brand shuffle,
+    no join, group cardinality unbounded.
+    """
+    cents = F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("bigint")
+    base = part.select(
+        "p_brand",
+        "p_partkey",
+        cents.alias("price_cents"),
+        "p_size",
+    ).filter(F.col("price_cents").isNotNull() & F.col("p_size").isNotNull())
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price_cents").asc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mx = F.max("p_size").over(w)
+    return (
+        base.withColumn("_mx", mx)
+        .filter(F.col("_mx").isNull() | (F.col("p_size") > F.col("_mx")))
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@register(
+    "brand_size_skyline",
+    oracle="""
+    WITH base AS (
+      SELECT p_brand, p_partkey,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents,
+             p_size
+      FROM part
+      WHERE floor(p_retailprice * 100.0 + 0.5) IS NOT NULL
+        AND p_size IS NOT NULL
+    ), staged AS (
+      SELECT *,
+             MAX(p_size) OVER (
+               PARTITION BY p_brand
+               ORDER BY price_cents ASC, p_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      FROM base
+    )
+    SELECT p_brand, p_partkey, price_cents, p_size
+    FROM staged
+    WHERE mx IS NULL OR p_size > mx
+    ORDER BY p_brand, p_partkey
+    """,
+    description="2-D skyline (Pareto frontier) per brand: undominated "
+    "(price, size) parts via the one-pass staircase — sorted window "
+    "with an exclusive-preceding MAX, integer cents, no quadratic "
+    "self-join; one brand shuffle",
+    covers=("X-window", "B6"),
+)
+def brand_size_skyline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brand_size_skyline(load_table(spark, sf_dir, "part"))

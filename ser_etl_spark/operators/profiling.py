@@ -161,3 +161,84 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def referential_integrity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_integrity(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# corpus composition: dominant language per source (grouped argmax)
+# ---------------------------------------------------------------------------
+
+
+def dominant_lang_share(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition: each source's most frequent
+    language and its share — the mixture-monitoring readout a crawl
+    pipeline watches for ingest drift (a source flipping dominant
+    language usually means a scraper or boilerplate regression).
+
+    Exactness: the share is integer basis points
+    (``lang_docs * 10000 div total_docs`` — no float), the argmax picks
+    deterministically by (count DESC, lang ASC), and NULL languages
+    count as a real category (both engines group NULL as its own key).
+    Shape: one (source, lang) hash aggregate — map-side partials make
+    the shuffle carry at most |sources|x|langs| rows — then a rank
+    window and total-sum window over those AGGREGATED rows on the
+    source key. Raw documents shuffle exactly once.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lang_docs")
+    )
+    ws = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(
+        F.col("lang_docs").desc(), F.col("lang").asc_nulls_first()
+    )
+    staged = counts.select(
+        "source",
+        "lang",
+        "lang_docs",
+        F.sum("lang_docs").over(ws).alias("total_docs"),
+        F.row_number().over(wr).alias("_rn"),
+    )
+    return (
+        staged.filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            "lang_docs",
+            "total_docs",
+            F.expr("(lang_docs * 10000) div total_docs")
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dominant_lang_share",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS lang_docs
+      FROM documents GROUP BY source, lang
+    ), staged AS (
+      SELECT source, lang, lang_docs,
+             CAST(SUM(lang_docs) OVER (PARTITION BY source) AS BIGINT)
+               AS total_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY lang_docs DESC, lang ASC NULLS FIRST) AS rn
+      FROM counts
+    )
+    SELECT source, lang AS top_lang, lang_docs, total_docs,
+           CAST((lang_docs * 10000) // total_docs AS BIGINT) AS share_bp
+    FROM staged WHERE rn = 1
+    ORDER BY source
+    """,
+    description="ingest-drift monitor: per-source dominant language and "
+    "its integer-basis-point share via grouped argmax (count DESC, lang "
+    "ASC tiebreak, NULL lang a real category) — one (source,lang) "
+    "aggregate, windows only over the aggregated rows",
+    covers=("B5", "X-window", "N-quality"),
+)
+def dominant_lang_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dominant_lang_share(load_table(spark, sf_dir, "documents"))

@@ -242,3 +242,63 @@ def uniform_ksample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_chars"
     )
     return uniform_ksample(docs, "doc_id", k=200)
+
+
+def group_ksample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size sample PER STRATUM: the ``k`` rows with
+    the smallest Knuth-hash values inside each group — the per-language
+    / per-source eval-set primitive (:func:`uniform_ksample` draws one
+    global sample; :func:`stratified_sample` keeps a percentage, which
+    can't hit an exact per-group row budget).
+
+    Engine-exact for the same reason as the siblings: the hash order is
+    a pseudo-random permutation computed by pure int64 arithmetic, ties
+    broken by the id. Shape: one shuffle on the stratum, a per-group
+    sorted rank window, and the ``rnk <= k`` filter — group cardinality
+    unbounded, no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    picked = cols if cols is not None else list(df.columns)
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_u32(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(*picked)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy(strata_col, "rnk")
+    )
+
+
+@register(
+    "group_ksample",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, rnk FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hash_u32('doc_id')} ASC, doc_id ASC)
+               AS BIGINT) AS rnk
+      FROM documents)
+    WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+    description="training-pipeline op: deterministic per-language "
+    "5-sample via Knuth-hash rank inside each stratum — exact per-group "
+    "row budgets for eval sets; one stratum shuffle + rank window, "
+    "engine-exact, stable under corpus growth",
+    covers=("X-sample", "X-window"),
+)
+def group_ksample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return group_ksample(docs, "doc_id", "lang", k=5,
+                         cols=["lang", "doc_id", "n_chars"])

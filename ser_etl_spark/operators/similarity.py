@@ -3275,3 +3275,104 @@ def _embedding_drift_oracle(dim: int | None = None) -> str:
 )
 def embedding_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# per-dimension variance screen: near-constant embedding dims
+# ---------------------------------------------------------------------------
+
+#: Near-constant threshold in quantized units squared: a dimension whose
+#: exact variance is below (0.01)^2 in float space — q9 scale makes that
+#: (0.01 * 1e9)^2 = 1e14 — carries almost no signal and usually marks a
+#: dead model output or a truncated ingest column.
+_DIM_EPS_Q2 = 10**14
+
+
+def dim_variance_screen(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION embedding QA: exact integer variance statistics for
+    every vector component position, flagging near-constant dimensions —
+    the feature-screen complement of ``vector_quality_audit``'s per-row
+    checks (a dimension that never moves wastes index bits, distorts
+    quantizer training, and often marks a dead model head).
+
+    Exactness: components quantize to 1e-9 BIGINTs (``try_cast`` drops
+    NaN to NULL, counts use COUNT(q) so NULL components don't dilute),
+    n·Σx² − (Σx)² accumulates in decimal(38,0)/HUGEINT, and the
+    near-constant flag is the pure integer predicate
+    ``varn <= n² · eps_q²`` — bit-deterministic on both engines. The
+    mean/variance columns are presentation-only doubles (round 6).
+
+    Scale: one posexplode scan to (dim, q) rows — a ``dim``-factor row
+    expansion but each row is two scalars — then ONE fixed-cardinality
+    (|dims| rows) hash aggregate with map-side partials; nothing else
+    shuffles. Magnitude envelope: varn terms scale as (n·max|q|)²/n —
+    with unit-norm embeddings (|q| <= 1e9) safe past 1e10 rows.
+    """
+    exploded = vectors.select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+    q = F.expr("try_cast(round(CAST(_x AS DOUBLE) * 1000000000.0D) AS LONG)")
+    base = exploded.select("dim", q.alias("q"))
+    d = F.col("q").cast("decimal(19,0)")
+    agg = base.groupBy("dim").agg(
+        F.count("q").alias("n"),
+        F.sum(d).alias("sx"),
+        F.sum(d * d).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    varn = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    eps = F.lit(_DIM_EPS_Q2).cast("decimal(15,0)")
+    mean = F.round(
+        F.col("sx").cast("double")
+        / F.when(F.col("n") > 0, F.col("n").cast("double") * 1e9),
+        6,
+    )
+    variance = F.round(
+        varn.cast("double")
+        / F.when(
+            F.col("n") > 0,
+            F.col("n").cast("double") * F.col("n").cast("double") * 1e18,
+        ),
+        6,
+    )
+    flag = F.when(varn <= nd * nd * eps, F.lit(1)).otherwise(F.lit(0))
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        variance.alias("variance"),
+        flag.cast("long").alias("near_const"),
+    ).orderBy("dim")
+
+
+@register(
+    "dim_variance_screen",
+    oracle=f"""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             TRY_CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e9)
+                      AS BIGINT) AS q
+      FROM embeddings
+    ), agg AS (
+      SELECT dim, COUNT(q) AS n,
+             SUM(CAST(q AS HUGEINT)) AS sx,
+             SUM(CAST(q AS HUGEINT) * q) AS sxx
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           round(CAST(sx AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE) * 1e9, 0.0), 6) AS mean,
+           round(CAST(n*sxx - sx*sx AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e18,
+                          0.0), 6) AS variance,
+           CAST(CASE WHEN n*sxx - sx*sx <= CAST(n AS HUGEINT)*n*{_DIM_EPS_Q2} THEN 1
+                     ELSE 0 END AS BIGINT) AS near_const
+    FROM agg ORDER BY dim
+    """,
+    description="per-dimension embedding variance screen: exact "
+    "n*sxx-sx^2 in decimal(38,0)/HUGEINT over 1e-9-quantized "
+    "components, near-constant flag as a pure integer predicate, "
+    "presentation-only double mean/variance — one posexplode scan, one "
+    "fixed-cardinality dim aggregate",
+    covers=("N-sim", "N-quality", "B4"),
+)
+def dim_variance_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_variance_screen(load_table(spark, sf_dir, "embeddings"))

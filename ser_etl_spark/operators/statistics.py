@@ -439,3 +439,112 @@ def winsorized_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="event_type",
         id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# concentration metrics: exact Gini coefficient without a global row sort
+# ---------------------------------------------------------------------------
+
+
+def spend_gini(orders: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of per-customer order spend — the
+    concentration/inequality readout (0 = every customer spends the
+    same, →1 = one whale) that monitors corpus/source skew in the same
+    way it monitors revenue skew.
+
+    The textbook formula needs every row's GLOBAL rank —
+    ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`` over values sorted
+    ascending — which naively is a single-task global sort. The scale
+    trick: ranks of TIED values form a contiguous run, so after
+    collapsing to DISTINCT spend values (one hash aggregate) the rank
+    sum of each run is the arithmetic series
+    ``cnt·cum_before + cnt·(cnt+1)/2``, making
+    ``Σᵢ i·xᵢ = Σ_v v · rank_sum(v)`` computable from a window over
+    the distinct-value series only — |distinct values| rows, bounded by
+    the value domain, not the customer count. All terms accumulate in
+    decimal(38,0)/HUGEINT over integer cents; the single double is the
+    final ratio (round 6).
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    spend = (
+        orders.select(F.col("o_custkey").alias("cust"), cents.alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy("cust")
+        .agg(F.sum("c").alias("spend"))
+    )
+    vals = spend.groupBy("spend").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("spend").rowsBetween(Window.unboundedPreceding, -1)
+    staged = vals.select(
+        "spend",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cumn"),
+    )
+    sd = F.col("spend").cast("decimal(19,0)")
+    cntd = F.col("cnt").cast("decimal(19,0)")
+    cumd = F.col("cumn").cast("decimal(19,0)")
+    # 2x the run's rank sum -- the /2 of the arithmetic series is folded
+    # into the numerator's 2x factor so NO division (Spark decimal '/'
+    # rescales; DuckDB integer '/' floats) ever touches an exact term
+    rank_sum2 = F.lit(2).cast("decimal(19,0)") * cntd * cumd \
+        + cntd * (cntd + F.lit(1))
+    agg = staged.agg(
+        F.sum(cntd).alias("n"),
+        F.sum(sd * cntd).alias("sx"),
+        F.sum(sd * rank_sum2).alias("srx2"),
+    )
+    num = F.col("srx2") - (F.col("n") + F.lit(1)) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.round(
+            num.cast("double")
+            / F.when(den != F.lit(0).cast("decimal(38,0)"), den.cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spend
+      FROM orders
+      WHERE floor(o_totalprice * 100.0 + 0.5) IS NOT NULL
+      GROUP BY o_custkey
+    ), vals AS (
+      SELECT spend, COUNT(*) AS cnt FROM spend GROUP BY spend
+    ), staged AS (
+      SELECT spend, cnt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumn
+      FROM vals
+    ), agg AS (
+      SELECT SUM(CAST(cnt AS HUGEINT)) AS n,
+             SUM(CAST(spend AS HUGEINT) * cnt) AS sx,
+             SUM(CAST(spend AS HUGEINT)
+                 * (2 * CAST(cnt AS HUGEINT) * cumn
+                    + CAST(cnt AS HUGEINT) * (cnt + 1))) AS srx2
+      FROM staged
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           round(CAST(srx2 - (n+1)*sx AS DOUBLE)
+                 / nullif(CAST(n*sx AS DOUBLE), 0.0), 6) AS gini
+    FROM agg
+    """,
+    description="exact Gini coefficient of customer spend without a "
+    "global row sort: tied ranks collapse to arithmetic series over "
+    "DISTINCT spend values, so the only ordered pass is a window over "
+    "the distinct-value series; all rank/value sums exact in "
+    "decimal(38,0)/HUGEINT cents, one final double division",
+    covers=("B4", "X-window"),
+)
+def spend_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spend_gini(load_table(spark, sf_dir, "orders"))

@@ -873,3 +873,36 @@ def test_shard_manifest_prefix_sum_shape(spark, sf_small):
     assert m and set(m.group(1).split(",")) <= {
         "doc_id:bigint", "n_chars:bigint"
     }, m and m.group(1)
+
+
+def test_r8c_single_group_exchange_shapes(spark, sf_small):
+    """The r8 continuation's windowed/grouped operators each shuffle
+    raw rows exactly once, on their group key; every later window or
+    aggregate reuses that partitioning."""
+    for name, key in (("group_ksample", "lang"),
+                      ("dim_variance_screen", "dim"),
+                      ("brand_size_skyline", "p_brand")):
+        plan = _plan(spark, sf_small, name)
+        exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert len(exchanges) == 1 and exchanges[0].startswith(key), (
+            name, exchanges)
+
+
+def test_dominant_lang_share_windows_over_aggregates(spark, sf_small):
+    """Documents shuffle once into the (source, lang) aggregate; the
+    rank/total windows repartition only the aggregated rows on source."""
+    plan = _plan(spark, sf_small, "dominant_lang_share")
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, parts
+    assert "lang" in parts[0] and "lang" not in parts[1], parts
+
+
+def test_spend_gini_single_task_only_on_distinct_values(spark, sf_small):
+    """The only SinglePartition exchange feeds the distinct-value
+    window — orders and per-customer rows must never be globally
+    sorted."""
+    plan = _plan(spark, sf_small, "spend_gini")
+    assert plan.count("Arguments: SinglePartition") == 1, plan[:3000]
+    keyed = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert any(k.startswith("cust") for k in keyed), keyed
+    assert any(k.startswith("spend") for k in keyed), keyed
