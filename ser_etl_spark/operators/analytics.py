@@ -1192,3 +1192,177 @@ def brand_size_skyline(part: DataFrame) -> DataFrame:
 )
 def brand_size_skyline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brand_size_skyline(load_table(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------------------------------------
+# activity heatmap: hour-of-week profile via pure epoch arithmetic
+# ---------------------------------------------------------------------------
+
+
+def event_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap over the event feed —
+    the ops-monitoring readout (traffic shape, bot windows, deploy
+    gaps). Both axes come from PURE integer epoch arithmetic on the NTZ
+    timestamp: ``dow = (epoch_day + 3) mod 7`` (0 = Monday; 1970-01-01
+    was a Thursday) and ``hour = epoch_hour mod 24`` — no engine
+    calendar function whose week-start or zone convention could differ
+    (Spark ``dayofweek`` is 1=Sunday, DuckDB's is 0=Sunday; this
+    sidesteps the seam entirely, the ``_epoch_s`` discipline).
+
+    One fixed-cardinality (<=168 rows) hash aggregate with map-side
+    partials; values quantized to cents for an exact total.
+    """
+    es = _epoch_s("ts")
+    dow = F.pmod(F.floor(es / F.lit(86400)) + F.lit(3), F.lit(7))
+    hour = F.pmod(F.floor(es / F.lit(3600)), F.lit(24))
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    return (
+        events.select(
+            dow.cast("long").alias("dow"),
+            hour.cast("long").alias("hour"),
+            cents.alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "event_heatmap",
+    oracle="""
+    SELECT CAST((es // 86400 + 3) % 7 AS BIGINT) AS dow,
+           CAST((es // 3600) % 24 AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="hour-of-week activity heatmap: dow/hour from pure "
+    "integer epoch arithmetic (no engine calendar seam), cents-exact "
+    "value totals, one fixed-cardinality aggregate",
+    covers=("B5", "X-window"),
+)
+def event_heatmap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_heatmap(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification: cumulative-share classes without a row sort
+# ---------------------------------------------------------------------------
+
+
+def revenue_abc_classes(lineitem: DataFrame) -> DataFrame:
+    """ABC (Pareto) classification of parts by discounted revenue: class
+    A = parts covering the top 80% of cumulative revenue, B = the next
+    15%, C = the tail — the inventory-curation classic, and the same
+    cumulative-share machinery a corpus pipeline uses to find the
+    sources worth hand-auditing.
+
+    Exactness: line revenue is the pure BIGINT product
+    ``cents(extprice) × (100 − bp(discount))`` (1e-4-dollar units —
+    TPC-H discounts are exact hundredths, so nothing rounds); class
+    boundaries are integer predicates ``cum_before·100 < total·80/95``
+    over decimal(38,0)/HUGEINT cumulative sums. Ties (equal part
+    revenue) share one cum_before and classify identically —
+    deterministic without a row-level tiebreak.
+
+    Scale shape (the ``spend_gini`` trick): rows shuffle once into the
+    per-part aggregate, parts collapse to DISTINCT revenue values, and
+    the only ordered pass is a window over that distinct-value series —
+    bounded by the value domain, never the part count; the class
+    labels aggregate straight off the staged rows, no join back.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    dbp = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+    line = lineitem.select(
+        "l_partkey", (cents * (F.lit(100) - dbp)).alias("rev_c4")
+    ).filter(F.col("rev_c4").isNotNull())
+    per_part = line.groupBy("l_partkey").agg(F.sum("rev_c4").alias("rev"))
+    vals = per_part.groupBy("rev").agg(F.count(F.lit(1)).alias("cnt"))
+    grp_rev = (F.col("rev").cast("decimal(28,0)") * F.col("cnt")).cast(
+        "decimal(38,0)"
+    )
+    wv = (
+        Window.orderBy(F.col("rev").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy()
+    staged = vals.select(
+        "rev",
+        "cnt",
+        grp_rev.alias("grp_rev"),
+        F.coalesce(
+            F.sum(grp_rev).over(wv), F.lit(0).cast("decimal(38,0)")
+        ).alias("cumb"),
+        F.sum(grp_rev).over(wall).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cumb") * 100 < F.col("total") * 80, F.lit("A"))
+        .when(F.col("cumb") * 100 < F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        staged.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.sum("cnt").alias("n_parts"),
+            F.sum("grp_rev").cast("long").alias("class_rev_c4"),
+            F.expr("(sum(grp_rev) * 10000) div max(total)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "revenue_abc_classes",
+    oracle="""
+    WITH line AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+               AS rev_c4
+      FROM lineitem
+      WHERE floor(l_extendedprice * 100.0 + 0.5) IS NOT NULL
+        AND floor(l_discount * 100.0 + 0.5) IS NOT NULL
+    ), per_part AS (
+      SELECT l_partkey, SUM(rev_c4) AS rev FROM line GROUP BY 1
+    ), vals AS (
+      SELECT rev, COUNT(*) AS cnt, SUM(CAST(rev AS HUGEINT)) AS grp_rev
+      FROM per_part GROUP BY rev
+    ), staged AS (
+      SELECT rev, cnt, grp_rev,
+             COALESCE(SUM(grp_rev) OVER (
+               ORDER BY rev DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb,
+             SUM(grp_rev) OVER () AS total
+      FROM vals
+    )
+    SELECT CASE WHEN cumb*100 < total*80 THEN 'A'
+                WHEN cumb*100 < total*95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(SUM(cnt) AS BIGINT) AS n_parts,
+           CAST(SUM(grp_rev) AS BIGINT) AS class_rev_c4,
+           CAST((SUM(grp_rev) * 10000) // MAX(total) AS BIGINT) AS share_bp
+    FROM staged GROUP BY 1 ORDER BY 1
+    """,
+    description="ABC/Pareto revenue classes: exact BIGINT line revenue "
+    "(cents x discount-bp), cumulative 80/95% boundaries as integer "
+    "predicates over a distinct-value prefix sum — the only ordered "
+    "pass is the distinct-value window; no global row sort, no join "
+    "back",
+    covers=("B5", "X-window", "B4"),
+)
+def revenue_abc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_abc_classes(load_table(spark, sf_dir, "lineitem"))

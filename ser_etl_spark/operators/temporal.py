@@ -409,3 +409,117 @@ def burst_detection(
 )
 def burst_detection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# open-interval timeline: concurrent open orders per month via delta encoding
+# ---------------------------------------------------------------------------
+
+
+def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Monthly backlog curve: how many orders are OPEN (placed but not
+    fully shipped) at the end of every month — the interval-overlap
+    aggregate that, done naively, is a range join of every order
+    against every month. The scalable exact form is DELTA ENCODING:
+    each order contributes +1 at its open month and -1 at its close
+    month (= the max ship date over its line items, inner join — orders
+    with no lines have no close and are excluded), the deltas collapse
+    to per-month counts, and one cumulative-sum window over the TINY
+    month series (decades = hundreds of rows) rebuilds the backlog.
+
+    Month index is pure DATE-part arithmetic ``(year-1970)*12+month-1``
+    (calendar fields of a DATE carry no timezone seam on either
+    engine); the month domain materializes from a broadcast 1-row
+    bounds aggregate so empty months still report their backlog.
+    """
+    from pyspark.sql import Window
+
+    def midx(c: str):
+        return (
+            (F.year(F.col(c)) - F.lit(1970)) * 12 + F.month(F.col(c)) - 1
+        ).cast("long")
+
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    spans = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(close, orders["o_orderkey"] == close["l_orderkey"])
+        .select(midx("o_orderdate").alias("mo"), midx("close_d").alias("mc"))
+        .filter(F.col("mo").isNotNull() & F.col("mc").isNotNull())
+    )
+    opened = spans.groupBy(F.col("mo").alias("m")).agg(
+        F.count(F.lit(1)).alias("opened")
+    )
+    closed = spans.groupBy(F.col("mc").alias("m")).agg(
+        F.count(F.lit(1)).alias("closed")
+    )
+    months = (
+        spans.agg(F.min("mo").alias("lo"), F.max("mc").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    )
+    joined = (
+        months.join(F.broadcast(opened), "m", "left")
+        .join(F.broadcast(closed), "m", "left")
+        .select(
+            "m",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "m",
+        (F.lit(1970) + F.expr("m div 12")).cast("long").alias("year"),
+        (F.pmod(F.col("m"), F.lit(12)) + 1).cast("long").alias("month"),
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).alias("open_end"),
+    ).orderBy("m")
+
+
+@register(
+    "open_orders_timeline",
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ), spans AS (
+      SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS mo,
+             (year(close_d) - 1970) * 12 + month(close_d) - 1 AS mc
+      FROM orders JOIN close ON o_orderkey = l_orderkey
+      WHERE o_orderdate IS NOT NULL AND close_d IS NOT NULL
+    ), opened AS (
+      SELECT mo AS m, COUNT(*) AS opened FROM spans GROUP BY mo
+    ), closed AS (
+      SELECT mc AS m, COUNT(*) AS closed FROM spans GROUP BY mc
+    ), months AS (
+      SELECT unnest(generate_series(
+        (SELECT MIN(mo) FROM spans), (SELECT MAX(mc) FROM spans))) AS m
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(1970 + m // 12 AS BIGINT) AS year,
+           CAST(m % 12 + 1 AS BIGINT) AS month,
+           CAST(COALESCE(opened, 0) AS BIGINT) AS opened,
+           CAST(COALESCE(closed, 0) AS BIGINT) AS closed,
+           CAST(SUM(COALESCE(opened, 0) - COALESCE(closed, 0)) OVER (
+             ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_end
+    FROM months
+    LEFT JOIN opened USING (m)
+    LEFT JOIN closed USING (m)
+    ORDER BY m
+    """,
+    description="monthly open-order backlog via delta encoding: +1/-1 "
+    "at open/close month, per-month delta aggregates, one cumulative "
+    "window over the tiny month series — the scalable exact form of "
+    "the order-x-month interval-overlap count; month index is pure "
+    "DATE-part integer math",
+    covers=("X-window", "B11", "B4"),
+)
+def open_orders_timeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return open_orders_timeline(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

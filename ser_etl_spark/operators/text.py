@@ -1256,3 +1256,177 @@ def lexical_diversity(docs: DataFrame, k: int = 20) -> DataFrame:
 )
 def lexical_diversity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth: Heaps-law readout over stable corpus order
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps-law readout): cumulative
+    distinct 5-gram count as the corpus is consumed in stable doc_id
+    order, reported at ten id-range checkpoints (5-gram shingles, not
+    unigrams — the fixture's word vocabulary saturates instantly, while
+    the phrase vocabulary keeps growing like real corpora do) — the corpus-health
+    signal that separates organic text (vocabulary keeps growing) from
+    template/boilerplate floods (curve flattens instantly).
+
+    No ordered scan is needed: a shingle first appears at ``MIN(doc_id)``
+    over its postings, so one (shingle → first_doc) aggregate plus a
+    decile bucket on the id domain gives new-tokens-per-decile, and the
+    cumulative sum runs over TEN aggregated rows. Integer decile math
+    ``(first_doc * 10) div (max_doc + 1)`` (safe for ids < ~9e17); the
+    1-row max-id aggregate broadcasts.
+    """
+    from pyspark.sql import Window
+
+    from ser_etl_spark.operators.dedup import shingle_rows
+
+    first = (
+        shingle_rows(docs, n=5)
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg(F.max("doc_id").alias("max_doc"))
+    per = (
+        first.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("(first_doc * 10) div (max_doc + 1)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.select(
+            F.col("decile").cast("long").alias("decile"),
+            "new_tokens",
+            F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh5 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+            FROM toks WHERE len(t) >= 5)
+    ), first AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM sh5 GROUP BY sh
+    ), b AS (
+      SELECT MAX(doc_id) AS max_doc FROM documents
+    ), per AS (
+      SELECT (first_doc * 10) // (max_doc + 1) AS decile,
+             COUNT(*) AS new_tokens
+      FROM first, b GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(new_tokens AS BIGINT) AS new_tokens,
+           CAST(SUM(new_tokens) OVER (
+             ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM per ORDER BY decile
+    """,
+    description="Heaps-law vocabulary-growth curve: first-appearance "
+    "decile per 5-gram via one (shingle, MIN(doc_id)) aggregate + integer "
+    "decile math against the broadcast max-id row; cumulative sum over "
+    "ten aggregated rows only — no ordered corpus scan",
+    covers=("N-text", "X-window"),
+)
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# character-class composition: script/noise profile per language
+# ---------------------------------------------------------------------------
+
+
+def charclass_profile(docs: DataFrame) -> DataFrame:
+    """Per-language character-class composition — letters, digits and
+    spaces as integer basis points of all characters: the cheap script/
+    noise profile that catches encoding corruption, number floods and
+    markup residue before tokenization (complement of
+    ``quality_score``'s token-level ratios).
+
+    Every class count is an exact BIGINT (length of the class-filtered
+    string — the regexes use only portable character classes, identical
+    under Java and RE2 dialects); shares are integer ``x*10000 div
+    total`` basis points guarded against empty groups. One scan, one
+    |langs|-sized hash aggregate with map-side partials.
+    """
+    t = F.lower(F.col("text"))
+    base = docs.select(
+        "lang",
+        F.length(t).alias("chars"),
+        F.length(F.regexp_replace(t, "[^a-z]", "")).alias("letters"),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).alias("digits"),
+        F.length(F.regexp_replace(t, "[^ ]", "")).alias("spaces"),
+    ).filter(F.col("chars").isNotNull())
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("letters").alias("s_l"),
+        F.sum("digits").alias("s_d"),
+        F.sum("spaces").alias("s_s"),
+    )
+    def bp(col: str):
+        return F.when(
+            F.col("total_chars") > 0,
+            F.expr(f"({col} * 10000) div total_chars"),
+        ).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        bp("s_l").alias("letter_bp"),
+        bp("s_d").alias("digit_bp"),
+        bp("s_s").alias("space_bp"),
+    ).orderBy("lang")
+
+
+@register(
+    "charclass_profile",
+    oracle="""
+    WITH base AS (
+      SELECT lang,
+             length(lower(text)) AS chars,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               AS letters,
+             length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+               AS digits,
+             length(regexp_replace(lower(text), '[^ ]', '', 'g')) AS spaces
+      FROM documents WHERE text IS NOT NULL
+    ), agg AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(chars) AS total_chars, SUM(letters) AS s_l,
+             SUM(digits) AS s_d, SUM(spaces) AS s_s
+      FROM base GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST((s_l * 10000) // nullif(total_chars, 0) AS BIGINT)
+             AS letter_bp,
+           CAST((s_d * 10000) // nullif(total_chars, 0) AS BIGINT)
+             AS digit_bp,
+           CAST((s_s * 10000) // nullif(total_chars, 0) AS BIGINT)
+             AS space_bp
+    FROM agg ORDER BY lang
+    """,
+    description="per-language character-class composition in integer "
+    "basis points (letters/digits/spaces via portable class regexes, "
+    "exact BIGINT counts, div-guarded shares) — encoding/noise QA in "
+    "one scan + one |langs| aggregate",
+    covers=("N-text", "N-quality", "B5"),
+)
+def charclass_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return charclass_profile(load_table(spark, sf_dir, "documents"))

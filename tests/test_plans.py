@@ -906,3 +906,31 @@ def test_spend_gini_single_task_only_on_distinct_values(spark, sf_small):
     keyed = re.findall(r"hashpartitioning\((\w+)", plan)
     assert any(k.startswith("cust") for k in keyed), keyed
     assert any(k.startswith("spend") for k in keyed), keyed
+
+
+def test_revenue_abc_single_task_only_on_distinct_values(spark, sf_small):
+    """Lineitem shuffles once to the part aggregate, parts collapse to
+    distinct revenue values, and only THAT series hits a
+    SinglePartition window — no global row sort, no join back."""
+    plan = _plan(spark, sf_small, "revenue_abc_classes")
+    assert plan.count("Arguments: SinglePartition") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_open_orders_timeline_broadcasts_delta_series(spark, sf_small):
+    """The per-month delta aggregates and the month domain are tiny —
+    they must broadcast; the only big operation is the order-close
+    aggregate + equi-join."""
+    plan = _plan(spark, sf_small, "open_orders_timeline")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_heatmap_single_fixed_cardinality_aggregate(spark, sf_small):
+    """One hash aggregate on (dow, hour) with map-side partials —
+    the shuffle carries at most 168 rows per mapper."""
+    plan = _plan(spark, sf_small, "event_heatmap")
+    assert re.search(r"Functions \[\d+\]: \[partial_", plan), plan[:2000]
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 1 and "dow" in parts[0], parts
