@@ -1941,3 +1941,82 @@ def dedup_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-rate readout: duplicate share per source
+# ---------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Duplicate share per source — the dedup-QA readout a crawl
+    pipeline publishes per ingest feed: what fraction of each source's
+    documents share a normalized content fingerprint with ANY other
+    document in the corpus (cross-source duplicates count for both
+    sides; that is the point — the readout says how much of a feed is
+    redundant against everything already held).
+
+    A NULL/empty-normalized text has no fingerprint and is never a
+    duplicate (md5(NULL) is NULL on both engines; the flag requires a
+    non-NULL fp), so corrupt rows don't cluster into a phantom dup
+    group. Shares are integer basis points. Shape: one shuffle on the
+    fingerprint for the per-fp copy-count window, one |sources|-sized
+    aggregate — no join back, no second text scan.
+    """
+    from pyspark.sql import Window
+
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    base = docs.select("source", F.md5(normalized).alias("fp"))
+    wf = Window.partitionBy("fp")
+    flagged = base.select(
+        "source",
+        (
+            F.col("fp").isNotNull()
+            & (F.count(F.lit(1)).over(wf) > 1)
+        ).cast("bigint").alias("is_dup"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dups"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.when(
+            F.col("n_docs") > 0, F.expr("(n_dups * 10000) div n_docs")
+        ).cast("long").alias("dup_bp"),
+    ).orderBy("source")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ), flagged AS (
+      SELECT source,
+             CAST(fp IS NOT NULL
+                  AND COUNT(*) OVER (PARTITION BY fp) > 1 AS BIGINT)
+               AS is_dup
+      FROM base
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST((SUM(is_dup) * 10000) // nullif(COUNT(*), 0) AS BIGINT)
+             AS dup_bp
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    description="dedup-QA per ingest feed: share of each source's docs "
+    "whose normalized md5 fingerprint repeats anywhere in the corpus "
+    "(NULL-text rows never phantom-cluster), integer basis points; one "
+    "fp shuffle + one |sources| aggregate, no join back",
+    covers=("N-dedup", "N-quality"),
+)
+def dedup_rate_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))

@@ -548,3 +548,137 @@ def spend_gini(orders: DataFrame) -> DataFrame:
 )
 def spend_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend_gini(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix: one-pass pairwise Pearson over the measure columns
+# ---------------------------------------------------------------------------
+
+#: (short name, source column) for the lineitem measure set.
+_CORR_MEASURES: tuple[tuple[str, str], ...] = (
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+)
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    names = [n for n, _ in _CORR_MEASURES]
+    return [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+
+def corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measure columns
+    (quantity, price, discount, tax) — the multivariate profiling pass
+    that catches copied/derived columns and broken feeds (a measure
+    suddenly correlating 1.0 with another is usually a join bug).
+
+    ONE aggregate pass computes all 15 sufficient statistics (count,
+    4 sums, 4 sums of squares, 6 cross sums) over 1e-2-quantized BIGINT
+    measures accumulating in decimal(38,0)/HUGEINT — rows where any
+    measure is NULL are excluded so every pair shares one n. The 6
+    Pearson values are then pure expressions over the single-row
+    aggregate (one double division+sqrt each, round 6), emitted via
+    ``stack`` — no second scan, no per-pair job. All SQL is generated
+    from one measure list (the >20-looped-Columns py4j rule).
+    """
+    qexprs = [
+        f"CAST(floor({src} * 100.0 + 0.5) AS BIGINT) AS q_{n}"
+        for n, src in _CORR_MEASURES
+    ]
+    notnull = " AND ".join(f"q_{n} IS NOT NULL" for n, _ in _CORR_MEASURES)
+    base = lineitem.selectExpr(*qexprs).filter(notnull)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n, _ in _CORR_MEASURES:
+        aggs.append(
+            F.expr(f"SUM(CAST(q_{n} AS DECIMAL(19,0)))").alias(f"s_{n}")
+        )
+        aggs.append(
+            F.expr(
+                f"SUM(CAST(q_{n} AS DECIMAL(19,0)) * CAST(q_{n} AS"
+                f" DECIMAL(19,0)))"
+            ).alias(f"ss_{n}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.expr(
+                f"SUM(CAST(q_{a} AS DECIMAL(19,0)) * CAST(q_{b} AS"
+                f" DECIMAL(19,0)))"
+            ).alias(f"sp_{a}_{b}")
+        )
+    agg = base.agg(*aggs)
+
+    def corr_sql(a: str, b: str) -> str:
+        nd = "CAST(n AS DECIMAL(20,0))"
+        num = f"({nd} * sp_{a}_{b} - s_{a} * s_{b})"
+        dena = f"({nd} * ss_{a} - s_{a} * s_{a})"
+        denb = f"({nd} * ss_{b} - s_{b} * s_{b})"
+        return (
+            f"round(CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
+            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0D), 6)"
+        )
+
+    parts = ", ".join(
+        f"'{a}~{b}', {corr_sql(a, b)}" for a, b in _corr_pairs()
+    )
+    return agg.selectExpr(
+        "n", f"stack({len(_corr_pairs())}, {parts}) AS (pair, corr)"
+    ).select("pair", "n", "corr").orderBy("pair")
+
+
+def _corr_matrix_oracle() -> str:
+    qcols = ",\n             ".join(
+        f"CAST(floor({src} * 100.0 + 0.5) AS BIGINT) AS q_{n}"
+        for n, src in _CORR_MEASURES
+    )
+    notnull = " AND ".join(f"q_{n} IS NOT NULL" for n, _ in _CORR_MEASURES)
+    sums = []
+    for n, _ in _CORR_MEASURES:
+        sums.append(f"SUM(CAST(q_{n} AS HUGEINT)) AS s_{n}")
+        sums.append(f"SUM(CAST(q_{n} AS HUGEINT) * q_{n}) AS ss_{n}")
+    for a, b in _corr_pairs():
+        sums.append(f"SUM(CAST(q_{a} AS HUGEINT) * q_{b}) AS sp_{a}_{b}")
+    sums_sql = ",\n             ".join(["COUNT(*) AS n"] + sums)
+
+    def one(a: str, b: str) -> str:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        dena = f"(n * ss_{a} - s_{a} * s_{a})"
+        denb = f"(n * ss_{b} - s_{b} * s_{b})"
+        return (
+            f"SELECT '{a}~{b}' AS pair, CAST(n AS BIGINT) AS n,"
+            f" round(CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
+            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0), 6) AS corr"
+            f" FROM agg"
+        )
+
+    union = "\n      UNION ALL ".join(one(a, b) for a, b in _corr_pairs())
+    return f"""
+    WITH base AS (
+      SELECT {qcols}
+      FROM lineitem
+    ), filtered AS (
+      SELECT * FROM base WHERE {notnull}
+    ), agg AS (
+      SELECT {sums_sql}
+      FROM filtered
+    )
+    SELECT pair, n, corr FROM (
+      {union}
+    ) ORDER BY pair
+    """
+
+
+@register(
+    "corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    description="pairwise Pearson matrix over the four lineitem "
+    "measures: all 15 sufficient statistics in ONE aggregate pass "
+    "(quantized BIGINT, decimal(38,0)/HUGEINT accumulation, shared n), "
+    "six correlations as expressions over the 1-row aggregate via "
+    "stack — no second scan; SQL generated from the measure list on "
+    "both engines",
+    covers=("B4", "N-quality"),
+)
+def corr_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_matrix(load_table(spark, sf_dir, "lineitem"))

@@ -934,3 +934,22 @@ def test_event_heatmap_single_fixed_cardinality_aggregate(spark, sf_small):
     assert re.search(r"Functions \[\d+\]: \[partial_", plan), plan[:2000]
     parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert len(parts) == 1 and "dow" in parts[0], parts
+
+
+def test_corr_matrix_single_scan_single_row_aggregate(spark, sf_small):
+    """All 15 sufficient statistics must come from ONE lineitem scan
+    feeding one global aggregate — a per-pair loop of jobs would show
+    multiple scans."""
+    plan = _plan(spark, sf_small, "corr_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2500]
+    assert plan.count("Arguments: SinglePartition") == 1, plan[:2500]
+
+
+def test_dedup_rate_by_source_two_keyed_exchanges(spark, sf_small):
+    """One fingerprint shuffle for the copy-count window, one source
+    aggregate over the flagged rows — no join back to documents."""
+    plan = _plan(spark, sf_small, "dedup_rate_by_source")
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, parts
+    assert "fp" in parts[0] and "source" in parts[1], parts
+    assert "Join" not in plan, plan[:2500]
