@@ -893,8 +893,15 @@ def bloom_fpr_eval(
     )
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n_probed"),
-        F.sum(F.coalesce(F.col("bl"), F.lit(0))).alias("n_bloom_pos"),
-        F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("n_exact_pos"),
+        # empty probe set: SUM over zero rows is NULL — pin the counts
+        # to 0 so the BIGINT columns never carry NULL (the driver's
+        # pandas path floats a NULL-bearing int column)
+        F.coalesce(
+            F.sum(F.coalesce(F.col("bl"), F.lit(0))), F.lit(0)
+        ).alias("n_bloom_pos"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("ex"), F.lit(0))), F.lit(0)
+        ).alias("n_exact_pos"),
     )
     fp = F.col("n_bloom_pos") - F.col("n_exact_pos")
     clean = F.col("n_probed") - F.col("n_exact_pos")
@@ -971,11 +978,12 @@ def _bloom_fpr_oracle(m_bits: int = _FPR_M_BITS, k: int = 3) -> str:
       LEFT JOIN bench_sh ex ON ex.sh = t.sh
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
-           CAST(SUM(bl) AS BIGINT) AS n_bloom_pos,
-           CAST(SUM(ex) AS BIGINT) AS n_exact_pos,
-           CAST(SUM(bl) - SUM(ex) AS BIGINT) AS n_false_pos,
-           round(CAST(SUM(bl) - SUM(ex) AS DOUBLE)
-                 / nullif(CAST(COUNT(*) - SUM(ex) AS DOUBLE), 0.0), 6)
+           CAST(COALESCE(SUM(bl), 0) AS BIGINT) AS n_bloom_pos,
+           CAST(COALESCE(SUM(ex), 0) AS BIGINT) AS n_exact_pos,
+           CAST(COALESCE(SUM(bl) - SUM(ex), 0) AS BIGINT) AS n_false_pos,
+           round(CAST(COALESCE(SUM(bl) - SUM(ex), 0) AS DOUBLE)
+                 / nullif(CAST(COUNT(*) - COALESCE(SUM(ex), 0) AS DOUBLE),
+                          0.0), 6)
              AS fpr
     FROM flagged
     """

@@ -497,8 +497,11 @@ def spend_gini(orders: DataFrame) -> DataFrame:
     num = F.col("srx2") - (F.col("n") + F.lit(1)) * F.col("sx")
     den = F.col("n") * F.col("sx")
     return agg.select(
-        F.col("n").cast("long").alias("n_customers"),
-        F.col("sx").cast("long").alias("total_cents"),
+        # empty input: the global aggregate still emits one row with
+        # NULL sums — pin the counts to 0 so the BIGINT columns never
+        # carry NULL (driver pandas float seam); gini itself stays NULL
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("sx").cast("long"), F.lit(0)).alias("total_cents"),
         F.round(
             num.cast("double")
             / F.when(den != F.lit(0).cast("decimal(38,0)"), den.cast("double")),
@@ -533,8 +536,8 @@ def spend_gini(orders: DataFrame) -> DataFrame:
                     + CAST(cnt AS HUGEINT) * (cnt + 1))) AS srx2
       FROM staged
     )
-    SELECT CAST(n AS BIGINT) AS n_customers,
-           CAST(sx AS BIGINT) AS total_cents,
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(sx, 0) AS BIGINT) AS total_cents,
            round(CAST(srx2 - (n+1)*sx AS DOUBLE)
                  / nullif(CAST(n*sx AS DOUBLE), 0.0), 6) AS gini
     FROM agg

@@ -57,6 +57,15 @@ EDGE_QUERIES = [
     "source_overlap_matrix",
     "boilerplate_score",
     "minhash_error_eval",
+    # r8c: the new token/shingle/fingerprint consumers must agree on
+    # unicode, multi-space and repeated-token shapes too.
+    "lexical_diversity",
+    "vocab_growth",
+    "charclass_profile",
+    "bloom_fpr_eval",
+    "dedup_rate_by_source",
+    "dominant_lang_share",
+    "group_ksample",
 ]
 
 
@@ -127,6 +136,13 @@ CLIQUE_QUERIES = [
     # r8b: the 40-identical-docs corpus is ONE cluster of size 40 —
     # the histogram must say exactly that
     "dedup_cluster_sizes",
+    # r8c: every source is 100% duplicated (dup_bp = 10000 everywhere);
+    # the Bloom eval's clean set is EMPTY (every train shingle is a true
+    # contamination), so fpr must be NULL on both engines, not 0/0
+    "dedup_rate_by_source",
+    "bloom_fpr_eval",
+    "lexical_diversity",
+    "vocab_growth",
 ]
 
 
@@ -220,7 +236,11 @@ def nulltext_dir(tmp_path_factory):
     "name",
     ["bm25_search_indexed", "postings_layout", "substring_dedup",
      "span_removal", "ngram_containment", "source_overlap_matrix",
-     "boilerplate_score"],
+     "boilerplate_score",
+     # r8c: tokenless corpora through the new token/fingerprint readers
+     "lexical_diversity", "vocab_growth", "charclass_profile",
+     "bloom_fpr_eval", "dedup_rate_by_source", "dominant_lang_share",
+     "group_ksample", "shard_manifest"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
