@@ -1316,7 +1316,15 @@ def revenue_abc_classes(lineitem: DataFrame) -> DataFrame:
         .agg(
             F.sum("cnt").alias("n_parts"),
             F.sum("grp_rev").cast("long").alias("class_rev_c4"),
-            F.expr("(sum(grp_rev) * 10000) div max(total)")
+            # an all-zero-revenue (yet non-empty) corpus has total = 0:
+            # guard the share division identically on both engines
+            # (Spark ANSI div and DuckDB // both throw on 0); -1 is the
+            # undefined-share sentinel — a NULL would float the BIGINT
+            # column through the driver's pandas path
+            F.expr(
+                "CASE WHEN max(total) > 0 THEN"
+                " (sum(grp_rev) * 10000) div max(total) ELSE -1 END"
+            )
             .cast("long")
             .alias("share_bp"),
         )
@@ -1354,7 +1362,8 @@ def revenue_abc_classes(lineitem: DataFrame) -> DataFrame:
                 ELSE 'C' END AS abc_class,
            CAST(SUM(cnt) AS BIGINT) AS n_parts,
            CAST(SUM(grp_rev) AS BIGINT) AS class_rev_c4,
-           CAST((SUM(grp_rev) * 10000) // MAX(total) AS BIGINT) AS share_bp
+           CAST(COALESCE((SUM(grp_rev) * 10000) // nullif(MAX(total), 0),
+                         -1) AS BIGINT) AS share_bp
     FROM staged GROUP BY 1 ORDER BY 1
     """,
     description="ABC/Pareto revenue classes: exact BIGINT line revenue "

@@ -311,6 +311,9 @@ def nullvec_dir(tmp_path_factory):
         # the layout relation emits (bucket 0, -1) without an index.
         "ivf_assign",
         "label_centroid_confusion",
+        # r8c: per-dimension screen — all-NULL vectors explode to zero
+        # component rows, so the output must be EMPTY on both engines
+        "dim_variance_screen",
         "knn_classify",
         "vector_quality_audit",
         "ann_recall_eval",
@@ -343,5 +346,44 @@ def test_nullvec_corpus_parity(spark, nullvec_dir, name):
             name, spec.builder(spark, nullvec_dir), con, spec.oracle
         )
         assert not problems, "\n".join(problems)
+    finally:
+        con.close()
+
+
+def test_zero_revenue_corpus_abc_shares_null(spark, tmp_path):
+    """r8c guard: a non-empty lineitem whose every line rounds to zero
+    revenue has total = 0 — the ABC share must be NULL on both engines,
+    the -1 sentinel on both engines, not a divide-by-zero error (and
+    not a NULL, which would float the BIGINT column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "zero_rev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3], pa.int64()),
+                "l_extendedprice": pa.array([0.0, 0.0, 0.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        spec = all_queries()["revenue_abc_classes"]
+        problems = compare(
+            "revenue_abc_classes", spec.builder(spark, str(d)), con,
+            spec.oracle,
+        )
+        assert not problems, "\n".join(problems)
+        rows = spec.builder(spark, str(d)).collect()
+        assert [r["abc_class"] for r in rows] == ["C"]
+        assert rows[0]["share_bp"] == -1
     finally:
         con.close()
