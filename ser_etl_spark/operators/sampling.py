@@ -266,8 +266,11 @@ def group_ksample(
     from pyspark.sql import Window
 
     picked = cols if cols is not None else list(df.columns)
+    # explicit NULLS LAST: a NULL id hashes to NULL, and Spark's ASC
+    # default is NULLS FIRST while DuckDB's is NULLS LAST — a corpus
+    # with NULL ids would silently sample differently per engine
     w = Window.partitionBy(strata_col).orderBy(
-        hash_u32(id_col).asc(), F.col(id_col).asc()
+        hash_u32(id_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
     )
     return (
         df.select(*picked)
