@@ -273,3 +273,154 @@ class TestVerificationRotation:
         spec = next(s for s in REGISTRY.values() if s.oracle is not None)
         changed = dataclasses.replace(spec, oracle=spec.oracle + " -- edited")
         assert spec_source_hash(spec) != spec_source_hash(changed)
+
+
+# ---------------------------------------------------------------------------
+# r8c: the exact-analytics batch vs brute-force Python models
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=-200, max_value=200),  # doc_id (neg too)
+            st.integers(min_value=0, max_value=50),  # n_chars
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_shard_manifest_matches_serial_prefix_sum(spark, docs):
+    """The two-level distributed prefix sum must equal the trivial
+    serial model: walk docs in id order, shard = start_offset // S."""
+    from ser_etl_spark.operators.packing import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, None, None, None, c) for i, c in docs],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    got = {
+        r["shard_id"]: (r["n_docs"], r["shard_chars"], r["first_doc"],
+                        r["last_doc"])
+        for r in shard_manifest(df, shard_chars=64, bucket_w=8).collect()
+    }
+    exp: dict[int, list] = {}
+    cum = 0
+    for i, c in sorted(docs):
+        sid = cum // 64
+        e = exp.setdefault(sid, [0, 0, i, i])
+        e[0] += 1
+        e[1] += c
+        e[3] = i
+        cum += c
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # o_orderkey-ish row id
+            st.integers(min_value=0, max_value=8),  # o_custkey
+            st.floats(min_value=0.0, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_spend_gini_matches_sorted_rank_model(spark, orders):
+    """The distinct-value arithmetic-series Gini must equal the textbook
+    sorted-rank formula computed serially."""
+    from ser_etl_spark.operators.statistics import spend_gini
+
+    df = spark.createDataFrame(
+        [(k, c, p) for k, c, p in orders],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    row = spend_gini(df).collect()[0]
+    import math
+
+    spend: dict[int, int] = {}
+    for _, c, p in orders:
+        spend[c] = spend.get(c, 0) + int(math.floor(p * 100.0 + 0.5))
+    xs = sorted(spend.values())
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    assert row["n_customers"] == n
+    assert row["total_cents"] == sx
+    if n * sx == 0:
+        assert row["gini"] is None
+    else:
+        expected = (2 * srx - (n + 1) * sx) / (n * sx)
+        assert abs(row["gini"] - expected) < 1e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # event_id
+            st.sampled_from(["a", "b"]),  # event_type
+            st.floats(min_value=-100.0, max_value=100.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_winsorized_stats_matches_rank_model(spark, events):
+    """Exact discrete-percentile clamping must equal the serial model:
+    bound = value at rank ceil(q*n) under (cents, id) order."""
+    import datetime as _dt
+    import math
+
+    from ser_etl_spark.operators.statistics import winsorized_stats
+
+    df = spark.createDataFrame(
+        [(k, _dt.datetime(2024, 1, 1), 0, t, v, None)
+         for k, t, v in events],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r["event_type"]: r
+        for r in winsorized_stats(
+            df, value_col="value", group_col="event_type",
+            id_col="event_id",
+        ).collect()
+    }
+    groups: dict[str, list] = {}
+    for k, t, v in events:
+        groups.setdefault(t, []).append(
+            (int(math.floor(v * 100.0 + 0.5)), k)
+        )
+    for t, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        lo = rows[(n * 5 + 99) // 100 - 1][0]
+        hi = rows[(n * 95 + 99) // 100 - 1][0]
+        wsum = sum(min(max(c, lo), hi) for c, _ in rows)
+        rsum = sum(c for c, _ in rows)
+        r = got[t]
+        assert r["n"] == n
+        assert r["p05"] == lo / 100.0 and r["p95"] == hi / 100.0
+        assert abs(r["raw_mean"] - round(rsum / n / 100.0, 4)) <= 1e-9
+        assert abs(r["wins_mean"] - round(wsum / n / 100.0, 4)) <= 1e-9
