@@ -441,3 +441,77 @@ def test_stream_delta_dedup_invariant_to_batch_boundaries(spark, sf_small):
         )
     )
     assert one == many == batch and batch
+
+
+class TestCheckpointRecovery:
+    """A16's durability half: a replay killed mid-stream and restarted
+    on the SAME checkpoint must RESUME (committed micro-batches are not
+    re-read) and the union of emissions must cover the input exactly
+    once per committed batch — foreachBatch is at-least-once only for
+    the batch in flight at the crash."""
+
+    def test_availablenow_replay_resumes_from_checkpoint(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        data = [(i, f"v{i}") for i in range(8)]
+        df = spark.createDataFrame(data, "id bigint, v string")
+        # 4 single-row-ish files -> 4 micro-batches under
+        # maxFilesPerTrigger=1
+        df.repartition(4).write.parquet(src)
+
+        seen_first: list[tuple] = []
+
+        class Boom(RuntimeError):
+            pass
+
+        def crash_after_two(batch_df, batch_id):
+            if batch_id >= 2:
+                raise Boom("injected crash")
+            seen_first.extend((r["id"], r["v"]) for r in batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(crash_after_two)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        import pyspark.errors
+
+        try:
+            q.awaitTermination()
+            raise AssertionError("expected the injected crash")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+        assert seen_first, "first run must commit at least one batch"
+
+        seen_second: list[tuple] = []
+
+        def record(batch_df, batch_id):
+            seen_second.extend(
+                (r["id"], r["v"]) for r in batch_df.collect()
+            )
+
+        q2 = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(record)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        # resumed, not restarted: the second run must not re-read the
+        # batches the first run committed
+        assert len(seen_second) < len(data), (seen_first, seen_second)
+        # and together they cover the input completely (at-least-once:
+        # only the crashed in-flight batch may repeat, and here it was
+        # never emitted, so the union is exact)
+        assert sorted(seen_first + seen_second) == sorted(data)
