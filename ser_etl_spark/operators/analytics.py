@@ -1234,20 +1234,29 @@ def event_heatmap(events: DataFrame) -> DataFrame:
 @register(
     "event_heatmap",
     oracle="""
-    SELECT CAST((es // 86400 + 3) % 7 AS BIGINT) AS dow,
-           CAST((es // 3600) % 24 AS BIGINT) AS hour,
+    SELECT CAST(((ed + 3) % 7 + 7) % 7 AS BIGINT) AS dow,
+           CAST((eh % 24 + 24) % 24 AS BIGINT) AS hour,
            COUNT(*) AS n_events,
            CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM (
-      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-      FROM events)
+      -- floor division via the nonneg-remainder identity: DuckDB's //
+      -- truncates while Spark's floor(es/86400) floors, so negative
+      -- (pre-1970) epochs would otherwise bucket differently; the
+      -- outer (x % m + m) % m mirrors Spark's pmod
+      SELECT (es - ((es % 86400 + 86400) % 86400)) // 86400 AS ed,
+             (es - ((es % 3600 + 3600) % 3600)) // 3600 AS eh,
+             cents
+      FROM (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events))
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
     description="hour-of-week activity heatmap: dow/hour from pure "
-    "integer epoch arithmetic (no engine calendar seam), cents-exact "
-    "value totals, one fixed-cardinality aggregate",
+    "integer epoch arithmetic (no engine calendar seam; floor-division "
+    "and nonneg-mod identities keep pre-1970 epochs engine-exact), "
+    "cents-exact value totals, one fixed-cardinality aggregate",
     covers=("B5", "X-window"),
 )
 def event_heatmap_query(spark: SparkSession, sf_dir: str) -> DataFrame:

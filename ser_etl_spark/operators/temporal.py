@@ -470,7 +470,11 @@ def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
     return joined.select(
         "m",
-        (F.lit(1970) + F.expr("m div 12")).cast("long").alias("year"),
+        # floor division via the pmod identity: a truncating `div` would
+        # pair year 1970 with December for m = -1 (Dec 1969); exactly
+        # divisible numerator makes div == floordiv
+        (F.lit(1970) + F.expr("(m - pmod(m, 12)) div 12"))
+        .cast("long").alias("year"),
         (F.pmod(F.col("m"), F.lit(12)) + 1).cast("long").alias("month"),
         "opened",
         "closed",
@@ -498,8 +502,8 @@ def open_orders_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         (SELECT MIN(mo) FROM spans), (SELECT MAX(mc) FROM spans))) AS m
     )
     SELECT CAST(m AS BIGINT) AS m,
-           CAST(1970 + m // 12 AS BIGINT) AS year,
-           CAST(m % 12 + 1 AS BIGINT) AS month,
+           CAST(1970 + (m - ((m % 12 + 12) % 12)) // 12 AS BIGINT) AS year,
+           CAST((m % 12 + 12) % 12 + 1 AS BIGINT) AS month,
            CAST(COALESCE(opened, 0) AS BIGINT) AS opened,
            CAST(COALESCE(closed, 0) AS BIGINT) AS closed,
            CAST(SUM(COALESCE(opened, 0) - COALESCE(closed, 0)) OVER (

@@ -387,3 +387,102 @@ def test_zero_revenue_corpus_abc_shares_null(spark, tmp_path):
         assert rows[0]["share_bp"] == -1
     finally:
         con.close()
+
+
+def test_pre_epoch_events_heatmap_parity(spark, tmp_path):
+    """r8c seam: negative (pre-1970) epochs — DuckDB's // truncates and
+    % follows the dividend while Spark floors and pmods, so the heatmap
+    buckets diverge without the floordiv/nonneg-mod identities. Pin
+    parity on a corpus straddling the epoch."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "preepoch"
+    d.mkdir()
+    ts = [
+        _dt.datetime(1969, 12, 31, 22, 30),
+        _dt.datetime(1969, 12, 25, 3, 0),
+        _dt.datetime(1970, 1, 1, 0, 30),
+        _dt.datetime(1971, 6, 15, 12, 0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["a"] * 4),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "props": pa.array([None] * 4, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        spec = all_queries()["event_heatmap"]
+        problems = compare(
+            "event_heatmap", spec.builder(spark, str(d)), con, spec.oracle
+        )
+        assert not problems, "\n".join(problems)
+        # Dec 31 1969 was a Wednesday (dow 2 under 0=Monday), 22:30 UTC
+        rows = {(r["dow"], r["hour"]) for r in
+                spec.builder(spark, str(d)).collect()}
+        assert (2, 22) in rows, rows
+    finally:
+        con.close()
+
+
+def test_pre_epoch_backlog_timeline_parity(spark, tmp_path):
+    """r8c seam twin for the month math: an order opened Dec 1969 must
+    report year=1969, month=12 — and identically on both engines."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "preepoch_orders"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([1], pa.int64()),
+                "o_orderdate": pa.array([_dt.date(1969, 12, 10)]),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1], pa.int64()),
+                "l_shipdate": pa.array([_dt.date(1970, 2, 20)]),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        spec = all_queries()["open_orders_timeline"]
+        problems = compare(
+            "open_orders_timeline", spec.builder(spark, str(d)), con,
+            spec.oracle,
+        )
+        assert not problems, "\n".join(problems)
+        rows = {(r["year"], r["month"]): r["open_end"]
+                for r in spec.builder(spark, str(d)).collect()}
+        assert rows[(1969, 12)] == 1 and rows[(1970, 2)] == 0, rows
+    finally:
+        con.close()
