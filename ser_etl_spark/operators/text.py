@@ -1292,7 +1292,12 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     per = (
         first.crossJoin(F.broadcast(bounds))
         .groupBy(
-            F.expr("(first_doc * 10) div (max_doc + 1)").alias("decile")
+            # nullif: a corpus whose max id is exactly -1 would divide
+            # by zero (ANSI throw on one engine, error on the other);
+            # NULL decile groups identically instead
+            F.expr(
+                "(first_doc * 10) div nullif(max_doc + 1, 0)"
+            ).alias("decile")
         )
         .agg(F.count(F.lit(1)).alias("new_tokens"))
     )
@@ -1324,7 +1329,7 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     ), b AS (
       SELECT MAX(doc_id) AS max_doc FROM documents
     ), per AS (
-      SELECT (first_doc * 10) // (max_doc + 1) AS decile,
+      SELECT (first_doc * 10) // nullif(max_doc + 1, 0) AS decile,
              COUNT(*) AS new_tokens
       FROM first, b GROUP BY 1
     )
