@@ -77,6 +77,12 @@ def register(
 #: hardening of their shared helpers (ivf_centroids /
 #: _with_nearest_centroid / _query_points now tolerate NULL vectors —
 #: the builder hashes did not move, the documented shared-helper rule).
+#: r8c note: 51 entries need a row (17 new queries + the 33 held-out +
+#: ann_cosine_topk, hash-rotated by the nullvec hardening of its
+#: generated oracle) vs the 50-entry driver window — series_autocorr
+#: (timeseries registers last) sits at position 51 and earns its green
+#: row in r9; it is fully covered locally (both-SF parity, plan gate,
+#: 6-config matrix) in the meantime.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_cosine_topk",
     "approx_sketches",
