@@ -1384,3 +1384,113 @@ def revenue_abc_classes(lineitem: DataFrame) -> DataFrame:
 )
 def revenue_abc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_abc_classes(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary terciles
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM customer segmentation: tercile scores for Recency
+    (days since last order, vs the corpus max date), Frequency (order
+    count) and Monetary (cents spend), combined into the 27 ``rfm``
+    cells marketing pipelines act on — and the same
+    engagement-stratification recipe a data pipeline uses to weight
+    user cohorts.
+
+    Determinism: every metric is exact integer (day diffs, counts,
+    cents); each NTILE(3) runs over a TOTAL order (metric, custkey) so
+    bucket boundaries cannot float — both engines implement standard
+    NTILE (first ``n mod k`` buckets take the extra row). Scale: the
+    windows run over the per-customer AGGREGATE (one row per customer,
+    never raw orders); exact global terciles are inherently a
+    single-task pass over that aggregate — the wide-corpus alternative
+    is the ``approx_sketches`` quantile path.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    per_cust = (
+        orders.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").alias("d"),
+            cents.alias("c"),
+        )
+        .groupBy("cust")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("c").alias("money"),
+        )
+    )
+    bounds = orders.agg(F.max("o_orderdate").alias("max_d"))
+    base = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "cust",
+        F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+        "freq",
+        "money",
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("cust").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("cust").asc())
+    wm = Window.orderBy(F.col("money").desc(), F.col("cust").asc())
+    scored = base.select(
+        "cust",
+        "recency_days",
+        "freq",
+        "money",
+        F.ntile(3).over(wr).alias("r"),
+        F.ntile(3).over(wf).alias("f"),
+        F.ntile(3).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(F.col("r"), F.col("f"), F.col("m")).alias("rfm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("money").alias("segment_cents"),
+        )
+        .orderBy("rfm")
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust, MAX(o_orderdate) AS last_d,
+             COUNT(*) AS freq,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS money
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT MAX(o_orderdate) AS max_d FROM orders
+    ), base AS (
+      SELECT cust,
+             CAST(date_diff('day', CAST(last_d AS DATE),
+                            CAST(max_d AS DATE)) AS BIGINT)
+               AS recency_days,
+             freq, money
+      FROM per_cust, b
+    ), scored AS (
+      SELECT cust, money,
+             NTILE(3) OVER (ORDER BY recency_days ASC, cust ASC) AS r,
+             NTILE(3) OVER (ORDER BY freq DESC, cust ASC) AS f,
+             NTILE(3) OVER (ORDER BY money DESC, cust ASC) AS m
+      FROM base
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS rfm,
+           COUNT(*) AS n_customers,
+           CAST(SUM(money) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    description="RFM customer segmentation: exact integer recency/"
+    "frequency/monetary metrics, NTILE(3) terciles under total orders "
+    "(custkey tiebreak — standard NTILE on both engines), 27-cell "
+    "aggregate; windows run over the per-customer aggregate, never raw "
+    "orders",
+    covers=("X-window", "B5", "B4"),
+)
+def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))

@@ -527,3 +527,113 @@ def open_orders_timeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fulfillment latency: order -> full-shipment percentiles per priority
+# ---------------------------------------------------------------------------
+
+
+def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-full-shipment latency distribution per order priority —
+    the SLA readout (does URGENT actually ship faster?): latency = days
+    from order date to the LAST line shipment, with exact discrete
+    p50/p90 order statistics per priority class.
+
+    Exactness: latency is pure integer day arithmetic on DATEs (no
+    timezone surface); the percentiles are the ``winsorized_stats``
+    discrete-rank picks (value at rank ``ceil(q·n)`` under (latency,
+    orderkey) order — real data points, no interpolation); the mean is
+    an exact integer sum with one presentation division. Shape: one
+    orderkey aggregate + equi-join, then a single priority-key exchange
+    shared by the rank window and the final aggregate.
+    """
+    from pyspark.sql import Window
+
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    lat = (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority")
+        .join(close, orders["o_orderkey"] == close["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("okey"),
+            F.datediff("close_d", "o_orderdate").cast("long").alias("days"),
+        )
+        .filter(F.col("days").isNotNull())
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    wv = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("days").asc(), F.col("okey").asc()
+    )
+    s1 = lat.withColumn("_rn", F.row_number().over(wv).cast("bigint")) \
+            .withColumn("_n", F.count(F.lit(1)).over(wg).cast("bigint"))
+    pick50 = (F.col("_rn") == F.expr("(_n + 1) div 2")).cast("bigint")
+    pick90 = (F.col("_rn") == F.expr("(_n * 90 + 99) div 100")).cast("bigint")
+    s2 = s1.withColumn("p50", F.sum(F.col("days") * pick50).over(wg)) \
+           .withColumn("p90", F.sum(F.col("days") * pick90).over(wg))
+    return (
+        s2.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("p50").alias("p50_days"),
+            F.max("p90").alias("p90_days"),
+            F.round(
+                F.sum("days").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fulfillment_latency",
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ), lat AS (
+      SELECT o_orderpriority, o_orderkey AS okey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(close_d AS DATE)) AS BIGINT) AS days
+      FROM orders JOIN close ON o_orderkey = l_orderkey
+      WHERE o_orderdate IS NOT NULL AND close_d IS NOT NULL
+    ), s1 AS (
+      SELECT o_orderpriority, okey, days,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY days ASC, okey ASC) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n
+      FROM lat
+    ), s2 AS (
+      SELECT *,
+             CAST(SUM(days * CAST(rn = (n + 1) // 2 AS BIGINT))
+                  OVER (PARTITION BY o_orderpriority) AS BIGINT) AS p50,
+             CAST(SUM(days * CAST(rn = (n * 90 + 99) // 100 AS BIGINT))
+                  OVER (PARTITION BY o_orderpriority) AS BIGINT) AS p90
+      FROM s1
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(MAX(p50) AS BIGINT) AS p50_days,
+           CAST(MAX(p90) AS BIGINT) AS p90_days,
+           round(CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS mean_days
+    FROM s2 GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="SLA readout: order-to-full-shipment latency per "
+    "priority with exact discrete p50/p90 (rank = ceil(q*n), orderkey "
+    "tiebreak) over pure integer day math; orderkey aggregate + "
+    "equi-join, then one priority exchange shared by window and "
+    "aggregate",
+    covers=("X-window", "B11", "N-quality"),
+)
+def fulfillment_latency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fulfillment_latency(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

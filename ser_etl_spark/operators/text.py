@@ -1435,3 +1435,107 @@ def charclass_profile(docs: DataFrame) -> DataFrame:
 )
 def charclass_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charclass_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix: classifier vs labels
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the marker-stopword language classifier
+    against the corpus's labeled ``lang`` column — the QA table that
+    says where the cheap classifier can be trusted before it gates
+    ingest (precision per label, and which confusions dominate).
+
+    The classifier is the same single-evaluation argmax as
+    :func:`language_id`, restated inline so the verified ``lang_id``
+    helper stays untouched (the shared-helper holdout rule); the label
+    rides through the one scan, so there is NO self-join. Counts are
+    exact; the per-label share is integer basis points over a window on
+    the aggregated (|langs|²-bounded) rows.
+    """
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    entries = [
+        F.struct(
+            _marker_count(text, markers).alias("cnt"),
+            F.lit(-idx).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, (lang, markers) in enumerate(_LANG_MARKERS)
+    ]
+    entries.append(
+        F.struct(
+            F.lit(0).alias("cnt"), F.lit(1).alias("prio"),
+            F.lit("und").alias("lang"),
+        )
+    )
+    best = F.array_max(F.array(*entries))
+    counts = (
+        docs.select("lang", best.getField("lang").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        counts.select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.expr("(n_docs * 10000)")
+            .cast("long")
+            .alias("_scaled"),
+            F.sum("n_docs").over(wl).alias("_tot"),
+        )
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.expr("_scaled div _tot").cast("long").alias("share_bp"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    count_exprs = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(lower(text)), ' +'), "
+            f"t -> list_contains({list(markers)}, t)))"
+        )
+        for lang, markers in _LANG_MARKERS
+    }
+    best = "greatest(" + ", ".join(count_exprs.values()) + ")"
+    case = "'und'"
+    for lang, _ in reversed(_LANG_MARKERS):
+        case = (
+            f"CASE WHEN {count_exprs[lang]} = best AND best > 0 "
+            f"THEN '{lang}' ELSE {case} END"
+        )
+    return f"""
+    WITH scored AS (SELECT lang, text, {best} AS best FROM documents),
+    counts AS (
+      SELECT lang, {case} AS lang_guess, COUNT(*) AS n_docs
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, lang_guess, n_docs,
+           CAST((n_docs * 10000)
+                // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_bp
+    FROM counts ORDER BY lang, lang_guess
+    """
+
+
+@register(
+    "langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    description="language-classifier QA: confusion matrix of the "
+    "marker-stopword argmax vs the labeled lang column (label rides "
+    "the single scan — no self-join); exact counts, integer-bp shares "
+    "via a window over the |langs|^2-bounded aggregate",
+    covers=("N-text", "N-quality"),
+)
+def langid_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_confusion(load_table(spark, sf_dir, "documents"))

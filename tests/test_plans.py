@@ -953,3 +953,25 @@ def test_dedup_rate_by_source_two_keyed_exchanges(spark, sf_small):
     assert len(parts) == 2, parts
     assert "fp" in parts[0] and "source" in parts[1], parts
     assert "Join" not in plan, plan[:2500]
+
+
+def test_rfm_and_latency_windows_over_aggregates(spark, sf_small):
+    """rfm_segments' NTILE windows and fulfillment_latency's rank
+    window must consume AGGREGATED rows (per customer / per order),
+    never the raw fact stream: a hash aggregate sits below every
+    window in the plan."""
+    for name in ("rfm_segments", "fulfillment_latency"):
+        plan = _plan(spark, sf_small, name, "simple")
+        first_window = plan.find("Window")
+        assert first_window != -1, name
+        # plan text is root-first: an aggregate BELOW the window
+        # appears after it in the string
+        assert "HashAggregate" in plan[first_window:], (name, plan[:2000])
+
+
+def test_langid_confusion_no_self_join(spark, sf_small):
+    """The label rides the single classifier scan — a join back to
+    documents would scan the text twice."""
+    plan = _plan(spark, sf_small, "langid_confusion")
+    assert "Join" not in plan, plan[:2500]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2500]
