@@ -1494,3 +1494,97 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 )
 def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# market-basket association: pairwise co-purchase lift
+# ---------------------------------------------------------------------------
+
+
+def basket_lift(
+    lineitem: DataFrame, min_support: int = 3, k: int = 20
+) -> DataFrame:
+    """Top-``k`` co-purchased part pairs by lift — association-rule
+    mining's core readout (``lift = P(a,b) / (P(a)·P(b))``), the same
+    machinery ``token_cooccurrence`` applies to documents, here on the
+    orders fact (recommender candidates, bundle detection).
+
+    Scale shape: baskets dedupe to (order, part) rows first; the pair
+    generator is a SELF-JOIN ON THE ORDER KEY with ``p1 < p2`` — the
+    expansion is Σ C(basket_size, 2), bounded by the small per-order
+    line count, never |parts|². Pair supports, per-part order counts
+    and the 1-row order total are all exact BIGINTs; lift is one double
+    expression over them (round 6), ranked with a (p1, p2) tiebreak via
+    TakeOrderedAndProject. ``min_support`` prunes the long noise tail
+    before the rank.
+    """
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    left = baskets.select("okey", F.col("pk").alias("p1"))
+    right = baskets.select("okey", F.col("pk").alias("p2"))
+    pairs = (
+        left.join(right, "okey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    part_n = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
+    totals = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    enriched = (
+        pairs.join(part_n.select(F.col("pk").alias("p1"),
+                                 F.col("n_part").alias("n1")), "p1")
+        .join(part_n.select(F.col("pk").alias("p2"),
+                            F.col("n_part").alias("n2")), "p2")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = F.round(
+        F.col("support").cast("double") * F.col("n_orders").cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+        6,
+    )
+    return (
+        enriched.select("p1", "p2", "support", "n1", "n2",
+                        lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), part_n AS (
+      SELECT pk, COUNT(*) AS n_part FROM baskets GROUP BY pk
+    ), t AS (
+      SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets
+    )
+    SELECT p1, p2, support, a.n_part AS n1, b.n_part AS n2,
+           round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(a.n_part AS DOUBLE) * CAST(b.n_part AS DOUBLE)),
+                 6) AS lift
+    FROM pairs
+    JOIN part_n a ON a.pk = p1
+    JOIN part_n b ON b.pk = p2
+    CROSS JOIN t
+    ORDER BY lift DESC, p1 ASC, p2 ASC
+    LIMIT 20
+    """,
+    description="market-basket association mining: top-20 co-purchased "
+    "part pairs by lift — basket self-join bounded by per-order line "
+    "count (never |parts|^2), exact BIGINT supports, one double lift "
+    "expression, min-support prune, TakeOrderedAndProject",
+    covers=("B11", "B8", "N-dedup"),
+)
+def basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_lift(load_table(spark, sf_dir, "lineitem"))

@@ -1539,3 +1539,102 @@ def _langid_confusion_oracle() -> str:
 )
 def langid_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# source signature terms: contrastive keywords per ingest feed
+# ---------------------------------------------------------------------------
+
+
+def source_signature_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """The ``k`` most DISTINCTIVE tokens per source — contrastive
+    keyword extraction (what does this feed talk about that the rest of
+    the corpus doesn't?), the qualitative companion to
+    ``dominant_lang_share`` when an ingest feed drifts.
+
+    The salience score is pure integer ppm contrast:
+    ``tf_src·10⁶ div toks_src − tf_all·10⁶ div toks_all`` — a token
+    over-represented in the source scores high, corpus-common tokens
+    cancel out; no logs, no floats, deterministic (score DESC, token
+    ASC tiebreak). Shape: one (source, token) aggregate over the
+    exploded stream, token-keyed and source-keyed window sums over the
+    AGGREGATED rows, the 1-row corpus total broadcast, and a per-source
+    rank window — raw text is scanned once.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf_s"))
+    ws = Window.partitionBy("source")
+    wt = Window.partitionBy("tok")
+    totals = tf.agg(F.sum("tf_s").alias("n_all"))
+    staged = (
+        tf.select(
+            "source",
+            "tok",
+            "tf_s",
+            F.sum("tf_s").over(ws).alias("n_s"),
+            F.sum("tf_s").over(wt).alias("tf_all"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "tok",
+            "tf_s",
+            F.expr(
+                "(tf_s * 1000000) div n_s - (tf_all * 1000000) div n_all"
+            ).cast("long").alias("score_ppm"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), F.col("tok").asc()
+    )
+    return (
+        staged.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("source", "rnk", "tok", "tf_s", "score_ppm")
+        .orderBy("source", "rnk")
+    )
+
+
+@register(
+    "source_signature_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS tf_s
+      FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        FROM documents)
+      GROUP BY 1, 2
+    ), staged AS (
+      SELECT source, tok, tf_s,
+             (tf_s * 1000000)
+               // SUM(tf_s) OVER (PARTITION BY source)
+             - (SUM(tf_s) OVER (PARTITION BY tok) * 1000000)
+               // SUM(tf_s) OVER ()
+               AS score_ppm
+      FROM tf
+    )
+    SELECT source, rnk, tok, tf_s, CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY score_ppm DESC, tok ASC) AS BIGINT) AS rnk
+      FROM staged)
+    WHERE rnk <= 3
+    ORDER BY source, rnk
+    """,
+    description="contrastive keywords per source: integer ppm contrast "
+    "score (in-source rate minus corpus rate, div-exact, no logs), "
+    "per-source top-3 with token tiebreak; one text scan, windows only "
+    "over the (source, token) aggregate",
+    covers=("N-text", "X-window", "N-quality"),
+)
+def source_signature_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_signature_terms(load_table(spark, sf_dir, "documents"))

@@ -887,3 +887,92 @@ def series_autocorr(events: DataFrame, min_pairs: int = 4) -> DataFrame:
 )
 def series_autocorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_autocorr(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth: LAG over the aggregated month series
+# ---------------------------------------------------------------------------
+
+
+def revenue_mom_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth in integer basis points — the
+    trend readout over the whole order stream: one month-keyed hash
+    aggregate (map-side partials; the shuffle carries one row per
+    month), then LAG + the growth expression over the TINY month
+    series.
+
+    Month index and calendar fields use the pre-1970-safe integer
+    identities (``div``/``pmod`` on the Spark side mirrored by
+    ``//``/nonneg-``%`` — see ``open_orders_timeline``); revenue is
+    exact cents; growth is ``(cur − prev)·10000 div prev`` — exact
+    integer basis points, NULL for the first month and for a zero
+    previous month (both engines).
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    midx = (
+        (F.year("o_orderdate") - F.lit(1970)) * 12
+        + F.month("o_orderdate") - 1
+    ).cast("long")
+    per_month = (
+        orders.select(midx.alias("m"), cents.alias("c"))
+        .filter(F.col("m").isNotNull() & F.col("c").isNotNull())
+        .groupBy("m")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    w = Window.orderBy("m")
+    staged = per_month.select(
+        "m",
+        (F.lit(1970) + F.expr("(m - pmod(m, 12)) div 12"))
+        .cast("long").alias("year"),
+        (F.pmod(F.col("m"), F.lit(12)) + 1).cast("long").alias("month"),
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("prev_cents"),
+    )
+    growth = F.expr(
+        "((rev_cents - prev_cents) * 10000) div nullif(prev_cents, 0)"
+    )
+    return staged.select(
+        "m", "year", "month", "rev_cents",
+        # DOUBLE, not BIGINT: the first month's growth is NULL and a
+        # NULL-bearing int column floats through the driver's pandas
+        # canonicalization (values are exact small integers)
+        growth.cast("double").alias("growth_bp"),
+    ).orderBy("m")
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH per_month AS (
+      SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM orders
+      WHERE o_orderdate IS NOT NULL
+        AND floor(o_totalprice * 100.0 + 0.5) IS NOT NULL
+      GROUP BY 1
+    ), staged AS (
+      SELECT m,
+             CAST(1970 + (m - ((m % 12 + 12) % 12)) // 12 AS BIGINT)
+               AS year,
+             CAST((m % 12 + 12) % 12 + 1 AS BIGINT) AS month,
+             rev_cents,
+             LAG(rev_cents, 1) OVER (ORDER BY m) AS prev_cents
+      FROM per_month
+    )
+    SELECT CAST(m AS BIGINT) AS m, year, month,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(((rev_cents - prev_cents) * 10000)
+                // nullif(prev_cents, 0) AS DOUBLE) AS growth_bp
+    FROM staged ORDER BY m
+    """,
+    description="month-over-month revenue growth in exact integer "
+    "basis points: one month aggregate (shuffle carries one row per "
+    "month), LAG over the tiny series, pre-1970-safe calendar "
+    "identities, NULL growth for first/zero-base months",
+    covers=("X-window", "B4"),
+)
+def revenue_mom_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_mom_growth(_t(spark, sf_dir, "orders"))

@@ -975,3 +975,21 @@ def test_langid_confusion_no_self_join(spark, sf_small):
     plan = _plan(spark, sf_small, "langid_confusion")
     assert "Join" not in plan, plan[:2500]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2500]
+
+
+def test_basket_lift_no_cartesian_and_topk(spark, sf_small):
+    """The pair generator must be the orderkey equi-self-join (bounded
+    by basket size), never a part-level cartesian; ranking is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_small, "basket_lift")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_revenue_mom_growth_single_raw_exchange(spark, sf_small):
+    """Orders shuffle once into the month aggregate; LAG runs over the
+    tiny month series on a single partition."""
+    plan = _plan(spark, sf_small, "revenue_mom_growth")
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 1 and parts[0].startswith("m"), parts
+    assert plan.count("Arguments: SinglePartition") == 1, plan[:2500]
