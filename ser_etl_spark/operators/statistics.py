@@ -685,3 +685,91 @@ def _corr_matrix_oracle() -> str:
 )
 def corr_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# supplier concentration: exact integer HHI histogram
+# ---------------------------------------------------------------------------
+
+
+def supplier_hhi_histogram(lineitem: DataFrame) -> DataFrame:
+    """Distribution of supplier concentration per part — the
+    Herfindahl–Hirschman index (``HHI = Σ shareᵢ²``) of each part's
+    shipped quantity across suppliers, bucketed into ten fixed bands:
+    the supply-risk readout (a part whose volume is one supplier's is a
+    single point of failure), and with ``spend_gini`` the second member
+    of the concentration-metrics family.
+
+    Exactness: quantities quantize to BIGINT hundredths; per part,
+    ``HHI_bp = (Σ qᵢ²) · 10000 div (Σ qᵢ)²`` is pure integer arithmetic
+    in decimal(38,0)/HUGEINT (shares never materialize as floats), and
+    the band is ``HHI_bp div 1000``. Shape: one (part, supplier)
+    aggregate, one part-keyed aggregate reusing nothing wider than its
+    own key, then a 10-row histogram aggregate — fixed output, map-side
+    partials everywhere.
+    """
+    q = F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("bigint")
+    per_ps = (
+        lineitem.select("l_partkey", "l_suppkey", q.alias("q"))
+        .filter(F.col("q").isNotNull())
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("sq"))
+    )
+    d = F.col("sq").cast("decimal(19,0)")
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum(d * d).alias("ssq"),
+        F.sum(d).alias("tq"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    hhi_bp = F.expr(
+        "CAST((ssq * 10000) div nullif(tq * tq, 0) AS BIGINT)"
+    )
+    return (
+        per_part.filter(F.col("tq") > 0)
+        .select(hhi_bp.alias("hhi_bp"), "n_supp")
+        .groupBy(F.expr("hhi_bp div 1000").cast("long").alias("hhi_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("n_supp").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_suppliers"),
+        )
+        .orderBy("hhi_band")
+    )
+
+
+@register(
+    "supplier_hhi_histogram",
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sq
+      FROM lineitem
+      WHERE floor(l_quantity * 100.0 + 0.5) IS NOT NULL
+      GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(sq AS HUGEINT) * sq) AS ssq,
+             SUM(CAST(sq AS HUGEINT)) AS tq,
+             COUNT(*) AS n_supp
+      FROM per_ps GROUP BY 1
+    )
+    SELECT CAST(((ssq * 10000) // nullif(tq * tq, 0)) // 1000 AS BIGINT)
+             AS hhi_band,
+           COUNT(*) AS n_parts,
+           round(CAST(SUM(n_supp) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_suppliers
+    FROM per_part WHERE tq > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="supply-concentration histogram: exact integer HHI per "
+    "part ((sum q_i^2)*10000 div (sum q_i)^2 in decimal(38,0)/HUGEINT, "
+    "shares never float), ten fixed bands; (part,supplier) aggregate "
+    "-> part aggregate -> 10-row histogram, map-side partials "
+    "throughout",
+    covers=("B5", "B4", "N-quality"),
+)
+def supplier_hhi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_hhi_histogram(load_table(spark, sf_dir, "lineitem"))

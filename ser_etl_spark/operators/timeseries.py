@@ -976,3 +976,93 @@ def revenue_mom_growth(orders: DataFrame) -> DataFrame:
 )
 def revenue_mom_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_mom_growth(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# stickiness ratio: DAU/WAU engagement per epoch week
+# ---------------------------------------------------------------------------
+
+
+def stickiness_ratio(events: DataFrame) -> DataFrame:
+    """Weekly stickiness — average daily active users over weekly
+    active users, the standard DAU/WAU engagement ratio (10000 bp =
+    every weekly user active all 7 days): the cohort-health readout
+    next to ``rolling_active_users``'s sliding window.
+
+    All integer: epoch days/weeks via the floor-division identities
+    (pre-1970-safe, no calendar seam), ``stickiness_bp =
+    Σ_day |DAU| · 10000 div (7 · |WAU|)``. Shape: events dedup to
+    (user, day) presence once; per-day distinct counts and the per-week
+    distinct-user count are two keyed aggregates over that presence
+    frame — the raw stream shuffles exactly once.
+    """
+    es = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = F.floor(es / F.lit(86400)).cast("long")
+    presence = (
+        events.select(F.col("user_id"), day.alias("d"))
+        .filter(F.col("user_id").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    week = F.expr("(d - pmod(d, 7)) div 7").cast("long")
+    dau = (
+        presence.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .groupBy(week.alias("w"))
+        .agg(F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days"))
+    )
+    wau = presence.select(week.alias("w"), "user_id").distinct().groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "w")
+        .select(
+            "w",
+            "n_days",
+            "sum_dau",
+            "wau",
+            F.expr("(sum_dau * 10000) div (7 * wau)")
+            .cast("long")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("w")
+    )
+
+
+@register(
+    "stickiness_ratio",
+    oracle="""
+    WITH presence AS (
+      SELECT DISTINCT user_id,
+             (es - ((es % 86400 + 86400) % 86400)) // 86400 AS d
+      FROM (
+        SELECT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    ), dau AS (
+      SELECT (d - ((d % 7 + 7) % 7)) // 7 AS w,
+             SUM(dau) AS sum_dau, COUNT(*) AS n_days
+      FROM (SELECT d, COUNT(*) AS dau FROM presence GROUP BY d)
+      GROUP BY 1
+    ), wau AS (
+      SELECT w, COUNT(*) AS wau FROM (
+        SELECT DISTINCT (d - ((d % 7 + 7) % 7)) // 7 AS w, user_id
+        FROM presence)
+      GROUP BY w
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(sum_dau AS BIGINT) AS sum_dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST((sum_dau * 10000) // (7 * wau) AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau USING (w)
+    ORDER BY w
+    """,
+    description="weekly DAU/WAU stickiness in exact integer basis "
+    "points: (user, day) presence dedup once, two keyed aggregates "
+    "over the presence frame, pre-1970-safe epoch-week identities",
+    covers=("B5", "B4", "X-window"),
+)
+def stickiness_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stickiness_ratio(_t(spark, sf_dir, "events"))
