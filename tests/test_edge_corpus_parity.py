@@ -66,6 +66,8 @@ EDGE_QUERIES = [
     "dedup_rate_by_source",
     "dominant_lang_share",
     "group_ksample",
+    "langid_confusion",
+    "source_signature_terms",
 ]
 
 
@@ -240,7 +242,8 @@ def nulltext_dir(tmp_path_factory):
      # r8c: tokenless corpora through the new token/fingerprint readers
      "lexical_diversity", "vocab_growth", "charclass_profile",
      "bloom_fpr_eval", "dedup_rate_by_source", "dominant_lang_share",
-     "group_ksample", "shard_manifest"],
+     "group_ksample", "shard_manifest", "langid_confusion",
+     "source_signature_terms"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
