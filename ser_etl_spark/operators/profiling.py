@@ -242,3 +242,149 @@ def dominant_lang_share(docs: DataFrame) -> DataFrame:
 )
 def dominant_lang_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dominant_lang_share(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# join-key skew histogram: group-size bands via exact bit length
+# ---------------------------------------------------------------------------
+
+
+def key_skew_histogram(
+    df: DataFrame, key_col: str = "o_custkey"
+) -> DataFrame:
+    """Group-size distribution of a join/aggregation key in power-of-two
+    bands — the skew-detection readout that says whether a key needs
+    salting BEFORE a 100 TB join stalls on one straggler task (the
+    at-rest companion of ``salted_segment_sales``'s mitigation).
+
+    The band is ``length(bin(n))`` = ⌊log₂ n⌋ + 1 — an exact integer on
+    both engines (no float log), so band membership can never waver.
+    Shape: one key-grouped count (map-side partials), then a band-sized
+    histogram aggregate carrying n_keys, total rows and the band's
+    max group size. Fixed ~64-row output at any scale.
+    """
+    counts = (
+        df.select(F.col(key_col).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    band = F.length(F.bin(F.col("n"))).cast("long")
+    return (
+        counts.groupBy(band.alias("size_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("total_rows"),
+            F.max("n").alias("max_group"),
+        )
+        .orderBy("size_band")
+    )
+
+
+@register(
+    "key_skew_histogram",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS k, COUNT(*) AS n
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT CAST(length(bin(n)) AS BIGINT) AS size_band,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_group
+    FROM counts GROUP BY 1 ORDER BY 1
+    """,
+    description="join-key skew readout: per-key group sizes bucketed "
+    "into exact power-of-two bands (length(bin(n)) — integer log2, no "
+    "float), with key counts, row totals and the band max; one keyed "
+    "count + one fixed-cardinality histogram",
+    covers=("B5", "N-quality"),
+)
+def key_skew_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_histogram(
+        load_table(spark, sf_dir, "orders"), key_col="o_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# length drift: first-half vs second-half document length per source
+# ---------------------------------------------------------------------------
+
+
+def length_drift(docs: DataFrame) -> DataFrame:
+    """Per-source document-length drift between two corpus halves
+    (the TOP bit of the Knuth hash of doc_id — the multiplicative
+    hash's quality bits are the high ones: its LOW bit is just the
+    id's own parity, and a plain ``doc_id % 2`` is constant within a
+    source whose ids share a residue, as this very fixture's do) — the
+    text-side twin of ``embedding_drift``: a
+    source whose new half suddenly writes much longer or shorter
+    documents usually means a scraper, boilerplate or truncation
+    regression upstream.
+
+    All exact integers: per (source, half) character sums and counts,
+    then the drift as basis points of the half-0 mean computed by pure
+    cross-multiplication — ``(sum1·n0)·10000 div (sum0·n1)`` — so no
+    per-half mean ever floats. Sources missing a half are dropped by
+    the inner pairing (both engines). One (source, half) aggregate; the
+    pairing joins two |sources|-sized frames.
+    """
+    from ser_etl_spark.operators.sampling import hash_u32
+
+    base = docs.select(
+        "source",
+        (hash_u32("doc_id") / F.lit(2147483648)).cast("long").alias("half"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("chars"),
+    ).filter(F.col("doc_id").isNotNull())
+    agg = base.groupBy("source", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("chars").alias("s"),
+    )
+    a = agg.filter(F.col("half") == 0).select(
+        "source", F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    b = agg.filter(F.col("half") == 1).select(
+        "source", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    ratio = F.expr(
+        "CAST((s1 * n0 * 10000) div nullif(s0 * n1, 0) AS BIGINT)"
+    )
+    return (
+        a.join(b, "source")
+        .select("source", "n0", "n1", "s0", "s1",
+                ratio.alias("len_ratio_bp"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "length_drift",
+    oracle="""
+    WITH base AS (
+      SELECT source, ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296) // 2147483648 AS half,
+             COALESCE(n_chars, 0) AS chars
+      FROM documents WHERE doc_id IS NOT NULL
+    ), agg AS (
+      SELECT source, half, COUNT(*) AS n, SUM(chars) AS s
+      FROM base GROUP BY 1, 2
+    )
+    SELECT a.source,
+           CAST(a.n AS BIGINT) AS n0, CAST(b.n AS BIGINT) AS n1,
+           CAST(a.s AS BIGINT) AS s0, CAST(b.s AS BIGINT) AS s1,
+           CAST((CAST(b.s AS HUGEINT) * a.n * 10000)
+                // nullif(CAST(a.s AS HUGEINT) * b.n, 0) AS BIGINT)
+             AS len_ratio_bp
+    FROM agg a JOIN agg b
+      ON a.source = b.source AND a.half = 0 AND b.half = 1
+    ORDER BY a.source
+    """,
+    description="per-source length drift between Knuth-hash corpus "
+    "halves: exact "
+    "integer cross-multiplied mean ratio in basis points (no per-half "
+    "mean ever floats), inner pairing drops single-half sources; one "
+    "(source, half) aggregate",
+    covers=("B5", "N-quality"),
+)
+def length_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_drift(load_table(spark, sf_dir, "documents"))
