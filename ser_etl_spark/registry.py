@@ -77,13 +77,10 @@ def register(
 #: hardening of their shared helpers (ivf_centroids /
 #: _with_nearest_centroid / _query_points now tolerate NULL vectors —
 #: the builder hashes did not move, the documented shared-helper rule).
-#: r8c note: 59 entries need a row (25 new queries + the 33 held-out +
+#: r8c note: 61 entries need a row (27 new queries + the 33 held-out +
 #: ann_cosine_topk, hash-rotated by the nullvec hardening of its
-#: generated oracle) vs the 50-entry driver window — the nine beyond
-#: position 50 (streaming_burst_flags, burst_detection,
-#: open_orders_timeline, fulfillment_latency, rolling_active_users,
-#: time_weighted_value, series_autocorr, revenue_mom_growth,
-#: stickiness_ratio) earn their green rows in r9, per the documented
+#: generated oracle) vs the 50-entry driver window — the eleven beyond
+#: position 50 earn their green rows in r9, per the documented
 #: two-round guarantee; every one is fully covered locally in the
 #: meantime (both-SF parity in every pytest run, plan gates, the
 #: 6-config drive matrix).
