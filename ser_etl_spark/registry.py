@@ -62,36 +62,36 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-8 curation (regenerated from the r1-r7 union, 134 green): every
-#: query the r8 work touches is held out by hand (the source-hash
-#: heuristic only sees the builder function and oracle text). Held out:
-#: label_cohesion (full rewrite: broadcast centroid join replaces the
-#: per-label literal columns), the ensure_ann_index freshness-gate
-#: dependents (lsh_ann_topk, lsh_ann_multiprobe, ivf_ann_topk,
-#: ann_quantized_rescore, ann_blocked_neardup, ann_index_layout — the
-#: artifact gains a source-fingerprint manifest at build/upsert time),
-#: and the ensure_minhash_bands dependents (minhash_lsh_pairs,
-#: incremental_dedup, streaming_incremental_dedup). New r8 queries have
-#: never had a row and lead the window anyway. r8 continuation: held
-#: out ivf_assign and hard_negative_mining after the degenerate-corpus
-#: hardening of their shared helpers (ivf_centroids /
-#: _with_nearest_centroid / _query_points now tolerate NULL vectors —
-#: the builder hashes did not move, the documented shared-helper rule).
-#: r8c note: 61 entries need a row (27 new queries + the 33 held-out +
-#: ann_cosine_topk, hash-rotated by the nullvec hardening of its
-#: generated oracle) vs the 50-entry driver window — the eleven beyond
-#: position 50 earn their green rows in r9, per the documented
-#: two-round guarantee; every one is fully covered locally in the
-#: meantime (both-SF parity in every pytest run, plan gates, the
-#: 6-config drive matrix).
+#: Round-9 curation (regenerated from the r1-r8 union, 172 green): the
+#: r8 driver window was 50/50 green, leaving exactly the 11 documented
+#: r8c overflow queries pending — they lead the r9 window. Held out by
+#: hand: streaming_incremental_dedup (its r7 green row predates the r8
+#: bands-artifact rewrite; _verified_hashes records CURRENT source
+#: hashes, so the automatic rotation cannot see a rewrite that happened
+#: before regeneration). Everything else with a green row is verified at
+#: its current source. Queries the r9 work rewrites through shared
+#: helpers must be held out here per the documented shared-helper rule
+#: (the source-hash heuristic only sees the builder function and oracle
+#: text).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    "ann_blocked_neardup",
     "ann_cosine_topk",
+    "ann_index_layout",
+    "ann_quantized_rescore",
+    "ann_recall_eval",
     "approx_sketches",
+    "basket_lift",
     "bigram_rare_ratio",
+    "bloom_fpr_eval",
     "bm25_search",
+    "bm25_search_indexed",
+    "boilerplate_score",
+    "brand_size_skyline",
+    "charclass_profile",
     "churned_buyers",
     "conversion_funnel",
     "corpus_curation",
+    "corr_matrix",
     "count_min_tokens",
     "count_star",
     "customer_order_distribution",
@@ -100,16 +100,22 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "decontamination",
     "decontamination_bloom",
     "dedup_canonical",
+    "dedup_cluster_sizes",
     "dedup_clusters",
     "dedup_exact",
     "dedup_fingerprint",
+    "dedup_rate_by_source",
+    "dim_variance_screen",
     "disjunctive_revenue",
     "doc_chunks",
     "doc_repetition",
+    "dominant_lang_share",
     "embedding_centroids",
+    "embedding_drift",
     "embedding_neardup",
     "embedding_project",
     "embedding_quantize",
+    "event_heatmap",
     "event_transitions",
     "event_value_pivot",
     "excess_order_counts",
@@ -117,31 +123,48 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "frame_sample",
     "gap_filled_hourly",
     "group_by",
+    "group_ksample",
+    "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
     "important_stock",
+    "incremental_dedup",
     "incremental_scan",
+    "ivf_ann_topk",
+    "ivf_assign",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",
+    "key_skew_histogram",
     "kmv_distinct",
     "kmv_overlap",
     "kmv_union_distinct",
+    "knn_classify",
+    "label_centroid_confusion",
+    "label_cohesion",
     "lang_id",
+    "langid_confusion",
     "large_orders",
     "latest_event_per_user",
+    "length_drift",
+    "lexical_diversity",
     "local_supplier_volume",
+    "lsh_ann_multiprobe",
+    "lsh_ann_topk",
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
     "media_phash_neardup",
     "min_cost_supplier",
+    "minhash_error_eval",
+    "minhash_lsh_pairs",
     "moving_spend_90d",
     "multimodal_features",
     "name_edit_neardup",
     "nation_market_share",
     "nation_revenue_share",
     "nation_trade_volume",
+    "ngram_containment",
     "ngram_jaccard_guarded",
     "ngram_jaccard_pairs",
     "order_by",
@@ -152,6 +175,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pack_sequences",
     "pattern_match_topk",
     "pii_scrub",
+    "postings_layout",
     "price_percentiles",
     "pricing_summary",
     "priority_shipping",
@@ -162,23 +186,31 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "referential_integrity",
     "repeat_buyers",
     "retention_cohorts",
+    "revenue_abc_classes",
     "revenue_forecast",
+    "rfm_segments",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
     "salted_segment_sales",
     "select_all",
     "select_columns",
+    "semdedup_canonical",
     "series_anomalies",
     "series_similarity_topk",
     "session_concurrency",
     "sessionize_events",
+    "shard_manifest",
     "shipping_priority",
     "simhash_pairs",
     "small_order_revenue",
     "sole_returning_supplier",
     "source_cap",
     "source_mixture",
+    "source_overlap_matrix",
+    "source_signature_terms",
+    "span_removal",
+    "spend_gini",
     "stats_moments",
     "stocked_parts_promotion",
     "stratified_sample",
@@ -188,11 +220,13 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_sliding_counts",
     "streaming_tumbling_counts",
     "streaming_view_clicks",
+    "substring_dedup",
     "summary_view",
     "supplier_variety",
     "table_profile",
     "text_stats",
     "time_bucket_rollup",
+    "token_cooccurrence",
     "token_frequencies",
     "top_k",
     "top_returned_customers",
@@ -202,11 +236,15 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "uniform_ksample",
     "value_band_join",
     "value_histogram",
+    "value_outliers_mad",
+    "vector_quality_audit",
     "view_click_interval",
+    "vocab_growth",
     "where_filter",
     "window_running_total",
     "window_topn_per_group",
     "windowed_agg",
+    "winsorized_stats",
 })
 
 
