@@ -266,6 +266,26 @@ def build_snapshot(
                     or c.delta_rows == 0
                     or _dim(c.delta, "embedding") is not None
                 )
+                # a delta row whose key falls in the quantizer id range
+                # (vec_id < IVF_CENTROIDS) would change the centroids a
+                # full rebuild derives from the grown table, while the
+                # carried index keeps the PRIOR frozen quantizer — the
+                # refreshed manifest would then mark a divergent index
+                # fresh (r9 ADVICE). Such cycles re-derive fully. The
+                # probe is delta-sized (limit-1 over the delta's key
+                # column); a missing key column is conservative-false.
+                if can and c is not None and c.delta_rows:
+                    from ser_etl_spark.operators.similarity import (
+                        IVF_CENTROIDS,
+                    )
+
+                    key_col = layout.unique_key or "vec_id"
+                    can = (
+                        key_col in c.delta.columns
+                        and c.delta.filter(
+                            F.col(key_col) < IVF_CENTROIDS
+                        ).limit(1).count() == 0
+                    )
                 idx_dir, carried = _carry_artifact(
                     c, out_dir, name, "ann_index", ANN_INDEX_VERSION,
                     _index_usable, can,

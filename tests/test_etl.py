@@ -775,6 +775,85 @@ class TestIncrementalArtifactCarry:
             snap2, "embeddings_ann_index"
         )
 
+    def test_quantizer_range_append_re_derives(
+        self, spark, sf_small, tmp_path
+    ):
+        """r9 ADVICE: a pure-APPEND delta whose new key falls in the
+        quantizer id range (vec_id < IVF_CENTROIDS) must force the full
+        ANN re-derive — a carried index would keep the PRIOR frozen
+        quantizer while a rebuild (and every IVF-family oracle, which
+        derives centroids from vec_id < 8 over the grown table) includes
+        the new centroid row, so the carried artifact would silently
+        diverge."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ser_etl_spark.etl.extract import ParquetSource
+        from ser_etl_spark.etl.sync import SyncConfig, SyncManager
+        from ser_etl_spark.operators import similarity as S
+        from ser_etl_spark.sources.parquet import load_table
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+        emb = load_table(spark, sf_small, "embeddings")
+        # base EXCLUDES vec_id=7: its quantizer has centroids {0..6}
+        base = emb.filter(F.col("vec_id") != 7).withColumn(
+            "updated_at", F.lit(t0).cast("timestamp_ntz")
+        )
+        src_dir = str(tmp_path / "src")
+        base.write.parquet(f"{src_dir}/embeddings.parquet")
+
+        store = str(tmp_path / "store")
+        cfg = SyncConfig(
+            tables=("embeddings",),
+            ts_col="updated_at",
+            layouts={
+                "embeddings": TableLayout(unique_key="vec_id", ann_index=True)
+            },
+            views={},
+            incremental=True,
+        )
+        mgr = SyncManager(spark, ParquetSource(src_dir), store, cfg)
+        out1 = mgr.run_sync()
+        assert out1.success
+        idx1 = self._inodes(
+            os.path.join(out1.manifest["snapshot_dir"], "embeddings_ann_index")
+        )
+
+        # pure-append delta: the brand-new key IS a quantizer id
+        delta = emb.filter(F.col("vec_id") == 7).withColumn(
+            "updated_at", F.lit(t1).cast("timestamp_ntz")
+        )
+        base.unionByName(delta).write.mode("overwrite").parquet(
+            f"{src_dir}/embeddings.parquet"
+        )
+        out2 = mgr.run_sync()
+        assert out2.success
+        snap2 = out2.manifest["snapshot_dir"]
+        idx2 = self._inodes(os.path.join(snap2, "embeddings_ann_index"))
+
+        # the gate fired: nothing was hardlink-carried
+        assert not any(idx2.get(rel) == ino for rel, ino in idx1.items())
+
+        # and the re-derived index equals a full rebuild over the grown
+        # table — centroid 7 participates in every assignment
+        grown = base.unionByName(delta).drop("updated_at")
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(snap2, "embeddings_ann_index")
+            ).select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in S.ann_layout_frame(grown)
+            .select("vec_id", "srp_bucket", "centroid_id").collect()
+        )
+        assert got == want
+        assert S.ensure_ann_index(spark, snap2) == os.path.join(
+            snap2, "embeddings_ann_index"
+        )
+
     def test_update_cycle_re_derives(self, spark, sf_small, tmp_path):
         """A delta that UPDATES an existing key must force the full
         artifact re-derive — append-only carry would keep the stale
