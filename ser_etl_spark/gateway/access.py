@@ -276,14 +276,24 @@ class GatewayFront:
         """Liveness + snapshot-freshness envelope — the reference's
         ``GET /health`` (``api-service/src/main.py:78-82``) extended
         with what a snapshot-serving gateway actually needs monitored:
-        resolved snapshot version, its age against the catalog TTL, and
-        the registered tables. Unauthenticated by design (liveness
-        probes run before any token exists) and side-effect-free (no
-        refresh is forced)."""
+        resolved snapshot version and its age against the catalog TTL.
+        Unauthenticated by design (liveness probes run before any token
+        exists) and side-effect-free (no refresh is forced) — so the
+        envelope carries freshness SIGNALS only: the resolved filesystem
+        path and the registered-table list stay out of it (r9 ADVICE —
+        the reference's unauthenticated /health discloses status +
+        timestamp, not topology; authenticated callers get the table
+        list via the schema surface)."""
         doc: dict[str, Any] = {"status": "healthy", "timestamp": time.time()}
         catalog = getattr(self.engine, "catalog", None)
         if catalog is not None and hasattr(catalog, "status"):
-            doc.update(catalog.status())
+            full = catalog.status()
+            doc.update({
+                k: full[k]
+                for k in ("snapshot_version", "snapshot_age_s", "ttl_s",
+                          "stale")
+                if k in full
+            })
         return doc
 
     def close(self) -> None:

@@ -1957,9 +1957,12 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
     redundant against everything already held).
 
     A NULL/empty-normalized text has no fingerprint and is never a
-    duplicate (md5(NULL) is NULL on both engines; the flag requires a
-    non-NULL fp), so corrupt rows don't cluster into a phantom dup
-    group. Shares are integer basis points. Shape: one shuffle on the
+    duplicate: the normalized form is nullif'd against '' BEFORE
+    hashing (md5('') is a non-NULL constant, so without the nullif
+    every empty- or punctuation-only document would cluster into one
+    phantom dup group and inflate n_dups — r9 ADVICE), and md5(NULL)
+    is NULL on both engines while the flag requires a non-NULL fp.
+    Shares are integer basis points. Shape: one shuffle on the
     fingerprint for the per-fp copy-count window, one |sources|-sized
     aggregate — no join back, no second text scan.
     """
@@ -1968,7 +1971,9 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
     normalized = F.trim(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
     )
-    base = docs.select("source", F.md5(normalized).alias("fp"))
+    base = docs.select(
+        "source", F.md5(F.nullif(normalized, F.lit(""))).alias("fp")
+    )
     wf = Window.partitionBy("fp")
     flagged = base.select(
         "source",
@@ -1996,7 +2001,9 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT source,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             md5(nullif(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ''))
                AS fp
       FROM documents
     ), flagged AS (

@@ -106,16 +106,28 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-#: (path, listing fingerprint) -> (owning session, DataFrame). Each
-#: ``spark.read.parquet`` costs ~90 ms of JVM driver time (file listing +
-#: footer schema inference) and a multi-table query build pays it 5-7
-#: times — the dominant driver cost of every sub-second query. DataFrames
-#: are immutable and lazily executed, so reuse is safe; staleness is
-#: handled by keying on the part-file listing fingerprint (any rewrite,
-#: append, or overwrite changes size/mtime and misses the cache), and a
-#: hit is served only to the session that built it. Bounded LRU.
-_DF_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+#: (session id, path, listing fingerprint) -> (owning session,
+#: DataFrame). Each ``spark.read.parquet`` costs ~90 ms of JVM driver
+#: time (file listing + footer schema inference) and a multi-table query
+#: build pays it 5-7 times — the dominant driver cost of every
+#: sub-second query. DataFrames are immutable and lazily executed, so
+#: reuse is safe; staleness is handled by keying on the part-file
+#: listing fingerprint (any rewrite, append, or overwrite changes
+#: size/mtime and misses the cache). The session id in the key keeps
+#: two live sessions reading the same table from evicting each other
+#: (r9 ADVICE: the old shared key was pure thrash), and the stored
+#: session reference still identity-guards against id() reuse. Entries
+#: whose session has stopped are dropped when encountered so a stopped
+#: session's JVM references aren't pinned. Bounded LRU.
+_DF_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 _DF_CACHE_MAX = 64
+
+
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return s.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -128,7 +140,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = table_path(sf_dir, name)
     try:
-        key = (path, source_fingerprint(path))
+        key = (id(spark), path, source_fingerprint(path))
     except OSError:
         key = None
     if key is not None:
@@ -156,7 +168,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     if key is not None:
         if len(_DF_CACHE) >= _DF_CACHE_MAX:
-            _DF_CACHE.pop(next(iter(_DF_CACHE)))
+            # evict dead sessions' entries first, oldest-live second
+            dead = [k for k, v in _DF_CACHE.items() if _session_stopped(v[0])]
+            for k in dead:
+                _DF_CACHE.pop(k, None)
+            if len(_DF_CACHE) >= _DF_CACHE_MAX:
+                _DF_CACHE.pop(next(iter(_DF_CACHE)))
         _DF_CACHE[key] = (spark, df)
     return df
 

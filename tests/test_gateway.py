@@ -363,7 +363,9 @@ class TestGatewayFront:
 
     def test_health_envelope(self, engine):
         """Reference GET /health (main.py:78-82) extended with snapshot
-        freshness: version, age vs the 120 s TTL, registered tables."""
+        freshness SIGNALS: version, age vs the 120 s TTL. Topology
+        (resolved path, table list) stays out of the unauthenticated
+        envelope (r9 ADVICE)."""
         front = self._front(engine)
         front.query("good", "1.2.3.4", "SELECT COUNT(*) FROM lineitem")
         h = front.health()
@@ -371,10 +373,12 @@ class TestGatewayFront:
         assert h["ttl_s"] == engine.catalog.ttl_s
         assert h["stale"] is False  # just refreshed by the query
         assert h["snapshot_age_s"] is not None and h["snapshot_age_s"] >= 0
-        assert "lineitem" in h["tables"]
         # plain-directory layout has no manifest version; a published
         # store would carry one — the key must exist either way
         assert "snapshot_version" in h
+        # unauthenticated callers never see filesystem paths or the
+        # registered-table list
+        assert "snapshot_dir" not in h and "tables" not in h
 
     def test_health_before_first_query_is_cheap(self, spark, sf_small):
         """Liveness probes run before any query (and before any token
@@ -384,7 +388,7 @@ class TestGatewayFront:
         )
         h = front.health()
         assert h["status"] == "healthy"
-        assert h["snapshot_dir"] is None and h["stale"] is True
+        assert "snapshot_dir" not in h and h["stale"] is True
 
     def test_close_releases_catalog_and_logs(self, spark, sf_small, caplog):
         """Reference shutdown hook (main.py:133-137): close() drops the
@@ -401,7 +405,7 @@ class TestGatewayFront:
         with caplog.at_level(logging.INFO, logger="ser_etl_spark.gateway"):
             front.close()
         assert catalog._cached == ()
-        assert front.health()["snapshot_dir"] is None
+        assert front.health()["snapshot_version"] is None
         events = [_json.loads(r.message)["event"] for r in caplog.records]
         assert "gateway.shutdown" in events
         # reusable: the next query re-resolves and re-pins

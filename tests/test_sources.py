@@ -264,3 +264,34 @@ class TestOrcInterchange:
         since = events.agg(F.max("ts")).first()[0]
         inc = extract_table(spark, src, "events", since=since, ts_col="ts")
         assert inc.count() == 0
+
+
+class TestLoadTableCache:
+    """The driver-time DataFrame memoization in ``load_table``: hits are
+    per-session and per listing-fingerprint (r9 ADVICE hardening — the
+    old key shared entries across sessions, so two sessions alternating
+    over one table evicted each other on every call)."""
+
+    def test_per_session_keying_no_cross_session_thrash(
+        self, spark, sf_small
+    ):
+        a = load_table(spark, sf_small, "region")
+        assert load_table(spark, sf_small, "region") is a
+        s2 = spark.newSession()
+        b = load_table(s2, sf_small, "region")
+        assert b is not a
+        # alternating sessions must BOTH keep hitting their own entry
+        assert load_table(spark, sf_small, "region") is a
+        assert load_table(s2, sf_small, "region") is b
+
+    def test_rewrite_misses_cache(self, spark, sf_small, tmp_path):
+        src = load_table(spark, sf_small, "region")
+        src.write.parquet(f"{tmp_path}/region.parquet")
+        first = load_table(spark, str(tmp_path), "region")
+        assert load_table(spark, str(tmp_path), "region") is first
+        src.limit(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/region.parquet"
+        )
+        again = load_table(spark, str(tmp_path), "region")
+        assert again is not first  # listing fingerprint moved
+        assert again.count() == 1
