@@ -84,9 +84,18 @@ def stream_delta_dedup_replay(
     own session (stream-static pattern, like ``enrich_stream`` — a
     snapshot refresh is picked up without restarting); state is ZERO:
     no watermark, no store — the persisted bands ARE the state, exactly
-    as they are for the batch form. Batch results are collected
-    driver-side (pairs are output-sized, not data-sized) and unioned.
+    as they are for the batch form.
+
+    Batch results go to a parquet SINK, never the driver (r9 directive
+    #3 — the old form ``collect()``-ed every batch's matches into a
+    driver list, unbounded at corpus scale): each micro-batch
+    OVERWRITES its own ``b<batch_id>`` subdirectory, which also makes a
+    replayed batch (failure recovery re-runs the last uncommitted
+    batch) idempotent rather than double-appended. The replay helper
+    then reads the sink back and localCheckpoints the (output-sized)
+    result so the temp sink can be removed.
     """
+    import os
     import shutil
     import tempfile
 
@@ -95,12 +104,13 @@ def stream_delta_dedup_replay(
 
     tmp = tempfile.mkdtemp(prefix="ser_etl_delta_stream_")
     ckpt = tmp + "_ckpt"
+    sink = tmp + "_matches"
     schema = "corpus_doc bigint, delta_doc bigint, jaccard double"
     try:
         delta.repartition(files).write.mode("overwrite").parquet(tmp)
-        rows: list[tuple] = []
+        os.makedirs(sink, exist_ok=True)
 
-        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
             s = batch_df.sparkSession
             from pyspark.sql import functions as F
 
@@ -117,7 +127,10 @@ def stream_delta_dedup_replay(
             out = delta_dedup_pairs(
                 corpus, batch_df, threshold, corpus_bands=corpus_bands
             )
-            rows.extend(tuple(r) for r in out.collect())
+            # one output-sized file per batch, overwrite = idempotent
+            out.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sink, f"b{batch_id}")
+            )
 
         stream = (
             spark.readStream.schema(delta.schema)
@@ -131,9 +144,24 @@ def stream_delta_dedup_replay(
             .start()
         )
         q.awaitTermination()
-        return spark.createDataFrame(rows, schema).orderBy(
-            "delta_doc", "corpus_doc"
+        batch_dirs = sorted(
+            os.path.join(sink, d)
+            for d in os.listdir(sink)
+            if d.startswith("b")
         )
+        if not batch_dirs:
+            return spark.createDataFrame([], schema)
+        # explicit schema: an empty batch's directory may hold _SUCCESS
+        # and zero part files (the zero-part-file artifact seam)
+        result = (
+            spark.read.schema(schema)
+            .parquet(*batch_dirs)
+            .orderBy("delta_doc", "corpus_doc")
+        )
+        # materialize before the temp sink is removed; the result is
+        # pair-sized, so the checkpoint is O(output)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
