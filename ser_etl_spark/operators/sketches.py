@@ -455,6 +455,109 @@ def kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(load_table(spark, sf_dir, "lineitem"), "l_partkey")
 
 
+#: bottom-k sample size for the deterministic percentile twin
+SAMPLE_K = 1024
+
+
+def _approx_sketches_twin_oracle(k: int = 256, sk: int = SAMPLE_K) -> str:
+    from ser_etl_spark.operators.sampling import sql_hash_u32
+    from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_long_stage_cols
+
+    ctes, fin = stages_to_ctes("dv", xxh64_long_stage_cols("v", "_kh"), "_ks")
+    scale = float((k - 1) * _TWO64)
+    rk = "(coalesce(l_orderkey, -1) * 8 + coalesce(l_linenumber, 0))"
+    return f"""
+    WITH dv AS (SELECT DISTINCT l_orderkey AS v FROM lineitem){ctes},
+    kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k}),
+    est AS (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+            END AS approx_orders FROM kmin),
+    samp AS (SELECT l_extendedprice AS price
+             FROM lineitem
+             WHERE l_extendedprice IS NOT NULL
+             ORDER BY {sql_hash_u32(rk)} ASC, l_extendedprice ASC
+             LIMIT {sk}),
+    arr AS (SELECT list_sort(list(price)) AS a, COUNT(*) AS n FROM samp)
+    SELECT e.approx_orders,
+           CASE WHEN n > 0 THEN a[CAST(ceil(0.5 * n) AS BIGINT)]
+           END AS p50_price,
+           CASE WHEN n > 0 THEN a[CAST(ceil(0.95 * n) AS BIGINT)]
+           END AS p95_price,
+           CASE WHEN n > 0 THEN a[CAST(ceil(0.99 * n) AS BIGINT)]
+           END AS p99_price
+    FROM est e, arr
+    """
+
+
+@register(
+    "approx_sketches_twin",
+    oracle=_approx_sketches_twin_oracle(),
+    description="deterministic sketch-state twin of approx_sketches "
+    "(r9 directive #4): KMV distinct-orderkey estimate (staged-xxhash64 "
+    "k-min set, the oracle-replayable counterpart of HLL++) plus "
+    "discrete p50/p95/p99 price estimates over a bottom-k-hash uniform "
+    "sample — both summaries are fixed-size (256 hashes / 1024 rows) "
+    "and mergeable, so the shuffle carries O(k) state at any data "
+    "volume, and every output value replays bit-exactly in SQL",
+    covers=("B4",),
+)
+def approx_sketches_twin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output shape as ``approx_sketches`` (distinct estimate + 3
+    percentiles, one row) built ONLY from deterministic summaries:
+
+    - ``approx_orders``: the KMV estimator over ``l_orderkey`` —
+      identical machinery to :func:`kmv_distinct` (per-partition k-min
+      sets merged into a global 256-value summary).
+    - ``p{50,95,99}_price``: order statistics of a bottom-k-hash sample —
+      the 1024 rows with the smallest ``hash_u32`` of the line's stable
+      key form a uniform without-replacement sample (bottom-k sampling);
+      the discrete quantile is the ``ceil(p*n)``-th smallest price in
+      it. ``orderBy(hash).limit(k)`` plans as TakeOrderedAndProject
+      (per-partition partial top-k, O(partitions*k) merged rows — a
+      mergeable summary, never a data-sized sort), and the k-row array
+      the percentiles index into is bounded by the sample size.
+
+    NULL hygiene shared with the oracle: NULL prices never enter the
+    sample, and the row key coalesces NULL key parts so the hash (and
+    therefore the sample membership) is never NULL — Spark sorts NULLs
+    first, DuckDB last, so a NULL sort key would diverge the sample.
+    """
+    from ser_etl_spark.operators.sampling import hash_u32
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = kmv_estimate(kmv_kmin(li, "l_orderkey")).select(
+        F.col("distinct_estimate").alias("approx_orders")
+    )
+    rowkey = F.coalesce(F.col("l_orderkey"), F.lit(-1)) * F.lit(8) + F.coalesce(
+        F.col("l_linenumber"), F.lit(0)
+    )
+    sample = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_extendedprice").alias("price"),
+            hash_u32(rowkey).alias("_h"),
+        )
+        .orderBy("_h", "price")
+        .limit(SAMPLE_K)
+    )
+    arr = sample.agg(
+        F.sort_array(F.collect_list("price")).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def pick(p: float) -> F.Column:
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("int")
+        return F.when(F.col("n") > 0, F.element_at(F.col("a"), idx))
+
+    pct = arr.select(
+        pick(0.5).alias("p50_price"),
+        pick(0.95).alias("p95_price"),
+        pick(0.99).alias("p99_price"),
+    )
+    return est.crossJoin(pct)
+
+
+
 def _kmv_union_oracle(k: int = KMV_K) -> str:
     """DuckDB twin of the merged-summary union estimate. The oracle
     sketches the unioned distinct values directly; the builder merges

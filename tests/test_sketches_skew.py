@@ -27,6 +27,25 @@ class TestSketches:
         below = li.filter(F.col("l_extendedprice") <= q50).count()
         assert 0.45 <= below / n <= 0.55
 
+    def test_twin_estimates_track_exact_answers(self, spark, sf_small):
+        """approx_sketches_twin (r9 directive #4): its deterministic
+        summaries must be ACCURATE, not just oracle-matching — the KMV
+        estimate within the ~1/sqrt(256) band, and each bottom-k-sampled
+        percentile's true rank within the binomial sampling band of its
+        target (±5 sigma: sqrt(p*(1-p)/1024) <= 1.6%)."""
+        from ser_etl_spark.operators.sketches import approx_sketches_twin_query
+
+        row = approx_sketches_twin_query(spark, sf_small).first()
+        li = load_table(spark, sf_small, "lineitem")
+        exact = li.select("l_orderkey").distinct().count()
+        assert abs(row["approx_orders"] - exact) / exact < 0.35  # 5/sqrt(256)
+        n = li.count()
+        for p, col in ((0.5, "p50_price"), (0.95, "p95_price"),
+                       (0.99, "p99_price")):
+            below = li.filter(F.col("l_extendedprice") <= row[col]).count()
+            sigma = (p * (1 - p) / 1024) ** 0.5
+            assert abs(below / n - p) <= 5 * sigma + 1 / 1024, (p, below / n)
+
 
 class TestSaltedJoin:
     def test_salted_equals_plain_join(self, spark, sf_small):
