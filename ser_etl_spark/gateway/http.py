@@ -1,0 +1,178 @@
+"""Framework-free HTTP ingress over :class:`GatewayFront`.
+
+The reference binds its gateway stack to HTTP with FastAPI + gunicorn
+(``/root/reference/api-service/src/main.py:78-130``,
+``gunicorn.conf.py:11-14``). This module is the same binding as a plain
+WSGI callable — no framework, stdlib only — so the complete gateway
+library (validate → rate-limit → auth → scope → execute → envelope →
+log) is one ``make_server(app)`` away from a real port, and the whole
+route → status-code → envelope contract is testable IN-PROCESS by
+invoking the callable with an environ dict (no socket, no server).
+
+Routes (reference parity):
+
+==============  ====  =============================================
+GET /health     200   liveness + snapshot freshness (unauthenticated)
+GET /schema     200   ``{"schema": {table: [columns]}}`` (auth only)
+GET /query?q=…  200   ``{"success", "data", "columns", "row_count",
+                      "execution_time_ms"}``
+==============  ====  =============================================
+
+Error mapping (main.py:100-130 + auth.py:46-117):
+
+- 400 — validation rejected the query (``ValueError``/``QueryRejected``;
+  also a missing ``q`` parameter — FastAPI would say 422, the
+  reference's contract table documents 400 and we follow it)
+- 401 — missing/invalid bearer token (``AuthError``)
+- 403 — authenticated but missing the required scope (``ScopeError``)
+- 404 / 405 — unknown path / non-GET method
+- 429 — rate limit exceeded (``RateLimitExceeded``)
+- 500 — execution failure; the body says ``"Query execution failed"``
+  without internals, exactly like the reference (main.py:129-130)
+
+Client identity for rate limiting follows the reference's
+``get_remote_address`` behind ``forwarded_allow_ips="*"``: the first
+``X-Forwarded-For`` hop when present, else ``REMOTE_ADDR``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterable
+from urllib.parse import parse_qs
+
+from ser_etl_spark.gateway.access import (
+    AuthError,
+    GatewayFront,
+    RateLimitExceeded,
+    ScopeError,
+)
+
+_REASONS = {
+    200: "OK",
+    400: "Bad Request",
+    401: "Unauthorized",
+    403: "Forbidden",
+    404: "Not Found",
+    405: "Method Not Allowed",
+    429: "Too Many Requests",
+    500: "Internal Server Error",
+}
+
+
+def _bearer_token(environ: dict[str, Any]) -> str:
+    """Extract the bearer token; '' when absent/malformed (the
+    authenticator then rejects it as a normal invalid token → 401)."""
+    header = environ.get("HTTP_AUTHORIZATION", "")
+    scheme, _, token = header.partition(" ")
+    if scheme.lower() == "bearer" and token.strip():
+        return token.strip()
+    return ""
+
+
+def _client_key(environ: dict[str, Any]) -> str:
+    fwd = environ.get("HTTP_X_FORWARDED_FOR", "")
+    if fwd:
+        return fwd.split(",")[0].strip()
+    return environ.get("REMOTE_ADDR", "-")
+
+
+class GatewayHTTP:
+    """WSGI app: ``GatewayHTTP(front)`` is servable by any WSGI server
+    (``wsgiref.simple_server.make_server``, gunicorn sync workers) and
+    callable directly in tests."""
+
+    def __init__(self, front: GatewayFront) -> None:
+        self.front = front
+
+    # -- WSGI entrypoint ----------------------------------------------------
+
+    def __call__(
+        self,
+        environ: dict[str, Any],
+        start_response: Callable[[str, list[tuple[str, str]]], Any],
+    ) -> Iterable[bytes]:
+        status, body = self._dispatch(environ)
+        # Decimal/datetime cells in query rows serialize via str — the
+        # reference's FastAPI encoder does the same stringly rendering
+        payload = json.dumps(body, default=str).encode("utf-8")
+        start_response(
+            f"{status} {_REASONS[status]}",
+            [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(payload))),
+            ],
+        )
+        return [payload]
+
+    # -- routing ------------------------------------------------------------
+
+    def _dispatch(self, environ: dict[str, Any]) -> tuple[int, dict]:
+        path = environ.get("PATH_INFO", "/")
+        if path not in ("/health", "/schema", "/query"):
+            return 404, {"detail": "Not Found"}
+        if environ.get("REQUEST_METHOD", "GET") != "GET":
+            return 405, {"detail": "Method Not Allowed"}
+        if path == "/health":
+            return 200, self.front.health()
+        token = _bearer_token(environ)
+        if path == "/schema":
+            return self._schema(token)
+        return self._query(token, environ)
+
+    def _schema(self, token: str) -> tuple[int, dict]:
+        # auth only, like the reference's Depends(get_current_user) on
+        # GET /schema (main.py:84-97); failures inside → 500 with the
+        # error text (main.py:96-97 exposes str(e) here)
+        try:
+            self.front.authenticator.authenticate(token)
+        except AuthError as e:
+            return 401, {"detail": str(e)}
+        try:
+            return 200, {"schema": self.front.engine.get_schema()}
+        except Exception as e:  # noqa: BLE001 - route boundary
+            return 500, {"detail": str(e)}
+
+    def _query(self, token: str, environ: dict[str, Any]) -> tuple[int, dict]:
+        qs = parse_qs(environ.get("QUERY_STRING", ""))
+        sql = (qs.get("q") or [""])[0]
+        if not sql:
+            return 400, {"detail": "Missing required query parameter: q"}
+        try:
+            result = self.front.query(token, _client_key(environ), sql)
+        except AuthError as e:
+            return 401, {"detail": str(e)}
+        except ScopeError as e:
+            return 403, {"detail": str(e)}
+        except RateLimitExceeded as e:
+            return 429, {"detail": f"Rate limit exceeded: {e}"}
+        except ValueError as e:
+            # QueryRejected is a ValueError: the reference maps
+            # validation failures to 400 with the rejection text
+            return 400, {"detail": str(e)}
+        except Exception:  # noqa: BLE001 - route boundary
+            # never leak execution internals (main.py:129-130)
+            return 500, {"detail": "Query execution failed"}
+        return 200, {
+            "success": True,
+            "data": result.data,
+            "columns": result.columns,
+            "row_count": result.row_count,
+            "execution_time_ms": result.execution_time_ms,
+        }
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def close(self) -> None:
+        """The reference's shutdown_event → engine cleanup
+        (main.py:133-137)."""
+        self.front.close()
+
+
+def serve(app: GatewayHTTP, host: str = "127.0.0.1", port: int = 8000):
+    """Bind the app to a real port with the stdlib WSGI server — the
+    single-process stand-in for the reference's gunicorn config; returns
+    the server (caller drives ``serve_forever``/``shutdown``)."""
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    return make_server(host, port, app, server_class=WSGIServer)

@@ -926,3 +926,154 @@ class TestSnapshotTextArtifacts:
         cat = SnapshotCatalog(spark, sf_small)
         assert cat.minhash_bands_dir() is None
         assert cat.text_postings_dir() is None
+
+
+class TestHttpIngress:
+    """The framework-free WSGI binding (r9 directive #5): route →
+    status-code → envelope parity with the reference's FastAPI app
+    (api-service/src/main.py:78-130), driven in-process."""
+
+    def _app(self, engine, max_requests=100):
+        from ser_etl_spark.gateway.access import (
+            GatewayFront,
+            RateLimiter,
+            StaticTokenAuthenticator,
+        )
+        from ser_etl_spark.gateway.http import GatewayHTTP
+
+        auth = StaticTokenAuthenticator(tokens={
+            "good": {"sub": "u1", "scope": "read:analytics"},
+            "noscope": {"sub": "u2", "scope": "openid"},
+        })
+        return GatewayHTTP(GatewayFront(
+            engine=engine,
+            authenticator=auth,
+            limiter=RateLimiter(max_requests=max_requests),
+        ))
+
+    @staticmethod
+    def _get(app, path, q=None, token=None, fwd=None, method="GET"):
+        import json as _json
+        from urllib.parse import quote
+
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": f"q={quote(q)}" if q else "",
+            "REMOTE_ADDR": "9.9.9.9",
+        }
+        if token is not None:
+            environ["HTTP_AUTHORIZATION"] = f"Bearer {token}"
+        if fwd is not None:
+            environ["HTTP_X_FORWARDED_FOR"] = fwd
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+            captured["headers"] = dict(headers)
+
+        body = b"".join(app(environ, start_response))
+        return captured["status"], _json.loads(body), captured["headers"]
+
+    def test_query_success_envelope(self, engine):
+        app = self._app(engine)
+        st, body, headers = self._get(
+            app, "/query", q="SELECT COUNT(*) AS n FROM lineitem",
+            token="good",
+        )
+        assert st == 200
+        assert body["success"] is True and body["row_count"] == 1
+        assert body["columns"] == ["n"] and body["data"][0]["n"] > 0
+        assert body["execution_time_ms"] > 0
+        assert headers["Content-Type"] == "application/json"
+
+    def test_status_code_mapping(self, engine):
+        """The reference's table: 400 validation, 401 auth, 403 scope,
+        429 rate limit, 404/405 routing, 400 missing param."""
+        app = self._app(engine, max_requests=2)
+        good_q = "SELECT COUNT(*) AS n FROM lineitem"
+        # 401: no header at all, and an unknown token (no limiter spend:
+        # auth precedes the rate limit, like the reference's Depends)
+        assert self._get(app, "/query", q=good_q)[0] == 401
+        assert self._get(app, "/query", q=good_q, token="bad")[0] == 401
+        # 403: authenticated but missing read:analytics
+        st, body, _ = self._get(app, "/query", q=good_q, token="noscope")
+        assert st == 403 and "scope" in body["detail"].lower()
+        # 400: missing q (parameter check — no limiter spend)
+        assert self._get(app, "/query", token="good")[0] == 400
+        # 400: validator rejects DML. This DOES spend rate-limit budget —
+        # the limiter runs at the route boundary, before validation,
+        # exactly like the reference's slowapi decorator (spend 1 of 2)
+        st, body, _ = self._get(
+            app, "/query", q="DROP TABLE lineitem", token="good"
+        )
+        assert st == 400 and body["detail"]
+        # 429: the window (2) is exhausted by the 400 above + one 200
+        assert self._get(app, "/query", q=good_q, token="good")[0] == 200
+        st, body, _ = self._get(app, "/query", q=good_q, token="good")
+        assert st == 429 and "Rate limit exceeded" in body["detail"]
+        # routing
+        assert self._get(app, "/nope")[0] == 404
+        assert self._get(app, "/query", q=good_q, token="good",
+                         method="POST")[0] == 405
+
+    def test_rate_limit_keys_on_forwarded_client(self, engine):
+        """forwarded_allow_ips='*' behavior: X-Forwarded-For's first hop
+        is the client key, so distinct proxied clients have distinct
+        budgets."""
+        app = self._app(engine, max_requests=1)
+        q = "SELECT COUNT(*) AS n FROM lineitem"
+        assert self._get(app, "/query", q=q, token="good",
+                         fwd="1.1.1.1, 10.0.0.1")[0] == 200
+        assert self._get(app, "/query", q=q, token="good",
+                         fwd="2.2.2.2, 10.0.0.1")[0] == 200
+        assert self._get(app, "/query", q=q, token="good",
+                         fwd="1.1.1.1, 10.0.0.1")[0] == 429
+
+    def test_health_and_schema_routes(self, engine):
+        app = self._app(engine)
+        st, body, _ = self._get(app, "/health")  # unauthenticated
+        assert st == 200 and body["status"] == "healthy"
+        assert "snapshot_dir" not in body
+        # schema requires auth (Depends(get_current_user))
+        assert self._get(app, "/schema")[0] == 401
+        st, body, _ = self._get(app, "/schema", token="good")
+        assert st == 200 and "lineitem" in body["schema"]
+        assert "l_orderkey" in body["schema"]["lineitem"]
+
+    def test_500_hides_execution_internals(self, engine):
+        """An admitted query that fails at execution maps to a bare 500
+        'Query execution failed' (main.py:129-130 — no str(e))."""
+        app = self._app(engine)
+        st, body, _ = self._get(
+            app, "/query",
+            q="SELECT COUNT(*) AS n FROM no_such_table_anywhere",
+            token="good",
+        )
+        assert st == 500 and body["detail"] == "Query execution failed"
+
+    def test_serves_over_a_real_socket(self, engine):
+        """End-to-end through the stdlib WSGI server: the same app
+        answers on a real port (single-request smoke — the in-process
+        contract tests above carry the full matrix)."""
+        import json as _json
+        import threading
+        from urllib.request import Request, urlopen
+
+        from ser_etl_spark.gateway.http import serve
+
+        app = self._app(engine)
+        srv = serve(app, "127.0.0.1", 0)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.handle_request, daemon=True)
+        t.start()
+        req = Request(
+            f"http://127.0.0.1:{port}/query?q=SELECT%20COUNT(*)%20AS%20n%20FROM%20region",
+            headers={"Authorization": "Bearer good"},
+        )
+        with urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            body = _json.loads(resp.read())
+        assert body["success"] is True and body["data"][0]["n"] > 0
+        t.join(timeout=30)
+        srv.server_close()
