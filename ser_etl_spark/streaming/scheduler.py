@@ -15,6 +15,7 @@ single micro-batch executor.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
@@ -25,6 +26,7 @@ def run_scheduled(
     max_cycles: int | None = None,
     sleep: Callable[[float], None] = time.sleep,
     clock: Callable[[], float] = time.monotonic,
+    stop: threading.Event | None = None,
 ) -> int:
     """Run ``fn`` immediately, then every ``interval_s`` seconds.
 
@@ -32,22 +34,60 @@ def run_scheduled(
     if a cycle takes 2.5 intervals, the next cycle starts immediately
     (one catch-up, not three). Returns completed cycle count;
     ``max_cycles`` bounds it for tests/batch use (None = run forever).
+
+    ``stop`` (r9 directive #6) is the cooperative form of the
+    reference's SIGINT/SIGTERM handlers
+    (``etl-service/src/main.py:43-56``, ``scheduler.shutdown(wait=True)``):
+    setting the event never interrupts a cycle — an IN-FLIGHT ``fn``
+    always completes (so a sync's snapshot build/publish is never
+    abandoned half-way; publish atomicity additionally guarantees no
+    partial snapshot is ever visible even on hard kill) — and the loop
+    then returns without starting another cycle. A stop raised during
+    the inter-cycle sleep wakes the loop immediately (``Event.wait``
+    replaces the injectable ``sleep`` when a stop event is supplied).
     """
     cycles = 0
     next_tick = clock()
     while max_cycles is None or cycles < max_cycles:
+        if stop is not None and stop.is_set():
+            break  # requested before the cycle started: don't start it
         fn()
         cycles += 1
         if max_cycles is not None and cycles >= max_cycles:
             break  # no trailing sleep after the final cycle
+        if stop is not None and stop.is_set():
+            break  # requested mid-cycle: cycle completed, exit now
         next_tick += interval_s
         now = clock()
         if now < next_tick:
-            sleep(next_tick - now)
+            if stop is not None:
+                stop.wait(next_tick - now)  # stop wakes the sleep early
+            else:
+                sleep(next_tick - now)
         else:
             # overran: coalesce missed ticks, fire immediately
             next_tick = now
     return cycles
+
+
+def install_signal_handlers(
+    stop: threading.Event, signals: tuple[int, ...] | None = None
+) -> dict[int, object]:
+    """Bind SIGINT/SIGTERM to ``stop.set()`` — the reference's graceful
+    shutdown (``etl-service/src/main.py:43-56``) made cooperative: the
+    handler only flags the event; :func:`run_scheduled` finishes the
+    in-flight cycle and returns, instead of ``sys.exit`` tearing the
+    process down mid-sync. Returns the previous handlers keyed by
+    signal number so a caller (or test) can restore them."""
+    import signal as _signal
+
+    if signals is None:
+        signals = (_signal.SIGINT, _signal.SIGTERM)
+    previous: dict[int, object] = {}
+    for sig in signals:
+        previous[sig] = _signal.getsignal(sig)
+        _signal.signal(sig, lambda _num, _frame: stop.set())
+    return previous
 
 
 def foreach_batch_sync(spark, sync_manager, interval_s: float = 60.0):

@@ -54,6 +54,66 @@ class TestScheduler:
         run_scheduled(lambda: None, interval_s=1.0, max_cycles=3, sleep=sleep, clock=clock)
         assert sleeps == [1.0, 1.0]
 
+    def test_stop_mid_cycle_completes_it_then_exits(self):
+        """r9 directive #6: a stop raised DURING a cycle never interrupts
+        it — the cycle completes (no abandoned sync work), then the loop
+        returns without starting another."""
+        import threading
+
+        stop = threading.Event()
+        runs = []
+
+        def work():
+            runs.append(1)
+            if len(runs) == 2:
+                stop.set()  # e.g. SIGTERM arrives while cycle 2 runs
+
+        n = run_scheduled(work, interval_s=0.01, max_cycles=100, stop=stop)
+        assert n == 2 and len(runs) == 2  # cycle 2 finished, 3 never began
+
+    def test_stop_during_sleep_wakes_immediately(self):
+        """A stop set while the loop is sleeping to the next tick ends
+        the wait at once — no full-interval latency on shutdown."""
+        import threading
+        import time as _time
+
+        stop = threading.Event()
+        runs = []
+
+        def work():
+            runs.append(1)
+            if len(runs) == 1:
+                threading.Timer(0.05, stop.set).start()
+
+        t0 = _time.monotonic()
+        n = run_scheduled(work, interval_s=30.0, max_cycles=5, stop=stop)
+        assert n == 1 and _time.monotonic() - t0 < 5.0  # not ~30 s
+
+    def test_stop_set_before_start_runs_nothing(self):
+        import threading
+
+        stop = threading.Event()
+        stop.set()
+        assert run_scheduled(lambda: 1 / 0, interval_s=0.01, stop=stop) == 0
+
+    def test_signal_handler_sets_event_and_restores(self):
+        """install_signal_handlers mirrors the reference's SIGINT/SIGTERM
+        hook (etl-service main.py:43-56) cooperatively: the handler only
+        flags the event; previous handlers are returned for restore."""
+        import os
+        import signal
+        import threading
+
+        from ser_etl_spark.streaming.scheduler import install_signal_handlers
+
+        stop = threading.Event()
+        prev = install_signal_handlers(stop, signals=(signal.SIGUSR1,))
+        try:
+            os.kill(os.getpid(), signal.SIGUSR1)
+            assert stop.wait(timeout=5.0)
+        finally:
+            signal.signal(signal.SIGUSR1, prev[signal.SIGUSR1])
+
 
 @pytest.mark.usefixtures("spark")
 class TestWindows:
