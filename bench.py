@@ -112,6 +112,12 @@ def main() -> None:
     # Two passes, min per query: the host VM shows multi-second CPU-steal
     # bursts (observed 30-60x slowdowns on individual queries); min-of-2
     # reports the engine's actual throughput rather than host noise.
+    # Yardstick caveat (r9 pack_sequences triage): the scan yardstick
+    # only normalizes SCAN+SHUFFLE-bound queries. Arrow/Python-bound
+    # operators (applyInPandas packing, mapInPandas sketches) don't
+    # track host IO speed, so a fast-scan round makes their unchanged
+    # raw time look like a normalized regression — compare their RAW
+    # min-of-N across rounds instead.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for entries in by_module.values():
