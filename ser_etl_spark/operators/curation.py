@@ -1002,3 +1002,323 @@ def _bloom_fpr_oracle(m_bits: int = _FPR_M_BITS, k: int = 3) -> str:
 )
 def bloom_fpr_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_fpr_eval(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# contamination span profile: HOW MUCH of a doc is the benchmark (r9)
+# ---------------------------------------------------------------------------
+
+
+def contamination_span_profile(
+    docs: DataFrame, n: int = CONTAMINATION_N, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Per contaminated train doc, the STRUCTURE of its benchmark
+    overlap: total hit n-grams, the number of contiguous contaminated
+    runs, and the longest run in tokens — the readout that separates
+    "shares one idiom with the eval set" (keep) from "contains a whole
+    eval passage verbatim" (drop). :func:`benchmark_contamination`
+    answers WHETHER; this answers HOW MUCH, contiguously.
+
+    Plan: positional n-grams of train docs (one explode, the
+    ``substring_dedup_spans`` anchor convention), broadcast-joined to
+    the benchmark's distinct gram set, then gaps-and-islands over the
+    matched POSITIONS per doc (``pos - row_number()`` groups each
+    maximal run; a run of R consecutive matched n-gram starts spans
+    ``R + n - 1`` tokens). The window moves matched grams only — at
+    100 TB that's the contamination sliver, not the corpus."""
+    from pyspark.sql.window import Window
+
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("_t"),
+    ).filter(F.size("_t") >= n)
+    t = F.col("_t")
+    idx = toks.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size(t) - (n - 1))).alias("pos"),
+    )
+    i = F.col("pos")
+    gram = F.concat_ws(
+        " ",
+        F.element_at(t, i),
+        *[F.element_at(t, i + j) for j in range(1, n)],
+    )
+    anch = idx.select("doc_id", "pos", gram.alias("g"))
+    bench = (
+        anch.filter(is_bench).select("g").distinct()
+    )
+    hits = anch.filter(~is_bench).join(F.broadcast(bench), "g").select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    per_run = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return (
+        per_run.groupBy("doc_id")
+        .agg(
+            F.sum("_len").cast("bigint").alias("hit_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            (F.max("_len") + F.lit(n - 1)).cast("bigint").alias(
+                "longest_run_tokens"
+            ),
+        )
+        .orderBy(
+            F.col("longest_run_tokens").desc(),
+            F.col("hit_ngrams").desc(),
+            F.col("doc_id").asc(),
+        )
+    )
+
+
+def _span_profile_oracle(
+    n: int = CONTAMINATION_N, bench_mod: int = BENCH_MOD
+) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), gl AS (
+      SELECT doc_id, [{gram} for i in range(1, len(t) - {n - 2})] AS gs
+      FROM toks WHERE len(t) >= {n}
+    ), anch AS (
+      SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS g
+      FROM gl
+    ), bench AS (
+      SELECT DISTINCT g FROM anch WHERE doc_id % {bench_mod} = 0
+    ), hits AS (
+      SELECT a.doc_id, a.pos
+      FROM anch a JOIN bench USING (g)
+      WHERE a.doc_id % {bench_mod} <> 0
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    ), per_run AS (
+      SELECT doc_id, grp, COUNT(*) AS _len FROM runs GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(SUM(_len) AS BIGINT) AS hit_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(_len) + {n - 1} AS BIGINT) AS longest_run_tokens
+    FROM per_run GROUP BY doc_id
+    ORDER BY longest_run_tokens DESC, hit_ngrams DESC, doc_id ASC
+    """
+
+
+@register(
+    "contamination_span_profile",
+    oracle=_span_profile_oracle(),
+    description="contamination STRUCTURE per train doc: contiguous "
+    "benchmark-overlap runs via gaps-and-islands over matched "
+    f"{CONTAMINATION_N}-gram positions (longest run, span count, hit "
+    "total) — separates shared idioms from verbatim eval passages; "
+    "broadcast benchmark grams, window over the hit sliver only",
+    covers=("N-text", "N-dedup", "X-window"),
+)
+def contamination_span_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return contamination_span_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# context-window fit histogram (r9)
+# ---------------------------------------------------------------------------
+
+#: context lengths probed (tokens). Fixture-scale stand-ins for the
+#: 2k/8k/128k production windows — docs here are ~30-80 tokens.
+CONTEXT_WINDOWS = (32, 64, 128)
+
+
+def context_fit_histogram(
+    docs: DataFrame, windows: tuple[int, ...] = CONTEXT_WINDOWS
+) -> DataFrame:
+    """Per (context window, source): how many documents fit whole, how
+    many would truncate, and the share of tokens lost to truncation
+    (integer basis points) — the sizing readout that decides a training
+    run's sequence length before any packing job runs.
+
+    One corpus scan computes each doc's token count; the window
+    dimension is a constant 3-element explode (rows = |sources| x
+    |windows|, never data-sized); all arithmetic is exact integers.
+    NULL-text docs have no token count and are excluded up front (a
+    NULL ntok would NULL-poison every BIGINT sum — the empty-aggregate
+    pandas-float seam)."""
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "source", n_tok.alias("ntok")
+    )
+    wins = F.explode(
+        F.array(*[F.lit(w) for w in windows])
+    ).alias("window_tokens")
+    crossed = base.select("source", "ntok", wins)
+    lost = F.greatest(F.col("ntok") - F.col("window_tokens"), F.lit(0))
+    return (
+        crossed.groupBy("window_tokens", "source")
+        .agg(
+            F.sum((F.col("ntok") <= F.col("window_tokens")).cast("bigint"))
+            .alias("n_fit"),
+            F.sum((F.col("ntok") > F.col("window_tokens")).cast("bigint"))
+            .alias("n_truncated"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+            F.sum("ntok").cast("bigint").alias("tokens_total"),
+        )
+        .select(
+            F.col("window_tokens").cast("int").alias("window_tokens"),
+            "source",
+            "n_fit",
+            "n_truncated",
+            "tokens_lost",
+            F.expr("(tokens_lost * 10000) div tokens_total")
+            .cast("bigint")
+            .alias("lost_bp"),
+        )
+        .orderBy("window_tokens", "source")
+    )
+
+
+@register(
+    "context_fit_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), ' +')) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    ), w AS (
+      SELECT unnest({list(CONTEXT_WINDOWS)}) AS window_tokens
+    )
+    SELECT CAST(window_tokens AS INT) AS window_tokens, source,
+           CAST(SUM(CAST(ntok <= window_tokens AS BIGINT)) AS BIGINT)
+             AS n_fit,
+           CAST(SUM(CAST(ntok > window_tokens AS BIGINT)) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(greatest(ntok - window_tokens, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST((SUM(greatest(ntok - window_tokens, 0)) * 10000)
+                // SUM(ntok) AS BIGINT) AS lost_bp
+    FROM d, w
+    GROUP BY window_tokens, source
+    ORDER BY window_tokens, source
+    """,
+    description="context-window sizing readout: per (window, source) "
+    "docs that fit vs truncate and integer-bp token loss — one scan, "
+    "constant window explode, exact integer arithmetic",
+    covers=("N-curation", "B5"),
+)
+def context_fit_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return context_fit_histogram(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection: greedy pick under a per-source budget (r9)
+# ---------------------------------------------------------------------------
+
+#: per-source token budget (fixture-scale)
+SOURCE_TOKEN_BUDGET = 500
+
+
+def token_budget_selection(
+    docs: DataFrame, budget: int = SOURCE_TOKEN_BUDGET
+) -> DataFrame:
+    """Greedy per-source document selection under a token budget,
+    highest lexical-diversity-per-token first — the "fill each domain's
+    quota with its best material" step between scoring and packing in a
+    curation pipeline.
+
+    Priority is an exact integer: ``(distinct_tokens * 10000) div
+    total_tokens`` (the repetition-penalizing density proxy; ties break
+    on doc_id). Selection = running token total over the per-source
+    priority order, kept while the PREVIOUS total still fit (standard
+    greedy prefix under budget — the first overflowing doc is cut, not
+    split). Output: per-source selected counts, tokens used, and
+    utilization basis points. One scan + one window over per-source
+    ranked docs (each partition is one source — bounded, and the 100 TB
+    form ranges-partitions by source exactly like ``training_order``)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    # NULL-text docs carry no tokens and are not selectable; excluding
+    # them up front also keeps the priority ordering NULL-free (engines
+    # disagree on NULL placement under DESC)
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("ntok"),
+        (F.size(F.array_distinct(toks)) * F.lit(10000)).alias("_d10k"),
+    ).select(
+        "doc_id", "source", "ntok",
+        F.expr("_d10k div ntok").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    ranked = base.withColumn(
+        "cum_tokens",
+        F.sum("ntok").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    picked = ranked.filter(
+        F.col("cum_tokens") - F.col("ntok") < F.lit(budget)
+    ).filter(F.col("cum_tokens") <= F.lit(budget))
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("ntok").cast("bigint").alias("tokens_used"),
+        )
+        .select(
+            "source",
+            "n_selected",
+            "tokens_used",
+            F.expr(f"(tokens_used * 10000) div {budget}")
+            .cast("bigint")
+            .alias("utilization_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), ' +')) AS ntok,
+             (len(list_distinct(string_split_regex(trim(lower(text)),
+              ' +'))) * 10000)
+               // len(string_split_regex(trim(lower(text)), ' +'))
+               AS priority
+      FROM documents WHERE text IS NOT NULL
+    ), r AS (
+      SELECT *, SUM(ntok) OVER (
+               PARTITION BY source
+               ORDER BY priority DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM b
+    ), p AS (
+      SELECT * FROM r
+      WHERE cum_tokens - ntok < {SOURCE_TOKEN_BUDGET}
+        AND cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_used,
+           CAST((SUM(ntok) * 10000) // {SOURCE_TOKEN_BUDGET} AS BIGINT)
+             AS utilization_bp
+    FROM p GROUP BY source ORDER BY source
+    """,
+    description="greedy per-source selection under a token budget, "
+    "highest integer diversity-per-token first: window cumsum in "
+    "priority order, keep the non-overflowing prefix; per-source "
+    "selected counts / tokens / utilization bp",
+    covers=("N-curation", "X-window"),
+)
+def token_budget_selection_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return token_budget_selection(load_table(spark, sf_dir, "documents"))

@@ -1638,3 +1638,232 @@ def source_signature_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 )
 def source_signature_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_signature_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# quality filter funnel: staged drop accounting (r9)
+# ---------------------------------------------------------------------------
+
+#: funnel thresholds (fixture-scale; production corpora use the Gopher
+#: bands — 50..100k words, mean word length 3..10 — the SHAPE is what
+#: matters: every rule is one columnar integer comparison)
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_WLEN_LO = 2
+FUNNEL_WLEN_HI = 12
+FUNNEL_DISTINCT_X10 = 3  # distinct-token ratio >= 0.3
+
+
+def quality_filter_funnel(docs: DataFrame) -> DataFrame:
+    """Staged quality-filter FUNNEL over the corpus: for each filter, in
+    order, how many documents entered, were dropped by it, and
+    survived — the accounting readout every pre-training corpus
+    pipeline publishes next to its filters (``quality_score`` ranks;
+    this explains where volume went).
+
+    Stages (each one whole-stage-codegen integer arithmetic — ratios
+    are compared as cross-multiplied integers, never divided):
+
+    1. ``nonempty``       — text present and not whitespace-only
+    2. ``min_tokens``     — >= FUNNEL_MIN_TOKENS whitespace tokens
+    3. ``word_length``    — mean token length within [2, 12] chars
+    4. ``distinct_ratio`` — >= 30% of tokens distinct (repetition gate)
+    5. ``has_stopword``   — at least one stopword token (gibberish gate)
+
+    One corpus scan computes every per-doc flag; one tiny aggregate
+    yields cumulative survivor counts; the 5-row funnel is a constant
+    unpivot of that single row. Drop accounting is CUMULATIVE (a doc
+    failing stages 2 and 4 is charged to stage 2 only), matching how a
+    sequential filter pipeline actually discards."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    n_chr = F.length(norm)
+    n_dis = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    f1 = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    f2 = n_tok >= F.lit(FUNNEL_MIN_TOKENS)
+    # mean word length = (n_chr - n_tok + 1) / n_tok, compared integer-side
+    wl = n_chr - n_tok + F.lit(1)
+    f3 = (wl >= n_tok * F.lit(FUNNEL_WLEN_LO)) & (
+        wl <= n_tok * F.lit(FUNNEL_WLEN_HI)
+    )
+    f4 = n_dis * F.lit(10) >= n_tok * F.lit(FUNNEL_DISTINCT_X10)
+    f5 = n_stop >= F.lit(1)
+    flags = [f1, f2, f3, f4, f5]
+    cum, cums = F.lit(True), []
+    for f in flags:
+        cum = cum & F.coalesce(f, F.lit(False))
+        cums.append(cum)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("c0"),
+        *[
+            F.sum(c.cast("bigint")).alias(f"c{i + 1}")
+            for i, c in enumerate(cums)
+        ],
+    )
+    names = ("nonempty", "min_tokens", "word_length", "distinct_ratio",
+             "has_stopword")
+    stack = ", ".join(
+        f"{i + 1}, '{nm}', c{i}, c{i + 1}" for i, nm in enumerate(names)
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(names)}, {stack}) AS "
+            "(stage_no, stage, docs_in, docs_out)"
+        )
+        .select(
+            F.col("stage_no").cast("int").alias("stage_no"),
+            "stage",
+            F.col("docs_in").cast("bigint").alias("docs_in"),
+            (F.col("docs_in") - F.col("docs_out"))
+            .cast("bigint")
+            .alias("docs_dropped"),
+            F.col("docs_out").cast("bigint").alias("docs_out"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def _funnel_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    return f"""
+    WITH d AS (
+      SELECT text,
+             regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+      FROM documents
+    ), m AS (
+      SELECT text,
+             string_split(norm, ' ') AS t,
+             length(norm) AS n_chr
+      FROM d
+    ), fl AS (
+      SELECT
+        COALESCE(text IS NOT NULL AND trim(text) <> '', FALSE) AS f1,
+        COALESCE(len(t) >= {FUNNEL_MIN_TOKENS}, FALSE) AS f2,
+        COALESCE(n_chr - len(t) + 1 BETWEEN
+                 len(t) * {FUNNEL_WLEN_LO} AND len(t) * {FUNNEL_WLEN_HI},
+                 FALSE) AS f3,
+        COALESCE(len(list_distinct(t)) * 10 >=
+                 len(t) * {FUNNEL_DISTINCT_X10}, FALSE) AS f4,
+        COALESCE(len(list_filter(t,
+                 x -> list_contains({stop_list}, x))) >= 1, FALSE) AS f5
+      FROM m
+    ), c AS (
+      SELECT COUNT(*) AS c0,
+             CAST(SUM(CAST(f1 AS BIGINT)) AS BIGINT) AS c1,
+             CAST(SUM(CAST(f1 AND f2 AS BIGINT)) AS BIGINT) AS c2,
+             CAST(SUM(CAST(f1 AND f2 AND f3 AS BIGINT)) AS BIGINT) AS c3,
+             CAST(SUM(CAST(f1 AND f2 AND f3 AND f4 AS BIGINT)) AS BIGINT)
+               AS c4,
+             CAST(SUM(CAST(f1 AND f2 AND f3 AND f4 AND f5 AS BIGINT))
+               AS BIGINT) AS c5
+      FROM fl
+    )
+    SELECT stage_no, stage, docs_in, docs_in - docs_out AS docs_dropped,
+           docs_out
+    FROM (
+      SELECT 1 AS stage_no, 'nonempty' AS stage, c0 AS docs_in,
+             c1 AS docs_out FROM c
+      UNION ALL SELECT 2, 'min_tokens', c1, c2 FROM c
+      UNION ALL SELECT 3, 'word_length', c2, c3 FROM c
+      UNION ALL SELECT 4, 'distinct_ratio', c3, c4 FROM c
+      UNION ALL SELECT 5, 'has_stopword', c4, c5 FROM c
+    )
+    ORDER BY stage_no
+    """
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=_funnel_oracle(),
+    description="staged quality-filter funnel: per filter (nonempty, "
+    "min-tokens, mean-word-length band, distinct-token ratio, stopword "
+    "presence) the docs in/dropped/out under sequential application — "
+    "one corpus scan of integer flag arithmetic, one scalar aggregate, "
+    "constant 5-row unpivot",
+    covers=("N-quality", "N-text"),
+)
+def quality_filter_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# document rarity (surprisal proxy) top-k (r9)
+# ---------------------------------------------------------------------------
+
+#: integer surprisal scale: score(token) = RARITY_SCALE div corpus_freq
+RARITY_SCALE = 1_000_000_000
+
+
+def doc_rarity_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """The ``k`` most SURPRISING documents under a unigram corpus model —
+    the perplexity-filter stand-in that needs no logarithm (ln/exp are
+    libm-dependent and would break cross-engine determinism): each
+    token occurrence scores ``RARITY_SCALE div corpus_frequency`` (an
+    exact integer — rare tokens score big), a document's surprisal is
+    the exact integer SUM, and the rarity is the integer
+    per-token mean. High rarity = the gibberish/OCR-noise tail a
+    perplexity filter would flag; everything is associative integer
+    arithmetic, deterministic under any partitioning.
+
+    Plan: one token explode, a vocabulary-sized frequency aggregate
+    joined back by token (vocabularies are tiny relative to corpora —
+    broadcast), one per-doc aggregate, TakeOrdered top-k."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr(f"{RARITY_SCALE} div tf")).alias("surprisal"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("surprisal").cast("bigint").alias("surprisal"),
+            F.expr("surprisal div n_tokens").cast("bigint").alias(
+                "rarity_per_token"
+            ),
+        )
+        .orderBy(F.col("rarity_per_token").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "doc_rarity_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT tok, COUNT(*) AS tf FROM tk GROUP BY tok
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM({RARITY_SCALE} // tf) AS BIGINT) AS surprisal
+      FROM tk JOIN f USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, surprisal,
+           CAST(surprisal // n_tokens AS BIGINT) AS rarity_per_token
+    FROM s
+    ORDER BY rarity_per_token DESC, doc_id ASC
+    LIMIT 20
+    """,
+    description="top-20 most surprising docs under a unigram corpus "
+    "model: integer surprisal (RARITY_SCALE div corpus token frequency, "
+    "summed exactly — the log-free perplexity-filter proxy), per-token "
+    "integer mean, TakeOrdered; one explode + vocab-sized broadcast "
+    "join, no doubles anywhere",
+    covers=("N-quality", "N-text", "B8"),
+)
+def doc_rarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_rarity_topk(load_table(spark, sf_dir, "documents"))

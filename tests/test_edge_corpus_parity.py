@@ -68,6 +68,12 @@ EDGE_QUERIES = [
     "group_ksample",
     "langid_confusion",
     "source_signature_terms",
+    # r9: the new token/shingle consumers
+    "quality_filter_funnel",
+    "doc_rarity_topk",
+    "contamination_span_profile",
+    "context_fit_histogram",
+    "token_budget_selection",
 ]
 
 
@@ -145,6 +151,15 @@ CLIQUE_QUERIES = [
     "bloom_fpr_eval",
     "lexical_diversity",
     "vocab_growth",
+    # r9: on a 40-identical-doc corpus the funnel drops everything at
+    # the distinct-ratio gate, rarity is uniform, every doc's grams are
+    # fully contaminated (doc 0 is the benchmark), and budget selection
+    # ranks a 40-way priority tie purely by doc_id
+    "quality_filter_funnel",
+    "doc_rarity_topk",
+    "contamination_span_profile",
+    "context_fit_histogram",
+    "token_budget_selection",
 ]
 
 
@@ -243,7 +258,11 @@ def nulltext_dir(tmp_path_factory):
      "lexical_diversity", "vocab_growth", "charclass_profile",
      "bloom_fpr_eval", "dedup_rate_by_source", "dominant_lang_share",
      "group_ksample", "shard_manifest", "langid_confusion",
-     "source_signature_terms"],
+     "source_signature_terms",
+     # r9 token consumers on a tokenless corpus
+     "quality_filter_funnel", "doc_rarity_topk",
+     "contamination_span_profile", "context_fit_histogram",
+     "token_budget_selection"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

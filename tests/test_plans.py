@@ -993,3 +993,31 @@ def test_revenue_mom_growth_single_raw_exchange(spark, sf_small):
     parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert len(parts) == 1 and parts[0].startswith("m"), parts
     assert plan.count("Arguments: SinglePartition") == 1, plan[:2500]
+
+
+def test_r9_text_quality_plan_shapes(spark, sf_small):
+    """r9 wave-1 queries: broadcast small sides, no cartesian products,
+    scan counts where a single pass is the claim."""
+    # rarity: vocabulary frequency table broadcasts back onto the token
+    # stream — never a shuffled sort-merge join, never a cartesian
+    plan = _plan(spark, sf_small, "doc_rarity_topk")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    # contamination span profile: benchmark grams broadcast; the window
+    # partitions by doc_id (matched sliver), no cartesian
+    plan = _plan(spark, sf_small, "contamination_span_profile")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(doc_id", plan), plan[:2000]
+    # funnel: ONE documents scan, one scalar aggregate (SinglePartition)
+    plan = _plan(spark, sf_small, "quality_filter_funnel")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Arguments: SinglePartition" in plan
+    # context fit: one scan; the window dimension is a generator, so no
+    # join of any kind appears
+    plan = _plan(spark, sf_small, "context_fit_histogram")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    # budget selection: one scan, window partitioned by source
+    plan = _plan(spark, sf_small, "token_budget_selection")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert re.search(r"hashpartitioning\(source", plan), plan[:2000]
