@@ -3376,3 +3376,240 @@ def dim_variance_screen(vectors: DataFrame, vec_col: str = "embedding") -> DataF
 )
 def dim_variance_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_variance_screen(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# one Lloyd iteration: the k-means training step as a query (r9)
+# ---------------------------------------------------------------------------
+
+#: quantization scale for mean/movement determinism (the
+#: embedding_centroids convention: exact BIGINT accumulation of
+#: 1e-9-quantized doubles)
+_Q_SCALE = 1.0e9
+
+
+def kmeans_lloyd_step(
+    vectors: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd (k-means) iteration over the corpus, as a readout:
+    assign every vector to its nearest seed centroid (:func:`ivf_assign`
+    — the E-step), recompute each centroid as its members' mean (the
+    M-step), and report per centroid the member count and the SQUARED
+    movement between old and new positions — the convergence signal a
+    quantizer-training job monitors each round (sqrt is avoided so the
+    engines never disagree on a libm call; squared distance carries the
+    same convergence information).
+
+    Scale: the E-step is K expanded dot products per row, shuffle-free;
+    the M-step is ``posexplode`` + one (centroid, dim) hash aggregate
+    (map-side partial sums of 1e-9-quantized BIGINTs — the
+    ``embedding_centroids`` determinism discipline); movement joins the
+    K*dim mean rows to the K*dim seed rows (broadcast-small) and
+    re-aggregates. No step is data-sized after the first aggregate.
+
+    Degenerate rows (NULL/zero-norm vectors) assign the -1 sentinel and
+    never contribute to means; a member-less centroid reports
+    ``n_assigned = 0`` with NULL movement."""
+    assign = ivf_assign(vectors, num_centroids, vec_col, id_col).filter(
+        F.col("centroid_id") >= 0
+    )
+    members = assign.join(
+        vectors.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    )
+    # try_cast, not CAST: a NaN/Inf component must degrade to a skipped
+    # summand (both engines), never ANSI-fail the whole M-step — the
+    # ann_layout_frame discipline. The divisor counts USABLE components.
+    q = F.expr(
+        f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
+    )
+    means = members.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
+        ).alias("mu")
+    )
+    seeds = vectors.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_o"),
+    )
+    d2q = F.expr(
+        "try_cast(round((mu - cast(_o AS double)) * "
+        f"(mu - cast(_o AS double)) * {_Q_SCALE!r}) AS bigint)"
+    )
+    moved = (
+        means.join(F.broadcast(seeds), ["centroid_id", "dim"])
+        .groupBy("centroid_id")
+        .agg(
+            (F.sum(d2q).cast("double") / F.lit(_Q_SCALE)).alias(
+                "sq_movement"
+            )
+        )
+    )
+    counts = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    base = vectors.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).cast("int").alias("centroid_id")
+    )
+    return (
+        base.join(counts, "centroid_id", "left")
+        .join(moved, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_assigned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_assigned"),
+            "sq_movement",
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _kmeans_step_oracle(
+    num_centroids: int = IVF_CENTROIDS, dim: int | None = None
+) -> str:
+    dim = EMB_DIM if dim is None else dim
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN -1 ELSE centroid_id END AS centroid_id
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id ASC) = 1
+    ), ex AS (
+      SELECT a.centroid_id, generate_subscripts(e.embedding, 1) - 1 AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x
+      FROM assign a JOIN embeddings e USING (vec_id)
+      WHERE a.centroid_id >= 0
+    ), means AS (
+      SELECT centroid_id, dim,
+             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS mu
+      FROM ex GROUP BY centroid_id, dim
+    ), seeds AS (
+      SELECT centroid_id, generate_subscripts(cv, 1) - 1 AS dim,
+             CAST(unnest(cv) AS DOUBLE) AS o
+      FROM c
+    ), moved AS (
+      SELECT centroid_id,
+             CAST(SUM(TRY_CAST(round((mu - o) * (mu - o) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9 AS sq_movement
+      FROM means JOIN seeds USING (centroid_id, dim)
+      GROUP BY centroid_id
+    ), cnt AS (
+      SELECT centroid_id, COUNT(*) AS n FROM assign
+      WHERE centroid_id >= 0 GROUP BY centroid_id
+    )
+    SELECT CAST(c.centroid_id AS INT) AS centroid_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_assigned,
+           moved.sq_movement
+    FROM c LEFT JOIN cnt USING (centroid_id) LEFT JOIN moved
+      USING (centroid_id)
+    ORDER BY centroid_id
+    """
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle=_kmeans_step_oracle(),
+    description="one k-means Lloyd iteration as a convergence readout: "
+    "E-step nearest-centroid assignment (shuffle-free expanded dot "
+    "products), M-step per-(centroid,dim) means via exact quantized "
+    "BIGINT accumulation, per-centroid member count + squared centroid "
+    "movement (sqrt-free); movement re-aggregates K*dim rows only",
+    covers=("N-sim", "B5"),
+)
+def kmeans_lloyd_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd_step(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# centroid similarity matrix: quantizer-quality QA (r9)
+# ---------------------------------------------------------------------------
+
+
+def centroid_similarity_matrix(
+    vectors: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairwise cosine similarity between the coarse-quantizer
+    centroids — the index-QA readout that flags a DEGENERATE quantizer:
+    two near-identical centroids split one true cluster across two
+    inverted lists, halving probe recall at any nprobe. Emitted as
+    ordered pairs (a < b) with the rounded-4 cosine convention every
+    probe shares.
+
+    Scale: K rows self-joined (K*(K-1)/2 pairs, K = 8) — constant-size
+    regardless of corpus volume; the join is a broadcast of K rows."""
+    dim = _dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "cid_a int, cid_b int, cos_sim double"
+        )
+    c = vectors.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col(vec_col),
+        _norm_col(vec_col, dim).alias("_n"),
+    )
+    a = c.select(
+        F.col("cid").alias("cid_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = c.select(
+        F.col("cid").alias("cid_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    sim = F.expr(
+        f"round({_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0d), 4)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("cid_a") < F.col("cid_b"))
+        .select("cid_a", "cid_b", sim.alias("cos_sim"))
+        .orderBy("cid_a", "cid_b")
+    )
+
+
+def _centroid_matrix_oracle(
+    num_centroids: int = IVF_CENTROIDS, dim: int | None = None
+) -> str:
+    dim = EMB_DIM if dim is None else dim
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS v
+      FROM embeddings WHERE vec_id < {num_centroids}
+    )
+    SELECT CAST(a.cid AS INT) AS cid_a, CAST(b.cid AS INT) AS cid_b,
+           {_duck_cos4("a.v", "b.v", dim)} AS cos_sim
+    FROM c a JOIN c b ON a.cid < b.cid
+    ORDER BY cid_a, cid_b
+    """
+
+
+@register(
+    "centroid_similarity_matrix",
+    oracle=_centroid_matrix_oracle(),
+    description="quantizer-quality QA: pairwise rounded-4 cosine between "
+    "the 8 coarse centroids (near-identical centroids split clusters "
+    "across inverted lists and halve probe recall) — constant K*(K-1)/2 "
+    "pair space, broadcast self-join, corpus-size-independent",
+    covers=("N-sim",),
+)
+def centroid_similarity_matrix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return centroid_similarity_matrix(load_table(spark, sf_dir, "embeddings"))

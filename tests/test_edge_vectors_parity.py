@@ -105,6 +105,11 @@ FULL_QUERIES = [
     # r8b: the vector-QA audit EXISTS to count exactly these seam rows —
     # NULL vec, NaN/NULL components, short arrays, zero/neg-zero norms.
     "vector_quality_audit",
+    # r9: the Lloyd step's M-step try_casts quantized components (NaN/Inf
+    # degrade to skipped summands, both engines) and the centroid matrix
+    # shares the nullif-guarded rounded-cosine convention.
+    "kmeans_lloyd_step",
+    "centroid_similarity_matrix",
 ]
 
 REDUCED_QUERIES = [
