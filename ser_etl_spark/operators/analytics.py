@@ -1588,3 +1588,71 @@ def basket_lift(
 )
 def basket_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# user behavioral diversity (Simpson index) histogram (r9)
+# ---------------------------------------------------------------------------
+
+
+def user_diversity_histogram(events: DataFrame) -> DataFrame:
+    """Distribution of per-user behavioral diversity over event types,
+    via the Gini-Simpson index ``D = 1 - sum(n_i*(n_i-1)) / (n*(n-1))``
+    — the probability two of a user's events differ in type. Unlike
+    Shannon entropy, D is a RATIONAL function of the counts, so it
+    stays an exact integer comparison end-to-end (no logarithms, no
+    cross-engine libm): the decile is ``(10*(den-num)) div den`` in
+    pure int64.
+
+    Single-event users carry no diversity information (0/0) and are
+    excluded. Output: 0..10 decile buckets x user counts. Scale: two
+    keyed hash aggregates (user,type) -> (user), both map-side-partial,
+    then an 11-row aggregate."""
+    per_type = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum(F.expr("c * (c - 1)")).alias("num"),
+        F.sum("c").alias("n"),
+    ).filter(F.col("n") >= 2)
+    decile = F.expr("(10 * (n * (n - 1) - num)) div (n * (n - 1))")
+    return (
+        per_user.select(decile.cast("int").alias("diversity_decile"))
+        .groupBy("diversity_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("diversity_decile")
+    )
+
+
+@register(
+    "user_diversity_histogram",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM per_type GROUP BY user_id
+      HAVING SUM(c) >= 2
+    )
+    SELECT CAST((10 * (n * (n - 1) - num)) // (n * (n - 1)) AS INT)
+             AS diversity_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="per-user behavioral diversity histogram via the "
+    "Gini-Simpson index (rational in the counts — exact integer decile, "
+    "no entropy logs): two map-side-partial keyed aggregates then an "
+    "11-bucket rollup",
+    covers=("B5", "N-quality"),
+)
+def user_diversity_histogram_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return user_diversity_histogram(load_table(spark, sf_dir, "events"))

@@ -773,3 +773,82 @@ def supplier_hhi_histogram(lineitem: DataFrame) -> DataFrame:
 )
 def supplier_hhi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier_hhi_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit profile: entry-fraud / synthetic-data screen (r9)
+# ---------------------------------------------------------------------------
+
+#: Benford expected leading-digit shares in integer basis points:
+#: round(log10(1 + 1/d) * 10000). Hardcoded literals (log10 is evaluated
+#: HERE, once, in Python — never inside either engine, where libm
+#: differences would break cross-engine determinism).
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def benford_leading_digit(orders: DataFrame) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law —
+    the classic screen for fabricated or synthetically generated
+    amounts (true transactional magnitudes follow log10(1+1/d); uniform
+    generators don't). Emits per digit the observed count, observed and
+    expected integer basis points, and the signed excess.
+
+    Determinism: the price becomes exact integer cents (the
+    revenue_mom_growth ``floor(x*100+0.5)`` convention), the leading
+    digit is the first character of the BIGINT's decimal string
+    (integer-to-string is exact in every engine — no log10), and every
+    share is integer basis points. One scan, one 9-group aggregate."""
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    base = orders.select(cents.alias("c")).filter(F.col("c") > 0)
+    digit = F.substring(F.col("c").cast("string"), 1, 1).cast("int")
+    counts = base.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = base.agg(F.count(F.lit(1)).alias("_n"))
+    exp_bp = F.element_at(
+        F.array(*[F.lit(b) for b in BENFORD_BP]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.expr("(n_obs * 10000) div _n").cast("bigint").alias("obs_bp"),
+            exp_bp.cast("bigint").alias("expected_bp"),
+            (
+                F.expr("(n_obs * 10000) div _n") - exp_bp
+            ).cast("bigint").alias("excess_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "benford_leading_digit",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders
+      WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) > 0
+    ), d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM b
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+    ), t AS (SELECT COUNT(*) AS _n FROM d)
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST((n_obs * 10000) // _n AS BIGINT) AS obs_bp,
+           CAST({list(BENFORD_BP)}[digit] AS BIGINT) AS expected_bp,
+           CAST((n_obs * 10000) // _n - {list(BENFORD_BP)}[digit] AS BIGINT)
+             AS excess_bp
+    FROM counts, t
+    ORDER BY digit
+    """,
+    description="Benford's-law screen on order totals: leading digit of "
+    "exact integer cents (digit via int-to-string, expected shares as "
+    "precomputed log10 literals — no libm in either engine), observed "
+    "vs expected integer basis points; one scan, 9-group aggregate",
+    covers=("N-quality", "B5"),
+)
+def benford_leading_digit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_leading_digit(load_table(spark, sf_dir, "orders"))

@@ -1066,3 +1066,124 @@ def stickiness_ratio(events: DataFrame) -> DataFrame:
 )
 def stickiness_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stickiness_ratio(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen over daily revenue (r9)
+# ---------------------------------------------------------------------------
+
+
+def changepoint_cusum(orders: DataFrame) -> DataFrame:
+    """CUSUM changepoint screen on the daily revenue series: the running
+    sum of deviations from the series mean peaks (in absolute value) at
+    the most likely level-shift point — the standard first-pass detector
+    for "did the data-generating process change on some day".
+
+    Exactness trick: with ``prefix_t`` = cumulative cents through day t
+    and ``total`` over n days, ``cusum_t = prefix_t - t*(total/n)`` is
+    computed as the INTEGER ``n*prefix_t - t*total`` (associative,
+    engine-independent — no running double accumulation whose summation
+    tree could differ) and divided ONCE per row for the dollar-scale
+    output. int64 bound: n_days * total_cents must stay under 2^63 —
+    ~9e18, comfortable for any horizon whose daily series a single
+    window pass should hold anyway.
+
+    Scale: one scan -> per-day aggregate (map-side partial) -> windows
+    over the DAY SERIES (bounded by the calendar horizon, never
+    data-sized). The max-|cusum| flag is a second pass over the same
+    tiny series."""
+    from pyspark.sql.window import Window
+
+    day = F.expr(
+        "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("_prefix"),
+        F.row_number().over(Window.orderBy("day")).alias("_t"),
+    )
+    tot = daily.agg(
+        F.sum("rev_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    scaled = F.col("_n") * F.col("_prefix") - F.col("_t") * F.col("_total")
+    mx = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            scaled.alias("_s"),
+        )
+        .withColumn("_peak", F.max(F.abs(F.col("_s"))).over(mx))
+    )
+    return (
+        out.crossJoin(F.broadcast(tot.select("_n")))
+        .select(
+            "day",
+            "rev_cents",
+            F.round(
+                F.col("_s").cast("double") / (F.lit(100.0) * F.col("_n")), 4
+            ).alias("cusum"),
+            (F.abs(F.col("_s")) == F.col("_peak"))
+            .cast("int")
+            .alias("is_peak"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                       o_orderdate) AS day,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), staged AS (
+      SELECT day, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS _prefix,
+             ROW_NUMBER() OVER (ORDER BY day) AS _t
+      FROM daily
+    ), t AS (
+      SELECT CAST(SUM(rev_cents) AS BIGINT) AS _total,
+             COUNT(*) AS _n FROM daily
+    ), s AS (
+      SELECT day, rev_cents,
+             CAST(_n * _prefix - _t * _total AS BIGINT) AS _s
+      FROM staged, t
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           round(CAST(_s AS DOUBLE) / (100.0 * _n), 4) AS cusum,
+           CAST(abs(_s) = MAX(abs(_s)) OVER () AS INT) AS is_peak
+    FROM s, t
+    ORDER BY day
+    """,
+    description="CUSUM changepoint screen on daily revenue: cumulative "
+    "deviation from the series mean via the exact integer form "
+    "n*prefix - t*total (one double division per row, no running float "
+    "accumulation), |cusum| peak flagged; windows only over the bounded "
+    "day series",
+    covers=("X-window", "N-quality"),
+)
+def changepoint_cusum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changepoint_cusum(load_table(spark, sf_dir, "orders"))
