@@ -393,3 +393,76 @@ def streaming_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("events").alias("n_events"),
     )
+
+
+def _quality_gate_oracle() -> str:
+    from ser_etl_spark.operators.text import (
+        _STOPWORDS,
+        FUNNEL_DISTINCT_X10,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_WLEN_HI,
+        FUNNEL_WLEN_LO,
+    )
+
+    stop_list = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    return f"""
+    WITH m AS (
+      SELECT source,
+             text,
+             string_split(regexp_replace(trim(lower(text)),
+               ' +', ' ', 'g'), ' ') AS t,
+             length(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+               AS n_chr
+      FROM documents
+    ), fl AS (
+      SELECT source,
+             COALESCE(text IS NOT NULL AND trim(text) <> '', FALSE)
+             AND COALESCE(len(t) >= {FUNNEL_MIN_TOKENS}, FALSE)
+             AND COALESCE(n_chr - len(t) + 1 BETWEEN
+                 len(t) * {FUNNEL_WLEN_LO} AND len(t) * {FUNNEL_WLEN_HI},
+                 FALSE)
+             AND COALESCE(len(list_distinct(t)) * 10 >=
+                 len(t) * {FUNNEL_DISTINCT_X10}, FALSE)
+             AND COALESCE(len(list_filter(t,
+                 x -> list_contains({stop_list}, x))) >= 1, FALSE)
+               AS passed
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(passed AS BIGINT)) AS BIGINT) AS n_pass,
+           CAST(COUNT(*) - SUM(CAST(passed AS BIGINT)) AS BIGINT) AS n_fail,
+           CAST((SUM(CAST(passed AS BIGINT)) * 10000) // COUNT(*)
+             AS BIGINT) AS pass_bp
+    FROM fl GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=_quality_gate_oracle(),
+    description="continuous quality admission gate: the documents table "
+    "replayed as a multi-file availableNow stream, every micro-batch "
+    "applying the batch funnel's per-row admission flag and appending "
+    "per-source pass/fail counts to a parquet sink (idempotent "
+    "per-batch overwrite, zero streaming state, nothing on the driver) "
+    "— oracle-backed because verdicts are per-row, so summed per-batch "
+    "counts are invariant to batch boundaries and equal the batch "
+    "filter's per-source totals",
+    covers=("A16", "N-quality"),
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.quality import stream_quality_gate_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:  # empty corpus: typed empty, no stream
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, n_pass bigint, n_fail bigint, "
+            "pass_bp bigint",
+        )
+    # files=2: proves multi-batch execution at ~2 plan-fixed batch
+    # overheads (the streaming_incremental_dedup costing argument); the
+    # batch-boundary invariance is pinned separately in tests.
+    return stream_quality_gate_replay(spark, docs, files=2)

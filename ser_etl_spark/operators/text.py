@@ -1653,6 +1653,36 @@ FUNNEL_WLEN_HI = 12
 FUNNEL_DISTINCT_X10 = 3  # distinct-token ratio >= 0.3
 
 
+def funnel_stage_flags() -> list[Column]:
+    """CUMULATIVE per-doc pass flags for the 5 funnel stages, as column
+    expressions over a ``text`` column (NULL-safe: a NULL verdict is a
+    fail). ``flags[-1]`` is the all-stages admission flag — shared by
+    the batch funnel and the streaming quality gate so both report the
+    same filter."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    n_chr = F.length(norm)
+    n_dis = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    f1 = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    f2 = n_tok >= F.lit(FUNNEL_MIN_TOKENS)
+    # mean word length = (n_chr - n_tok + 1) / n_tok, compared integer-side
+    wl = n_chr - n_tok + F.lit(1)
+    f3 = (wl >= n_tok * F.lit(FUNNEL_WLEN_LO)) & (
+        wl <= n_tok * F.lit(FUNNEL_WLEN_HI)
+    )
+    f4 = n_dis * F.lit(10) >= n_tok * F.lit(FUNNEL_DISTINCT_X10)
+    f5 = n_stop >= F.lit(1)
+    cum, cums = F.lit(True), []
+    for f in (f1, f2, f3, f4, f5):
+        cum = cum & F.coalesce(f, F.lit(False))
+        cums.append(cum)
+    return cums
+
+
 def quality_filter_funnel(docs: DataFrame) -> DataFrame:
     """Staged quality-filter FUNNEL over the corpus: for each filter, in
     order, how many documents entered, were dropped by it, and
@@ -1674,32 +1704,13 @@ def quality_filter_funnel(docs: DataFrame) -> DataFrame:
     unpivot of that single row. Drop accounting is CUMULATIVE (a doc
     failing stages 2 and 4 is charged to stage 2 only), matching how a
     sequential filter pipeline actually discards."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
-    toks = F.split(norm, " ")
-    n_tok = F.size(toks)
-    n_chr = F.length(norm)
-    n_dis = F.size(F.array_distinct(toks))
-    n_stop = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
-    )
-    f1 = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    f2 = n_tok >= F.lit(FUNNEL_MIN_TOKENS)
-    # mean word length = (n_chr - n_tok + 1) / n_tok, compared integer-side
-    wl = n_chr - n_tok + F.lit(1)
-    f3 = (wl >= n_tok * F.lit(FUNNEL_WLEN_LO)) & (
-        wl <= n_tok * F.lit(FUNNEL_WLEN_HI)
-    )
-    f4 = n_dis * F.lit(10) >= n_tok * F.lit(FUNNEL_DISTINCT_X10)
-    f5 = n_stop >= F.lit(1)
-    flags = [f1, f2, f3, f4, f5]
-    cum, cums = F.lit(True), []
-    for f in flags:
-        cum = cum & F.coalesce(f, F.lit(False))
-        cums.append(cum)
+    cums = funnel_stage_flags()
+    # COALESCE: on an empty corpus SUM is NULL and would float the
+    # BIGINT funnel columns through the driver's pandas path
     agg = docs.agg(
         F.count(F.lit(1)).alias("c0"),
         *[
-            F.sum(c.cast("bigint")).alias(f"c{i + 1}")
+            F.coalesce(F.sum(c.cast("bigint")), F.lit(0)).alias(f"c{i + 1}")
             for i, c in enumerate(cums)
         ],
     )
@@ -1752,13 +1763,15 @@ def _funnel_oracle() -> str:
       FROM m
     ), c AS (
       SELECT COUNT(*) AS c0,
-             CAST(SUM(CAST(f1 AS BIGINT)) AS BIGINT) AS c1,
-             CAST(SUM(CAST(f1 AND f2 AS BIGINT)) AS BIGINT) AS c2,
-             CAST(SUM(CAST(f1 AND f2 AND f3 AS BIGINT)) AS BIGINT) AS c3,
-             CAST(SUM(CAST(f1 AND f2 AND f3 AND f4 AS BIGINT)) AS BIGINT)
-               AS c4,
-             CAST(SUM(CAST(f1 AND f2 AND f3 AND f4 AND f5 AS BIGINT))
-               AS BIGINT) AS c5
+             CAST(COALESCE(SUM(CAST(f1 AS BIGINT)), 0) AS BIGINT) AS c1,
+             CAST(COALESCE(SUM(CAST(f1 AND f2 AS BIGINT)), 0) AS BIGINT)
+               AS c2,
+             CAST(COALESCE(SUM(CAST(f1 AND f2 AND f3 AS BIGINT)), 0)
+               AS BIGINT) AS c3,
+             CAST(COALESCE(SUM(CAST(f1 AND f2 AND f3 AND f4 AS BIGINT)), 0)
+               AS BIGINT) AS c4,
+             CAST(COALESCE(SUM(CAST(f1 AND f2 AND f3 AND f4 AND f5
+               AS BIGINT)), 0) AS BIGINT) AS c5
       FROM fl
     )
     SELECT stage_no, stage, docs_in, docs_in - docs_out AS docs_dropped,

@@ -1,0 +1,104 @@
+"""Streaming quality admission gate.
+
+The continuous form of the batch quality funnel
+(``operators/text.quality_filter_funnel``): documents arrive as a
+stream, every micro-batch applies the SAME admission flag, and per-batch
+per-source pass/fail counts append to a parquet sink — the live
+"how much of each feed survives filtering" meter an ingest pipeline
+publishes, the A16 micro-batch story applied to quality filtering.
+
+Soundness of micro-batching: a document's verdict depends only on that
+document (all five funnel stages are per-row expressions), so summing
+per-batch counts over any batching equals the batch operator's per-source
+totals — the same invariance argument as ``stream_delta_dedup_replay``,
+with the same parquet-sink discipline (each batch OVERWRITES its own
+``b<batch_id>`` subdirectory: idempotent under failure-replay, nothing
+accumulates on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_quality_gate_replay(
+    spark, docs: DataFrame, files: int = 4
+) -> DataFrame:
+    """Replay ``docs`` as a multi-file ``availableNow`` stream through
+    the funnel admission flag; return per-source totals (n_docs,
+    n_pass, n_fail, pass_bp) summed over the micro-batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.operators.text import funnel_stage_flags
+
+    tmp = tempfile.mkdtemp(prefix="ser_etl_quality_stream_")
+    ckpt = tmp + "_ckpt"
+    sink = tmp + "_counts"
+    schema = "source string, n_docs bigint, n_pass bigint"
+    try:
+        docs.repartition(files).write.mode("overwrite").parquet(tmp)
+        os.makedirs(sink, exist_ok=True)
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            out = batch_df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(funnel_stage_flags()[-1].cast("bigint"))
+                .cast("bigint")
+                .alias("n_pass"),
+            )
+            out.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sink, f"b{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batch_dirs = sorted(
+            os.path.join(sink, d)
+            for d in os.listdir(sink)
+            if d.startswith("b")
+        )
+        if not batch_dirs:
+            return spark.createDataFrame(
+                [], schema + ", n_fail bigint, pass_bp bigint"
+            )
+        merged = (
+            spark.read.schema(schema)
+            .parquet(*batch_dirs)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_pass").cast("bigint").alias("n_pass"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_pass",
+                (F.col("n_docs") - F.col("n_pass"))
+                .cast("bigint")
+                .alias("n_fail"),
+                F.expr("(n_pass * 10000) div n_docs")
+                .cast("bigint")
+                .alias("pass_bp"),
+            )
+            .orderBy("source")
+        )
+        return merged.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -262,7 +262,10 @@ def nulltext_dir(tmp_path_factory):
      # r9 token consumers on a tokenless corpus
      "quality_filter_funnel", "doc_rarity_topk",
      "contamination_span_profile", "context_fit_histogram",
-     "token_budget_selection"],
+     "token_budget_selection",
+     # r9: the streaming gate must count all-NULL-text docs as failures
+     # (not crash the sink on a zero-pass batch)
+     "streaming_quality_gate"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

@@ -575,3 +575,41 @@ class TestCheckpointRecovery:
         # only the crashed in-flight batch may repeat, and here it was
         # never emitted, so the union is exact)
         assert sorted(seen_first + seen_second) == sorted(data)
+
+
+def test_stream_quality_gate_invariant_to_batch_boundaries(spark, sf_small):
+    """r9: per-source pass/fail totals must be identical under different
+    micro-batchings (1 vs 7 files) AND equal the batch funnel's admission
+    flag applied directly — verdicts are per-row, so batching can't move
+    counts."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.text import funnel_stage_flags
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.quality import stream_quality_gate_replay
+
+    docs = load_table(spark, sf_small, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = rows(stream_quality_gate_replay(spark, docs, files=1))
+    many = rows(stream_quality_gate_replay(spark, docs, files=7))
+    batch = rows(
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(funnel_stage_flags()[-1].cast("bigint"))
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .select(
+            "source", "n_docs", "n_pass",
+            (F.col("n_docs") - F.col("n_pass")).cast("bigint").alias("n_fail"),
+            F.expr("(n_pass * 10000) div n_docs").cast("bigint").alias(
+                "pass_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+    assert one == many == batch and batch
