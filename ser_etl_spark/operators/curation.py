@@ -1322,3 +1322,117 @@ def token_budget_selection_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return token_budget_selection(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff audit: the CDC readout between two corpus versions (r9)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff_audit(docs: DataFrame) -> DataFrame:
+    """Row-level diff between two corpus versions, summarized per
+    source: how many documents were ADDED, CHANGED (same key, different
+    normalized-content fingerprint), or UNCHANGED — the audit a sync
+    pipeline publishes with every snapshot publish (A11/A12's
+    operational complement: versions exist so you can say what moved).
+
+    The "previous" version is derived deterministically from the same
+    table so both engines replay it: the sync-delta slice
+    (``doc_id % 4 == 3``, the incremental-dedup convention) is absent
+    from prev (=> ADDED), and every ``doc_id % 10 == 7`` doc's text is
+    suffix-mutated in prev (=> CHANGED). Real deployments diff two
+    snapshot directories; the JOIN SHAPE is identical — a single
+    key-co-partitioned FULL OUTER join comparing md5 fingerprints,
+    null-safe so two NULL texts compare equal.
+
+    Scale: fingerprints are computed inline on each side's scan; the
+    join shuffles both sides once on the key (at 100 TB both snapshots
+    are already bucketed by id, making this co-located); the output is
+    |sources|-sized."""
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    curr = docs.select("doc_id", "source", fp.alias("fp_curr"))
+    prev_text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 7,
+        F.concat(F.col("text"), F.lit(" v1")),
+    ).otherwise(F.col("text"))
+    prev = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.lower(prev_text), r"[^a-z0-9]+", " ")
+            ).alias("fp_prev"),
+        )
+    )
+    # explicit presence marker: fp_prev NULL alone is ambiguous between
+    # "row absent from prev" and "row present with NULL text" — the
+    # null-safe fingerprint compare handles the latter as unchanged
+    prev_marked = prev.withColumn("_present", F.lit(1))
+    j = curr.join(prev_marked, "doc_id", "left")
+    status = (
+        F.when(F.col("_present").isNull(), F.lit("added"))
+        .when(F.col("fp_curr").eqNullSafe(F.col("fp_prev")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select("source", status.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("st") == "added").cast("bigint")), F.lit(0)
+            ).alias("n_added"),
+            F.coalesce(
+                F.sum((F.col("st") == "changed").cast("bigint")), F.lit(0)
+            ).alias("n_changed"),
+            F.coalesce(
+                F.sum((F.col("st") == "unchanged").cast("bigint")), F.lit(0)
+            ).alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle="""
+    WITH curr AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS fp_curr
+      FROM documents
+    ), prev AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(
+               CASE WHEN doc_id % 10 = 7 THEN text || ' v1' ELSE text END
+             ), '[^a-z0-9]+', ' ', 'g')) AS fp_prev,
+             1 AS _present
+      FROM documents WHERE doc_id % 4 <> 3
+    ), j AS (
+      SELECT c.source,
+             CASE WHEN p._present IS NULL THEN 'added'
+                  WHEN c.fp_curr IS NOT DISTINCT FROM p.fp_prev
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS st
+      FROM curr c LEFT JOIN prev p USING (doc_id)
+    )
+    SELECT source,
+           CAST(COALESCE(SUM(CAST(st = 'added' AS BIGINT)), 0) AS BIGINT)
+             AS n_added,
+           CAST(COALESCE(SUM(CAST(st = 'changed' AS BIGINT)), 0) AS BIGINT)
+             AS n_changed,
+           CAST(COALESCE(SUM(CAST(st = 'unchanged' AS BIGINT)), 0)
+             AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source ORDER BY source
+    """,
+    description="CDC diff between corpus versions per source "
+    "(added/changed/unchanged via one key-co-partitioned join of "
+    "null-safe-compared md5 fingerprints; prev derived "
+    "deterministically — delta slice absent, doc_id%10==7 mutated); "
+    "the operational complement of versioned snapshot publishes",
+    covers=("A12", "N-dedup", "B11"),
+)
+def snapshot_diff_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_diff_audit(load_table(spark, sf_dir, "documents"))

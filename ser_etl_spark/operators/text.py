@@ -1880,3 +1880,98 @@ def doc_rarity_topk(docs: DataFrame, k: int = 20) -> DataFrame:
 )
 def doc_rarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_rarity_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-source length quartiles: exact grouped order statistics (r9)
+# ---------------------------------------------------------------------------
+
+
+def source_length_quartiles(docs: DataFrame) -> DataFrame:
+    """Exact n_chars quartiles (min/p25/p50/p75/max) per source via
+    ORDER STATISTICS, not interpolation: the p-quantile is the value at
+    rank ``ceil(p*n)`` under the (n_chars, doc_id) total order — pure
+    integer arithmetic, so the result is engine-exact where
+    percentile_cont's interpolated doubles are not (and the discrete
+    value is what a length-cap policy actually applies).
+
+    One scan; one window per source partition computing ranks (sources
+    are bounded; the 100 TB layout range-partitions by source like
+    training_order); the quartile picks are a conditional aggregate over
+    the ranked rows — no collect, no per-group arrays."""
+    from pyspark.sql.window import Window
+
+    base = docs.filter(F.col("n_chars").isNotNull()).select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def pick2(p_pct: int, name: str):
+        # ceil(p*n) in pure integers: (p_pct*n + 99) div 100
+        target = F.expr(f"(({p_pct} * n) + 99) div 100")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("n_chars"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            pick2(25, "p25_chars"),
+            pick2(50, "p50_chars"),
+            pick2(75, "p75_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.max("n").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "source", "n_docs", "min_chars",
+            F.col("p25_chars").cast("bigint").alias("p25_chars"),
+            F.col("p50_chars").cast("bigint").alias("p50_chars"),
+            F.col("p75_chars").cast("bigint").alias("p75_chars"),
+            "max_chars",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_length_quartiles",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(CASE WHEN rn = ((25 * n) + 99) // 100
+                         THEN n_chars END) AS BIGINT) AS p25_chars,
+           CAST(MAX(CASE WHEN rn = ((50 * n) + 99) // 100
+                         THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(MAX(CASE WHEN rn = ((75 * n) + 99) // 100
+                         THEN n_chars END) AS BIGINT) AS p75_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+    description="exact per-source n_chars quartiles as ORDER STATISTICS "
+    "(value at rank ceil(p*n), pure integer rank arithmetic — the "
+    "discrete value a length policy applies, engine-exact unlike "
+    "interpolated percentile_cont); one ranked window per source, "
+    "conditional-aggregate picks, no arrays",
+    covers=("N-text", "X-window", "B4"),
+)
+def source_length_quartiles_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return source_length_quartiles(load_table(spark, sf_dir, "documents"))

@@ -74,6 +74,8 @@ EDGE_QUERIES = [
     "contamination_span_profile",
     "context_fit_histogram",
     "token_budget_selection",
+    "snapshot_diff_audit",
+    "source_length_quartiles",
 ]
 
 
@@ -264,8 +266,10 @@ def nulltext_dir(tmp_path_factory):
      "contamination_span_profile", "context_fit_histogram",
      "token_budget_selection",
      # r9: the streaming gate must count all-NULL-text docs as failures
-     # (not crash the sink on a zero-pass batch)
-     "streaming_quality_gate"],
+     # (not crash the sink on a zero-pass batch); diff must call two
+     # NULL-text versions unchanged (null-safe fingerprint compare)
+     "streaming_quality_gate", "snapshot_diff_audit",
+     "source_length_quartiles"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
