@@ -1656,3 +1656,69 @@ def user_diversity_histogram_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return user_diversity_histogram(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# event path mining: top-k 3-step behavioral sequences (r9)
+# ---------------------------------------------------------------------------
+
+
+def event_path_topk(events: DataFrame, k: int = 10) -> DataFrame:
+    """The ``k`` most common 3-step event-type paths across users — the
+    sequence-mining readout behind funnel design ("what do users
+    actually do in order"). Each user's events form a time-ordered
+    sequence (ties broken by event_id for a total order); every
+    consecutive triple is one path occurrence.
+
+    Scale: one window per user partition (two LEADs — no self-joins,
+    no explode), a path-string aggregate with map-side partials, and a
+    TakeOrdered top-k. User partitions are bounded by per-user activity,
+    the same distribution sessionize_events rides."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = events.filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS e3
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+    """,
+    description="top-10 3-step event-type paths: per-user time-ordered "
+    "LEAD window (total order via event_id tie-break, no self-joins), "
+    "path-string aggregate with map-side partials, TakeOrdered",
+    covers=("X-window", "B8"),
+)
+def event_path_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_path_topk(load_table(spark, sf_dir, "events"))

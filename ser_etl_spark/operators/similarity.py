@@ -3613,3 +3613,107 @@ def centroid_similarity_matrix_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return centroid_similarity_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# one PCA power-iteration step (r9)
+# ---------------------------------------------------------------------------
+
+
+def pca_power_step(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: ``v1 = normalize(X^T X v0)`` with the deterministic
+    all-ones start vector — per row, the scalar ``s = x . v0`` (the
+    component sum, one fixed-order addition chain) scales the row's own
+    components, and the per-dim totals are the un-normalized new
+    direction. The training loop a PCA/whitening job runs; one step as
+    a query pins the machinery (the loop is this query iterated with v0
+    swapped in — each step one scan, one fixed-width aggregate).
+
+    Determinism: s*x_j is quantized to 1e-9 BIGINTs before the
+    data-sized sum (exact, associative — the ``embedding_centroids``
+    discipline); the final per-dim loading divides by the vector's own
+    L2 norm (sqrt IS correctly rounded under IEEE-754, so both engines
+    agree bit-for-bit). NaN/Inf components degrade via try_cast to
+    skipped summands. Codegen: ``s`` lands once per ROW and the dim
+    explosion carries it — one small expression per output row, never
+    64 parallel 64-term trees (the janino discipline)."""
+    dim = _dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "dim int, loading double"
+        )
+    s_expr = "(" + " + ".join(
+        _elem_sql(vec_col, i) for i in range(dim)
+    ) + ")"
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    rows = vectors.select(
+        (F.expr(s_expr) + barrier).alias("_s"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    q = F.expr("try_cast(round(_s * cast(_x AS double) * 1e9) AS bigint)")
+    sums = rows.groupBy("dim").agg(
+        (F.sum(q).cast("double") / F.lit(1.0e9)).alias("v")
+    )
+    nrm = sums.agg(
+        F.sqrt(
+            F.sum(
+                F.expr("try_cast(round(v * v * 1e9) AS bigint)")
+            ).cast("double")
+            / F.lit(1.0e9)
+        ).alias("_n")
+    )
+    return (
+        sums.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("v") / F.nullif(F.col("_n"), F.lit(0.0)), 6)
+            .alias("loading"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_step_oracle(dim: int | None = None) -> str:
+    dim = EMB_DIM if dim is None else dim
+    s = "(" + " + ".join(
+        _duck_elem("e.embedding", i) for i in range(dim)
+    ) + ")"
+    return f"""
+    WITH rows_ AS (
+      SELECT {s} AS _s,
+             generate_subscripts(e.embedding, 1) - 1 AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS _x
+      FROM embeddings e
+    ), sums AS (
+      SELECT dim,
+             CAST(SUM(TRY_CAST(round(_s * _x * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS v
+      FROM rows_ GROUP BY dim
+    ), nrm AS (
+      SELECT sqrt(CAST(SUM(TRY_CAST(round(v * v * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9) AS _n
+      FROM sums
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           round(v / nullif(_n, 0.0), 6) AS loading
+    FROM sums, nrm
+    ORDER BY dim
+    """
+
+
+@register(
+    "embedding_pca_step",
+    oracle=_pca_step_oracle(),
+    description="one PCA power-iteration step (v1 = normalize(X^T X 1)): "
+    "per-row component-sum scalar carried through a dim explode, "
+    "1e-9-quantized BIGINT accumulation per dim (exact, associative), "
+    "L2-normalized with IEEE-exact sqrt — the whitening-job training "
+    "step as one scan + one fixed-width aggregate",
+    covers=("N-sim", "B4"),
+)
+def embedding_pca_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_power_step(load_table(spark, sf_dir, "embeddings"))

@@ -1975,3 +1975,163 @@ def source_length_quartiles_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return source_length_quartiles(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# quality pass rates by (lang, source): the filter-bias matrix (r9)
+# ---------------------------------------------------------------------------
+
+
+def quality_by_lang(docs: DataFrame) -> DataFrame:
+    """Funnel pass rates cross-tabulated by (lang, source) — the
+    FAIRNESS readout for a quality filter: a gate tuned on one language
+    silently starves another, and this matrix is how that shows up
+    before training does. Reuses the exact admission flag the batch
+    funnel and streaming gate apply (one shared definition, three
+    surfaces). One scan, one (lang, source) aggregate."""
+    passed = funnel_stage_flags()[-1]
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(passed.cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_pass",
+            F.expr("(n_pass * 10000) div n_docs").cast("bigint").alias(
+                "pass_bp"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _quality_by_lang_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    return f"""
+    WITH m AS (
+      SELECT lang, source, text,
+             string_split(regexp_replace(trim(lower(text)),
+               ' +', ' ', 'g'), ' ') AS t,
+             length(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+               AS n_chr
+      FROM documents
+    ), fl AS (
+      SELECT lang, source,
+             COALESCE(text IS NOT NULL AND trim(text) <> '', FALSE)
+             AND COALESCE(len(t) >= {FUNNEL_MIN_TOKENS}, FALSE)
+             AND COALESCE(n_chr - len(t) + 1 BETWEEN
+                 len(t) * {FUNNEL_WLEN_LO} AND len(t) * {FUNNEL_WLEN_HI},
+                 FALSE)
+             AND COALESCE(len(list_distinct(t)) * 10 >=
+                 len(t) * {FUNNEL_DISTINCT_X10}, FALSE)
+             AND COALESCE(len(list_filter(t,
+                 x -> list_contains({stop_list}, x))) >= 1, FALSE)
+               AS passed
+      FROM m
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CAST(passed AS BIGINT)), 0) AS BIGINT)
+             AS n_pass,
+           CAST((COALESCE(SUM(CAST(passed AS BIGINT)), 0) * 10000)
+                // COUNT(*) AS BIGINT) AS pass_bp
+    FROM fl GROUP BY lang, source ORDER BY lang, source
+    """
+
+
+@register(
+    "quality_by_lang",
+    oracle=_quality_by_lang_oracle(),
+    description="quality-filter fairness matrix: funnel pass rates per "
+    "(lang, source) in integer basis points — the same admission flag "
+    "as the batch funnel and streaming gate, cross-tabulated; one scan, "
+    "one keyed aggregate",
+    covers=("N-quality", "B5"),
+)
+def quality_by_lang_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# shingle document-frequency histogram: the df-cap design readout (r9)
+# ---------------------------------------------------------------------------
+
+#: power-of-2 df band edges (CASE chain — no log2, which is libm)
+_DF_BANDS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def shingle_df_histogram(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Document-frequency histogram of word n-grams in power-of-2
+    bands — the design readout behind every ``max_shingle_df`` /
+    ``max_anchor_df`` guard in the dedup family: it says exactly how
+    many shingles (and what share of index mass) a given df cap drops.
+
+    The band is a CASE chain over integer df (log2 is libm and would
+    break cross-engine determinism). Scale: the shingle aggregate is
+    the dedup family's standard (doc_id, sh) shuffle; the histogram
+    itself is |bands|-sized."""
+    from ser_etl_spark.operators.dedup import shingle_rows
+
+    df_tbl = shingle_rows(docs, n).groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    band = F.lit(len(_DF_BANDS))
+    for i, edge in reversed(list(enumerate(_DF_BANDS))):
+        band = F.when(F.col("df") <= F.lit(edge), F.lit(i)).otherwise(band)
+    return (
+        df_tbl.select(band.alias("band_no"), "df")
+        .groupBy("band_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("postings_mass"),
+        )
+        .select(
+            F.col("band_no").cast("int").alias("band_no"),
+            "n_shingles",
+            "postings_mass",
+        )
+        .orderBy("band_no")
+    )
+
+
+def _df_hist_oracle(n: int = 3) -> str:
+    case = "CASE "
+    for i, edge in enumerate(_DF_BANDS):
+        case += f"WHEN df <= {edge} THEN {i} "
+    case += f"ELSE {len(_DF_BANDS)} END"
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        [{gram} for i in range(1, len(t) - {n - 2})]) AS sh
+      FROM toks WHERE len(t) >= {n}
+    ), dfs AS (
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT CAST({case} AS INT) AS band_no,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS postings_mass
+    FROM dfs GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "shingle_df_histogram",
+    oracle=_df_hist_oracle(),
+    description="shingle document-frequency histogram in power-of-2 "
+    "bands (CASE chain, no libm log2): how many n-grams and how much "
+    "postings mass each dedup df-cap choice would drop; one (doc_id,sh) "
+    "aggregate + a |bands|-sized rollup",
+    covers=("N-dedup", "B5"),
+)
+def shingle_df_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_df_histogram(load_table(spark, sf_dir, "documents"))

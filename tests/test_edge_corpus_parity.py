@@ -76,6 +76,8 @@ EDGE_QUERIES = [
     "token_budget_selection",
     "snapshot_diff_audit",
     "source_length_quartiles",
+    "quality_by_lang",
+    "shingle_df_histogram",
 ]
 
 
@@ -269,7 +271,8 @@ def nulltext_dir(tmp_path_factory):
      # (not crash the sink on a zero-pass batch); diff must call two
      # NULL-text versions unchanged (null-safe fingerprint compare)
      "streaming_quality_gate", "snapshot_diff_audit",
-     "source_length_quartiles"],
+     "source_length_quartiles", "quality_by_lang",
+     "shingle_df_histogram"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

@@ -110,6 +110,8 @@ FULL_QUERIES = [
     # shares the nullif-guarded rounded-cosine convention.
     "kmeans_lloyd_step",
     "centroid_similarity_matrix",
+    # r9: the PCA step try_casts every quantized summand
+    "embedding_pca_step",
 ]
 
 REDUCED_QUERIES = [
