@@ -331,3 +331,72 @@ def shard_manifest(
 )
 def shard_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# packing efficiency readout (r9)
+# ---------------------------------------------------------------------------
+
+
+def pack_efficiency(
+    docs: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Fill-efficiency of the greedy packing per source: bins used,
+    tokens packed, and fill rate in integer basis points against the
+    bin budget — the readout that says how much context-window capacity
+    the training run will actually waste. Derived from
+    :func:`pack_sequences`' assignment (same bins, one extra two-level
+    aggregate — bins then sources; both map-side-partial)."""
+    packed = pack_sequences(docs, budget=budget)
+    bins = packed.groupBy("source", "shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("bin_tokens").cast("bigint").alias("packed_tokens"),
+            F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+        )
+        .select(
+            "source",
+            "n_bins",
+            "packed_tokens",
+            "max_bin_tokens",
+            F.expr(f"(packed_tokens * 10000) div (n_bins * {budget})")
+            .cast("bigint")
+            .alias("fill_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pack_efficiency_oracle() -> str:
+    inner = _pack_oracle().strip()
+    return f"""
+    WITH packed AS ({inner}),
+    bins AS (
+      SELECT source, shard, bin_id, SUM(n_tokens) AS bin_tokens
+      FROM packed GROUP BY source, shard, bin_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS packed_tokens,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           CAST((SUM(bin_tokens) * 10000) // (COUNT(*) * {PACK_BUDGET})
+             AS BIGINT) AS fill_bp
+    FROM bins GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "pack_efficiency",
+    oracle=_pack_efficiency_oracle(),
+    description="greedy-packing fill efficiency per source: bins used, "
+    "tokens packed, max bin load, fill basis points vs the 1024-token "
+    "budget — pack_sequences' bins re-aggregated twice (both levels "
+    "map-side-partial), the capacity-waste readout of the packing job",
+    covers=("N-curation", "B5"),
+)
+def pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_efficiency(load_table(spark, sf_dir, "documents"))

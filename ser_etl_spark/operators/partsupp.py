@@ -299,3 +299,78 @@ def stocked_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# inventory turnover: fact-to-fact revenue/stock ratio top-k (r9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inventory_turnover_topk",
+    oracle=f"""
+    WITH {SQL_PARTSUPP},
+    rev AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p.ps_partkey, p.ps_suppkey, r.rev_cents, r.n_lines,
+           CAST(p.ps_availqty AS BIGINT) AS availqty,
+           CAST(r.rev_cents // p.ps_availqty AS BIGINT)
+             AS turnover_cents_per_unit
+    FROM rev r JOIN partsupp p USING (ps_partkey, ps_suppkey)
+    ORDER BY turnover_cents_per_unit DESC, ps_partkey ASC, ps_suppkey ASC
+    LIMIT 20
+    """,
+    description="inventory turnover: per (part, supplier) revenue per "
+    "stocked unit (exact integer cents div availqty) over the "
+    "lineitem-to-partsupp FACT-TO-FACT equi-join on the composite key — "
+    "the shape bucketed storage makes shuffle-free — TakeOrdered top-20",
+    covers=("B11", "B8"),
+)
+def inventory_turnover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per stocked unit, top 20 (part, supplier) pairs.
+
+    Plan shape: lineitem aggregates map-side onto its natural
+    (partkey, suppkey) key, then equi-joins the synthesized partsupp on
+    the same composite key — at production scale both sides are
+    bucketed on (partkey, suppkey) (`etl/build.py` TableLayout
+    bucket_by), making this the zero-Exchange fact-to-fact join
+    test_plans pins for bucketed tables. Arithmetic is exact integer
+    cents with integer division, TakeOrdered for the top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    ps = synth_partsupp(spark, sf_dir)
+    return (
+        rev.join(ps, ["ps_partkey", "ps_suppkey"])
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            "n_lines",
+            F.col("ps_availqty").cast("bigint").alias("availqty"),
+            F.expr("rev_cents div ps_availqty")
+            .cast("bigint")
+            .alias("turnover_cents_per_unit"),
+        )
+        .orderBy(
+            F.col("turnover_cents_per_unit").desc(),
+            F.col("ps_partkey").asc(),
+            F.col("ps_suppkey").asc(),
+        )
+        .limit(20)
+    )

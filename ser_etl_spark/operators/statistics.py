@@ -852,3 +852,106 @@ def benford_leading_digit(orders: DataFrame) -> DataFrame:
 )
 def benford_leading_digit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_leading_digit(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: revenue concentration curve (r9)
+# ---------------------------------------------------------------------------
+
+
+def lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """Revenue concentration curve in customer deciles — the Lorenz
+    curve behind :func:`spend_gini`'s single number: customers ranked
+    by spend ascending, bucketed into 10 equal-count deciles, each
+    decile's share of total revenue in integer basis points (plus the
+    cumulative share, which IS the Lorenz curve).
+
+    Exactness: spend is integer cents; the decile is NTILE over a total
+    order (spend, custkey — NTILE semantics match across engines under
+    a total order, the r8c rule); shares are integer basis points of
+    exact sums. Scale: one per-customer aggregate (map-side partial),
+    one window over the customer list, a 10-row rollup."""
+    from pyspark.sql.window import Window
+
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    per_cust = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("spend_cents"))
+    )
+    w = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
+    tiled = per_cust.select(
+        "spend_cents", F.ntile(10).over(w).alias("decile")
+    )
+    total = tiled.agg(F.sum("spend_cents").alias("_tot"))
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("decile_cents"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            F.expr("(decile_cents * 10000) div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+            (
+                F.sum("decile_cents").over(wcum) * F.lit(10000)
+            ).alias("_cum10k"),
+            F.col("_tot"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            "share_bp",
+            F.expr("_cum10k div _tot").cast("bigint").alias("cum_share_bp"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "lorenz_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS spend_cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_custkey
+    ), tiled AS (
+      SELECT spend_cents,
+             NTILE(10) OVER (ORDER BY spend_cents ASC, o_custkey ASC)
+               AS decile
+      FROM per_cust
+    ), t AS (SELECT CAST(SUM(spend_cents) AS BIGINT) AS _tot FROM tiled),
+    per_dec AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+      FROM tiled GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           decile_cents,
+           CAST((decile_cents * 10000) // _tot AS BIGINT) AS share_bp,
+           CAST((CAST(SUM(decile_cents) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // _tot
+             AS BIGINT) AS cum_share_bp
+    FROM per_dec, t
+    ORDER BY decile
+    """,
+    description="Lorenz revenue-concentration curve: customers NTILE'd "
+    "into spend deciles under a total order, per-decile and cumulative "
+    "revenue share in exact integer basis points — the curve behind "
+    "spend_gini's single number; one aggregate + one customer-list "
+    "window + a 10-row rollup",
+    covers=("X-window", "B5"),
+)
+def lorenz_deciles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lorenz_deciles(load_table(spark, sf_dir, "orders"))
