@@ -317,7 +317,8 @@ def stocked_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_lines
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT p.ps_partkey, p.ps_suppkey, r.rev_cents, r.n_lines,
+    SELECT p.ps_partkey, p.ps_suppkey,
+           CAST(r.rev_cents AS BIGINT) AS rev_cents, r.n_lines,
            CAST(p.ps_availqty AS BIGINT) AS availqty,
            CAST(r.rev_cents // p.ps_availqty AS BIGINT)
              AS turnover_cents_per_unit
