@@ -2027,3 +2027,189 @@ def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
 )
 def dedup_rate_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-budget estimator: banding-cost QA (r9)
+# ---------------------------------------------------------------------------
+
+
+def lsh_candidate_budget(
+    docs: DataFrame, num_perm: int = 64, bands: int = 16, n: int = 3
+) -> DataFrame:
+    """Per-band candidate-pair budget of the MinHash banding — the
+    capacity-planning readout for the LSH join: each bucket of size c
+    contributes ``c*(c-1)/2`` candidate pairs, so this table says
+    exactly what the banded self-join will cost BEFORE running it (and
+    flags a degenerate band whose giant bucket would dominate the
+    shuffle — the skew the df-caps and salting exist for).
+
+    One pass over the band entries (the same persisted-artifact shape
+    ``ensure_minhash_bands`` serves), a (band, bucket) count, a
+    16-row rollup. Integer arithmetic throughout."""
+    entries = minhash_band_entries(docs, num_perm, bands, n)
+    buckets = entries.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.coalesce(
+                F.sum((F.col("c") >= 2).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("n_collision_buckets"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.coalesce(
+                F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0)
+            ).cast("bigint").alias("est_pairs"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_collision_buckets",
+            "max_bucket",
+            "est_pairs",
+        )
+        .orderBy("band")
+    )
+
+
+def _lsh_budget_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB twin: identical signature pipeline to
+    :func:`_minhash_lsh_oracle`, but buckets group on each band's raw
+    4-tuple instead of Spark's xxhash64 compression of it — equal
+    grouping unless distinct 4-tuples collide under xxhash64 (the same
+    documented 2^-64 caveat as the pair join)."""
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    rows_per_band = num_perm // bands
+    str_ctes, str_fin = stages_to_ctes(
+        "dg", xxh64_str_stage_cols("g", "_mb", pfx="_mxs"), "_msa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_mb", "_mh1", pfx="_mxl"), "_msb"
+    )
+    perm_ctes, perm_fin = stages_to_ctes(
+        long_fin, _minhash_perm_stages("_mh1", num_perm), "_msc"
+    )
+    perm_cols = ", ".join(f"p._mps{k}" for k in range(num_perm))
+    mins = ", ".join(f"MIN(_mps{k}) AS m{k}" for k in range(num_perm))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(
+            f"m{i * rows_per_band + r} AS w{r}" for r in range(rows_per_band)
+        )
+        + " FROM sig"
+        for i in range(bands)
+    )
+    tuple_cols = ", ".join(f"w{r}" for r in range(rows_per_band))
+    return f"""
+    WITH {_SHINGLE_CTES}, dg AS (
+      SELECT DISTINCT g FROM ex
+    ){str_ctes}{long_ctes}{perm_ctes}, sigsrc AS (
+      SELECT e.doc_id, {perm_cols}
+      FROM ex e JOIN {perm_fin} p USING (g)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sigsrc GROUP BY doc_id
+    ), bnd AS (
+      {band_rows}
+    ), buckets AS (
+      SELECT band, COUNT(*) AS c
+      FROM bnd GROUP BY band, {tuple_cols}
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COALESCE(SUM(CAST(c >= 2 AS BIGINT)), 0) AS BIGINT)
+             AS n_collision_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+             AS est_pairs
+    FROM buckets GROUP BY band ORDER BY band
+    """
+
+
+@register(
+    "lsh_candidate_budget",
+    oracle=_lsh_budget_oracle(),
+    description="LSH banding cost estimator: per band the bucket count, "
+    "collision buckets, max bucket size and sum of c*(c-1)/2 candidate "
+    "pairs — what the banded self-join will cost before running it, and "
+    "the skew flag for degenerate bands; one (band,bucket) count over "
+    "the persisted band-entry shape, 16-row rollup",
+    covers=("N-dedup", "B5"),
+)
+def lsh_candidate_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_budget(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix (r9)
+# ---------------------------------------------------------------------------
+
+
+def dup_source_matrix(docs: DataFrame) -> DataFrame:
+    """Which ingest feeds copy from each other: for every source pair,
+    how many normalized content fingerprints appear in BOTH — the
+    cross-feed companion of ``dedup_rate_by_source`` (that one says how
+    much of a feed is redundant; this one says against WHOM).
+
+    Plan: fingerprint scan -> distinct (source, fp) -> self-join on fp
+    with source_a < source_b (fp groups are duplicate-clique-sized, so
+    the join output is the duplication volume itself, never a cross
+    product) -> pair counts. Empty/NULL texts carry no fingerprint
+    (nullif before md5, the dedup_rate convention)."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    fp = docs.select(
+        "source", F.md5(F.nullif(normalized, F.lit(""))).alias("fp")
+    ).filter(F.col("fp").isNotNull()).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .orderBy(
+            F.col("n_shared_fps").desc(),
+            F.col("source_a").asc(),
+            F.col("source_b").asc(),
+        )
+    )
+
+
+@register(
+    "dup_source_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(nullif(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               '')) AS fp
+      FROM documents
+    ), f AS (SELECT source, fp FROM fp WHERE fp IS NOT NULL)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY n_shared_fps DESC, source_a ASC, source_b ASC
+    """,
+    description="cross-feed duplication matrix: per source pair the "
+    "count of shared normalized content fingerprints (who copies from "
+    "whom — the counterpart of dedup_rate_by_source's per-feed rate); "
+    "distinct (source,fp) self-join on the fingerprint, output sized by "
+    "actual duplication",
+    covers=("N-dedup", "B11"),
+)
+def dup_source_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_source_matrix(load_table(spark, sf_dir, "documents"))

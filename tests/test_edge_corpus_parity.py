@@ -78,6 +78,8 @@ EDGE_QUERIES = [
     "source_length_quartiles",
     "quality_by_lang",
     "shingle_df_histogram",
+    "dup_source_matrix",
+    "lsh_candidate_budget",
 ]
 
 
@@ -164,6 +166,11 @@ CLIQUE_QUERIES = [
     "contamination_span_profile",
     "context_fit_histogram",
     "token_budget_selection",
+    # r9: 40 identical docs across 3 sources — every source pair shares
+    # the one fingerprint, and every LSH band has one 40-doc bucket
+    # (est_pairs = 780 per band)
+    "dup_source_matrix",
+    "lsh_candidate_budget",
 ]
 
 
