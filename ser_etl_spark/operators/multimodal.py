@@ -426,3 +426,80 @@ def media_phash_neardup_query(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     bands = extract_phash_bands(with_asset_payload(docs))
     return phash_neardup_pairs(bands)
+
+
+# ---------------------------------------------------------------------------
+# decode-budget planner (r9)
+# ---------------------------------------------------------------------------
+
+
+def media_decode_budget(media_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Per media type, what the feature-extraction pass will COST before
+    running it: item count, total frames held, frames actually decoded
+    under the every-Nth sampling policy (images/audio decode once;
+    video decodes ``ceil(n_frames / N)`` sampled frames), and the pixel
+    budget those decodes push through the decoder. The sizing readout
+    that picks cluster width for the multimodal pass — pure integer
+    column math over the metadata struct, one 3-group aggregate, the
+    payload bytes never enter the plan."""
+    m = F.col("media")
+    decode_frames = F.when(
+        m["media_type"] == "video",
+        F.expr(f"(media.n_frames + {every_n - 1}) div {every_n}"),
+    ).otherwise(F.lit(1)).cast("bigint")
+    pixels = (
+        decode_frames * m["width"].cast("bigint") * m["height"].cast("bigint")
+    )
+    return (
+        media_df.select(
+            m["media_type"].alias("media_type"),
+            m["n_frames"].cast("bigint").alias("n_frames"),
+            decode_frames.alias("decode_frames"),
+            pixels.alias("pixels"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum("decode_frames").cast("bigint").alias("frames_to_decode"),
+            F.sum("pixels").cast("bigint").alias("pixel_budget"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register(
+    "media_decode_budget",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             64 + (doc_id % 8) * 32 AS width,
+             64 + (doc_id % 5) * 32 AS height,
+             1 + (doc_id % 16) * 30 AS n_frames
+      FROM documents
+    ), b AS (
+      SELECT media_type, n_frames,
+             CASE WHEN media_type = 'video'
+                  THEN (n_frames + 29) // 30 ELSE 1 END AS decode_frames,
+             width, height
+      FROM m
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(SUM(decode_frames) AS BIGINT) AS frames_to_decode,
+           CAST(SUM(decode_frames * width * height) AS BIGINT)
+             AS pixel_budget
+    FROM b GROUP BY media_type ORDER BY media_type
+    """,
+    description="multimodal decode-budget planner: per media type the "
+    "items, frames, every-Nth decodes (video ceil(n/30), image/audio 1) "
+    "and pixel volume the extraction pass will push through the decoder "
+    "— integer metadata arithmetic only, payload bytes never in-plan",
+    covers=("N-multimodal", "B5"),
+)
+def media_decode_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_decode_budget(with_fake_payload(docs))

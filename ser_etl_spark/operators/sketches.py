@@ -711,3 +711,105 @@ def kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_kmin(load_table(spark, sf_dir, "orders"), "o_custkey")
     b = kmv_kmin(load_table(spark, sf_dir, "events"), "user_id")
     return kmv_overlap(a, b)
+
+
+# ---------------------------------------------------------------------------
+# grouped KMV: per-source distinct estimates (r9)
+# ---------------------------------------------------------------------------
+
+#: smaller k for the grouped sketch (state = k per GROUP)
+KMV_GROUP_K = 64
+
+
+def kmv_distinct_by_source(
+    docs: DataFrame, k: int = KMV_GROUP_K
+) -> DataFrame:
+    """Per-source approximate distinct TOKEN counts — the grouped form
+    of :func:`kmv_distinct`, replacing a per-group exact COUNT(DISTINCT)
+    whose shuffle carries every distinct value: per (source, token) the
+    unsigned xxhash64, per source the k smallest (a ranked window over
+    the group's distinct hashes), then the (k-1)*2^64/h_(k) estimate.
+    State is k values PER GROUP regardless of vocabulary size, and the
+    summary stays mergeable across syncs.
+
+    Exact below k (the standard degenerate case); ties cannot occur in
+    the rank (hashes are distinct post-DISTINCT). Output includes
+    kth_hash as VARCHAR (a DECIMAL output column would float through
+    the driver's pandas rendering)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+            "tok"
+        ),
+    ).distinct()
+    hashed = toks.select(
+        "source",
+        F.expr(
+            f"CAST(xxhash64(tok) AS DECIMAL(20,0)) + "
+            f"CASE WHEN xxhash64(tok) < 0 THEN CAST({_TWO64} AS "
+            f"DECIMAL(21,0)) ELSE 0 END"
+        ).alias("hu"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy(F.col("hu").asc())
+    kmin = hashed.select(
+        "source", "hu", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    scale = float((k - 1) * _TWO64)
+    cnt = F.count(F.lit(1))
+    est = F.when(cnt < k, cnt.cast("double")).otherwise(
+        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+    )
+    return (
+        kmin.groupBy("source")
+        .agg(
+            F.max("hu").cast("string").alias("kth_hash"),
+            est.alias("distinct_estimate"),
+            F.lit(k).alias("k"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kmv_by_source_oracle(k: int = KMV_GROUP_K) -> str:
+    from ser_etl_spark.oracle_hash import stages_to_ctes, xxh64_str_stage_cols
+
+    ctes, fin = stages_to_ctes("dv", xxh64_str_stage_cols("v", "_kh"), "_ks")
+    scale = float((k - 1) * _TWO64)
+    return f"""
+    WITH dv AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS v
+      FROM documents
+    ){ctes},
+    kmin AS (
+      SELECT source, _kh,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY _kh ASC)
+               AS rn
+      FROM (SELECT DISTINCT source, _kh FROM {fin})
+    )
+    SELECT source,
+           CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
+           CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+           END AS distinct_estimate,
+           {k} AS k
+    FROM kmin WHERE rn <= {k}
+    GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "kmv_distinct_by_source",
+    oracle=_kmv_by_source_oracle(),
+    description="grouped KMV sketch: per-source distinct-token estimate "
+    "from each group's 64 smallest unsigned xxhash64 values (k state "
+    "per group, mergeable — replaces the shuffle-every-value grouped "
+    "COUNT DISTINCT), exact below k, staged-hash oracle",
+    covers=("B4", "B5", "N-text"),
+)
+def kmv_distinct_by_source_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return kmv_distinct_by_source(load_table(spark, sf_dir, "documents"))

@@ -466,3 +466,65 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overheads (the streaming_incremental_dedup costing argument); the
     # batch-boundary invariance is pinned separately in tests.
     return stream_quality_gate_replay(spark, docs, files=2)
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1 ORDER BY segment
+    """,
+    description="stream-static dimension enrichment driven end-to-end: "
+    "the events stream joined per micro-batch to the static customer "
+    "dim (broadcast hash join — no stream shuffle, no state; the dim "
+    "re-resolves each batch so a snapshot refresh is picked up without "
+    "restart), rolled up to per-segment event/user counts — "
+    "oracle-backed because the enrichment is per-row, so the complete "
+    "replay equals the batch join",
+    covers=("A16", "B11"),
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.dedup import enrich_stream
+    from ser_etl_spark.streaming.windows import (
+        replay_to_batch,
+        streaming_events,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    sink = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    # The STREAMING aggregate is one level — (segment, user) counts
+    # (streaming forbids COUNT(DISTINCT) and nested aggregations); the
+    # distinct-user rollup runs on the replayed BATCH result, where it
+    # is an ordinary second aggregate.
+    result = replay_to_batch(
+        spark,
+        lambda s: enrich_stream(
+            streaming_events(s, sf_dir),
+            load_table(s, sf_dir, "customer").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            on="user_id",
+            how="inner",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        sink,
+        mode="complete",
+        no_data_batches=False,
+    )
+    return (
+        result.groupBy("segment")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .orderBy("segment")
+    )

@@ -80,6 +80,7 @@ EDGE_QUERIES = [
     "shingle_df_histogram",
     "dup_source_matrix",
     "lsh_candidate_budget",
+    "kmv_distinct_by_source",
 ]
 
 
@@ -279,7 +280,7 @@ def nulltext_dir(tmp_path_factory):
      # NULL-text versions unchanged (null-safe fingerprint compare)
      "streaming_quality_gate", "snapshot_diff_audit",
      "source_length_quartiles", "quality_by_lang",
-     "shingle_df_histogram"],
+     "shingle_df_histogram", "kmv_distinct_by_source"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
