@@ -3658,20 +3658,27 @@ def pca_power_step(
     sums = rows.groupBy("dim").agg(
         (F.sum(q).cast("double") / F.lit(1.0e9)).alias("v")
     )
-    nrm = sums.agg(
-        F.sqrt(
-            F.sum(
-                F.expr("try_cast(round(v * v * 1e9) AS bigint)")
-            ).cast("double")
-            / F.lit(1.0e9)
-        ).alias("_n")
+    # the norm rides a whole-frame window over the dim-width sums (64
+    # rows, one partition) instead of a second aggregate — a separate
+    # agg would RECOMPUTE the corpus scan (DataFrame reuse is not
+    # execution reuse), doubling the only data-sized pass
+    from pyspark.sql.window import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nrm = F.sqrt(
+        F.sum(F.expr("try_cast(round(v * v * 1e9) AS bigint)"))
+        .over(wall)
+        .cast("double")
+        / F.lit(1.0e9)
     )
     return (
-        sums.crossJoin(F.broadcast(nrm))
-        .select(
+        sums.select(
             F.col("dim").cast("int").alias("dim"),
-            F.round(F.col("v") / F.nullif(F.col("_n"), F.lit(0.0)), 6)
-            .alias("loading"),
+            F.round(F.col("v") / F.nullif(nrm, F.lit(0.0)), 6).alias(
+                "loading"
+            ),
         )
         .orderBy("dim")
     )

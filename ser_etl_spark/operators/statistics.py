@@ -866,11 +866,18 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
     decile's share of total revenue in integer basis points (plus the
     cumulative share, which IS the Lorenz curve).
 
-    Exactness: spend is integer cents; the decile is NTILE over a total
-    order (spend, custkey — NTILE semantics match across engines under
-    a total order, the r8c rule); shares are integer basis points of
-    exact sums. Scale: one per-customer aggregate (map-side partial),
-    one window over the customer list, a 10-row rollup."""
+    Exactness AND scale (the spend_gini distinct-value trick): NTILE
+    over (spend, custkey) assigns tied values to a CONTIGUOUS rank run
+    whose internal order can't change any decile's count or cents — so
+    the Spark side never ranks customers at all. It collapses to
+    DISTINCT spend values (one hash aggregate; windowing is over the
+    bounded value domain, not the customer count), derives each NTILE
+    bucket's exact rank range arithmetically (bucket i of n rows covers
+    ``(i-1)*(n div 10) + min(i-1, n mod 10)`` plus ``n div 10 +
+    (i <= n mod 10)`` ranks — the NTILE definition), and intersects
+    each value run with each bucket range in pure int64. The ORACLE
+    keeps the naive per-customer NTILE formulation as the semantic
+    spec; the two agree by the tie-run argument."""
     from pyspark.sql.window import Window
 
     cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
@@ -879,21 +886,54 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(cents).alias("spend_cents"))
     )
-    w = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
-    tiled = per_cust.select(
-        "spend_cents", F.ntile(10).over(w).alias("decile")
+    vals = per_cust.groupBy("spend_cents").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    total = tiled.agg(F.sum("spend_cents").alias("_tot"))
-    per_dec = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("spend_cents").cast("bigint").alias("decile_cents"),
+    wv = Window.orderBy("spend_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = vals.select(
+        "spend_cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_start"),
+    )
+    totals = vals.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_n"),
+        F.coalesce(
+            F.sum(F.col("spend_cents") * F.col("cnt")), F.lit(0)
+        ).alias("_tot"),
+    )
+    crossed = staged.crossJoin(F.broadcast(totals)).select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
+    )
+    bstart = F.expr(
+        "(decile - 1) * (_n div 10) + least(decile - 1, _n % 10)"
+    )
+    bsize = F.expr("(_n div 10) + CAST(decile <= (_n % 10) AS BIGINT)")
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum_start") + F.col("cnt"), bstart + bsize)
+        - F.greatest(F.col("cum_start"), bstart),
+    )
+    per_dec = (
+        crossed.select(
+            "decile", "spend_cents", "_tot", overlap.alias("ov")
+        )
+        .filter(F.col("ov") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("ov").cast("bigint").alias("n_customers"),
+            F.sum(F.col("spend_cents") * F.col("ov"))
+            .cast("bigint")
+            .alias("decile_cents"),
+            F.max("_tot").alias("_tot"),
+        )
     )
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        per_dec.crossJoin(F.broadcast(total))
-        .select(
+        per_dec.select(
             F.col("decile").cast("int").alias("decile"),
             "n_customers",
             "decile_cents",

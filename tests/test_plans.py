@@ -1021,3 +1021,33 @@ def test_r9_text_quality_plan_shapes(spark, sf_small):
     plan = _plan(spark, sf_small, "token_budget_selection")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert re.search(r"hashpartitioning\(source", plan), plan[:2000]
+
+
+def test_r9_vector_and_analytics_plan_shapes(spark, sf_small):
+    """r9 waves 2-9: broadcast/scan/top-k claims pinned on the plan."""
+    # Lloyd step: seeds join broadcasts; no data-sized cartesian (the
+    # E-step is projection-based, not a join)
+    plan = _plan(spark, sf_small, "kmeans_lloyd_step")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    # PCA step: ONE embeddings scan feeds the quantized aggregate
+    plan = _plan(spark, sf_small, "embedding_pca_step")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    # path mining: single scan, user-partitioned window, TakeOrdered
+    plan = _plan(spark, sf_small, "event_path_topk")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"hashpartitioning\(user_id", plan)
+    assert "TakeOrderedAndProject" in plan
+    # turnover: equi-join (broadcast or shuffled), never cartesian; top-k
+    plan = _plan(spark, sf_small, "inventory_turnover_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # Lorenz: the only windows run over the DISTINCT-VALUE series /
+    # 10-row decile rollup — no per-customer ranking anywhere (no ntile)
+    plan = _plan(spark, sf_small, "lorenz_deciles")
+    assert "ntile" not in plan.lower()
+    # grouped KMV: window partitioned by source (k-state per group)
+    plan = _plan(spark, sf_small, "kmv_distinct_by_source")
+    assert re.search(r"hashpartitioning\(source", plan)
+    # dup matrix: fp equi-join, no cartesian
+    plan = _plan(spark, sf_small, "dup_source_matrix")
+    assert "CartesianProduct" not in plan
