@@ -3413,12 +3413,28 @@ def kmeans_lloyd_step(
     Degenerate rows (NULL/zero-norm vectors) assign the -1 sentinel and
     never contribute to means; a member-less centroid reports
     ``n_assigned = 0`` with NULL movement."""
-    assign = ivf_assign(vectors, num_centroids, vec_col, id_col).filter(
-        F.col("centroid_id") >= 0
+    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    dim0 = next((len(v) for _, v in cents if v is not None), None)
+    if not cents or dim0 is None:
+        # empty corpus, or centroid rows with no vector: nothing assigns
+        # (every row takes the -1 sentinel), so every centroid row (if
+        # any) reports zero members and NULL movement
+        return vectors.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).cast("int").alias("centroid_id"),
+            F.lit(0).cast("bigint").alias("n_assigned"),
+            F.lit(None).cast("double").alias("sq_movement"),
+        ).orderBy("centroid_id")
+    # assignment computed INLINE so the embedding rides the same row —
+    # going through ivf_assign's narrow (id, cid) output would force a
+    # corpus self-join to get the vector back for the M-step (a second
+    # scan plus a shuffle on the id; plan-gated single-scan below)
+    p = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
     )
-    members = assign.join(
-        vectors.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(
+    assigned = _with_nearest_centroid(
+        p, vec_col, "_nv", cents, "centroid_id"
+    ).filter(F.col("centroid_id").isNotNull())
+    members = assigned.select(
         "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
     )
     # try_cast, not CAST: a NaN/Inf component must degrade to a skipped
@@ -3449,7 +3465,7 @@ def kmeans_lloyd_step(
             )
         )
     )
-    counts = assign.groupBy("centroid_id").agg(
+    counts = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_assigned")
     )
     base = vectors.filter(F.col(id_col) < num_centroids).select(
