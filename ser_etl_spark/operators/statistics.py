@@ -937,7 +937,10 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
             F.col("decile").cast("int").alias("decile"),
             "n_customers",
             "decile_cents",
-            F.expr("(decile_cents * 10000) div _tot")
+            # nullif: an all-zero-spend population has a zero total —
+            # shares are undefined (NULL), not a divide-by-zero crash
+            # (ANSI) or floor garbage (found by the hypothesis model)
+            F.expr("(decile_cents * 10000) div nullif(_tot, 0)")
             .cast("bigint")
             .alias("share_bp"),
             (
@@ -950,7 +953,9 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
             "n_customers",
             "decile_cents",
             "share_bp",
-            F.expr("_cum10k div _tot").cast("bigint").alias("cum_share_bp"),
+            F.expr("_cum10k div nullif(_tot, 0)")
+            .cast("bigint")
+            .alias("cum_share_bp"),
         )
         .orderBy("decile")
     )
@@ -979,9 +984,11 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
     SELECT CAST(decile AS INT) AS decile,
            CAST(n_customers AS BIGINT) AS n_customers,
            decile_cents,
-           CAST((decile_cents * 10000) // _tot AS BIGINT) AS share_bp,
+           CAST((decile_cents * 10000) // nullif(_tot, 0) AS BIGINT)
+             AS share_bp,
            CAST((CAST(SUM(decile_cents) OVER (ORDER BY decile
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // _tot
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000)
+                // nullif(_tot, 0)
              AS BIGINT) AS cum_share_bp
     FROM per_dec, t
     ORDER BY decile

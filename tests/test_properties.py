@@ -424,3 +424,158 @@ def test_winsorized_stats_matches_rank_model(spark, events):
         assert r["p05"] == lo / 100.0 and r["p95"] == hi / 100.0
         assert abs(r["raw_mean"] - round(rsum / n / 100.0, 4)) <= 1e-9
         assert abs(r["wins_mean"] - round(wsum / n / 100.0, 4)) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r9 properties: distinct-value NTILE emulation, span recovery, greedy
+# budget selection — each checked against a serial pure-Python model
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spends=st.lists(
+        st.integers(min_value=0, max_value=5),  # heavy ties on purpose
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_lorenz_distinct_value_form_equals_naive_ntile(spark, spends):
+    """The tie-run argument behind lorenz_deciles: emulating NTILE
+    bucket rank ranges arithmetically over DISTINCT values must equal
+    ranking every row with real NTILE, for ANY tie structure — per
+    decile, both the row count and the value sum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ser_etl_spark.operators.statistics import lorenz_deciles
+
+    rows = [(i, float(s)) for i, s in enumerate(spends)]
+    orders = spark.createDataFrame(
+        # one order per customer: spend == o_totalprice (cents = s*100)
+        rows, "o_custkey long, o_totalprice double"
+    )
+    got = {
+        r["decile"]: (r["n_customers"], r["decile_cents"])
+        for r in lorenz_deciles(orders).collect()
+    }
+    w = Window.orderBy(F.col("c").asc(), F.col("o_custkey").asc())
+    naive = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("c"),
+        )
+        .select("c", F.ntile(10).over(w).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+        .collect()
+    )
+    want = {r["d"]: (r["n"], r["s"]) for r in naive}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=5, max_size=14
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_contamination_spans_match_serial_model(spark, docs):
+    """gaps-and-islands over matched gram positions must recover exactly
+    the per-doc contiguous contaminated runs a serial scan finds."""
+    from ser_etl_spark.operators.curation import contamination_span_profile
+
+    n, bench_mod = 3, 2  # doc_id % 2 == 0 is the benchmark slice
+    rows = [(i, " ".join(toks), "en", "s", len(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["hit_ngrams"], r["n_spans"], r["longest_run_tokens"])
+        for r in contamination_span_profile(df, n=n, bench_mod=bench_mod).collect()
+    }
+
+    def grams(toks):
+        return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    bench = set()
+    for i, toks in enumerate(docs):
+        if i % bench_mod == 0:
+            bench.update(grams(toks))
+    want = {}
+    for i, toks in enumerate(docs):
+        if i % bench_mod == 0:
+            continue
+        hitpos = [p for p, g in enumerate(grams(toks)) if g in bench]
+        if not hitpos:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(hitpos, hitpos[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[i] = (len(hitpos), len(runs), max(runs) + n - 1)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_token_budget_selection_matches_serial_greedy(spark, docs, budget):
+    """The windowed prefix-under-budget must equal the serial greedy
+    model: walk docs in (priority desc, doc_id) order, keep while the
+    running total stays within budget, cut the first overflow."""
+    from ser_etl_spark.operators.curation import token_budget_selection
+
+    rows = [(i, " ".join(toks), "en", "s", len(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: (r["n_selected"], r["tokens_used"])
+        for r in token_budget_selection(df, budget=budget).collect()
+    }
+
+    items = []
+    for i, toks in enumerate(docs):
+        ntok = len(toks)
+        prio = (len(set(toks)) * 10000) // ntok
+        items.append((-prio, i, ntok))
+    items.sort()
+    used = n_sel = 0
+    for _p, _i, ntok in items:
+        if used + ntok > budget:
+            break  # greedy prefix: first overflow is cut
+        used += ntok
+        n_sel += 1
+    want = {"s": (n_sel, used)} if n_sel else {}
+    assert got == want
