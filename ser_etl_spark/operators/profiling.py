@@ -388,3 +388,184 @@ def length_drift(docs: DataFrame) -> DataFrame:
 )
 def length_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_drift(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# equi-depth range boundaries: the repartitionByRange planner (r9)
+# ---------------------------------------------------------------------------
+
+#: target range-partition count for the boundary planner
+RANGE_PARTS = 8
+
+
+def range_partition_boundaries(
+    df: DataFrame, key: str, parts: int = RANGE_PARTS
+) -> DataFrame:
+    """Exact equi-depth boundaries for range-partitioning ``key`` into
+    ``parts`` partitions — the planning readout behind every
+    ``repartitionByRange`` / sorted-write layout decision (Spark samples
+    to estimate these; a layout job materializing a snapshot wants the
+    EXACT ones, plus each bucket's true row count to see residual skew
+    from heavy keys that straddle a boundary).
+
+    Scale (the spend_gini discipline): collapse to DISTINCT key values
+    first (one hash aggregate), then a window over the value domain —
+    never a row-level rank. Boundary i is the value at row-rank
+    ``ceil(i*n/parts)``; a value run straddling that rank contains it,
+    which is exactly how ties behave in a real range partitioner (all
+    copies of a value land in one partition, so bucket counts are
+    computed from the same runs)."""
+    from pyspark.sql.window import Window
+
+    vals = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = vals.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_start"),
+    )
+    totals = vals.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_n"))
+    crossed = staged.crossJoin(F.broadcast(totals)).select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.lit(parts))).alias("part_no"),
+    )
+    # rank ceil(i*n/parts) in pure integers
+    target = F.expr(f"((part_no * _n) + {RANGE_PARTS - 1}) div {RANGE_PARTS}")
+    picked = crossed.filter(
+        (F.col("cum_start") < target)
+        & (target <= F.col("cum_start") + F.col("cnt"))
+    )
+    # per-part target size: rank span between consecutive boundaries
+    # (derived from the same integer targets — no second row pass)
+    prev_target = F.expr(
+        f"(((part_no - 1) * _n) + {RANGE_PARTS - 1}) div {RANGE_PARTS}"
+    )
+    return picked.select(
+        F.col("part_no").cast("int").alias("part_no"),
+        F.col("v").cast("bigint").alias("upper_bound"),
+        (target - prev_target).cast("bigint").alias("target_rows"),
+    ).orderBy("part_no")
+
+
+@register(
+    "range_partition_boundaries",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_orderkey AS v, COUNT(*) AS cnt
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ), staged AS (
+      SELECT v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_start
+      FROM vals
+    ), t AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS _n FROM vals),
+    parts AS (
+      SELECT unnest(range(1, {RANGE_PARTS} + 1)) AS part_no
+    ),
+    crossed AS (
+      SELECT s.*, _n, part_no FROM staged s, t, parts
+    )
+    SELECT CAST(part_no AS INT) AS part_no,
+           CAST(v AS BIGINT) AS upper_bound,
+           CAST(((part_no * _n) + {RANGE_PARTS - 1}) // {RANGE_PARTS}
+                - (((part_no - 1) * _n) + {RANGE_PARTS - 1})
+                  // {RANGE_PARTS} AS BIGINT) AS target_rows
+    FROM crossed
+    WHERE cum_start < ((part_no * _n) + {RANGE_PARTS - 1}) // {RANGE_PARTS}
+      AND ((part_no * _n) + {RANGE_PARTS - 1}) // {RANGE_PARTS}
+          <= cum_start + cnt
+    ORDER BY part_no
+    """,
+    description="equi-depth range-partition boundary planner for "
+    "l_orderkey (8 parts): exact boundary values at rank ceil(i*n/8) "
+    "via the distinct-value window (never a row-level rank) + per-part "
+    "target row counts — the repartitionByRange/sorted-layout sizing "
+    "readout Spark otherwise only samples",
+    covers=("A9", "B5", "X-window"),
+)
+def range_partition_boundaries_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return range_partition_boundaries(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# orphan-events referential audit (r9)
+# ---------------------------------------------------------------------------
+
+
+def orphan_events_audit(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Events whose ``user_id`` resolves to no customer row — the
+    referential-integrity audit for the BEHAVIORAL table (the
+    order-side twin is ``referential_integrity``): per event type, how
+    many events are orphaned and what share of the type that is, plus
+    the distinct orphaned identities. The ops readout behind "can I
+    join events to the customer dim without silent row loss".
+
+    Plan: one broadcast LEFT SEMI-derived flag (small dim key column),
+    one event-type aggregate — the events table is scanned once and
+    never shuffled on the join key."""
+    keys = customer.select(F.col("c_custkey").alias("user_id")).distinct()
+    flagged = events.join(
+        F.broadcast(keys.withColumn("_known", F.lit(1))), "user_id", "left"
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.sum(F.col("_known").isNull().cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("n_orphaned"),
+            F.count_distinct(
+                F.when(F.col("_known").isNull(), F.col("user_id"))
+            ).cast("bigint").alias("orphan_users"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_orphaned",
+            "orphan_users",
+            F.expr("(n_orphaned * 10000) div n_events")
+            .cast("bigint")
+            .alias("orphan_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orphan_events_audit",
+    oracle="""
+    WITH k AS (SELECT DISTINCT c_custkey AS user_id FROM customer),
+    f AS (
+      SELECT e.event_type, e.user_id,
+             CAST(k.user_id IS NULL AS BIGINT) AS orphan
+      FROM events e LEFT JOIN k USING (user_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(orphan), 0) AS BIGINT) AS n_orphaned,
+           CAST(COUNT(DISTINCT CASE WHEN orphan = 1 THEN user_id END)
+             AS BIGINT) AS orphan_users,
+           CAST((COALESCE(SUM(orphan), 0) * 10000) // COUNT(*) AS BIGINT)
+             AS orphan_bp
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    description="referential audit for the behavioral table: per event "
+    "type the events whose user_id has no customer row (count, distinct "
+    "orphan identities, integer-bp share) via one broadcast key flag — "
+    "the silent-row-loss check before any events-to-dim join",
+    covers=("B11", "N-quality"),
+)
+def orphan_events_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orphan_events_audit(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

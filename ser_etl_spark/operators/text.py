@@ -2135,3 +2135,74 @@ def _df_hist_oracle(n: int = 3) -> str:
 )
 def shingle_df_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_df_histogram(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# code-switching share: mixed-language QA per source (r9)
+# ---------------------------------------------------------------------------
+
+
+def code_switch_share(docs: DataFrame) -> DataFrame:
+    """Share of each source's documents carrying marker words from TWO
+    OR MORE languages — the mixed-language/code-switching readout a
+    language-filter pipeline publishes next to its language-ID pass
+    (a doc the classifier calls 'en' but that is half Spanish trains
+    differently than a clean one). Counts ride the same marker
+    expressions as lang_id, so the two QA surfaces can't drift apart.
+    One scan, one source aggregate, exact integers."""
+    text = F.col("text")
+    lang_hits = None
+    for _lang, markers in _LANG_MARKERS:
+        hit = (_marker_count(text, markers) > 0).cast("int")
+        lang_hits = hit if lang_hits is None else lang_hits + hit
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum((lang_hits >= 2).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("n_mixed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_mixed",
+            F.expr("(n_mixed * 10000) div n_docs").cast("bigint").alias(
+                "mixed_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _code_switch_oracle() -> str:
+    hits = " + ".join(
+        "CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),"
+        f" t -> list_contains({list(markers)}, t))) > 0 AS INT)"
+        for _lang, markers in _LANG_MARKERS
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, ({hits}) AS lang_hits FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CAST(lang_hits >= 2 AS BIGINT)), 0) AS BIGINT)
+             AS n_mixed,
+           CAST((COALESCE(SUM(CAST(lang_hits >= 2 AS BIGINT)), 0) * 10000)
+                // COUNT(*) AS BIGINT) AS mixed_bp
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "code_switch_share",
+    oracle=_code_switch_oracle(),
+    description="mixed-language QA: share of each source's docs with "
+    "marker words from >= 2 languages (the code-switching readout next "
+    "to lang_id, same marker expressions); one scan, one source "
+    "aggregate, integer basis points",
+    covers=("N-text", "N-quality"),
+)
+def code_switch_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return code_switch_share(load_table(spark, sf_dir, "documents"))

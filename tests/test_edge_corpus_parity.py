@@ -81,6 +81,7 @@ EDGE_QUERIES = [
     "dup_source_matrix",
     "lsh_candidate_budget",
     "kmv_distinct_by_source",
+    "code_switch_share",
 ]
 
 
@@ -280,7 +281,8 @@ def nulltext_dir(tmp_path_factory):
      # NULL-text versions unchanged (null-safe fingerprint compare)
      "streaming_quality_gate", "snapshot_diff_audit",
      "source_length_quartiles", "quality_by_lang",
-     "shingle_df_histogram", "kmv_distinct_by_source"],
+     "shingle_df_histogram", "kmv_distinct_by_source",
+     "code_switch_share"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not
