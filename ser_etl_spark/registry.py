@@ -73,9 +73,9 @@ def register(
 #: helpers must be held out here per the documented shared-helper rule
 #: (the source-hash heuristic only sees the builder function and oracle
 #: text).
-#: r9 window budget (directive #2 honored): 208 registered, 38 pending
+#: r9 window budget (directive #2 honored): 211 registered, 41 pending
 #: at round end — the 11 r8c overflow + dedup_rate_by_source
-#: (hash-rotated by its nullif fix) + 26 net-new — UNDER the 50-entry
+#: (hash-rotated by its nullif fix) + 29 net-new — UNDER the 50-entry
 #: window, so no overflow is carried into r10; every pending entry is
 #: covered locally by the full oracle gate, the six-config drive
 #: matrix, and the edge/nulltext/clique/vector-seam suites.
