@@ -111,10 +111,16 @@ def language_id(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality in [0,1]: favors mid-length docs with
     low punctuation density and a sane stopword ratio (the classic
-    pre-training corpus filters, each a cheap columnar expression)."""
+    pre-training corpus filters, each a cheap columnar expression).
+
+    A zero-length text has no punctuation DENSITY — the ratio (and the
+    score built on it) is NULL, matching DuckDB's NULL-on-div-by-zero
+    double semantics instead of throwing under Spark's ANSI default
+    (found by the r9 empty-string-corpus seam suite). The token ratio
+    needs no guard: a split always yields at least one element."""
     text = F.col("text")
     toks = _ws_tokens(F.lower(text))
-    n_chars = F.length(text).cast("double")
+    n_chars = F.nullif(F.length(text).cast("double"), F.lit(0.0))
     n_tokens = F.size(toks).cast("double")
     n_stop = _marker_count(text, _STOPWORDS).cast("double")
     n_punct = F.length(F.regexp_replace(text, r"[\w\s]", "")).cast("double")

@@ -78,7 +78,10 @@ def register(
 #: (hash-rotated by its nullif fix) + 29 net-new — UNDER the 50-entry
 #: window, so no overflow is carried into r10; every pending entry is
 #: covered locally by the full oracle gate, the six-config drive
-#: matrix, and the edge/nulltext/clique/vector-seam suites.
+#: matrix, and the edge/nulltext/clique/vector-seam suites. Late-r9
+#: holdout: quality_score (shared-helper rule — the empty-string seam
+#: fix landed in the helper the builder hash can't see), making 42
+#: pending.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -188,7 +191,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "product_type_profit",
     "promo_revenue",
     "purchase_attribution",
-    "quality_score",
     "referential_integrity",
     "repeat_buyers",
     "retention_cohorts",

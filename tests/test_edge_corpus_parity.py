@@ -528,3 +528,79 @@ def test_pre_epoch_backlog_timeline_parity(spark, tmp_path):
         assert rows[(1969, 12)] == 1 and rows[(1970, 2)] == 0, rows
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# r9 seam: empty-STRING text (not NULL) — the md5('')/phantom-group class
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emptystr_dir(tmp_path_factory):
+    """Documents whose text is present but carries no content: empty
+    strings, whitespace-only runs, and punctuation-only bodies. Distinct
+    from the all-NULL corpus: every expression still EVALUATES (md5('')
+    is a non-NULL constant, split('') is a one-element list), so any
+    operator that forgets the nullif/normalize step silently clusters or
+    counts these rows — exactly the dedup_rate_by_source bug this round
+    fixed (r9 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("emptystr_corpus")
+    texts = ["", "   ", "\t  \t", "!!! ... ---", "???", "", "  ", "..."]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(
+                    [("web", "books")[i % 2] for i in range(len(texts))]
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_exact", "dedup_fingerprint", "dedup_rate_by_source",
+     "dup_source_matrix", "fingerprint", "quality_filter_funnel",
+     "quality_by_lang", "doc_rarity_topk", "token_budget_selection",
+     "context_fit_histogram", "source_length_quartiles",
+     "snapshot_diff_audit", "kmv_distinct_by_source", "code_switch_share",
+     "shingle_df_histogram", "lexical_diversity", "charclass_profile",
+     "lang_id", "text_stats", "quality_score"],
+)
+def test_emptystr_corpus_parity(spark, emptystr_dir, name):
+    """Content-free but non-NULL text must neither crash nor diverge:
+    both engines see the same md5('')/one-token-split algebra, and the
+    nullif-normalized operators must agree that these rows carry no
+    fingerprint."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{emptystr_dir}/documents.parquet')"
+        )
+        spec = all_queries()[name]
+        problems = compare(
+            name, spec.builder(spark, emptystr_dir), con, spec.oracle
+        )
+        assert not problems, "\n".join(problems)
+    finally:
+        con.close()
+
+
+def test_emptystr_corpus_never_phantom_clusters(spark, emptystr_dir):
+    """Semantics, not just parity: the nullif-normalized dedup readouts
+    must report ZERO duplicates on a corpus of content-free docs — the
+    md5('') constant must never form a duplicate group."""
+    Q = all_queries()
+    rate = Q["dedup_rate_by_source"].builder(spark, emptystr_dir).collect()
+    assert rate and all(r["n_dups"] == 0 for r in rate), rate
+    assert Q["dup_source_matrix"].builder(spark, emptystr_dir).count() == 0
