@@ -79,9 +79,9 @@ def register(
 #: window, so no overflow is carried into r10; every pending entry is
 #: covered locally by the full oracle gate, the six-config drive
 #: matrix, and the edge/nulltext/clique/vector-seam suites. Late-r9
-#: holdout: quality_score (shared-helper rule — the empty-string seam
-#: fix landed in the helper the builder hash can't see), making 42
-#: pending.
+#: holdout: quality_score and corpus_curation (shared-helper rule — the
+#: empty-string seam fix landed in the quality helper both builders use,
+#: invisible to their source hashes), making 43 pending.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -99,7 +99,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "charclass_profile",
     "churned_buyers",
     "conversion_funnel",
-    "corpus_curation",
     "corr_matrix",
     "count_min_tokens",
     "count_star",

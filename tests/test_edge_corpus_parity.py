@@ -574,7 +574,7 @@ def emptystr_dir(tmp_path_factory):
      "context_fit_histogram", "source_length_quartiles",
      "snapshot_diff_audit", "kmv_distinct_by_source", "code_switch_share",
      "shingle_df_histogram", "lexical_diversity", "charclass_profile",
-     "lang_id", "text_stats", "quality_score"],
+     "lang_id", "text_stats", "quality_score", "corpus_curation"],
 )
 def test_emptystr_corpus_parity(spark, emptystr_dir, name):
     """Content-free but non-NULL text must neither crash nor diverge:
