@@ -62,26 +62,14 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-9 curation (regenerated from the r1-r8 union, 172 green): the
-#: r8 driver window was 50/50 green, leaving exactly the 11 documented
-#: r8c overflow queries pending — they lead the r9 window. Held out by
-#: hand: streaming_incremental_dedup (its r7 green row predates the r8
-#: bands-artifact rewrite; _verified_hashes records CURRENT source
-#: hashes, so the automatic rotation cannot see a rewrite that happened
-#: before regeneration). Everything else with a green row is verified at
-#: its current source. Queries the r9 work rewrites through shared
-#: helpers must be held out here per the documented shared-helper rule
-#: (the source-hash heuristic only sees the builder function and oracle
-#: text).
-#: r9 window budget (directive #2 honored): 211 registered, 41 pending
-#: at round end — the 11 r8c overflow + dedup_rate_by_source
-#: (hash-rotated by its nullif fix) + 29 net-new — UNDER the 50-entry
-#: window, so no overflow is carried into r10; every pending entry is
-#: covered locally by the full oracle gate, the six-config drive
-#: matrix, and the edge/nulltext/clique/vector-seam suites. Late-r9
-#: holdout: quality_score and corpus_curation (shared-helper rule — the
-#: empty-string seam fix landed in the quality helper both builders use,
-#: invisible to their source hashes), making 43 pending.
+#: Round-10 curation (regenerated from the r1-r9 union, 211 green —
+#: zero verification debt per VERDICT r9): every currently registered
+#: query has a driver-recorded green row at its current source, so the
+#: r10 window starts EMPTY and is spent only on queries this round
+#: rewrites (hash-rotated automatically) or adds. Shared-helper rule
+#: still applies: rewrites that land in helpers invisible to the
+#: builder/oracle source hash must be held out by hand via
+#: ``scripts/update_verified.py --exclude``.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -89,16 +77,25 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_quantized_rescore",
     "ann_recall_eval",
     "approx_sketches",
+    "approx_sketches_twin",
     "basket_lift",
+    "benford_leading_digit",
     "bigram_rare_ratio",
     "bloom_fpr_eval",
     "bm25_search",
     "bm25_search_indexed",
     "boilerplate_score",
     "brand_size_skyline",
+    "burst_detection",
+    "centroid_similarity_matrix",
+    "changepoint_cusum",
     "charclass_profile",
     "churned_buyers",
+    "code_switch_share",
+    "contamination_span_profile",
+    "context_fit_histogram",
     "conversion_funnel",
+    "corpus_curation",
     "corr_matrix",
     "count_min_tokens",
     "count_star",
@@ -116,19 +113,24 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dim_variance_screen",
     "disjunctive_revenue",
     "doc_chunks",
+    "doc_rarity_topk",
     "doc_repetition",
     "dominant_lang_share",
+    "dup_source_matrix",
     "embedding_centroids",
     "embedding_drift",
     "embedding_neardup",
+    "embedding_pca_step",
     "embedding_project",
     "embedding_quantize",
     "event_heatmap",
+    "event_path_topk",
     "event_transitions",
     "event_value_pivot",
     "excess_order_counts",
     "fingerprint",
     "frame_sample",
+    "fulfillment_latency",
     "gap_filled_hourly",
     "group_by",
     "group_ksample",
@@ -138,13 +140,16 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "important_stock",
     "incremental_dedup",
     "incremental_scan",
+    "inventory_turnover_topk",
     "ivf_ann_topk",
     "ivf_assign",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
+    "kmeans_lloyd_step",
     "kmv_distinct",
+    "kmv_distinct_by_source",
     "kmv_overlap",
     "kmv_union_distinct",
     "knn_classify",
@@ -157,11 +162,14 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "length_drift",
     "lexical_diversity",
     "local_supplier_volume",
+    "lorenz_deciles",
     "lsh_ann_multiprobe",
     "lsh_ann_topk",
+    "lsh_candidate_budget",
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
+    "media_decode_budget",
     "media_phash_neardup",
     "min_cost_supplier",
     "minhash_error_eval",
@@ -175,11 +183,14 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ngram_containment",
     "ngram_jaccard_guarded",
     "ngram_jaccard_pairs",
+    "open_orders_timeline",
     "order_by",
     "order_gap_stats",
     "order_priority_check",
     "order_reconciliation",
     "order_seasonality",
+    "orphan_events_audit",
+    "pack_efficiency",
     "pack_sequences",
     "pattern_match_topk",
     "pii_scrub",
@@ -190,12 +201,18 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "product_type_profit",
     "promo_revenue",
     "purchase_attribution",
+    "quality_by_lang",
+    "quality_filter_funnel",
+    "quality_score",
+    "range_partition_boundaries",
     "referential_integrity",
     "repeat_buyers",
     "retention_cohorts",
     "revenue_abc_classes",
     "revenue_forecast",
+    "revenue_mom_growth",
     "rfm_segments",
+    "rolling_active_users",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
@@ -204,24 +221,33 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "select_columns",
     "semdedup_canonical",
     "series_anomalies",
+    "series_autocorr",
     "series_similarity_topk",
     "session_concurrency",
     "sessionize_events",
     "shard_manifest",
+    "shingle_df_histogram",
     "shipping_priority",
     "simhash_pairs",
     "small_order_revenue",
+    "snapshot_diff_audit",
     "sole_returning_supplier",
     "source_cap",
+    "source_length_quartiles",
     "source_mixture",
     "source_overlap_matrix",
     "source_signature_terms",
     "span_removal",
     "spend_gini",
     "stats_moments",
+    "stickiness_ratio",
     "stocked_parts_promotion",
     "stratified_sample",
+    "streaming_burst_flags",
+    "streaming_enriched_counts",
     "streaming_exact_dedup",
+    "streaming_incremental_dedup",
+    "streaming_quality_gate",
     "streaming_sessions",
     "streaming_sessions_timeout",
     "streaming_sliding_counts",
@@ -229,10 +255,13 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_view_clicks",
     "substring_dedup",
     "summary_view",
+    "supplier_hhi_histogram",
     "supplier_variety",
     "table_profile",
     "text_stats",
     "time_bucket_rollup",
+    "time_weighted_value",
+    "token_budget_selection",
     "token_cooccurrence",
     "token_frequencies",
     "top_k",
@@ -241,6 +270,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "top_terms",
     "training_order",
     "uniform_ksample",
+    "user_diversity_histogram",
     "value_band_join",
     "value_histogram",
     "value_outliers_mad",
