@@ -330,8 +330,16 @@ def winsorized_stats(
     the value at rank ``ceil(q * n)`` in (cents, id) order, a real data
     point selected by pure integer rank math (no interpolation, no
     float comparisons, deterministic under ties via the id tiebreak);
-    clamping and the clamped sum stay in BIGINT. The only doubles are
-    the presentation means, one division each, round 4.
+    clamping and the clamped sum stay in BIGINT. The means are emitted
+    as exact-integer BASIS POINTS (1e-4 dollars) rounded
+    half-away-from-zero on the scaled integer — ``F.round`` on a
+    cents/n double is tie-reachable (an exact decimal half at the 4th
+    place rounds differently under Spark's HALF_UP, Python's banker's
+    round, and DuckDB's double round; hypothesis found sum=-3159 over
+    n=8 as a live counterexample). Positive-operand integer division
+    makes Spark ``div`` and DuckDB ``//`` agree, so the oracle replays
+    bit-exactly. The only remaining doubles are p05/p95, computed from
+    the same BIGINT cents on both engines.
 
     Scale shape: one shuffle on the group key, one in-partition sorted
     window (rank + the two bound picks as partition-wide conditional
@@ -385,10 +393,16 @@ def winsorized_stats(
             "n",
             (F.col("p05c").cast("double") / 100.0).alias("p05"),
             (F.col("p95c").cast("double") / 100.0).alias("p95"),
-            F.round(F.col("rawc").cast("double") / F.col("n").cast("double")
-                    / 100.0, 4).alias("raw_mean"),
-            F.round(F.col("winc").cast("double") / F.col("n").cast("double")
-                    / 100.0, 4).alias("wins_mean"),
+            # mean in 1e-4-dollar basis points, half-away-from-zero on
+            # the scaled integer: sign(c)*((|c|*100*2 + n) div (2*n)).
+            F.expr(
+                "(CASE WHEN rawc < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(rawc) * 100 * 2 + n) div (2 * n))"
+            ).cast("bigint").alias("raw_mean_bp"),
+            F.expr(
+                "(CASE WHEN winc < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(winc) * 100 * 2 + n) div (2 * n))"
+            ).cast("bigint").alias("wins_mean_bp"),
         )
         .orderBy(group_col)
     )
@@ -419,15 +433,20 @@ def winsorized_stats(
     SELECT grp AS event_type, CAST(MAX(n) AS BIGINT) AS n,
            CAST(MAX(p05c) AS DOUBLE) / 100.0 AS p05,
            CAST(MAX(p95c) AS DOUBLE) / 100.0 AS p95,
-           round(CAST(SUM(cents) AS DOUBLE)
-                 / CAST(MAX(n) AS DOUBLE) / 100.0, 4) AS raw_mean,
-           round(CAST(SUM(least(greatest(cents, p05c), p95c)) AS DOUBLE)
-                 / CAST(MAX(n) AS DOUBLE) / 100.0, 4) AS wins_mean
+           CAST((CASE WHEN SUM(cents) < 0 THEN -1 ELSE 1 END)
+                * ((abs(SUM(cents)) * 100 * 2 + MAX(n))
+                   // (2 * MAX(n))) AS BIGINT) AS raw_mean_bp,
+           CAST((CASE WHEN SUM(least(greatest(cents, p05c), p95c)) < 0
+                      THEN -1 ELSE 1 END)
+                * ((abs(SUM(least(greatest(cents, p05c), p95c))) * 100 * 2
+                    + MAX(n))
+                   // (2 * MAX(n))) AS BIGINT) AS wins_mean_bp
     FROM s2 GROUP BY grp ORDER BY grp
     """,
     description="per-type winsorized mean: exact discrete p5/p95 order "
     "statistics (rank = ceil(q*n), id tiebreak — no interpolation), "
-    "BIGINT clamp-and-sum, presentation-only double divisions; one "
+    "BIGINT clamp-and-sum, means as exact-integer basis points with "
+    "half-away-from-zero rounding (no tie-reachable double round); one "
     "group-key shuffle shared by the sorted window and the final "
     "aggregate",
     covers=("X-window", "N-quality", "B4"),

@@ -422,8 +422,44 @@ def test_winsorized_stats_matches_rank_model(spark, events):
         r = got[t]
         assert r["n"] == n
         assert r["p05"] == lo / 100.0 and r["p95"] == hi / 100.0
-        assert abs(r["raw_mean"] - round(rsum / n / 100.0, 4)) <= 1e-9
-        assert abs(r["wins_mean"] - round(wsum / n / 100.0, 4)) <= 1e-9
+        assert r["raw_mean_bp"] == _half_away_bp(rsum, n)
+        assert r["wins_mean_bp"] == _half_away_bp(wsum, n)
+
+
+def _half_away_bp(cents_sum: int, n: int) -> int:
+    """Serial model of the builder's exact-integer mean-in-basis-points:
+    half-away-from-zero rounding of (cents_sum * 100) / n on the scaled
+    integer, never through a double."""
+    num = cents_sum * 100
+    s = -1 if num < 0 else 1
+    return s * ((abs(num) * 2 + n) // (2 * n))
+
+
+def test_winsorized_half_tie_regression(spark):
+    """Pin the hypothesis counterexample from round 9: a cents sum of
+    -3159 over n=8 makes the true mean -3.94875 — an exact decimal half
+    at the 4th place, where Spark round (HALF_UP) gave -3.9488 while
+    Python's banker's round gave -3.9487. The exact-integer basis-point
+    form must yield -39488 (half-away-from-zero) on both engines."""
+    import datetime as _dt
+
+    from ser_etl_spark.operators.statistics import winsorized_stats
+
+    # seven zero-valued events plus one at -31.59 dollars: cents sum
+    # floor(-31.59*100 + 0.5) = -3159 over n=8.
+    rows = [(i, _dt.datetime(2024, 1, 1), 0, "a", 0.0, None)
+            for i in range(7)]
+    rows.append((7, _dt.datetime(2024, 1, 1), 0, "a", -31.59, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    r = winsorized_stats(
+        df, value_col="value", group_col="event_type", id_col="event_id"
+    ).collect()[0]
+    assert r["raw_mean_bp"] == -39488
+    assert r["raw_mean_bp"] == _half_away_bp(-3159, 8)
 
 
 # ---------------------------------------------------------------------------
