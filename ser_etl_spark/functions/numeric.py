@@ -85,3 +85,42 @@ def sql_dsum_prod(x: str, y: str, scale: int = 2) -> str:
 def sql_davg(expr: str, scale: int = 2) -> str:
     """Oracle-side rendering of :func:`davg`."""
     return f"{sql_dsum(expr, scale)} / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# tie-safe presentation rounding
+# ---------------------------------------------------------------------------
+#
+# ``round(double, d)`` is NOT cross-engine deterministic at decimal
+# half-ties: Spark evaluates it HALF_UP on the value's shortest decimal
+# string (Double.toString -> BigDecimal), Python's round() is half-even on
+# the binary value, and DuckDB rounds the binary value its own way. Any
+# operand that is a ratio of integers with a 2^a*5^b denominator (counts,
+# cents) can land EXACTLY on a d+1-digit decimal half — hypothesis found a
+# live counterexample in winsorized_stats (sum -3159 over n=8: -3.94875
+# rounds to -3.9488 on Spark, -3.9487 in Python) — so every presentation
+# round over such a ratio is a latent driver-hash flake.
+#
+# ``fround`` computes floor(x * 10^d + 0.5) / 10^d entirely in IEEE binary:
+# multiply, add, floor and divide are each correctly rounded and identical
+# on any IEEE-754 engine, so Spark and the DuckDB oracle agree BIT-EXACTLY
+# on every input, ties included (halves round toward +inf on both).
+# Powers of ten through 1e15 are exactly representable doubles, so the
+# scale factor itself is never a source of divergence.
+#
+# Caller contract: |x| * 10^d must stay below 2^53 (value precision) and
+# far below 2^63 (Spark's floor(double) returns BIGINT) — presentation
+# ratios (shares, means, correlations, similarity scores) are all O(1) to
+# O(1e6), leaving >9 orders of headroom at d=9.
+
+
+def fround(col: Column | str, d: int) -> Column:
+    """Tie-safe ``round(x, d)``: floor-based, bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**d))
+    return F.floor(c * s + F.lit(0.5)).cast("double") / s
+
+
+def sql_fround(expr: str, d: int) -> str:
+    """Oracle-side rendering of :func:`fround` (DuckDB floor is double)."""
+    return f"(CAST(floor(({expr}) * 1e{d} + 0.5) AS DOUBLE) / 1e{d})"

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ser_etl_spark.functions.numeric import (
+    fround,
     PRECISION,
     davg,
     dsum,
@@ -995,9 +996,11 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name, r.r_name
     )
     SELECT nation, region, revenue,
-           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+           (CAST(floor((revenue / SUM(revenue) OVER (PARTITION BY region))
+                 * 1e9 + 0.5) AS DOUBLE) / 1e9)
              AS share_of_region,
-           ROUND(revenue / SUM(revenue) OVER (), 9) AS share_of_total
+           (CAST(floor((revenue / SUM(revenue) OVER ())
+                 * 1e9 + 0.5) AS DOUBLE) / 1e9) AS share_of_total
     FROM rev
     ORDER BY region, nation
     """,
@@ -1027,9 +1030,11 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     return rev.select(
         "nation", "region", "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 9)
+        # fround: exact-decimal revenue ratio — tie-reachable at the
+        # 10th decimal (r10 round-half-tie audit).
+        fround(F.col("revenue") / F.sum("revenue").over(w_region), 9)
         .alias("share_of_region"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9)
+        fround(F.col("revenue") / F.sum("revenue").over(w_all), 9)
         .alias("share_of_total"),
     ).orderBy("region", "nation")
 
@@ -1541,7 +1546,9 @@ def basket_lift(
                             F.col("n_part").alias("n2")), "p2")
         .crossJoin(F.broadcast(totals))
     )
-    lift = F.round(
+    # fround: counts ratio — tie-reachable at the 7th decimal (r10
+    # round-half-tie audit).
+    lift = fround(
         F.col("support").cast("double") * F.col("n_orders").cast("double")
         / (F.col("n1").cast("double") * F.col("n2").cast("double")),
         6,
@@ -1570,9 +1577,9 @@ def basket_lift(
       SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets
     )
     SELECT p1, p2, support, a.n_part AS n1, b.n_part AS n2,
-           round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
-                 / (CAST(a.n_part AS DOUBLE) * CAST(b.n_part AS DOUBLE)),
-                 6) AS lift
+           (CAST(floor((CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(a.n_part AS DOUBLE) * CAST(b.n_part AS DOUBLE)))
+                 * 1e6 + 0.5) AS DOUBLE) / 1e6) AS lift
     FROM pairs
     JOIN part_n a ON a.pk = p1
     JOIN part_n b ON b.pk = p2

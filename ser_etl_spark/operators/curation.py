@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ser_etl_spark.operators.dedup import shingle_rows
 from ser_etl_spark.operators.sampling import hash_u32, sql_hash_u32
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -684,7 +685,9 @@ def source_overlap_matrix(
     )
     na = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
-    jac = F.round(
+    # fround: counts ratio — tie-reachable at the 5th decimal (r10
+    # round-half-tie audit).
+    jac = fround(
         F.col("n_common").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         4,
@@ -721,8 +724,9 @@ def _source_overlap_oracle(
       GROUP BY 1, 2)
     SELECT c.src_a, c.src_b, c.n_common,
            sa.n_sh AS n_a, sb.n_sh AS n_b,
-           round(CAST(c.n_common AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 4)
+           (CAST(floor((CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS jaccard
     FROM common c
     JOIN sizes sa ON c.src_a = sa.source
@@ -785,7 +789,9 @@ def boilerplate_scores(docs: DataFrame, n: int = OVERLAP_N,
             F.sum((F.col("df") >= min_df).cast("bigint")).alias("n_common"),
         )
     )
-    score = F.round(
+    # fround: counts ratio — tie-reachable at the 5th decimal (r10
+    # round-half-tie audit).
+    score = fround(
         F.col("n_common").cast("double") / F.col("n_shingles").cast("double"),
         4,
     )
@@ -810,7 +816,9 @@ def _boilerplate_oracle(n: int = OVERLAP_N, min_df: int = BOILERPLATE_DF) -> str
              CAST(SUM(CAST(df >= {min_df} AS BIGINT)) AS BIGINT) AS n_common
       FROM sh JOIN d USING (sh) GROUP BY 1)
     SELECT doc_id, n_shingles, n_common,
-           round(CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+           (CAST(floor((CAST(n_common AS DOUBLE)
+                 / CAST(n_shingles AS DOUBLE)) * 1e4 + 0.5)
+                 AS DOUBLE) / 1e4)
              AS boilerplate_score
     FROM p ORDER BY doc_id
     """
@@ -910,7 +918,9 @@ def bloom_fpr_eval(
         "n_bloom_pos",
         "n_exact_pos",
         fp.alias("n_false_pos"),
-        F.round(
+        # fround: counts ratio — tie-reachable at the 7th decimal
+        # (r10 round-half-tie audit).
+        fround(
             fp.cast("double")
             / F.when(clean != F.lit(0), clean.cast("double")),
             6,
@@ -981,9 +991,9 @@ def _bloom_fpr_oracle(m_bits: int = _FPR_M_BITS, k: int = 3) -> str:
            CAST(COALESCE(SUM(bl), 0) AS BIGINT) AS n_bloom_pos,
            CAST(COALESCE(SUM(ex), 0) AS BIGINT) AS n_exact_pos,
            CAST(COALESCE(SUM(bl) - SUM(ex), 0) AS BIGINT) AS n_false_pos,
-           round(CAST(COALESCE(SUM(bl) - SUM(ex), 0) AS DOUBLE)
+           (CAST(floor((CAST(COALESCE(SUM(bl) - SUM(ex), 0) AS DOUBLE)
                  / nullif(CAST(COUNT(*) - COALESCE(SUM(ex), 0) AS DOUBLE),
-                          0.0), 6)
+                          0.0)) * 1e6 + 0.5) AS DOUBLE) / 1e6)
              AS fpr
     FROM flagged
     """

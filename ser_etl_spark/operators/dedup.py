@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ser_etl_spark.operators.text import fingerprint
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table, spread_small_input
 
@@ -1799,9 +1800,13 @@ def minhash_error_eval(
             "doc_a",
             "doc_b",
             "est_matches",
-            F.round(est, 4).alias("est_jaccard"),
-            F.round(F.col("_exact"), 4).alias("jaccard_exact"),
-            F.round(F.abs(est - F.col("_exact")), 4).alias("abs_err"),
+            # fround x3: matches/num_perm and shingle-count ratios
+            # terminate in decimal (2^a*5^b denominators: 2/64 =
+            # 0.03125 is a live 5th-place half) — the r10
+            # round-half-tie audit.
+            fround(est, 4).alias("est_jaccard"),
+            fround(F.col("_exact"), 4).alias("jaccard_exact"),
+            fround(F.abs(est - F.col("_exact")), 4).alias("abs_err"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -1862,14 +1867,17 @@ def _minhash_error_oracle(num_perm: int = 64, bands: int = 16) -> str:
     )
     SELECT c.doc_a, c.doc_b,
            {match_sum} AS est_matches,
-           round(CAST({match_sum} AS DOUBLE) / {float(num_perm)!r}, 4)
+           (CAST(floor((CAST({match_sum} AS DOUBLE)
+                 / {float(num_perm)!r}) * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS est_jaccard,
-           round(CAST(coalesce(s2.shared, 0) AS DOUBLE)
-                 / (sa.n + sb.n - coalesce(s2.shared, 0)), 4)
+           (CAST(floor((CAST(coalesce(s2.shared, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(s2.shared, 0)))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS jaccard_exact,
-           round(abs(CAST({match_sum} AS DOUBLE) / {float(num_perm)!r}
+           (CAST(floor((abs(CAST({match_sum} AS DOUBLE) / {float(num_perm)!r}
                      - CAST(coalesce(s2.shared, 0) AS DOUBLE)
-                       / (sa.n + sb.n - coalesce(s2.shared, 0))), 4)
+                       / (sa.n + sb.n - coalesce(s2.shared, 0))))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS abs_err
     FROM cand c
     JOIN sig x ON x.doc_id = c.doc_a

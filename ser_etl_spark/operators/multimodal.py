@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -203,8 +204,8 @@ def _multimodal_oracle(dims: int = 2) -> str:
         f"sha256(CAST(doc_id AS VARCHAR) || ':{i}')" for i in range(4)
     )
     feats = ", ".join(
-        f"round(CAST({_hexint_sql('dh', 8 * i + 1)} AS DOUBLE)"
-        f" / 4294967296.0, 6) AS f{i}"
+        f"(CAST(floor((CAST({_hexint_sql('dh', 8 * i + 1)} AS DOUBLE)"
+        f" / 4294967296.0) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS f{i}"
         for i in range(dims)
     )
     return f"""
@@ -232,8 +233,10 @@ def multimodal_features_query(spark, sf_dir):
     feats = extract_features(with_fake_payload(docs))
     return feats.select(
         "doc_id",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        # fround: k/2^32 is dyadic, so a 7th-place decimal half is
+        # reachable whenever 2^25 | k (r10 round-half-tie audit).
+        fround(F.element_at("features", 1), 6).alias("f0"),
+        fround(F.element_at("features", 2), 6).alias("f1"),
     )
 
 

@@ -35,6 +35,7 @@ from ser_etl_spark.artifacts import (
     source_fingerprint,
     write_manifest,
 )
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table, spread_small_input
 
@@ -2371,9 +2372,12 @@ def label_cohesion(
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n_members"),
+            # floor form: sum(_q)/count is an integer ratio —
+            # tie-reachable (r10 round-half-tie audit).
             F.expr(
-                "round(CAST(sum(_q) AS DOUBLE)"
-                " / nullif(10000.0D * count(_q), 0.0D), 6)"
+                "(CAST(floor((CAST(sum(_q) AS DOUBLE)"
+                " / nullif(10000.0D * count(_q), 0.0D))"
+                " * 1e6 + 0.5) AS DOUBLE) / 1e6)"
             ).alias("cohesion"),
         )
         .orderBy(label_col)
@@ -2413,8 +2417,9 @@ def _label_cohesion_oracle(dim: int | None = None) -> str:
       FROM embeddings e LEFT JOIN cl ON e.label = cl.label
     )
     SELECT label, COUNT(*) AS n_members,
-           round(CAST(SUM(q) AS DOUBLE)
-                 / nullif(10000.0 * COUNT(q), 0.0), 6) AS cohesion
+           (CAST(floor((CAST(SUM(q) AS DOUBLE)
+                 / nullif(10000.0 * COUNT(q), 0.0))
+                 * 1e6 + 0.5) AS DOUBLE) / 1e6) AS cohesion
     FROM scored GROUP BY label ORDER BY label
     """
 
@@ -2761,7 +2766,9 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
             F.coalesce(F.col("centroid_id"), F.lit(-1)).alias("centroid_id"),
         ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("label")
-    share = F.round(
+    # fround: counts ratio — tie-reachable at the 5th decimal (r10
+    # round-half-tie audit).
+    share = fround(
         F.col("n").cast("double")
         / F.sum("n").over(w).cast("double"),
         4,
@@ -2798,9 +2805,9 @@ def _label_centroid_confusion_oracle(
       GROUP BY 1, 2
     )
     SELECT label, centroid_id, n,
-           round(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE),
-                 4) AS share
+           (CAST(floor((CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4) AS share
     FROM g ORDER BY label, centroid_id
     """
 
@@ -2942,7 +2949,9 @@ def ann_recall_eval(
         "n_exact",
         "n_bucket",
         "n_hit",
-        F.round(
+        # fround: counts ratio — tie-reachable at the 5th decimal
+        # (r10 round-half-tie audit).
+        fround(
             F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
             4,
         ).alias("recall"),
@@ -2993,7 +3002,8 @@ def _ann_recall_oracle(
       FROM ranked GROUP BY 1
     )
     SELECT a_id AS anchor_id, n_exact, n_bucket, n_hit,
-           round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 4)
+           (CAST(floor((CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS recall
     FROM agg
     ORDER BY anchor_id
@@ -3320,12 +3330,14 @@ def dim_variance_screen(vectors: DataFrame, vec_col: str = "embedding") -> DataF
     nd = F.col("n").cast("decimal(20,0)")
     varn = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     eps = F.lit(_DIM_EPS_Q2).cast("decimal(15,0)")
-    mean = F.round(
+    # fround x2: exact-integer ratios over quantized sums —
+    # tie-reachable at the 7th decimal (r10 round-half-tie audit).
+    mean = fround(
         F.col("sx").cast("double")
         / F.when(F.col("n") > 0, F.col("n").cast("double") * 1e9),
         6,
     )
-    variance = F.round(
+    variance = fround(
         varn.cast("double")
         / F.when(
             F.col("n") > 0,
@@ -3358,11 +3370,12 @@ def dim_variance_screen(vectors: DataFrame, vec_col: str = "embedding") -> DataF
       FROM ex GROUP BY dim
     )
     SELECT dim, CAST(n AS BIGINT) AS n,
-           round(CAST(sx AS DOUBLE)
-                 / nullif(CAST(n AS DOUBLE) * 1e9, 0.0), 6) AS mean,
-           round(CAST(n*sxx - sx*sx AS DOUBLE)
+           (CAST(floor((CAST(sx AS DOUBLE)
+                 / nullif(CAST(n AS DOUBLE) * 1e9, 0.0))
+                 * 1e6 + 0.5) AS DOUBLE) / 1e6) AS mean,
+           (CAST(floor((CAST(n*sxx - sx*sx AS DOUBLE)
                  / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e18,
-                          0.0), 6) AS variance,
+                          0.0)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS variance,
            CAST(CASE WHEN n*sxx - sx*sx <= CAST(n AS HUGEINT)*n*{_DIM_EPS_Q2} THEN 1
                      ELSE 0 END AS BIGINT) AS near_const
     FROM agg ORDER BY dim
@@ -3692,7 +3705,9 @@ def pca_power_step(
     return (
         sums.select(
             F.col("dim").cast("int").alias("dim"),
-            F.round(F.col("v") / F.nullif(nrm, F.lit(0.0)), 6).alias(
+            # fround: quantized-integer ratio with an integer-radicand
+            # sqrt — perfect squares make it tie-reachable (r10 audit).
+            fround(F.col("v") / F.nullif(nrm, F.lit(0.0)), 6).alias(
                 "loading"
             ),
         )
@@ -3722,7 +3737,8 @@ def _pca_step_oracle(dim: int | None = None) -> str:
       FROM sums
     )
     SELECT CAST(dim AS INT) AS dim,
-           round(v / nullif(_n, 0.0), 6) AS loading
+           (CAST(floor((v / nullif(_n, 0.0)) * 1e6 + 0.5)
+                 AS DOUBLE) / 1e6) AS loading
     FROM sums, nrm
     ORDER BY dim
     """

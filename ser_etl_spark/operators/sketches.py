@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.numeric import fround, sql_fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -409,7 +410,7 @@ def kmv_estimate(kmin: DataFrame, k: int = KMV_K) -> DataFrame:
     # fewer than k distinct values: the k-min set IS the full hash set,
     # so the count is the exact answer (standard KMV degenerate case)
     est = F.when(cnt < k, cnt.cast("double")).otherwise(
-        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+        fround(F.lit(scale) / F.max("hu").cast("double"), 4)
     )
     return kmin.agg(
         F.max("hu").cast("string").alias("kth_hash"),
@@ -432,7 +433,7 @@ def _kmv_oracle(column: str, table: str, k: int = KMV_K) -> str:
     kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k})
     SELECT CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
            CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+                ELSE (CAST(floor(({scale!r} / CAST(MAX(_kh) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
            END AS distinct_estimate,
            {k} AS k
     FROM kmin
@@ -470,7 +471,7 @@ def _approx_sketches_twin_oracle(k: int = 256, sk: int = SAMPLE_K) -> str:
     WITH dv AS (SELECT DISTINCT l_orderkey AS v FROM lineitem){ctes},
     kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k}),
     est AS (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                 ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+                 ELSE (CAST(floor(({scale!r} / CAST(MAX(_kh) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
             END AS approx_orders FROM kmin),
     samp AS (SELECT l_extendedprice AS price
              FROM lineitem
@@ -576,7 +577,7 @@ def _kmv_union_oracle(k: int = KMV_K) -> str:
     kmin AS (SELECT _kh FROM {fin} ORDER BY _kh ASC LIMIT {k})
     SELECT CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
            CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+                ELSE (CAST(floor(({scale!r} / CAST(MAX(_kh) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
            END AS distinct_estimate,
            {k} AS k
     FROM kmin
@@ -629,7 +630,7 @@ def kmv_overlap(
     scale = float((k - 1) * _TWO64)
     ucnt = F.count(F.lit(1))
     est_union = F.when(ucnt < k, ucnt.cast("double")).otherwise(
-        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+        fround(F.lit(scale) / F.max("hu").cast("double"), 4)
     )
     stats = u.agg(
         ucnt.alias("u_size"),
@@ -643,7 +644,9 @@ def kmv_overlap(
             F.col("u_size").cast("long").alias("u_size"),
             # nullif: an EMPTY union (no inputs at all) has no defined
             # overlap ratio — NULL estimate, and no ANSI divide-by-zero
-            F.round(
+            # fround: n_both/u_size is a counts ratio — tie-reachable
+            # at the 5th decimal (r10 round-half-tie audit).
+            fround(
                 F.col("n_both").cast("double")
                 / F.expr("nullif(CAST(u_size AS DOUBLE), 0.0D)")
                 * F.col("est_union"),
@@ -678,7 +681,7 @@ def _kmv_overlap_oracle(k: int = KMV_K) -> str:
     stats AS (
       SELECT COUNT(*) AS u_size,
              CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                  ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+                  ELSE (CAST(floor(({scale!r} / CAST(MAX(_kh) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
              END AS est_union
       FROM u
     ),
@@ -688,9 +691,10 @@ def _kmv_overlap_oracle(k: int = KMV_K) -> str:
     )
     SELECT CAST(n_both AS BIGINT) AS n_both,
            CAST(u_size AS BIGINT) AS u_size,
-           round(CAST(n_both AS DOUBLE)
+           (CAST(floor((CAST(n_both AS DOUBLE)
                  / nullif(CAST(u_size AS DOUBLE), 0.0)
-                 * est_union, 4) AS overlap_estimate
+                 * est_union) * 1e4 + 0.5) AS DOUBLE) / 1e4)
+             AS overlap_estimate
     FROM stats, hits
     """
 
@@ -759,7 +763,7 @@ def kmv_distinct_by_source(
     scale = float((k - 1) * _TWO64)
     cnt = F.count(F.lit(1))
     est = F.when(cnt < k, cnt.cast("double")).otherwise(
-        F.round(F.lit(scale) / F.max("hu").cast("double"), 4)
+        fround(F.lit(scale) / F.max("hu").cast("double"), 4)
     )
     return (
         kmin.groupBy("source")
@@ -792,7 +796,7 @@ def _kmv_by_source_oracle(k: int = KMV_GROUP_K) -> str:
     SELECT source,
            CAST(MAX(_kh) AS VARCHAR) AS kth_hash,
            CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                ELSE round({scale!r} / CAST(MAX(_kh) AS DOUBLE), 4)
+                ELSE (CAST(floor(({scale!r} / CAST(MAX(_kh) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
            END AS distinct_estimate,
            {k} AS k
     FROM kmin WHERE rn <= {k}

@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 from ser_etl_spark.functions.numeric import (
     dsum,
     dsum_prod,
+    fround,
     sql_dsum,
     sql_dsum_prod,
+    sql_fround,
 )
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
@@ -68,13 +70,17 @@ def derive_stats(df: DataFrame) -> DataFrame:
     # are bit-exact, but the final double expression differs by ~2 ulp
     # across engines (FMA contraction in native codegen fuses mul+sub
     # differently than the JVM) — rounding collapses that last-bit noise
-    # while the sums pin the first ~15 significant digits.
+    # while the sums pin the first ~15 significant digits. fround (not
+    # round): mean_x is an integer ratio sx/n whose decimal expansion can
+    # terminate exactly on a 10th-place half (e.g. odd-cents sum over
+    # n=256), where Spark's string-HALF_UP and DuckDB's value round
+    # diverge — the r10 round-half-tie audit.
     return df.select(
         *[c for c in df.columns if c not in {"sx", "sxx", "sy", "syy", "sxy"}],
-        F.round(mean_x, 9).alias("mean_qty"),
-        F.round(var_x, 9).alias("var_qty"),
-        F.round(F.sqrt(var_x), 9).alias("stddev_qty"),
-        F.round(cov_xy / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
+        fround(mean_x, 9).alias("mean_qty"),
+        fround(var_x, 9).alias("var_qty"),
+        fround(F.sqrt(var_x), 9).alias("stddev_qty"),
+        fround(cov_xy / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
     )
 
 
@@ -91,12 +97,14 @@ _SQL_STATS = f"""
       GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           ROUND(sx / n, 9) AS mean_qty,
-           ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
-           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
-           ROUND(((sxy - sx * sy / n) / (n - 1))
+           {sql_fround('sx / n', 9)} AS mean_qty,
+           {sql_fround('(sxx - sx * sx / n) / (n - 1)', 9)} AS var_qty,
+           {sql_fround('sqrt((sxx - sx * sx / n) / (n - 1))', 9)}
+             AS stddev_qty,
+           {sql_fround('''((sxy - sx * sy / n) / (n - 1))
              / sqrt(((sxx - sx * sx / n) / (n - 1))
-                    * ((syy - sy * sy / n) / (n - 1))), 9) AS corr_qty_price
+                    * ((syy - sy * sy / n) / (n - 1)))''', 9)}
+             AS corr_qty_price
     FROM sums
     ORDER BY l_returnflag
 """
@@ -521,7 +529,10 @@ def spend_gini(orders: DataFrame) -> DataFrame:
         # carry NULL (driver pandas float seam); gini itself stays NULL
         F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_customers"),
         F.coalesce(F.col("sx").cast("long"), F.lit(0)).alias("total_cents"),
-        F.round(
+        # fround: num/den is an integer ratio (exact decimal cents/counts)
+        # whose expansion can land on a 7th-place half — tie-safe floor
+        # rounding instead of round(double) (r10 audit).
+        fround(
             num.cast("double")
             / F.when(den != F.lit(0).cast("decimal(38,0)"), den.cast("double")),
             6,
@@ -557,8 +568,9 @@ def spend_gini(orders: DataFrame) -> DataFrame:
     )
     SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_customers,
            CAST(COALESCE(sx, 0) AS BIGINT) AS total_cents,
-           round(CAST(srx2 - (n+1)*sx AS DOUBLE)
-                 / nullif(CAST(n*sx AS DOUBLE), 0.0), 6) AS gini
+           (CAST(floor((CAST(srx2 - (n+1)*sx AS DOUBLE)
+                 / nullif(CAST(n*sx AS DOUBLE), 0.0)) * 1e6 + 0.5)
+                 AS DOUBLE) / 1e6) AS gini
     FROM agg
     """,
     description="exact Gini coefficient of customer spend without a "
@@ -636,9 +648,15 @@ def corr_matrix(lineitem: DataFrame) -> DataFrame:
         num = f"({nd} * sp_{a}_{b} - s_{a} * s_{b})"
         dena = f"({nd} * ss_{a} - s_{a} * s_{a})"
         denb = f"({nd} * ss_{b} - s_{b} * s_{b})"
-        return (
-            f"round(CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
-            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0D), 6)"
+        # sql_fround, not round(double): the operands are exact integer
+        # moments, so a perfect-square denominator makes the quotient an
+        # integer ratio that can terminate on a 7th-place decimal half
+        # (r10 round-half-tie audit); the floor form is valid in both
+        # Spark SQL and DuckDB and bit-identical on each.
+        return sql_fround(
+            f"CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
+            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0D)",
+            6,
         )
 
     parts = ", ".join(
@@ -667,10 +685,14 @@ def _corr_matrix_oracle() -> str:
         num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
         dena = f"(n * ss_{a} - s_{a} * s_{a})"
         denb = f"(n * ss_{b} - s_{b} * s_{b})"
+        frnd = sql_fround(
+            f"CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
+            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0)",
+            6,
+        )
         return (
             f"SELECT '{a}~{b}' AS pair, CAST(n AS BIGINT) AS n,"
-            f" round(CAST({num} AS DOUBLE) / nullif(sqrt(CAST({dena} AS"
-            f" DOUBLE) * CAST({denb} AS DOUBLE)), 0.0), 6) AS corr"
+            f" {frnd} AS corr"
             f" FROM agg"
         )
 
@@ -749,7 +771,9 @@ def supplier_hhi_histogram(lineitem: DataFrame) -> DataFrame:
         .groupBy(F.expr("hhi_bp div 1000").cast("long").alias("hhi_band"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(
+            # fround: counts ratio — tie-reachable at the 5th decimal
+            # (r10 round-half-tie audit).
+            fround(
                 F.sum("n_supp").cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 4,
@@ -778,8 +802,9 @@ def supplier_hhi_histogram(lineitem: DataFrame) -> DataFrame:
     SELECT CAST(((ssq * 10000) // nullif(tq * tq, 0)) // 1000 AS BIGINT)
              AS hhi_band,
            COUNT(*) AS n_parts,
-           round(CAST(SUM(n_supp) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 4) AS avg_suppliers
+           (CAST(floor((CAST(SUM(n_supp) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) * 1e4 + 0.5)
+                 AS DOUBLE) / 1e4) AS avg_suppliers
     FROM per_part WHERE tq > 0
     GROUP BY 1 ORDER BY 1
     """,
@@ -823,12 +848,20 @@ def benford_leading_digit(orders: DataFrame) -> DataFrame:
     counts = base.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_obs")
     )
-    total = base.agg(F.count(F.lit(1)).alias("_n"))
+    # The total is the SUM OF THE GROUP COUNTS: a whole-frame window
+    # over the 9-row counts frame replaces the base.agg() +
+    # crossJoin(broadcast) normalizer that re-scanned orders (r10
+    # single-scan sweep; plan-gated).
+    from pyspark.sql.window import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     exp_bp = F.element_at(
         F.array(*[F.lit(b) for b in BENFORD_BP]), F.col("digit")
     )
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn("_n", F.sum("n_obs").over(wall))
         .select(
             "digit",
             F.col("n_obs").cast("bigint").alias("n_obs"),
@@ -911,18 +944,21 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
     wv = Window.orderBy("spend_cents").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # _n/_tot ride a whole-frame window over the SAME distinct-value
+    # frame as cum_start (one sort, one pass) instead of a vals.agg() +
+    # crossJoin(broadcast) normalizer that re-ran the orders->per_cust->
+    # vals subtree (r10 single-scan sweep; plan-gated).
+    wall = Window.orderBy("spend_cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     staged = vals.select(
         "spend_cents",
         "cnt",
         F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum_start"),
+        F.sum("cnt").over(wall).alias("_n"),
+        F.sum(F.col("spend_cents") * F.col("cnt")).over(wall).alias("_tot"),
     )
-    totals = vals.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_n"),
-        F.coalesce(
-            F.sum(F.col("spend_cents") * F.col("cnt")), F.lit(0)
-        ).alias("_tot"),
-    )
-    crossed = staged.crossJoin(F.broadcast(totals)).select(
+    crossed = staged.select(
         "*", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
     )
     bstart = F.expr(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -285,7 +286,9 @@ def transition_matrix(
         F.count(F.lit(1)).alias("n_transitions")
     )
     totw = Window.partitionBy("from_type")
-    p = F.round(
+    # fround: counts ratio — tie-reachable at the 7th decimal (r10
+    # round-half-tie audit).
+    p = fround(
         F.col("n_transitions").cast("double")
         / F.sum("n_transitions").over(totw).cast("double"),
         6,
@@ -310,9 +313,9 @@ def transition_matrix(
       GROUP BY 1, 2
     )
     SELECT from_type, to_type, n_transitions,
-           round(CAST(n_transitions AS DOUBLE)
+           (CAST(floor((CAST(n_transitions AS DOUBLE)
                  / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
-                        AS DOUBLE), 6) AS p
+                        AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS p
     FROM c
     ORDER BY from_type, to_type
     """,
@@ -580,7 +583,8 @@ def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.max("p50").alias("p50_days"),
             F.max("p90").alias("p90_days"),
-            F.round(
+            # fround: counts ratio — tie-reachable (r10 audit).
+            fround(
                 F.sum("days").cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 4,
@@ -621,7 +625,7 @@ def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            CAST(MAX(p50) AS BIGINT) AS p50_days,
            CAST(MAX(p90) AS BIGINT) AS p90_days,
-           round(CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+           (CAST(floor((CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS mean_days
     FROM s2 GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

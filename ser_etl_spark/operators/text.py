@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -768,7 +769,9 @@ def token_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
     )
-    lift = F.round(
+    # fround: integer counts ratio — tie-reachable at the 7th decimal
+    # (r10 round-half-tie audit).
+    lift = fround(
         (F.col("n_ab") * F.col("_nd")).cast("double")
         / (F.col("n_a") * F.col("n_b")).cast("double"),
         6,
@@ -802,8 +805,9 @@ def token_cooccurrence(
       HAVING COUNT(*) >= 5
     )
     SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
-           round(CAST(n_ab * nd.n AS DOUBLE)
-                 / CAST(n_a * n_b AS DOUBLE), 6) AS lift
+           (CAST(floor((CAST(n_ab * nd.n AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE)) * 1e6 + 0.5)
+                 AS DOUBLE) / 1e6) AS lift
     FROM pairs, nd
     ORDER BY tok_a, tok_b
     """,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ser_etl_spark.functions.numeric import dsum, sql_dsum
+from ser_etl_spark.functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -320,13 +320,17 @@ def series_similarity_topk(
     )
     # one double expression from the exact integer sums; zero-variance
     # candidates (constant series) are undefined -> NULL -> sorted last
+    # sql_fround form, not round(double): integer-moment ratio — a
+    # perfect-square denominator makes a 7th-place decimal half
+    # reachable (r10 round-half-tie audit).
     corr = F.expr(
-        "round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+        "(CAST(floor(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
         " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
         " / nullif(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
         " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
         " * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
-        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0D), 6)"
+        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0D))"
+        " * 1e6 + 0.5) AS DOUBLE) / 1e6)"
     )
     return (
         stats.filter(F.col("n") >= min_overlap)
@@ -359,12 +363,13 @@ def series_similarity_topk(
       GROUP BY c.user_id
     )
     SELECT user_id, CAST(n AS BIGINT) AS shared_hours,
-           round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+           (CAST(floor(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
                  / nullif(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                   * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0), 6)
+                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0))
+                 * 1e6 + 0.5) AS DOUBLE) / 1e6)
              AS corr
     FROM stats WHERE n >= 3
     ORDER BY corr DESC, user_id ASC
@@ -528,7 +533,9 @@ def series_anomalies(
     nd = F.col("n").cast("decimal(20,0)")
     dev = nd * F.col("v").cast("decimal(19,0)") - F.col("sx")
     varn = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    zsq = F.round(
+    # fround: exact-integer ratio dev^2/varn — tie-reachable at the
+    # 5th decimal (r10 round-half-tie audit).
+    zsq = fround(
         dev.cast("double") * dev.cast("double")
         / F.expr("nullif(CAST((CAST(n AS DECIMAL(20,0)) * sxx - sx * sx) "
                  "AS DOUBLE), 0.0D)"),
@@ -569,9 +576,10 @@ def series_anomalies(
     )
     SELECT user_id, hour_bucket, CAST(v AS BIGINT) AS qv,
            CAST(n AS BIGINT) AS n_hours,
-           round(CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
+           (CAST(floor((CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
                  * CAST(n*CAST(v AS HUGEINT) - sx AS DOUBLE)
-                 / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0), 4) AS zsq
+                 / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4) AS zsq
     FROM st
     WHERE n >= 24
       AND (n*CAST(v AS HUGEINT) - sx) * (n*CAST(v AS HUGEINT) - sx)
@@ -735,7 +743,9 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
         "user_id",
         "n_segments",
         "held_s",
-        F.round(twa, 4).alias("twa_value"),
+        # fround: exact-integer ratio ws/held_s — tie-reachable (r10
+        # round-half-tie audit).
+        fround(twa, 4).alias("twa_value"),
     ).orderBy("user_id")
 
 
@@ -758,8 +768,9 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
       FROM seg GROUP BY 1
     )
     SELECT user_id, n_segments, held_s,
-           round(CAST(ws AS DOUBLE)
-                 / nullif(CAST(held_s AS DOUBLE), 0.0) / 100.0, 4)
+           (CAST(floor((CAST(ws AS DOUBLE)
+                 / nullif(CAST(held_s AS DOUBLE), 0.0) / 100.0)
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS twa_value
     FROM agg ORDER BY user_id
     """,
@@ -835,7 +846,10 @@ def series_autocorr(events: DataFrame, min_pairs: int = 4) -> DataFrame:
     denx = m * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = m * F.col("syy") - F.col("sy") * F.col("sy")
     den = F.sqrt(denx.cast("double") * deny.cast("double"))
-    acf1 = F.round(
+    # fround: integer-moment ratio with a sqrt denominator — a
+    # perfect-square denominator makes the quotient tie-reachable (r10
+    # round-half-tie audit).
+    acf1 = fround(
         num.cast("double") / F.when(den != F.lit(0.0), den),
         4,
     )
@@ -871,9 +885,10 @@ def series_autocorr(events: DataFrame, min_pairs: int = 4) -> DataFrame:
       FROM pairs GROUP BY 1 HAVING COUNT(*) >= 4
     )
     SELECT user_id, CAST(m AS BIGINT) AS n_pairs,
-           round(CAST(m*sxy - sx*sy AS DOUBLE)
+           (CAST(floor((CAST(m*sxy - sx*sy AS DOUBLE)
                  / nullif(sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
-                               * CAST(m*syy - sy*sy AS DOUBLE)), 0.0), 4)
+                               * CAST(m*syy - sy*sy AS DOUBLE)), 0.0))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4)
              AS acf1
     FROM agg ORDER BY user_id
     """,
@@ -991,32 +1006,47 @@ def stickiness_ratio(events: DataFrame) -> DataFrame:
 
     All integer: epoch days/weeks via the floor-division identities
     (pre-1970-safe, no calendar seam), ``stickiness_bp =
-    Σ_day |DAU| · 10000 div (7 · |WAU|)``. Shape: events dedup to
-    (user, day) presence once; per-day distinct counts and the per-week
-    distinct-user count are two keyed aggregates over that presence
-    frame — the raw stream shuffles exactly once.
+    Σ_day |DAU| · 10000 div (7 · |WAU|)``.
+
+    Shape (r10 single-scan rewrite — the dau-branch/wau-branch
+    formulation scanned events twice and joined): each (week, user)
+    collapses to a 7-BIT DAY MASK — ``bit_or(1 << pmod(day, 7))`` — in
+    one associative map-side-combining aggregate straight off the raw
+    stream (no presence-distinct pass; the mask IS the dedup). Then
+    per week: ``wau = count(*)``, ``sum_dau = Σ bit_count(mask)``
+    (Σ_user days-active ≡ Σ_day DAU), ``n_days =
+    bit_count(bit_or(mask))``. One scan, two bounded shuffles, no
+    join; the oracle keeps the naive DAU/WAU formulation as the
+    semantic spec.
     """
     es = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
     day = F.floor(es / F.lit(86400)).cast("long")
-    presence = (
-        events.select(F.col("user_id"), day.alias("d"))
-        .filter(F.col("user_id").isNotNull() & F.col("d").isNotNull())
-        .distinct()
+    base = events.select(F.col("user_id"), day.alias("d")).filter(
+        F.col("user_id").isNotNull() & F.col("d").isNotNull()
     )
     week = F.expr("(d - pmod(d, 7)) div 7").cast("long")
-    dau = (
-        presence.groupBy("d")
-        .agg(F.count(F.lit(1)).alias("dau"))
-        .groupBy(week.alias("w"))
-        .agg(F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days"))
+    per_wu = (
+        base.select(
+            week.alias("w"),
+            "user_id",
+            F.expr("shiftleft(1, CAST(pmod(d, 7) AS INT))").alias("_bit"),
+        )
+        .groupBy("w", "user_id")
+        .agg(F.expr("bit_or(_bit)").alias("_mask"))
     )
-    wau = presence.select(week.alias("w"), "user_id").distinct().groupBy(
-        "w"
-    ).agg(F.count(F.lit(1)).alias("wau"))
     return (
-        dau.join(wau, "w")
+        per_wu.groupBy("w")
+        .agg(
+            F.expr("CAST(bit_count(bit_or(_mask)) AS BIGINT)").alias(
+                "n_days"
+            ),
+            F.expr("CAST(SUM(bit_count(_mask)) AS BIGINT)").alias(
+                "sum_dau"
+            ),
+            F.count(F.lit(1)).alias("wau"),
+        )
         .select(
             "w",
             "n_days",
@@ -1108,42 +1138,39 @@ def changepoint_cusum(orders: DataFrame) -> DataFrame:
         .agg(F.sum("c").alias("rev_cents"))
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    mx = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # _total/_n ride the SAME whole-frame window pass as the prefix —
+    # the embedding_pca_step trick — instead of a daily.agg() +
+    # crossJoin(broadcast) normalizer, which RECOMPUTES the orders scan
+    # (r9 verdict: 3 scan nodes, only one runtime reuse). One scan, one
+    # day-series sort, zero joins (plan-gated in test_plans).
     staged = daily.select(
         "day",
         "rev_cents",
         F.sum("rev_cents").over(w).alias("_prefix"),
         F.row_number().over(Window.orderBy("day")).alias("_t"),
-    )
-    tot = daily.agg(
-        F.sum("rev_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+        F.sum("rev_cents").over(mx).alias("_total"),
+        F.count(F.lit(1)).over(mx).alias("_n"),
     )
     scaled = F.col("_n") * F.col("_prefix") - F.col("_t") * F.col("_total")
-    mx = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    out = (
-        staged.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("day").cast("bigint").alias("day"),
-            F.col("rev_cents").cast("bigint").alias("rev_cents"),
-            scaled.alias("_s"),
-        )
-        .withColumn("_peak", F.max(F.abs(F.col("_s"))).over(mx))
-    )
-    return (
-        out.crossJoin(F.broadcast(tot.select("_n")))
-        .select(
-            "day",
-            "rev_cents",
-            F.round(
-                F.col("_s").cast("double") / (F.lit(100.0) * F.col("_n")), 4
-            ).alias("cusum"),
-            (F.abs(F.col("_s")) == F.col("_peak"))
-            .cast("int")
-            .alias("is_peak"),
-        )
-        .orderBy("day")
-    )
+    out = staged.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        scaled.alias("_s"),
+        "_n",
+    ).withColumn("_peak", F.max(F.abs(F.col("_s"))).over(mx))
+    return out.select(
+        "day",
+        "rev_cents",
+        # fround: exact-integer ratio _s/(100*_n) — tie-reachable
+        # (r10 round-half-tie audit).
+        fround(
+            F.col("_s").cast("double") / (F.lit(100.0) * F.col("_n")), 4
+        ).alias("cusum"),
+        (F.abs(F.col("_s")) == F.col("_peak")).cast("int").alias("is_peak"),
+    ).orderBy("day")
 
 
 @register(
@@ -1173,7 +1200,8 @@ def changepoint_cusum(orders: DataFrame) -> DataFrame:
     )
     SELECT CAST(day AS BIGINT) AS day,
            CAST(rev_cents AS BIGINT) AS rev_cents,
-           round(CAST(_s AS DOUBLE) / (100.0 * _n), 4) AS cusum,
+           (CAST(floor((CAST(_s AS DOUBLE) / (100.0 * _n))
+                 * 1e4 + 0.5) AS DOUBLE) / 1e4) AS cusum,
            CAST(abs(_s) = MAX(abs(_s)) OVER () AS INT) AS is_peak
     FROM s, t
     ORDER BY day

@@ -1,0 +1,191 @@
+"""Round-half-tie seam suite (r10 audit — see ROUNDING_AUDIT.md).
+
+``round(double, d)`` diverges across engines at decimal half-ties: Spark
+rounds HALF_UP on the shortest decimal string, DuckDB rounds the binary
+value. Every converted site now goes through ``fround`` (Spark) /
+``sql_fround`` (oracle) — ``floor(x * 10^d + 0.5) / 10^d`` in pure IEEE
+binary — or exact-integer basis points. This suite pins:
+
+1. the tie battery: fround == DuckDB floor-form == the serial model on
+   crafted tie values at every scale in use (4, 6, 9);
+2. that the OLD ``round`` genuinely diverges on that battery (the seam
+   is real, not hypothetical);
+3. the scale-0 coincidence: ``round(x)``-to-integer agrees across
+   engines even on exact dyadic halves, which is why quantization
+   sites were left as ``round``;
+4. end-to-end crafted ties through representative converted builders.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from ser_etl_spark.functions.numeric import fround, sql_fround
+
+# Tie values: non-dyadic d+1-place decimals ending in 5 (shortest repr
+# claims an exact half; the binary value sits a hair off it) plus exact
+# dyadic halves and plain non-tie controls.
+TIE_VALUES = [
+    0.07125,      # 57/800: live Spark-vs-DuckDB round divergence (see below)
+    -0.07125,
+    -3.94875,     # the r9 winsorized counterexample (sum -3159 / n=8 / 100)
+    3.94875,
+    0.00005,
+    -0.00005,
+    1.23455,
+    0.031250,     # exact dyadic: 1/32 terminates at 5 places ending in 5
+    -0.031250,
+    0.1234565,    # 7-place tie for d=6
+    -0.1234565,
+    2.5e-10 * 2,  # 5e-10: 10-place tie for d=9
+    0.1,          # controls
+    -7.25,
+    123.456789,
+    0.0,
+]
+
+
+def _serial_fround(x: float, d: int) -> float:
+    """The serial model of fround: same IEEE ops via Python floats."""
+    s = float(10**d)
+    return math.floor(x * s + 0.5) / s
+
+
+@pytest.mark.parametrize("d", [4, 6, 9])
+def test_fround_tie_battery_cross_engine(spark, d):
+    """fround (Spark) == sql_fround (DuckDB) == serial model, on every
+    battery value including exact decimal halves."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(TIE_VALUES)],
+                               "i int, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", fround(F.col("x"), d).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(TIE_VALUES):
+        duck = con.execute(
+            f"SELECT {sql_fround('CAST(? AS DOUBLE)', d)}", [v]
+        ).fetchone()[0]
+        serial = _serial_fround(v, d)
+        assert got[i] == duck == serial, (v, d, got[i], duck, serial)
+
+
+def test_old_round_diverges_on_battery():
+    """The seam is real, in BOTH directions fround closes:
+
+    - engine vs engine: round(0.07125, 4) = 0.0713 on Spark (string
+      HALF_UP: the repr says ...5) but 0.0712 on DuckDB (0.07125*1e4
+      correctly rounds to 712.4999..., below the half). 0.07125 is
+      57/800 — exactly the counts/cents integer-ratio class.
+    - engine vs serial model: round(-3.94875, 4) = -3.9488 on both
+      engines but -3.9487 under Python's value round — the r9
+      hypothesis failure in winsorized_stats."""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT round(CAST(0.07125 AS DOUBLE), 4)"
+    ).fetchone()[0]
+    assert duck == 0.0712, duck  # Spark says 0.0713 (pinned below)
+    duck2 = con.execute(
+        "SELECT round(CAST(-3.94875 AS DOUBLE), 4)"
+    ).fetchone()[0]
+    assert duck2 == -3.9488 and round(-3.94875, 4) == -3.9487
+
+
+def test_spark_round_string_semantics(spark):
+    """Pin Spark's half-tie behavior so a future Spark change that
+    silently fixes/changes it is caught: string-HALF_UP rounds the
+    repr-tie UP even when the binary value is below the half."""
+    row = spark.sql(
+        "SELECT round(CAST(-3.94875 AS DOUBLE), 4) AS a,"
+        "       round(CAST(0.07125 AS DOUBLE), 4) AS b"
+    ).collect()
+    assert row[0]["a"] == -3.9488
+    assert row[0]["b"] == 0.0713  # DuckDB says 0.0712 — the live seam
+
+
+def test_scale0_round_agrees_on_halves(spark):
+    """Why quantization sites stayed `round`: at scale 0 a shortest repr
+    can only claim a half if the value IS the dyadic half-integer, and
+    on those both engines round away from zero — no divergent input."""
+    vals = [0.5, -0.5, 2.5, -2.5, 1234.5, -1234.5, 3.5, 1e15 + 0.5]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select(
+            "i", F.round(F.col("x"), 0).cast("long").alias("y")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        duck = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[i] == duck, (v, got[i], duck)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end crafted ties through representative converted builders
+# ---------------------------------------------------------------------------
+
+
+def _duck_tables(con, **tables):
+    for name, (cols, rows) in tables.items():
+        con.execute(f"CREATE TABLE {name} ({cols})")
+        ph = ",".join("?" * len(rows[0])) if rows else ""
+        for row in rows:
+            con.execute(f"INSERT INTO {name} VALUES ({ph})", list(row))
+
+
+def test_boilerplate_tie_end_to_end(spark):
+    """boilerplate_scores on a corpus crafted so one doc's
+    n_common/n_shingles = 3159/8000 = 0.394875 — the non-dyadic
+    5th-place half class where the old round diverged. The Spark
+    builder and a DuckDB replay of the converted floor form must agree
+    exactly."""
+    from ser_etl_spark.operators.curation import OVERLAP_N, boilerplate_scores
+
+    n = OVERLAP_N
+    # doc0: a shared prefix holding exactly 3159 shingles (3159+n-1
+    # words) followed by 4841 fresh words — total words 8000+n-1, so
+    # exactly 8000 distinct shingles, of which the 3159 fully inside
+    # the shared prefix also appear in doc1 (df=2; min_df=2 below).
+    shared = " ".join(f"c{i}" for i in range(3159 + n - 1))
+    uniq0 = " ".join(f"u{i}" for i in range(4841))
+    doc0 = shared + " " + uniq0
+    doc1 = shared + " " + " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, "s", doc0), (1, "s", doc1)],
+        "doc_id bigint, source string, text string",
+    )
+    res = {
+        r["doc_id"]: r
+        for r in boilerplate_scores(df, n=n, min_df=2).collect()
+    }
+    r0 = res[0]
+    assert r0["n_shingles"] == 8000 and r0["n_common"] == 3159
+    ratio = r0["n_common"] / r0["n_shingles"]
+    got = r0["boilerplate_score"]
+    assert got == _serial_fround(ratio, 4)
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {sql_fround('CAST(? AS BIGINT) / CAST(? AS DOUBLE)', 4)}",
+        [r0["n_common"], r0["n_shingles"]],
+    ).fetchone()[0]
+    assert got == duck
+
+
+def test_minhash_est_tie_value():
+    """minhash_error_eval's est_jaccard = matches/64: 2/64 = 0.03125 is
+    an exact dyadic 5th-place half — fround and DuckDB agree on it
+    (floor form rounds it up to 0.0313 on both)."""
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {sql_fround('2.0 / 64.0', 4)}"
+    ).fetchone()[0]
+    assert duck == _serial_fround(2.0 / 64.0, 4) == 0.0313
