@@ -101,14 +101,37 @@ def asof_join(
     covers=("X-asof",),
 )
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both as-of sides live in the SAME events table, so the union
+    # trick's tagged frame is built from ONE scan (side = event_type)
+    # instead of two filtered scans unioned (r10 single-scan sweep;
+    # plan-gated). asof_join stays the generic two-frame operator for
+    # genuinely distinct sides; the window semantics here are its
+    # bit-twin: _side 1=left/0=right, (_ts, _side) ascending so a
+    # same-timestamp click sorts before the purchase (ts >= inclusive).
     events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    ev = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "user_id", "ts", "event_type")
+    is_p = F.col("event_type") == "purchase"
+    s = F.struct("event_id", "user_id", "ts")
+    tagged = ev.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        is_p.cast("int").alias("_side"),
+        F.when(is_p, s).alias("_l"),
+        F.when(~is_p, s).alias("_r"),
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    joined = (
+        tagged.withColumn("matched", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("_l.event_id", "_l.user_id", F.col("_l.ts").alias("ts"),
+                "matched")
+    )
     return joined.select(
         "event_id",
         "user_id",
@@ -151,59 +174,94 @@ def interval_join(
     "view_click_interval",
     oracle="""
     WITH v AS (
-      SELECT event_id AS vid, user_id, ts AS view_ts
+      SELECT event_id AS vid, user_id, epoch_us(ts) AS v_us
       FROM events WHERE event_type = 'view'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ), c AS (
-      SELECT event_id AS cid, user_id, ts AS click_ts
+      SELECT user_id, epoch_us(ts) AS c_us
       FROM events WHERE event_type = 'click'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ), j AS (
-      SELECT v.user_id, v.vid,
-             CAST(floor(epoch(c.click_ts) - epoch(v.view_ts)) AS BIGINT) AS gap_s
+      SELECT v.user_id, v.vid, (c.c_us - v.v_us) AS gap_us
       FROM v JOIN c
         ON v.user_id = c.user_id
-       AND c.click_ts >= v.view_ts
-       AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+       AND c.c_us >= v.v_us
+       AND c.c_us <= v.v_us + 1800000000
     )
     SELECT user_id,
            COUNT(*) AS n_pairs,
            COUNT(DISTINCT vid) AS n_views_matched,
-           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
-           CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS avg_gap_s
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
     FROM j GROUP BY user_id
     """,
-    description="attribution-window interval join: clicks within 30 min "
-    "after each view of the same user (equi-key shuffle + residual time "
-    "bound, no range explosion), aggregated per user; the streaming "
-    "twin is streaming/joins.py stream_interval_join",
+    description="attribution-window interval aggregate: clicks within "
+    "30 min after each view of the same user. r10 single-scan rewrite: "
+    "one scan of events (view+click rows tagged), per-view forward "
+    "RANGE window over exact microsecond epochs — n and sum(click_us) "
+    "in [v, v+30min] as conditional frame sums, so sum_gap_us = "
+    "sum(c_us) - n*v_us decomposes exactly (gaps reported in integer "
+    "microseconds; the r9 per-pair join floored to seconds, which "
+    "doesn't decompose). The oracle keeps the naive interval join as "
+    "the semantic spec; the streaming twin is streaming/joins.py "
+    "stream_interval_join",
     covers=("B11", "X-session"),
 )
 def view_click_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    v = events.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("vid"),
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = (
+        events.filter(
+            F.col("event_type").isin("view", "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            us.alias("_us"),
+            (F.col("event_type") == "click").alias("_is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(0, 30 * 60 * 1000000)
+    )
+    scored = ev.select(
         "user_id",
-        F.col("ts").alias("view_ts"),
+        "event_id",
+        "_us",
+        "_is_click",
+        F.sum(F.col("_is_click").cast("bigint")).over(w).alias("_nc"),
+        F.sum(F.when(F.col("_is_click"), F.col("_us"))).over(w).alias(
+            "_sc_us"
+        ),
     )
-    c = events.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("cid"),
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
+    per_view = scored.filter(~F.col("_is_click")).select(
+        "user_id",
+        F.col("_nc").alias("n_clicks"),
+        (F.col("_sc_us") - F.col("_nc") * F.col("_us")).alias("gap_us"),
     )
-    pairs = v.join(
-        c,
-        (v["user_id"] == c["c_user_id"])
-        & (c["click_ts"] >= v["view_ts"])
-        & (c["click_ts"] <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")),
-    )
-    gap = F.expr("timestampdiff(SECOND, view_ts, click_ts)")
     return (
-        pairs.select("user_id", "vid", gap.alias("gap_s"))
-        .groupBy("user_id")
+        per_view.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("vid").alias("n_views_matched"),
-            F.sum("gap_s").alias("sum_gap_s"),
-            (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("avg_gap_s"),
+            F.sum("n_clicks").alias("n_pairs"),
+            F.sum((F.col("n_clicks") > 0).cast("bigint")).alias(
+                "n_views_matched"
+            ),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.sum("n_clicks").cast("double")
+            ).alias("avg_gap_us"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "user_id", "n_pairs", "n_views_matched", "sum_gap_us",
+            "avg_gap_us",
         )
     )
 

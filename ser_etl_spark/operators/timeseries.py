@@ -70,15 +70,21 @@ def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         _trunc("DAY").alias("day"), "event_type", "value"
     )
-    pivoted = (
-        ev.groupBy("day")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(dsum("value", 4))
-    )
-    totals = ev.groupBy("day").agg(F.count(F.lit(1)).alias("total_events"))
-    # join back on the (tiny, post-agg) day key so pivot stays single-agg
+    # One conditional-aggregation pass: with an explicit value list a
+    # pivot IS conditional aggregation, so total_events rides the same
+    # groupBy instead of a second scan + day-key join (r9 shape; r10
+    # single-scan sweep, plan-gated).
     return (
-        pivoted.join(totals, "day")
+        ev.groupBy("day")
+        .agg(
+            *[
+                dsum(
+                    F.when(F.col("event_type") == t, F.col("value")), 4
+                ).alias(t)
+                for t in EVENT_TYPES
+            ],
+            F.count(F.lit(1)).alias("total_events"),
+        )
         .orderBy("day")
     )
 
@@ -160,42 +166,57 @@ def gap_fill_hourly(
 
     The time-series densification op (``generate_series`` /
     ``time_bucket_gapfill`` in timeseries stores): aggregate first (one
-    shuffle, partial aggs), derive per-key bounds from the AGGREGATE
-    (tiny), explode an hourly spine per key, left-join the aggregate
-    back (both sides already hashed by key — AQE broadcasts the small
-    spine at low SF), then one window pass for the forward fill. The
-    spine is |keys| x hours rows — never scales with raw event volume,
-    and no driver-side date loops.
+    shuffle, partial aggs), then each aggregate row GENERATES the gap
+    hours it owns — the run from its own bucket up to the next bucket
+    minus one (``lead`` over the key, same hash partitioning as the
+    aggregate, no extra shuffle) — carrying its forward-filled sum onto
+    every generated hour. One scan, one shuffle, zero joins; the r9
+    bounds-spine-and-left-join formulation re-ran the aggregate subtree
+    twice (r10 single-scan sweep; plan-gated). The generated rows are
+    |keys| x hours — never scale with raw event volume. The oracle
+    keeps the spine left-join formulation as the semantic spec.
     """
     from pyspark.sql import Window
 
-    agg = events.groupBy(
-        _trunc("HOUR", ts_col).alias("bucket_ts"), F.col(key)
-    ).agg(
-        F.count(F.lit(1)).alias("events"),
-        dsum(value_col, 4).alias("sum_value"),
+    agg = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(_trunc("HOUR", ts_col).alias("bucket_ts"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            dsum(value_col, 4).alias("sum_value"),
+        )
     )
-    bounds = agg.groupBy(key).agg(
-        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    wk = Window.partitionBy(key).orderBy("bucket_ts")
+    wf = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = agg.select(
+        F.col(key),
+        "bucket_ts",
+        "events",
+        # the forward fill happens BEFORE expansion (all-NULL-value
+        # hours must inherit from further back, not from their own
+        # NULL sum), then rides every generated hour of the run
+        F.last("sum_value", ignorenulls=True).over(wf).alias("_ffill"),
+        F.lead("bucket_ts").over(wk).alias("_next"),
     )
-    spine = bounds.select(
-        key,
-        F.explode(F.expr("sequence(_lo, _hi, interval 1 hour)")).alias(
-            "bucket_ts"
-        ),
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h = F.explode(
+        F.expr(
+            "sequence(bucket_ts,"
+            " coalesce(_next - interval 1 hour, bucket_ts),"
+            " interval 1 hour)"
+        )
     )
     return (
-        spine.join(agg, [key, "bucket_ts"], "left")
+        staged.select(
+            F.col(key), "bucket_ts", "events", "_ffill", h.alias("_h")
+        )
         .select(
             F.col(key),
-            F.col("bucket_ts"),
-            F.coalesce(F.col("events"), F.lit(0)).alias("events"),
-            F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+            F.col("_h").alias("bucket_ts"),
+            F.when(F.col("_h") == F.col("bucket_ts"), F.col("events"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("events"),
+            F.col("_ffill").alias("filled_sum"),
         )
         .orderBy(key, "bucket_ts")
     )
@@ -617,12 +638,16 @@ def rolling_active_users(events: DataFrame, window_hours: int = 24) -> DataFrame
     aggregate — the explosive raw event stream collapses to at most
     |users| x |hours| rows), explode each presence row into the
     ``window_hours`` window-ends it contributes to (a narrow,
-    constant-factor generator — no shuffle), keep only window-ends that
-    actually occur in the data (broadcast semi-join against the tiny
-    distinct-hours set), and finish with one two-phase
-    ``count_distinct`` keyed on the window-end. Cost:
-    ``window_hours x |presence rows|`` narrow work + two keyed
-    shuffles, independent of raw event volume beyond the first dedup.
+    constant-factor generator — no shuffle), and finish with one
+    two-phase ``count_distinct`` keyed on the window-end. Whether a
+    window-end actually OCCURS in the data rides the same aggregate —
+    ``max(window_end = hour_bucket)`` over the carried source hour — so
+    non-occurring ends are dropped by a post-aggregate filter instead
+    of the r9 semi-join against a distinct-hours set, which re-ran the
+    events scan + presence dedup a second time (r10 single-scan sweep;
+    plan-gated). Cost: ``window_hours x |presence rows|`` narrow work +
+    two keyed shuffles, independent of raw event volume beyond the
+    first dedup.
     """
     hour = F.floor(
         F.expr(
@@ -633,9 +658,9 @@ def rolling_active_users(events: DataFrame, window_hours: int = 24) -> DataFrame
     presence = (
         events.select(F.col("user_id"), hour.alias("hour_bucket")).distinct()
     )
-    hours = presence.select("hour_bucket").distinct()
     expanded = presence.select(
         "user_id",
+        "hour_bucket",
         F.explode(
             F.sequence(
                 F.col("hour_bucket"),
@@ -644,13 +669,15 @@ def rolling_active_users(events: DataFrame, window_hours: int = 24) -> DataFrame
         ).alias("window_end"),
     )
     return (
-        expanded.join(
-            F.broadcast(hours.select(F.col("hour_bucket").alias("window_end"))),
-            "window_end",
-            "left_semi",
+        expanded.groupBy("window_end")
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.max(
+                (F.col("window_end") == F.col("hour_bucket")).cast("int")
+            ).alias("_occ"),
         )
-        .groupBy("window_end")
-        .agg(F.count_distinct("user_id").alias("active_users"))
+        .filter(F.col("_occ") == 1)
+        .select("window_end", "active_users")
         .orderBy("window_end")
     )
 
