@@ -118,6 +118,11 @@ def main() -> None:
     # track host IO speed, so a fast-scan round makes their unchanged
     # raw time look like a normalized regression — compare their RAW
     # min-of-N across rounds instead.
+    # r10 triage of multimodal_features (r8 0.35s -> r9 0.98s raw, code
+    # untouched): min-of-5 at sf0.1 on the r10 host = 0.594s with a
+    # 7.9s cold first run — the spread IS Arrow/Python warmup + host
+    # noise, same class as pack_sequences r8 (which recovered r9).
+    # No fix needed; the min-of-2 below already absorbs the cold run.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for entries in by_module.values():

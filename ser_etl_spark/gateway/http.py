@@ -33,6 +33,25 @@ Error mapping (main.py:100-130 + auth.py:46-117):
 Client identity for rate limiting follows the reference's
 ``get_remote_address`` behind ``forwarded_allow_ips="*"``: the first
 ``X-Forwarded-For`` hop when present, else ``REMOTE_ADDR``.
+
+CORS (main.py:44-52 — ``CORSMiddleware`` with
+``allow_origins=settings.cors_origins`` (config.py:26 defaults
+``["*"]``), ``allow_credentials=True``, ``allow_methods=["GET",
+"POST"]``, ``allow_headers=["*"]``), mirrored with starlette's
+observable behavior:
+
+- every response to a request carrying an allowed ``Origin`` gets
+  ``Access-Control-Allow-Origin`` (the literal ``*`` when configured
+  with ``["*"]``, else the echoed origin plus ``Vary: Origin``) and
+  ``Access-Control-Allow-Credentials: true``;
+- ``OPTIONS`` + ``Access-Control-Request-Method`` is a PREFLIGHT,
+  answered 200 BEFORE auth (browsers never attach credentials to
+  preflights) with ``Access-Control-Allow-Methods: GET, POST``, the
+  echoed ``Access-Control-Request-Headers`` (the ``["*"]`` config), and
+  ``Access-Control-Max-Age: 600``; a disallowed origin or method gets
+  400 like starlette's "Disallowed CORS" response;
+- a plain ``OPTIONS`` without the request-method header is NOT a
+  preflight and falls through to the normal 405.
 """
 
 from __future__ import annotations
@@ -82,8 +101,17 @@ class GatewayHTTP:
     (``wsgiref.simple_server.make_server``, gunicorn sync workers) and
     callable directly in tests."""
 
-    def __init__(self, front: GatewayFront) -> None:
+    def __init__(
+        self,
+        front: GatewayFront,
+        cors_origins: list[str] | None = None,
+    ) -> None:
         self.front = front
+        # reference default: config.py:26 ``cors_origins = ["*"]``
+        self.cors_origins = ["*"] if cors_origins is None else list(
+            cors_origins
+        )
+        self._allow_all = "*" in self.cors_origins
 
     # -- WSGI entrypoint ----------------------------------------------------
 
@@ -92,7 +120,12 @@ class GatewayHTTP:
         environ: dict[str, Any],
         start_response: Callable[[str, list[tuple[str, str]]], Any],
     ) -> Iterable[bytes]:
-        status, body = self._dispatch(environ)
+        preflight = self._preflight(environ)
+        if preflight is not None:
+            status, body, cors = preflight
+        else:
+            status, body = self._dispatch(environ)
+            cors = self._cors_headers(environ)
         # Decimal/datetime cells in query rows serialize via str — the
         # reference's FastAPI encoder does the same stringly rendering
         payload = json.dumps(body, default=str).encode("utf-8")
@@ -101,9 +134,70 @@ class GatewayHTTP:
             [
                 ("Content-Type", "application/json"),
                 ("Content-Length", str(len(payload))),
-            ],
+            ]
+            + cors,
         )
         return [payload]
+
+    # -- CORS ----------------------------------------------------------------
+
+    def _origin_allowed(self, origin: str) -> bool:
+        return bool(origin) and (
+            self._allow_all or origin in self.cors_origins
+        )
+
+    def _cors_headers(self, environ: dict[str, Any]) -> list[tuple[str, str]]:
+        """Simple-response headers: only when the request carries an
+        allowed Origin (non-CORS requests stay header-free, exactly like
+        the middleware)."""
+        origin = environ.get("HTTP_ORIGIN", "")
+        if not self._origin_allowed(origin):
+            return []
+        headers = [
+            (
+                "Access-Control-Allow-Origin",
+                "*" if self._allow_all else origin,
+            ),
+            ("Access-Control-Allow-Credentials", "true"),
+        ]
+        if not self._allow_all:
+            headers.append(("Vary", "Origin"))
+        return headers
+
+    def _preflight(
+        self, environ: dict[str, Any]
+    ) -> tuple[int, dict, list[tuple[str, str]]] | None:
+        """Handle OPTIONS preflights; None when the request isn't one
+        (plain OPTIONS falls through to the 405 route table)."""
+        if environ.get("REQUEST_METHOD") != "OPTIONS":
+            return None
+        req_method = environ.get("HTTP_ACCESS_CONTROL_REQUEST_METHOD", "")
+        if not req_method:
+            return None
+        origin = environ.get("HTTP_ORIGIN", "")
+        if not self._origin_allowed(origin) or req_method not in (
+            "GET",
+            "POST",
+        ):
+            return 400, {"detail": "Disallowed CORS origin or method"}, []
+        headers = [
+            (
+                "Access-Control-Allow-Origin",
+                "*" if self._allow_all else origin,
+            ),
+            ("Access-Control-Allow-Credentials", "true"),
+            ("Access-Control-Allow-Methods", "GET, POST"),
+            ("Access-Control-Max-Age", "600"),
+        ]
+        req_headers = environ.get(
+            "HTTP_ACCESS_CONTROL_REQUEST_HEADERS", ""
+        )
+        if req_headers:
+            # allow_headers=["*"]: echo whatever the browser asks for
+            headers.append(("Access-Control-Allow-Headers", req_headers))
+        if not self._allow_all:
+            headers.append(("Vary", "Origin"))
+        return 200, {"detail": "OK"}, headers
 
     # -- routing ------------------------------------------------------------
 

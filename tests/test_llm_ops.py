@@ -1633,3 +1633,62 @@ class TestSpanRemoval:
         # and doc 2 (overlapping removal intervals union via distinct)
         assert out[3]["cleaned_text"] == "y1"
         assert out[3]["removed_tokens"] == 30
+
+
+def test_token_budget_dominant_source_seam(spark):
+    """Mega-source skew seam (r9 verdict directive #8): 90% of the
+    corpus in ONE source must produce the same greedy selection as the
+    serial model — the per-source window serializes that source through
+    one task (documented in the docstring), but the ANSWER must not
+    depend on the skew."""
+    from ser_etl_spark.operators.curation import token_budget_selection
+
+    rows = []
+    # dominant source: 90 docs with varying diversity/length
+    for i in range(90):
+        ntok = 3 + (i % 11)
+        distinct = 1 + (i % ntok)
+        text = " ".join(f"w{j % distinct}" for j in range(ntok))
+        rows.append((i, "mega", text))
+    # two small sources (5 docs each), plus junk rows the nullif guard
+    # must exclude
+    for i in range(5):
+        rows.append((100 + i, "a", " ".join(f"t{j}" for j in range(4 + i))))
+        rows.append((200 + i, "b", "dup dup dup dup"))
+    rows.append((300, "mega", "   "))
+    rows.append((301, "a", None))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    budget = 120
+    got = {
+        r["source"]: r
+        for r in token_budget_selection(docs, budget=budget).collect()
+    }
+
+    # serial greedy model, same algebra
+    def model():
+        per: dict[str, list] = {}
+        for doc_id, source, text in rows:
+            if text is None or not text.strip():
+                continue
+            toks = text.strip().lower().split()
+            ntok = len(toks)
+            prio = (len(set(toks)) * 10000) // ntok
+            per.setdefault(source, []).append((-prio, doc_id, ntok))
+        out = {}
+        for source, docs_ in per.items():
+            docs_.sort()
+            used = n_sel = 0
+            for _, _, ntok in docs_:
+                if used + ntok > budget:
+                    break
+                used += ntok
+                n_sel += 1
+            out[source] = (n_sel, used)
+        return out
+
+    expected = model()
+    assert set(got) == set(expected)
+    for source, (n_sel, used) in expected.items():
+        assert got[source]["n_selected"] == n_sel, source
+        assert got[source]["tokens_used"] == used, source

@@ -1051,3 +1051,65 @@ def test_r9_vector_and_analytics_plan_shapes(spark, sf_small):
     # dup matrix: fp equi-join, no cartesian
     plan = _plan(spark, sf_small, "dup_source_matrix")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# generic scan-multiset budget (r9 directive #3)
+# ---------------------------------------------------------------------------
+
+from tests._scan_budget import SCAN_BUDGET  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGET))
+def test_scan_budget_multiset(spark, sf_small, name):
+    """Every registered query's STATIC plan reads each table exactly as
+    many times as the reviewed budget says (self-joins and thin
+    column-pruned normalizer scans are part of the recorded number).
+    A rewrite that ADDS a scan — the r9 'normalizer recompute' class —
+    fails here until scripts/gen_scan_budget.py is deliberately re-run
+    and the diff reviewed. Queries that single-scan only at RUNTIME
+    (AQE ReusedExchange, e.g. doc_rarity_topk) keep their static count;
+    the runtime gate below covers the reuse."""
+    import os
+
+    from scripts.gen_scan_budget import scan_multiset
+
+    plan = _plan(spark, sf_small, name)
+    assert scan_multiset(plan) == SCAN_BUDGET[name], plan[:2000]
+
+
+def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small):
+    """Queries whose two consumers share one shuffled aggregate rely on
+    AQE's runtime ReusedExchange (the static plan shows both subtrees).
+    Execute and assert the FINAL adaptive plan scans the corpus once."""
+    df = QUERIES["doc_rarity_topk"].builder(spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final[:3000]
+    assert final.count("FileScan parquet") == 1, final[:3000]
+
+
+def test_vocab_growth_bounds_scan_is_doc_id_only(spark, sf_small):
+    """vocab_growth's second scan is the max-id normalizer: column
+    pruning must reach parquet (ReadSchema = doc_id alone), so at 100 TB
+    it reads one thin int64 column, not the text corpus twice."""
+    plan = _plan(spark, sf_small, "vocab_growth")
+    schemas = sorted(re.findall(r"ReadSchema: (\S+)", plan))
+    assert schemas == [
+        "struct<doc_id:bigint,text:string>",
+        "struct<doc_id:bigint>",
+    ], schemas
+
+
+def test_snapshot_diff_and_kmv_overlap_single_consumption(spark, sf_small):
+    """snapshot_diff_audit: the derived-prev diff computes inline — one
+    documents scan, no join. kmv_overlap: provenance flags replace the
+    merge + two semi-joins — each side's sketch (and table) is consumed
+    once, no join above the sketches."""
+    plan = _plan(spark, sf_small, "snapshot_diff_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan, plan[:2000]
+    plan = _plan(spark, sf_small, "kmv_overlap")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "Join" not in plan, plan[:2000]

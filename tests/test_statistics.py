@@ -44,3 +44,37 @@ def test_moments_invariant_under_repartitioning(spark, sf_small):
     )
     c = derive_stats(shuffled).orderBy("l_returnflag").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in c]
+
+
+def test_range_boundaries_honor_parts_argument(spark):
+    """parts must flow into the rank-target arithmetic (r9 ADVICE: the
+    f-strings hardcoded the module default, so any parts != 8 call
+    silently returned 8-way targets). Checked against a serial
+    equi-depth model for several part counts, with heavy-key ties."""
+    from ser_etl_spark.operators.profiling import range_partition_boundaries
+
+    rows = [(v,) for v in [1] * 5 + [2] * 1 + [3] * 7 + [5] * 3 + [9] * 4]
+    df = spark.createDataFrame(rows, "k bigint")
+
+    def model(parts):
+        vals = sorted({v for (v,) in rows})
+        cnt = {v: sum(1 for (x,) in rows if x == v) for v in vals}
+        n = len(rows)
+        out = []
+        for p in range(1, parts + 1):
+            target = (p * n + parts - 1) // parts
+            prev = ((p - 1) * n + parts - 1) // parts
+            cum = 0
+            for v in vals:
+                if cum < target <= cum + cnt[v]:
+                    out.append((p, v, target - prev))
+                    break
+                cum += cnt[v]
+        return out
+
+    for parts in (1, 3, 8, 16):
+        got = [
+            (r["part_no"], r["upper_bound"], r["target_rows"])
+            for r in range_partition_boundaries(df, "k", parts).collect()
+        ]
+        assert got == model(parts), (parts, got)
