@@ -31,8 +31,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: the scale-sensitive candidate-generation queries: banded MinHash,
-#: anchor-gram inverted index, and the persisted-ANN-index block join
-PROBES = ("minhash_lsh_pairs", "substring_dedup", "ann_blocked_neardup")
+#: anchor-gram inverted index, the persisted-ANN-index block join, plus
+#: the r9/r10 heavy additions (r9 verdict directive #9): the Lloyd
+#: E+M pass, the power-iteration PCA step, and the cross-source dup
+#: matrix's fingerprint equi-join
+PROBES = (
+    "minhash_lsh_pairs",
+    "substring_dedup",
+    "ann_blocked_neardup",
+    "kmeans_lloyd_step",
+    "embedding_pca_step",
+    "dup_source_matrix",
+)
 
 SF_SMALL = "/root/testdata/sf0.01"
 SF_LARGE = "/root/testdata/sf0.1"

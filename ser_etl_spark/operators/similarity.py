@@ -425,10 +425,14 @@ def ivf_centroids(
     """Deterministic coarse-quantizer centroids: the vectors with the
     ``num_centroids`` lowest ids.
 
-    Stand-in for a k-means training job (whose output is likewise a tiny
-    centroid table collected to the driver and shipped to executors —
-    collecting K rows is how real IVF indexes distribute their
-    quantizer; it is O(K), not O(data)).
+    These are the SEEDS (and the legacy stand-in the pre-r10 index
+    queries keep for their green oracles): the real training job is
+    :func:`kmeans_train`, which iterates Lloyd steps from exactly these
+    seeds and persists the result via :func:`build_trained_quantizer`;
+    :func:`ivf_ann_topk_trained` probes that artifact. Either way the
+    quantizer is a tiny centroid table collected to the driver and
+    shipped to executors — collecting K rows is how real IVF indexes
+    distribute their quantizer; it is O(K), not O(data).
     """
     rows = (
         vectors.filter(F.col(id_col) < num_centroids)
@@ -3566,6 +3570,457 @@ def _kmeans_step_oracle(
 )
 def kmeans_lloyd_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_step(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# k-means TRAINING: iterated Lloyd steps -> a trained coarse quantizer
+# (r10 — the step machinery above, run to a fixed horizon and persisted)
+# ---------------------------------------------------------------------------
+
+#: fixed Lloyd iteration count for the trained quantizer. Fixed, not
+#: convergence-tested: a data-dependent stopping rule would make the
+#: trained centroids (and every probe built on them) impossible to
+#: replay in the oracle; 3 iterations converge the fixture corpus to
+#: sub-1e-3 movement (the readout query reports the trajectory).
+KMEANS_TRAIN_ITERS = 3
+
+#: bump to invalidate previously materialized trained-quantizer dirs
+TRAINED_QUANTIZER_VERSION = 1
+
+
+def _lloyd_pass(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float] | None]],
+    vec_col: str,
+    id_col: str,
+) -> list:
+    """One E+M Lloyd pass against LITERAL centroids; returns the
+    collected (centroid_id, dim, mu, _d2q, _nrows) rows — O(K*dim)
+    driver data, the same cost class as shipping a quantizer.
+
+    The E-step is :func:`_with_nearest_centroid` (shuffle-free expanded
+    dot products against baked literals), the M-step one (centroid, dim)
+    hash aggregate with map-side partials — identical shapes to
+    :func:`kmeans_lloyd_step`, whose oracle proved the cross-engine
+    determinism of every expression here. Movement summands are
+    quantized to BIGINTs IN-ENGINE (``round((mu-o)^2 * 1e9)``) so the
+    driver only ever sums exact integers — Python's banker's rounding
+    never touches a value."""
+    spark = vectors.sparkSession
+    dim0 = next(len(v) for _, v in cents if v is not None)
+    p = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
+    )
+    assigned = _with_nearest_centroid(
+        p, vec_col, "_nv", cents, "centroid_id"
+    ).filter(F.col("centroid_id").isNotNull())
+    members = assigned.select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    )
+    q = F.expr(
+        f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
+    )
+    means = members.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("_nrows"),
+    )
+    seed_rows = [
+        (cid, d, float(v[d]))
+        for cid, v in cents
+        if v is not None
+        for d in range(len(v))
+    ]
+    seeds = spark.createDataFrame(seed_rows, "centroid_id int, dim int, o double")
+    d2q = F.expr(
+        "try_cast(round((mu - o) * (mu - o) * "
+        f"{_Q_SCALE!r}) AS bigint)"
+    )
+    return (
+        means.join(F.broadcast(seeds), ["centroid_id", "dim"])
+        .select("centroid_id", "dim", "mu", d2q.alias("_d2q"), "_nrows")
+        .collect()
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    iters: int = KMEANS_TRAIN_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float] | None]], list[tuple]]:
+    """Train the coarse quantizer: ``iters`` Lloyd iterations from the
+    deterministic first-K seeds (:func:`ivf_centroids`). Returns
+    ``(trained_centroids, trajectory)`` where trajectory rows are
+    ``(iteration, centroid_id, n_assigned, sq_movement)`` — the
+    convergence readout a training job logs each round.
+
+    Per iteration: ONE data-sized Spark job (E-step projection + M-step
+    aggregate, no data-sized join) and one O(K*dim) collect whose rows
+    become the next iteration's baked literals — exactly how production
+    IVF training distributes a quantizer (the centroid table rides the
+    task closure, never a shuffle). A member-less (or NULL-seeded)
+    centroid keeps its previous position and reports ``n_assigned = 0``
+    with NULL movement, mirroring :func:`kmeans_lloyd_step`.
+
+    Determinism: every float that crosses the driver boundary is either
+    an exact quantized-BIGINT sum or the ``sum(q)/(1e9*n)`` double both
+    engines compute bit-identically (green ``kmeans_lloyd_step`` row);
+    ``repr`` round-trips the collected doubles into the next E-step's
+    literals losslessly, so iteration t+1 sees the same quantizer bits
+    on both engines. Driver-side arithmetic is integer-only.
+
+    2^53 caveat (same as ``embedding_centroids``): the quantized BIGINT
+    sums stay exact up to ~9e6 members per (centroid, dim) at |x| <= 1;
+    beyond that, pre-aggregate per shard or raise the quantum."""
+    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    trajectory: list[tuple] = []
+    if not cents:
+        return cents, trajectory
+    if all(v is None for _, v in cents):
+        # degenerate quantizer: nothing can assign; positions frozen
+        for t in range(1, iters + 1):
+            for cid, _ in cents:
+                trajectory.append((t, cid, 0, None))
+        return cents, trajectory
+    for t in range(1, iters + 1):
+        rows = _lloyd_pass(vectors, cents, vec_col, id_col)
+        by_cid: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = r
+        new_cents: list[tuple[int, list[float] | None]] = []
+        for cid, old in cents:
+            got = by_cid.get(cid)
+            if old is None or got is None:
+                trajectory.append((t, cid, 0, None))
+                new_cents.append((cid, old))
+                continue
+            n = int(got[0]["_nrows"]) if 0 in got else 0
+            d2 = sum(
+                int(r["_d2q"])
+                for r in got.values()
+                if r["_d2q"] is not None
+            )
+            trajectory.append((t, cid, n, d2 / _Q_SCALE))
+            new_cents.append(
+                (
+                    cid,
+                    [
+                        float(got[d]["mu"]) if d in got else old[d]
+                        for d in range(len(old))
+                    ],
+                )
+            )
+        cents = new_cents
+    return cents, trajectory
+
+
+def _train_cte_blocks(
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """The DuckDB replay of :func:`kmeans_train` as chained WITH blocks:
+    ``c0`` = seeds, then per iteration the scored/assign/means CTEs of
+    the green ``kmeans_lloyd_step`` oracle plus a per-iteration
+    ``readout{t}`` and the next centroid table ``c{t}`` (per-dim
+    COALESCE against the previous position — a member-less centroid or
+    all-skipped dim keeps its coordinate, like the builder)."""
+    dim = EMB_DIM if dim is None else dim
+    blocks = [
+        f"""c0 AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        blocks.append(f"""scored{t} AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c{p} c
+    )""")
+        blocks.append(f"""assign{t} AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN -1 ELSE centroid_id END AS centroid_id
+      FROM scored{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id ASC) = 1
+    )""")
+        blocks.append(f"""ex{t} AS (
+      SELECT a.centroid_id, generate_subscripts(e.embedding, 1) - 1 AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x
+      FROM assign{t} a JOIN embeddings e USING (vec_id)
+      WHERE a.centroid_id >= 0
+    )""")
+        blocks.append(f"""means{t} AS (
+      SELECT centroid_id, dim,
+             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS mu,
+             COUNT(*) AS nrows
+      FROM ex{t} GROUP BY centroid_id, dim
+    )""")
+        blocks.append(f"""seeds{t} AS (
+      SELECT centroid_id, generate_subscripts(cv, 1) - 1 AS dim,
+             CAST(unnest(cv) AS DOUBLE) AS o
+      FROM c{p}
+    )""")
+        blocks.append(f"""readout{t} AS (
+      SELECT {t} AS iteration, u.centroid_id,
+             CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_assigned,
+             mv.sq_movement
+      FROM (SELECT centroid_id FROM c0) u
+      LEFT JOIN (SELECT centroid_id,
+                        MAX(CASE WHEN dim = 0 THEN nrows END) AS cnt
+                 FROM means{t} GROUP BY centroid_id) n USING (centroid_id)
+      LEFT JOIN (SELECT m.centroid_id,
+                        CAST(SUM(TRY_CAST(round((mu - o) * (mu - o) * 1e9)
+                                          AS BIGINT)) AS DOUBLE) / 1e9
+                          AS sq_movement
+                 FROM means{t} m JOIN seeds{t} s USING (centroid_id, dim)
+                 GROUP BY m.centroid_id) mv USING (centroid_id)
+    )""")
+        blocks.append(f"""c{t} AS (
+      SELECT s.centroid_id,
+             list(COALESCE(m.mu, s.o) ORDER BY s.dim) AS cv
+      FROM seeds{t} s LEFT JOIN means{t} m USING (centroid_id, dim)
+      GROUP BY s.centroid_id
+    )""")
+    return ",\n    ".join(blocks)
+
+
+def _kmeans_train_oracle(
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM readout{t}" for t in range(1, iters + 1)
+    )
+    return f"""
+    WITH {_train_cte_blocks(iters, num_centroids, dim)}
+    SELECT CAST(iteration AS INT) AS iteration,
+           CAST(centroid_id AS INT) AS centroid_id,
+           n_assigned, sq_movement
+    FROM ({unions})
+    ORDER BY iteration, centroid_id
+    """
+
+
+@register(
+    "kmeans_train_readout",
+    oracle=_kmeans_train_oracle(),
+    description="the full quantizer TRAINING loop as a readout: 3 Lloyd "
+    "iterations from the deterministic seeds, per (iteration, centroid) "
+    "member count + squared movement — one data-sized job per iteration "
+    "(E-step projection, M-step quantized-BIGINT aggregate), O(K*dim) "
+    "driver collects whose doubles repr-roundtrip into the next E-step's "
+    "literals; the movement trajectory is the convergence evidence the "
+    "persisted trained quantizer ships with",
+    covers=("N-sim", "B5"),
+)
+def kmeans_train_readout_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, trajectory = kmeans_train(load_table(spark, sf_dir, "embeddings"))
+    schema = (
+        "iteration int, centroid_id int, n_assigned bigint, "
+        "sq_movement double"
+    )
+    return spark.createDataFrame(trajectory, schema).orderBy(
+        "iteration", "centroid_id"
+    )
+
+
+def build_trained_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_centroids: int = IVF_CENTROIDS,
+    iters: int = KMEANS_TRAIN_ITERS,
+) -> str:
+    """Train and PERSIST the coarse quantizer: K (centroid_id, centroid)
+    rows plus the freshness manifest — the artifact a real IVF index
+    ships instead of the first-K-ids stand-in. Train-once-freeze: index
+    upserts never retrain (the frozen-quantizer rule of
+    :func:`upsert_ann_index`); a changed source corpus is caught by the
+    manifest digest and forces a full retrain, exactly like the ANN
+    index's rebuild rule (``etl/build.py``)."""
+    from ser_etl_spark.sources.parquet import table_path
+
+    cents, _ = kmeans_train(
+        load_table(spark, sf_dir, "embeddings"), num_centroids, iters
+    )
+    df = spark.createDataFrame(
+        list(cents), "centroid_id int, centroid array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    write_manifest(
+        out_dir, table_path(sf_dir, "embeddings"), TRAINED_QUANTIZER_VERSION
+    )
+    return out_dir
+
+
+def ensure_trained_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    num_centroids: int = IVF_CENTROIDS,
+    iters: int = KMEANS_TRAIN_ITERS,
+) -> str:
+    """Resolve the trained-quantizer artifact published-first (the
+    ``ensure_ann_index`` discipline): prefer
+    ``<sf_dir>/embeddings_trained_quantizer`` when complete AND fresh
+    (manifest digest matches the live source), else a per-user tmp
+    cache keyed by the recursive source fingerprint."""
+    from ser_etl_spark.sources.parquet import table_path
+
+    src = table_path(sf_dir, "embeddings")
+    published = os.path.join(sf_dir, "embeddings_trained_quantizer")
+    if (
+        num_centroids == IVF_CENTROIDS
+        and iters == KMEANS_TRAIN_ITERS
+        and os.path.exists(os.path.join(published, "_SUCCESS"))
+        and manifest_fresh(published, src, TRAINED_QUANTIZER_VERSION)
+    ):
+        return published
+    key_src = (
+        f"v{TRAINED_QUANTIZER_VERSION}:{os.path.realpath(src)}:"
+        f"{_source_fingerprint(src)}:{num_centroids}:{iters}"
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: "na")()
+    root = os.path.join(tempfile.gettempdir(), f"ser_etl_kmeans_q_{uid}")
+    out = os.path.join(root, key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    tmp = f"{out}.build-{os.getpid()}"
+    build_trained_quantizer(spark, sf_dir, tmp, num_centroids, iters)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def trained_quantizer_centroids(
+    spark: SparkSession, quantizer_dir: str
+) -> list[tuple[int, list[float] | None]]:
+    """Read a persisted trained quantizer back as the centroid list the
+    probe/layout functions consume — O(K) rows collected, the same
+    shipping cost as :func:`ivf_centroids` / :func:`index_centroids`."""
+    rows = (
+        spark.read.parquet(quantizer_dir)
+        .select("centroid_id", "centroid")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return [
+        (
+            int(r["centroid_id"]),
+            None
+            if r["centroid"] is None
+            else [float(x) for x in r["centroid"]],
+        )
+        for r in rows
+    ]
+
+
+def ivf_ann_topk_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """IVF ANN probing the TRAINED quantizer: identical probe algebra to
+    :func:`ivf_ann_topk` (driver-side nprobe choice, nearest-centroid
+    pruning, exact cosine top-k over the surviving lists) with the
+    centroid table read from the persisted artifact instead of the
+    first-K stand-in — trained lists are tighter, so the same nprobe
+    buys more recall. The quantizer stays FROZEN between retrains: the
+    artifact (not the live corpus) defines assignments, so probes and
+    any index built from it can never drift apart."""
+    q = [float(v) for v in query_vec]
+    qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
+    cents = trained_quantizer_centroids(spark, qdir)
+    probes = _ivf_probe_ids(q, cents, nprobe)
+    dim = len(q)
+    vectors = load_table(spark, sf_dir, "embeddings")
+    p = vectors.select(
+        F.col("vec_id"), F.col("embedding"),
+        _norm_col("embedding", dim).alias("_nv"),
+    )
+    return _query_cosine_topk(
+        _with_nearest_centroid(p, "embedding", "_nv", cents, "_cid")
+        .filter(F.col("_cid").isin(probes)),
+        q, k, "embedding", "vec_id", norm_sql="_nv",
+    )
+
+
+def _ivf_trained_oracle(
+    k: int = 10,
+    nprobe: int = 2,
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`ivf_ann_topk_trained`: re-derives the
+    trained centroids via the training CTE chain (bit-identical to the
+    persisted artifact — proven by the kmeans_train_readout row), then
+    replays the green ``ivf_ann_topk`` probe algebra against them."""
+    dim = EMB_DIM if dim is None else dim
+    ct = f"c{iters}"
+    probe_cos = (
+        f"{_duck_dot('c.cv', 'q.qv', dim)} / nullif({_duck_norm('c.cv', dim)}"
+        f" * {_duck_norm('q.qv', dim)}, 0.0)"
+    )
+    return f"""
+    WITH {_train_cte_blocks(iters, num_centroids, dim)},
+    q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probes AS (
+      SELECT centroid_id AS cid FROM {ct} c, q
+      ORDER BY {probe_cos} DESC, centroid_id ASC
+      LIMIT {nprobe}
+    ), fassign AS (
+      SELECT e.vec_id,
+             CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid
+      FROM (
+        SELECT e.vec_id, c.centroid_id AS cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN {ct} c
+      ) e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    )
+    SELECT a.vec_id, {_duck_cos4("e.embedding", "q.qv", dim)} AS cos_sim
+    FROM fassign a JOIN embeddings e ON e.vec_id = a.vec_id, q
+    WHERE a.cid IN (SELECT cid FROM probes)
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivf_ann_topk_trained",
+    oracle=_ivf_trained_oracle(),
+    description="IVF ANN over the TRAINED quantizer: the persisted "
+    "3-iteration k-means centroids (published-first artifact with "
+    "freshness manifest, frozen between retrains) drive probe choice, "
+    "assignment pruning and the exact cosine top-10 — the oracle "
+    "re-derives the trained centroids in SQL and replays the probe, so "
+    "the whole train->persist->probe path faces the differential gate",
+    covers=("N-sim",),
+)
+def ivf_ann_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vector(spark, sf_dir)
+    if vec is None or vec is _NULL_QUERY:
+        return _empty_topk(spark)
+    return ivf_ann_topk_trained(spark, sf_dir, vec, k=10)
 
 
 # ---------------------------------------------------------------------------

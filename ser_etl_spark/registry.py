@@ -69,7 +69,9 @@ def register(
 #: rewrites (hash-rotated automatically) or adds. Shared-helper rule
 #: still applies: rewrites that land in helpers invisible to the
 #: builder/oracle source hash must be held out by hand via
-#: ``scripts/update_verified.py --exclude``.
+#: ``scripts/update_verified.py --exclude``. r10 manual holds under
+#: that rule: vocab_growth and doc_rarity_topk (single-scan rewrites in
+#: their operator bodies; wrapper + oracle hashes unchanged).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -113,7 +115,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dim_variance_screen",
     "disjunctive_revenue",
     "doc_chunks",
-    "doc_rarity_topk",
     "doc_repetition",
     "dominant_lang_share",
     "dup_source_matrix",
@@ -276,7 +277,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "value_outliers_mad",
     "vector_quality_audit",
     "view_click_interval",
-    "vocab_growth",
     "where_filter",
     "window_running_total",
     "window_topn_per_group",

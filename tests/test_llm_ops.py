@@ -1692,3 +1692,89 @@ def test_token_budget_dominant_source_seam(spark):
     for source, (n_sel, used) in expected.items():
         assert got[source]["n_selected"] == n_sel, source
         assert got[source]["tokens_used"] == used, source
+
+
+class TestTrainedQuantizer:
+    """r10: the trained coarse quantizer (iterated Lloyd) as a persisted,
+    freshness-manifested, frozen-between-retrains artifact."""
+
+    def test_roundtrip_and_published_first(self, spark, sf_small, tmp_path):
+        import os
+        import shutil
+        import tempfile
+
+        from ser_etl_spark.operators.similarity import (
+            build_trained_quantizer,
+            ensure_trained_quantizer,
+            kmeans_train,
+            trained_quantizer_centroids,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        # a private sf_dir copy so the published artifact sits NEXT to
+        # its source table like a real snapshot
+        snap = tmp_path / "snap"
+        snap.mkdir()
+        shutil.copy(
+            os.path.join(sf_small, "embeddings.parquet"),
+            snap / "embeddings.parquet",
+        )
+        published = build_trained_quantizer(
+            spark, str(snap), str(snap / "embeddings_trained_quantizer")
+        )
+        # persisted rows == the in-memory training output, bit-for-bit
+        cents, traj = kmeans_train(load_table(spark, str(snap), "embeddings"))
+        assert trained_quantizer_centroids(spark, published) == cents
+        # trajectory converges: total movement strictly shrinks by iter 3
+        mv = {}
+        for it, _, _, sq in traj:
+            mv[it] = mv.get(it, 0.0) + (sq or 0.0)
+        assert mv[3] < mv[1]
+        # published-first: resolution returns the artifact, no cache build
+        uid = getattr(os, "getuid", lambda: "na")()
+        cache_root = os.path.join(
+            tempfile.gettempdir(), f"ser_etl_kmeans_q_{uid}"
+        )
+        before = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert ensure_trained_quantizer(spark, str(snap)) == published
+        after = (
+            set(os.listdir(cache_root)) if os.path.isdir(cache_root) else set()
+        )
+        assert before == after
+
+    def test_stale_published_quantizer_refused(self, spark, sf_small, tmp_path):
+        """A source rewrite after the train must invalidate the published
+        copy (manifest digest mismatch) — resolution falls back to a
+        fresh cache-keyed retrain instead of serving stale centroids."""
+        import os
+        import shutil
+
+        from ser_etl_spark.operators.similarity import (
+            build_trained_quantizer,
+            ensure_trained_quantizer,
+        )
+        from ser_etl_spark.sources.parquet import load_table
+
+        snap = tmp_path / "snap"
+        snap.mkdir()
+        shutil.copy(
+            os.path.join(sf_small, "embeddings.parquet"),
+            snap / "embeddings.parquet",
+        )
+        published = build_trained_quantizer(
+            spark, str(snap), str(snap / "embeddings_trained_quantizer")
+        )
+        # rewrite the source: drop half the rows (digest changes)
+        emb = load_table(spark, str(snap), "embeddings")
+        half = emb.filter(F.col("vec_id") % 2 == 0)
+        tmp_parq = str(tmp_path / "half")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp_parq)
+        os.remove(snap / "embeddings.parquet")
+        import glob
+
+        part = glob.glob(os.path.join(tmp_parq, "*.parquet"))[0]
+        shutil.copy(part, snap / "embeddings.parquet")
+        resolved = ensure_trained_quantizer(spark, str(snap))
+        assert resolved != published  # stale copy refused, retrained
