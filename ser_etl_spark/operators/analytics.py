@@ -1729,3 +1729,85 @@ def event_path_topk(events: DataFrame, k: int = 10) -> DataFrame:
 )
 def event_path_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_topk(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# dyadic recency-decayed activity score (r10)
+# ---------------------------------------------------------------------------
+
+
+def decayed_activity_topk(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` users by recency-decayed activity: each event
+    contributes ``1_000_000 div 2^age_weeks`` score millionths (weight
+    halves every week of age) — the engagement-ranking primitive behind
+    churn targeting and sampling-by-recency. The decay base is a POWER
+    OF TWO evaluated by integer shift, so the whole score is exact
+    integer arithmetic — ``exp(-lambda*t)`` would be a libm call two
+    engines may round differently; halving per week is the same curve
+    family with cross-engine-exact weights (and a natural zero at 20
+    weeks, where the integer division underflows — events older than
+    that genuinely stop counting, which a production decay wants
+    anyway).
+
+    Plan: one events scan -> per (user, age_week) counts (map-side
+    partials absorb the raw volume), weight applied per aggregated row,
+    per-user sum, TakeOrdered top-k. "Now" is the corpus max day — a
+    ts-only column-pruned second scan (the vocab_growth normalizer
+    economics: the readout must not depend on wall-clock, or no engine
+    could ever replay it)."""
+    day = F.floor(_epoch_s("ts") / F.lit(86400)).cast("long")
+    mx = events.agg(F.max(day).alias("max_day"))
+    per = (
+        events.select(F.col("user_id"), day.alias("_d"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(
+            "user_id",
+            # div, not /: float-quotient casts disagree across
+            # engines (Spark trunc, DuckDB round) — integer division
+            # is the same op everywhere
+            F.expr("(max_day - _d) div 7").alias("age_week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    score = F.expr(
+        "n * (1000000 div shiftleft(CAST(1 AS BIGINT), "
+        "CAST(least(age_week, 62) AS INT)))"
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(F.sum(score).cast("bigint").alias("score_millionths"))
+        .orderBy(F.col("score_millionths").desc(), F.col("user_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "decayed_activity_topk",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                 AS BIGINT)) AS max_day
+      FROM events
+    ), per AS (
+      SELECT user_id,
+             (max_day - CAST(floor(epoch(CAST(ts AS TIMESTAMP))
+                    / 86400) AS BIGINT)) // 7 AS age_week,
+             COUNT(*) AS n
+      FROM events, mx GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n * (1000000 // (CAST(1 AS BIGINT) <<
+                CAST(least(age_week, 62) AS INT)))) AS BIGINT)
+             AS score_millionths
+    FROM per GROUP BY user_id
+    ORDER BY score_millionths DESC, user_id ASC
+    LIMIT 20
+    """,
+    description="recency-decayed user activity top-20: per-event weight "
+    "1e6 div 2^age_weeks via integer shifts (exact dyadic half-life, no "
+    "libm exp), per-(user, age-week) pre-aggregation absorbs raw volume, "
+    "TakeOrdered; 'now' = corpus max day from a ts-only pruned scan",
+    covers=("X-window", "B8", "N-quality"),
+)
+def decayed_activity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decayed_activity_topk(load_table(spark, sf_dir, "events"))

@@ -720,6 +720,157 @@ def dedup_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_corpus(docs, pairs)
 
 
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection (r10): keep the BEST copy, not the
+# oldest — the survivor rule production dedup actually wants
+# ---------------------------------------------------------------------------
+
+
+def quality_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """Per normalized-fingerprint duplicate cluster, keep the copy a
+    curation pipeline would keep: admitted-by-the-quality-funnel first,
+    then longest (n_chars), then lowest doc_id — instead of
+    ``dedup_fingerprint``'s pure MIN(doc_id) survivor, which can crown
+    a truncated or junk copy just because it was crawled first.
+    Summarized per source: docs, clusters led (canonical copies), docs
+    dropped, and how often quality OVERRODE recency (the canonical is
+    not the cluster's lowest id — the rows where this operator and the
+    naive rule disagree).
+
+    One corpus scan computes the fingerprint and the shared admission
+    flag inline (the same ``funnel_stage_flags()[-1]`` the funnel /
+    streaming gate / quality_by_lang apply — one definition, four
+    surfaces); one window per fingerprint cluster ranks copies
+    (clusters are duplicate-group-sized, never source-sized, so the
+    partitioning is skew-safe at 100 TB); one |sources| aggregate.
+    NULL seams pinned: n_chars orders through ``coalesce(-1)`` (engines
+    disagree on NULL placement under DESC), NULL texts share the NULL
+    fingerprint group like dedup_fingerprint."""
+    from pyspark.sql.window import Window
+
+    from ser_etl_spark.operators.text import funnel_stage_flags
+
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.col("text")), r"[^a-z0-9]+", " "
+            )
+        )
+    )
+    admitted = F.when(funnel_stage_flags()[-1], F.lit(1)).otherwise(F.lit(0))
+    base = docs.select(
+        "doc_id",
+        "source",
+        fp.alias("fp"),
+        admitted.alias("adm"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("nc"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("adm").desc(), F.col("nc").desc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "source",
+        "doc_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_canon"),
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("min_id"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("is_canon"), F.lit(0))
+            .cast("bigint")
+            .alias("n_canonical"),
+            F.coalesce(
+                F.sum(F.lit(1) - F.col("is_canon")), F.lit(0)
+            ).cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("is_canon") == 1)
+                        & (F.col("doc_id") != F.col("min_id")),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_quality_overrides"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_canonical_oracle() -> str:
+    from ser_etl_spark.operators.text import (
+        FUNNEL_DISTINCT_X10,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_WLEN_HI,
+        FUNNEL_WLEN_LO,
+        _STOPWORDS,
+    )
+
+    stop_list = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars, text,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp,
+             regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, n_chars, text, fp,
+             string_split(norm, ' ') AS t,
+             length(norm) AS n_chr
+      FROM d
+    ), fl AS (
+      SELECT doc_id, source, fp,
+             COALESCE(n_chars, -1) AS nc,
+             CASE WHEN
+               COALESCE(text IS NOT NULL AND trim(text) <> '', FALSE)
+               AND COALESCE(len(t) >= {FUNNEL_MIN_TOKENS}, FALSE)
+               AND COALESCE(n_chr - len(t) + 1 BETWEEN
+                   len(t) * {FUNNEL_WLEN_LO} AND len(t) * {FUNNEL_WLEN_HI},
+                   FALSE)
+               AND COALESCE(len(list_distinct(t)) * 10 >=
+                   len(t) * {FUNNEL_DISTINCT_X10}, FALSE)
+               AND COALESCE(len(list_filter(t,
+                   x -> list_contains({stop_list}, x))) >= 1, FALSE)
+             THEN 1 ELSE 0 END AS adm
+      FROM m
+    ), ranked AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY fp
+               ORDER BY adm DESC, nc DESC, doc_id ASC) = 1 AS INT)
+               AS is_canon,
+             MIN(doc_id) OVER (PARTITION BY fp) AS min_id
+      FROM fl
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(is_canon), 0) AS BIGINT) AS n_canonical,
+           CAST(COALESCE(SUM(1 - is_canon), 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN is_canon = 1 AND doc_id <> min_id
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_quality_overrides
+    FROM ranked GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "quality_canonical_dedup",
+    oracle=_quality_canonical_oracle(),
+    description="quality-aware dedup survivor rule: per fingerprint "
+    "cluster keep admitted-first/longest/lowest-id (not MIN(doc_id)); "
+    "per source the canonical/dropped counts and how often quality "
+    "overrode recency — one scan, one cluster-sized window, shared "
+    "admission flag",
+    covers=("N-dedup", "N-quality"),
+)
+def quality_canonical_dedup_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_canonical_dedup(load_table(spark, sf_dir, "documents"))
+
+
 #: Shingle CTEs shared by the MinHash oracle (same token/3-gram pipeline
 #: the green ngram_jaccard oracles use).
 _SHINGLE_CTES = """

@@ -3396,6 +3396,101 @@ def dim_variance_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding hygiene audit (r10): the malformed-vector QA every ANN/dedup
+# consumer upstream-gates on
+# ---------------------------------------------------------------------------
+
+
+def embedding_health_audit(
+    vectors: DataFrame, dim: int = EMB_DIM
+) -> DataFrame:
+    """Per-label counts of the vector pathologies every downstream
+    consumer (cosine probes, quantized index, k-means) degrades on:
+    NULL vectors, wrong dimensionality, non-finite components (NaN/Inf
+    — the rows try_cast silently skips in the M-step), and zero-norm
+    vectors (cosine NULL, the -1 assignment sentinel). One scan, one
+    |labels| aggregate; every flag is a pure array predicate evaluated
+    inside codegen — no explode, no shuffle beyond the tiny group.
+
+    NULL-element seams guarded with coalesce (``exists`` is three-valued
+    over NULL elements on both engines); NaN comparison semantics agree
+    (NaN <> 0 is TRUE on Spark and DuckDB), pinned by the oracle."""
+    e = "embedding"
+    nonfinite = F.coalesce(
+        F.expr(
+            f"exists({e}, x -> isnan(cast(x AS double)) OR "
+            f"abs(cast(x AS double)) = cast('Infinity' AS DOUBLE))"
+        ),
+        F.lit(False),
+    )
+    zero_norm = (F.size(F.col(e)) > 0) & ~F.coalesce(
+        F.expr(f"exists({e}, x -> cast(x AS double) <> 0.0D)"),
+        F.lit(False),
+    )
+    flags = vectors.select(
+        "label",
+        F.col(e).isNull().cast("bigint").alias("f_null"),
+        (
+            F.col(e).isNotNull() & (F.size(F.col(e)) != dim)
+        ).cast("bigint").alias("f_dim"),
+        nonfinite.cast("bigint").alias("f_nonfin"),
+        zero_norm.cast("bigint").alias("f_zero"),
+    )
+    z = F.lit(0)
+    return (
+        flags.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.coalesce(F.sum("f_null"), z).cast("bigint").alias("n_null_vec"),
+            F.coalesce(F.sum("f_dim"), z).cast("bigint").alias("n_wrong_dim"),
+            F.coalesce(F.sum("f_nonfin"), z)
+            .cast("bigint")
+            .alias("n_nonfinite"),
+            F.coalesce(F.sum("f_zero"), z).cast("bigint").alias("n_zero_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_health_audit",
+    oracle=f"""
+    WITH fl AS (
+      SELECT label,
+             CAST(embedding IS NULL AS BIGINT) AS f_null,
+             CAST(embedding IS NOT NULL AND len(embedding) <> {EMB_DIM}
+                  AS BIGINT) AS f_dim,
+             CAST(COALESCE(len(list_filter(embedding,
+                    x -> isnan(CAST(x AS DOUBLE)) OR
+                         abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)
+                  )) > 0, FALSE) AS BIGINT) AS f_nonfin,
+             CAST(COALESCE(len(embedding) > 0, FALSE) AND NOT
+                  COALESCE(len(list_filter(embedding,
+                    x -> CAST(x AS DOUBLE) <> 0.0)) > 0, FALSE)
+                  AS BIGINT) AS f_zero
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(SUM(f_null), 0) AS BIGINT) AS n_null_vec,
+           CAST(COALESCE(SUM(f_dim), 0) AS BIGINT) AS n_wrong_dim,
+           CAST(COALESCE(SUM(f_nonfin), 0) AS BIGINT) AS n_nonfinite,
+           CAST(COALESCE(SUM(f_zero), 0) AS BIGINT) AS n_zero_norm
+    FROM fl GROUP BY label ORDER BY label
+    """,
+    description="embedding hygiene audit: per label the NULL / "
+    "wrong-dim / non-finite-component / zero-norm vector counts — the "
+    "upstream gate for every cosine/quantize/k-means consumer; one "
+    "scan, codegen array predicates, |labels| aggregate",
+    covers=("N-sim", "N-quality", "B4"),
+)
+def embedding_health_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return embedding_health_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # one Lloyd iteration: the k-means training step as a query (r9)
 # ---------------------------------------------------------------------------
 
@@ -4021,6 +4116,165 @@ def ivf_ann_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vec is None or vec is _NULL_QUERY:
         return _empty_topk(spark)
     return ivf_ann_topk_trained(spark, sf_dir, vec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# IVF list balance: seed vs TRAINED quantizer (r10) — why training matters
+# ---------------------------------------------------------------------------
+
+
+def _list_balance(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float] | None]],
+    tag: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row inverted-list balance summary for a quantizer: assign
+    every vector (one E-step scan), count list sizes (K rows), and
+    report max/min list plus the imbalance in basis points —
+    ``max_list * n_lists * 10000 div n_assigned`` (perfect balance =
+    10000; the factor by which the hottest list exceeds fair share, in
+    exact integers). The hottest list bounds IVF probe latency at
+    100 TB, which is the number a quantizer is trained to shrink."""
+    dim0 = next((len(v) for _, v in cents if v is not None), None)
+    spark = vectors.sparkSession
+    schema = (
+        "quantizer string, n_assigned bigint, n_lists bigint, "
+        "max_list bigint, min_list bigint, imbalance_bp bigint"
+    )
+    if dim0 is None:
+        return spark.createDataFrame([], schema)
+    p = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
+    )
+    assigned = _with_nearest_centroid(
+        p, vec_col, "_nv", cents, "_cid"
+    ).filter(F.col("_cid").isNotNull())
+    cnts = assigned.groupBy("_cid").agg(F.count(F.lit(1)).alias("c"))
+    # n_lists > 0: a corpus where nothing assigns (empty, or all
+    # zero-norm) reports NO row for this quantizer rather than a
+    # 0/NULL row — mirrored by the oracle's HAVING (and NULL in the
+    # BIGINT imbalance column would float the driver's pandas path)
+    summary = cnts.agg(
+        F.lit(tag).alias("quantizer"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_assigned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("max_list"),
+        F.coalesce(F.min("c"), F.lit(0)).cast("bigint").alias("min_list"),
+        F.expr(
+            "CAST(coalesce(max(c), 0) * count(1) * 10000 div "
+            "nullif(coalesce(sum(c), 0), 0) AS BIGINT)"
+        ).alias("imbalance_bp"),
+    )
+    return summary.filter(F.col("n_lists") > 0)
+
+
+def ivf_list_balance_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Side-by-side inverted-list balance of the SEED quantizer
+    (first-K stand-in) and the TRAINED one (persisted 3-iteration
+    k-means artifact) — the before/after readout of what training did
+    to the list-size profile. (On clustered corpora training shrinks
+    the hottest list; on this synthetic near-uniform fixture it mainly
+    lifts the coldest list — the readout reports either, which is the
+    point of publishing it next to the index.) Two E-step corpus scans
+    by construction
+    (one per quantizer — this is a comparison, both assignments must be
+    computed); each is the proven shuffle-free expanded-literal shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = ivf_centroids(emb, num_centroids)
+    if not seeds or all(v is None for _, v in seeds):
+        return spark.createDataFrame(
+            [],
+            "quantizer string, n_assigned bigint, n_lists bigint, "
+            "max_list bigint, min_list bigint, imbalance_bp bigint",
+        )
+    qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
+    trained = trained_quantizer_centroids(spark, qdir)
+    return (
+        _list_balance(emb, seeds, "seed")
+        .unionByName(_list_balance(emb, trained, "trained"))
+        .orderBy("quantizer")
+    )
+
+
+def _list_balance_oracle(
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """Seed assignment replayed from the lloyd-step CTE shapes; trained
+    assignment replayed against the re-derived ``c{iters}`` centroids."""
+    dim = EMB_DIM if dim is None else dim
+    ct = f"c{iters}"
+    return f"""
+    WITH {_train_cte_blocks(iters, num_centroids, dim)},
+    sassign AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN NULL ELSE centroid_id END AS cid
+      FROM (
+        SELECT e.vec_id, c.centroid_id,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN c0 c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id ASC) = 1
+    ), tassign AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN NULL ELSE centroid_id END AS cid
+      FROM (
+        SELECT e.vec_id, c.centroid_id,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN {ct} c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id ASC) = 1
+    ), scnt AS (
+      SELECT cid, COUNT(*) AS c FROM sassign WHERE cid IS NOT NULL
+      GROUP BY cid
+    ), tcnt AS (
+      SELECT cid, COUNT(*) AS c FROM tassign WHERE cid IS NOT NULL
+      GROUP BY cid
+    ), u AS (
+      SELECT 'seed' AS quantizer,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_assigned,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_list,
+             CAST(COALESCE(MIN(c), 0) AS BIGINT) AS min_list,
+             CAST(COALESCE(MAX(c), 0) * COUNT(*) * 10000
+                  // nullif(COALESCE(SUM(c), 0), 0) AS BIGINT)
+               AS imbalance_bp
+      FROM scnt HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT 'trained',
+             CAST(COALESCE(SUM(c), 0) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(MAX(c), 0) AS BIGINT),
+             CAST(COALESCE(MIN(c), 0) AS BIGINT),
+             CAST(COALESCE(MAX(c), 0) * COUNT(*) * 10000
+                  // nullif(COALESCE(SUM(c), 0), 0) AS BIGINT)
+      FROM tcnt HAVING COUNT(*) > 0
+    )
+    SELECT * FROM u ORDER BY quantizer
+    """
+
+
+@register(
+    "ivf_list_balance_trained",
+    oracle=_list_balance_oracle(),
+    description="IVF inverted-list balance, seed vs TRAINED quantizer: "
+    "per quantizer the assigned total, list count, hottest/coldest list "
+    "and exact-integer imbalance basis points (hottest list bounds probe "
+    "latency at scale — the profile a quantizer is trained against); the "
+    "oracle re-derives the trained centroids and replays both E-steps",
+    covers=("N-sim", "B5"),
+)
+def ivf_list_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_list_balance_trained(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

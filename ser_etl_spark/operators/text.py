@@ -2056,6 +2056,166 @@ def source_length_quartiles_query(
 
 
 # ---------------------------------------------------------------------------
+# robust (median/MAD) length-outlier screen per source (r10)
+# ---------------------------------------------------------------------------
+
+
+def _run_order_stat(
+    staged: DataFrame, val: str, rank_expr: str, out: str
+) -> DataFrame:
+    """Attach the order statistic at integer rank ``rank_expr`` (over a
+    per-source value-RUN frame carrying ``cnt``/``cum``/``n``) as column
+    ``out`` on every row of the source's partition — a second window
+    over the SAME per-source run partitioning, so no extra shuffle and
+    no join back. The statistic is the run containing the target rank
+    (cum-cnt < t <= cum)."""
+    from pyspark.sql.window import Window
+
+    whole = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.expr(rank_expr)
+    return staged.withColumn(
+        out,
+        F.max(
+            F.when(
+                (F.col("cum") - F.col("cnt") < t) & (t <= F.col("cum")),
+                F.col(val),
+            )
+        ).over(whole),
+    )
+
+
+def mad_length_outliers(docs: DataFrame, k_mad: int = 3) -> DataFrame:
+    """Robust per-source length-outlier screen: median ``n_chars``, the
+    MAD (median absolute deviation), and how many docs sit more than
+    ``k_mad`` MADs from the median — the outlier gate a curation
+    pipeline prefers over mean/stddev because one 100 MB page doesn't
+    drag the threshold (breakdown point 50% vs 0%).
+
+    Everything is EXACT INTEGER order statistics (median at rank
+    ceil(n/2) is a data value, deviations are |int - int|, the MAD is a
+    data value again), so both engines agree bit-for-bit with no float
+    in sight. Scale is the distinct-value-run discipline
+    (``source_length_quartiles``): ONE corpus scan collapses to
+    (source, n_chars) runs; the median rides a whole-partition window
+    over RUNS (bounded by distinct lengths, mega-source safe); the
+    deviation frame is a second RUN-LEVEL aggregate of the same rows
+    (no corpus rescan — deviations group many lengths together); the
+    MAD rides the same window trick; the outlier count is one final
+    conditional sum over deviation runs."""
+    from pyspark.sql.window import Window
+
+    runs = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    whole = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = runs.select(
+        "source",
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(whole).alias("n"),
+    )
+    med = _run_order_stat(staged, "n_chars", "(n + 1) div 2", "med")
+    dev_runs = (
+        med.groupBy("source", F.abs(F.col("n_chars") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"), F.max("med").alias("med"))
+    )
+    wd = Window.partitionBy("source").orderBy(F.col("dev").asc())
+    dev_staged = dev_runs.select(
+        "source",
+        "dev",
+        "cnt",
+        "med",
+        F.sum("cnt").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(whole).alias("n"),
+    )
+    mad = _run_order_stat(dev_staged, "dev", "(n + 1) div 2", "mad")
+    return (
+        mad.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("med").cast("bigint").alias("median_chars"),
+            F.max("mad").cast("bigint").alias("mad_chars"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dev") > F.lit(k_mad) * F.col("mad"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mad_length_outliers",
+    oracle="""
+    WITH runs AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source, n_chars
+    ), staged AS (
+      SELECT source, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM runs
+    ), med AS (
+      SELECT *,
+             MAX(CASE WHEN cum - cnt < (n + 1) // 2
+                       AND (n + 1) // 2 <= cum THEN n_chars END)
+               OVER (PARTITION BY source) AS med
+      FROM staged
+    ), dev_runs AS (
+      SELECT source, abs(n_chars - med) AS dev,
+             SUM(cnt) AS cnt, MAX(med) AS med
+      FROM med GROUP BY source, abs(n_chars - med)
+    ), dev_staged AS (
+      SELECT source, dev, cnt, med,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY dev ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM dev_runs
+    ), mad AS (
+      SELECT *,
+             MAX(CASE WHEN cum - cnt < (n + 1) // 2
+                       AND (n + 1) // 2 <= cum THEN dev END)
+               OVER (PARTITION BY source) AS mad
+      FROM dev_staged
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(med) AS BIGINT) AS median_chars,
+           CAST(MAX(mad) AS BIGINT) AS mad_chars,
+           CAST(COALESCE(SUM(CASE WHEN dev > 3 * mad THEN cnt END), 0)
+                AS BIGINT) AS n_outliers
+    FROM mad GROUP BY source ORDER BY source
+    """,
+    description="robust per-source length-outlier screen: exact integer "
+    "median/MAD as order statistics over distinct-value RUNS (one corpus "
+    "scan, run-bounded windows — mega-source safe), outliers = docs "
+    "beyond 3 MADs; the curation gate a single giant page cannot drag",
+    covers=("N-text", "N-quality", "X-window"),
+)
+def mad_length_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_length_outliers(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # quality pass rates by (lang, source): the filter-bias matrix (r9)
 # ---------------------------------------------------------------------------
 

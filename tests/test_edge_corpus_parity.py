@@ -82,6 +82,9 @@ EDGE_QUERIES = [
     "lsh_candidate_budget",
     "kmv_distinct_by_source",
     "code_switch_share",
+    # r10: the new fingerprint/quality/length consumers
+    "quality_canonical_dedup",
+    "mad_length_outliers",
 ]
 
 
@@ -282,7 +285,10 @@ def nulltext_dir(tmp_path_factory):
      "streaming_quality_gate", "snapshot_diff_audit",
      "source_length_quartiles", "quality_by_lang",
      "shingle_df_histogram", "kmv_distinct_by_source",
-     "code_switch_share"],
+     "code_switch_share",
+     # r10: quality-aware canonical must share the NULL fingerprint
+     # group; MAD screen must survive a no-length corpus
+     "quality_canonical_dedup", "mad_length_outliers"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

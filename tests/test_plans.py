@@ -1113,3 +1113,32 @@ def test_snapshot_diff_and_kmv_overlap_single_consumption(spark, sf_small):
     plan = _plan(spark, sf_small, "kmv_overlap")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "Join" not in plan, plan[:2000]
+
+
+def test_r10_new_query_plan_shapes(spark, sf_small):
+    """r10 wave: scan counts and shapes for the new operators."""
+    # MAD outliers: ONE thin scan (source+n_chars only — text never
+    # read), run-level windows partitioned by source
+    plan = _plan(spark, sf_small, "mad_length_outliers")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "struct<source:string,n_chars:bigint>" in plan, plan[:1500]
+    # quality canonical: one scan; the only window partitions by the
+    # fingerprint (cluster-sized, never source-sized)
+    plan = _plan(spark, sf_small, "quality_canonical_dedup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"hashpartitioning\(fp", plan), plan[:2000]
+    # health audit: one scan, array predicates, |labels| aggregate,
+    # no explode anywhere
+    plan = _plan(spark, sf_small, "embedding_health_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Generate" not in plan, plan[:2000]
+    # decayed activity: the normalizer scan is ts-only pruned; top-k is
+    # TakeOrdered, never a global sort
+    plan = _plan(spark, sf_small, "decayed_activity_topk")
+    assert "struct<ts:timestamp_ntz>" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    # list balance: exactly the two E-step scans the comparison needs,
+    # embedding-only pruned, no cartesian
+    plan = _plan(spark, sf_small, "ivf_list_balance_trained")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "CartesianProduct" not in plan
