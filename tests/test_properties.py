@@ -615,3 +615,174 @@ def test_token_budget_selection_matches_serial_greedy(spark, docs, budget):
         n_sel += 1
     want = {"s": (n_sel, used)} if n_sel else {}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r10: MAD outlier screen vs a serial order-statistics model
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mad_outliers_match_serial_model(spark, lengths):
+    """median = value at rank ceil(n/2); MAD = same statistic over
+    |x - med|; outliers = count(dev > 3*MAD). Pure integers — the
+    engine must agree with the serial model exactly, including heavy
+    tie runs and single-row sources."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.text import mad_length_outliers
+
+    rows = [
+        (i, src, n) for i, (src, n) in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    ).withColumn("text", F.lit("x"))
+
+    def model():
+        out = {}
+        by_src: dict[str, list[int]] = {}
+        for _, src, n in rows:
+            by_src.setdefault(src, []).append(n)
+        for src, vals in by_src.items():
+            vals.sort()
+            n = len(vals)
+            med = vals[(n + 1) // 2 - 1]
+            devs = sorted(abs(v - med) for v in vals)
+            mad = devs[(n + 1) // 2 - 1]
+            out[src] = (
+                n,
+                med,
+                mad,
+                sum(1 for v in vals if abs(v - med) > 3 * mad),
+            )
+        return out
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["median_chars"], r["mad_chars"], r["n_outliers"]
+        )
+        for r in mad_length_outliers(docs).collect()
+    }
+    assert got == model()
+
+
+# ---------------------------------------------------------------------------
+# r10: quality-canonical survivor rule vs a serial model
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs_=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            # a tiny text pool so fingerprint clusters actually form;
+            # 'good' passes the funnel (10+ tokens incl. a stopword),
+            # others fail different stages
+            st.sampled_from(
+                [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "the quick brown fox jumps over the lazy dog  today",
+                    "short text",
+                    "",
+                    None,
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_quality_canonical_matches_serial_model(spark, docs_):
+    """Cluster key = normalized md5; survivor = (admitted desc,
+    n_chars desc, doc_id asc). The engine's per-source counts must
+    match a serial replay, including the NULL-text cluster and the
+    two-texts-one-fingerprint normalization seam."""
+    import hashlib as _h
+    import re as _re
+
+    from ser_etl_spark.operators.dedup import quality_canonical_dedup
+
+    rows = [
+        (i, src, txt, len(txt) if txt is not None else None)
+        for i, (src, txt) in enumerate(docs_)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string, n_chars bigint"
+    )
+
+    _STOP = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+
+    def admitted(txt):
+        if txt is None or not txt.strip():
+            return 0
+        norm = _re.sub(" +", " ", txt.strip().lower())
+        t = norm.split(" ")
+        if len(t) < 10:
+            return 0
+        wl = len(norm) - len(t) + 1
+        if not (2 * len(t) <= wl <= 12 * len(t)):
+            return 0
+        if len(set(t)) * 10 < len(t) * 3:
+            return 0
+        if not any(x in _STOP for x in t):
+            return 0
+        return 1
+
+    def fp(txt):
+        if txt is None:
+            return None
+        return _h.md5(
+            _re.sub("[^a-z0-9]+", " ", txt.lower()).strip().encode()
+        ).hexdigest()
+
+    def model():
+        clusters: dict = {}
+        for i, src, txt, nc in rows:
+            clusters.setdefault(fp(txt), []).append(
+                (-admitted(txt), -(nc if nc is not None else -1), i, src)
+            )
+        per = {}
+        for members in clusters.values():
+            members.sort()
+            min_id = min(m[2] for m in members)
+            for rank, (_, _, i, src) in enumerate(members):
+                st_ = per.setdefault(src, [0, 0, 0, 0])
+                st_[0] += 1
+                if rank == 0:
+                    st_[1] += 1
+                    if i != min_id:
+                        st_[3] += 1
+                else:
+                    st_[2] += 1
+        return {
+            s: tuple(v) for s, v in per.items()
+        }
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_canonical"], r["n_dropped"],
+            r["n_quality_overrides"],
+        )
+        for r in quality_canonical_dedup(docs).collect()
+    }
+    assert got == model()
