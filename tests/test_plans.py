@@ -230,15 +230,16 @@ def test_zorder_layout_narrows_file_spans_on_both_columns(spark, sf_small, tmp_p
     assert z_supp < 0.7 * full, (z_supp, s_supp, full)
 
 
-def test_interval_join_is_equi_hash_join_not_nested_loop(spark, sf_small):
-    """The attribution-window join must carry its shuffle on the equi
-    key with the time bound as a residual — a nested-loop or cartesian
-    plan here would be quadratic at scale."""
+def test_interval_attribution_is_single_scan_window(spark, sf_small):
+    """The attribution window pairs each click with its preceding view
+    via a per-user LAG over ONE events scan (the r10 single-scan sweep
+    replaced the r9 equi-join + time-residual form). A join or
+    cartesian reappearing here means the rewrite regressed to the
+    two-scan shape."""
     plan = _plan(spark, sf_small, "view_click_interval")
-    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    # the only acceptable BNLJ would be none at all
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan[:2500]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2500]
+    assert re.search(r"hashpartitioning\(user_id", plan), plan[:2500]
 
 
 def test_chunking_is_shuffle_free(spark, sf_small):
