@@ -1623,6 +1623,93 @@ def embedding_quantize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 reconstruction-error profile (r10): did quantization hurt, and
+# which label's vectors does it hurt most
+# ---------------------------------------------------------------------------
+
+
+def quantization_error_profile(vectors: DataFrame) -> DataFrame:
+    """Per-label reconstruction-error profile of the persisted int8
+    artifact's math: quantize each component with EXACTLY the index's
+    expressions (``q = round(x*127/max_abs)``, ``rec = q * max_abs/127``
+    — same literals, same order), measure ``|x - rec|``, and report per
+    label the component count, the worst error and the mean error, both
+    as exact 1e-9-quantized BIGINT accumulations (the
+    ``embedding_centroids`` determinism discipline — a float SUM would
+    be partition-ordered). The QA a pipeline publishes next to the
+    quantized index: rescore quality degrades smoothly with this
+    number, and a label whose vectors saturate the int8 grid (one huge
+    component flattens the rest) shows up as an outlier row.
+
+    One scan: max-abs once per row (barrier-protected, the
+    ``embedding_quantize`` codegen discipline), posexplode, one
+    |labels| aggregate with map-side partials."""
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p = vectors.select(
+        "label",
+        (F.expr(_maxabs_sql("embedding", EMB_DIM)) + barrier).alias("_mx"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    )
+    err = (
+        "abs(CAST(_x AS DOUBLE) - "
+        "CAST(round(CAST(_x AS DOUBLE) * 127.0 / _mx) AS INT)"
+        " * (_mx / 127.0))"
+    )
+    eq = F.expr(f"try_cast(round(({err}) * 1e9) AS BIGINT)")
+    return (
+        p.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.coalesce(F.max(eq), F.lit(0))
+            .cast("bigint")
+            .alias("max_err_1e9"),
+            (
+                F.coalesce(F.sum(eq), F.lit(0)).cast("double")
+                / (F.lit(1.0e9) * F.count(eq))
+            ).alias("mean_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "quantization_error_profile",
+    oracle=f"""
+    WITH p AS (
+      SELECT label,
+             greatest(1e-30, {", ".join(
+                 f"abs({_duck_elem('embedding', i)})"
+                 for i in range(EMB_DIM)
+             )}) AS mx,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             TRY_CAST(round(abs(x - CAST(round(x * 127.0 / mx) AS INT)
+               * (mx / 127.0)) * 1e9) AS BIGINT) AS eq
+      FROM p
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(COALESCE(MAX(eq), 0) AS BIGINT) AS max_err_1e9,
+           CAST(COALESCE(SUM(eq), 0) AS DOUBLE) / (1e9 * COUNT(eq))
+             AS mean_err
+    FROM e GROUP BY label ORDER BY label
+    """,
+    description="int8 reconstruction-error QA per label: quantize with "
+    "the index's exact expressions, measure |x - q*scale| as "
+    "1e-9-quantized BIGINT max/mean (order-independent exact sums); "
+    "one scan, barrier-protected per-row max-abs, |labels| aggregate — "
+    "the saturation readout published next to the quantized artifact",
+    covers=("N-sim", "N-quality", "B4"),
+)
+def quantization_error_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quantization_error_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # two-stage retrieval: quantized approximate scan -> exact rescore
 # ---------------------------------------------------------------------------
 

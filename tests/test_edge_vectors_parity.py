@@ -112,11 +112,21 @@ FULL_QUERIES = [
     "centroid_similarity_matrix",
     # r9: the PCA step try_casts every quantized summand
     "embedding_pca_step",
+    # r10: the hygiene audit EXISTS for these seam rows; the training
+    # loop and its artifact consumers inherit the Lloyd step's try_cast
+    # obligations (well-formed seeds by the corpus contract, vec_ids
+    # 0..7), and the balance readout replays both E-steps
+    "embedding_health_audit",
+    "kmeans_train_readout",
+    "ivf_ann_topk_trained",
+    "ivf_list_balance_trained",
 ]
 
 REDUCED_QUERIES = [
     "embedding_quantize",
     "embedding_project",
+    # r10: shares embedding_quantize's greatest()-over-NULL seam
+    "quantization_error_profile",
 ]
 
 
