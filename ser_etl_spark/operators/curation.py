@@ -1354,6 +1354,85 @@ def token_budget_selection_query(
 
 
 # ---------------------------------------------------------------------------
+# curriculum stage histogram (r10): volume per difficulty stage
+# ---------------------------------------------------------------------------
+
+
+def curriculum_stage_histogram(docs: DataFrame) -> DataFrame:
+    """Document/token volume per curriculum stage: bucket every doc by
+    its lexical-diversity-density score (``distinct_tokens * 10000 div
+    total_tokens`` — the exact integer priority ``token_budget_selection``
+    ranks by) into 10 FIXED-DOMAIN stages, and report per stage the doc
+    count, token volume and score span — the schedule readout a
+    curriculum-training job uses to size its easy-to-hard phases.
+
+    Stage = ``(score * 10) div 10001``: the score domain is [0, 10000]
+    BY CONSTRUCTION, so bucketing needs no max-score normalizer — no
+    second scan, no whole-frame window, no join; one text scan into a
+    10-row aggregate, the cheapest possible shape at any corpus size
+    (contrast rank-based deciles, which need a global ranking the
+    distinct-value trick can't save once ties are broken by id).
+    Empty/whitespace texts are excluded by the same nullif guard as
+    token_budget_selection (junk would land in the top stage)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = docs.filter(
+        F.expr("nullif(trim(text), '') IS NOT NULL")
+    ).select(
+        F.size(toks).alias("ntok"),
+        F.size(F.array_distinct(toks)).alias("ndis"),
+    )
+    scored = base.select(
+        "ntok",
+        F.expr("(ndis * 10000) div ntok").alias("score"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("(score * 10) div 10001").cast("int").alias("stage")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "curriculum_stage_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT len(string_split_regex(trim(lower(text)), ' +')) AS ntok,
+             len(list_distinct(string_split_regex(trim(lower(text)),
+                 ' +'))) AS ndis
+      FROM documents WHERE nullif(trim(text), '') IS NOT NULL
+    ), scored AS (
+      SELECT ntok, (ndis * 10000) // ntok AS score FROM base
+    )
+    SELECT CAST((score * 10) // 10001 AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY 1 ORDER BY stage
+    """,
+    description="curriculum schedule readout: docs/tokens per 10 "
+    "fixed-domain difficulty stages of the exact integer "
+    "diversity-density score (domain [0,10000] by construction — no "
+    "max normalizer, no window, no join; one scan into a 10-row "
+    "aggregate)",
+    covers=("N-quality", "N-text", "B5"),
+)
+def curriculum_stage_histogram_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return curriculum_stage_histogram(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff audit: the CDC readout between two corpus versions (r9)
 # ---------------------------------------------------------------------------
 

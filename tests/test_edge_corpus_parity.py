@@ -85,6 +85,7 @@ EDGE_QUERIES = [
     # r10: the new fingerprint/quality/length consumers
     "quality_canonical_dedup",
     "mad_length_outliers",
+    "curriculum_stage_histogram",
 ]
 
 
@@ -287,8 +288,10 @@ def nulltext_dir(tmp_path_factory):
      "shingle_df_histogram", "kmv_distinct_by_source",
      "code_switch_share",
      # r10: quality-aware canonical must share the NULL fingerprint
-     # group; MAD screen must survive a no-length corpus
-     "quality_canonical_dedup", "mad_length_outliers"],
+     # group; MAD screen must survive a no-length corpus; the
+     # curriculum histogram must exclude all-junk corpora entirely
+     "quality_canonical_dedup", "mad_length_outliers",
+     "curriculum_stage_histogram"],
 )
 def test_nulltext_corpus_parity(spark, nulltext_dir, name):
     """r8 review: a non-empty corpus with no tokenizable text must not

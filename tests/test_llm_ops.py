@@ -1778,3 +1778,43 @@ class TestTrainedQuantizer:
         shutil.copy(part, snap / "embeddings.parquet")
         resolved = ensure_trained_quantizer(spark, str(snap))
         assert resolved != published  # stale copy refused, retrained
+
+
+def test_snapshot_diff_full_outer_reports_removals(spark):
+    """The general two-snapshot CDC diff (r9 ADVICE: the audit twin's
+    derived prev can never remove, so the FULL OUTER form must be
+    pinned directly): added keys, removed keys (source taken from the
+    prev side), changed fingerprints, null-safe NULL-text equality."""
+    from ser_etl_spark.operators.curation import snapshot_diff
+
+    curr = spark.createDataFrame(
+        [
+            (1, "a", "same text"),
+            (2, "a", "edited text v2"),
+            (4, "b", "brand new"),
+            (5, "b", None),          # NULL text, present both sides
+            (6, "b", "Same  TEXT"),  # normalization-equal to prev
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    prev = spark.createDataFrame(
+        [
+            (1, "a", "same text"),
+            (2, "a", "edited text v1"),
+            (3, "a", "gone now"),    # only in prev -> removed under 'a'
+            (5, "b", None),
+            (6, "b", "same text"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {r["source"]: r for r in snapshot_diff(curr, prev).collect()}
+    assert got["a"]["n_added"] == 0
+    assert got["a"]["n_removed"] == 1     # doc 3, source from PREV side
+    assert got["a"]["n_changed"] == 1     # doc 2
+    assert got["a"]["n_unchanged"] == 1   # doc 1
+    assert got["b"]["n_added"] == 1       # doc 4
+    assert got["b"]["n_removed"] == 0
+    assert got["b"]["n_changed"] == 0
+    # doc 5: NULL == NULL via null-safe compare; doc 6: md5 of the
+    # normalized text matches across case/whitespace
+    assert got["b"]["n_unchanged"] == 2
