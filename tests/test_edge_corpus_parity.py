@@ -142,6 +142,9 @@ CLIQUE_DOCS = [
 CLIQUE_QUERIES = [
     "dedup_exact",
     "dedup_fingerprint",
+    # r10: the quality survivor rule on ONE giant cluster — a single
+    # canonical, everyone else dropped, window partition = whole corpus
+    "quality_canonical_dedup",
     "ngram_jaccard_guarded",
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -583,7 +586,9 @@ def emptystr_dir(tmp_path_factory):
      "context_fit_histogram", "source_length_quartiles",
      "snapshot_diff_audit", "kmv_distinct_by_source", "code_switch_share",
      "shingle_df_histogram", "lexical_diversity", "charclass_profile",
-     "lang_id", "text_stats", "quality_score", "corpus_curation"],
+     "lang_id", "text_stats", "quality_score", "corpus_curation",
+     "quality_canonical_dedup", "curriculum_stage_histogram",
+     "mad_length_outliers"],
 )
 def test_emptystr_corpus_parity(spark, emptystr_dir, name):
     """Content-free but non-NULL text must neither crash nor diverge:
