@@ -122,3 +122,55 @@ def read_manifest(artifact_dir: str) -> dict:
             return json.load(fh)
     except (OSError, json.JSONDecodeError):
         return {}
+
+
+def resolve_artifact(
+    published: str,
+    source_path: str,
+    version: int,
+    family: str,
+    key_extra: str,
+    usable,
+    build_fn,
+) -> str:
+    """Published-first artifact resolution with a fingerprint-keyed
+    per-user tmp-cache fallback — the ONE protocol every derived
+    artifact shares (ANN index, MinHash bands, text postings, trained
+    quantizer; r10 review deduplicated four copies into this helper):
+
+    1. Serve ``published`` when ``usable(published)`` (the caller's
+       structural/geometry gate) AND the manifest digest still matches
+       the live source at ``version`` — a stale or incomplete published
+       copy is never served.
+    2. Else resolve a per-user cache dir under
+       ``$TMPDIR/ser_etl_<family>_<uid>`` (mode 0700 — a world-shared
+       fixed path could be pre-created/poisoned by another local user),
+       keyed by sha256 of ``v<version>:<realpath>:<fingerprint><extra>``
+       so any source change re-keys and rebuilds. A concurrent builder
+       losing the ``os.replace`` rename race simply discards its copy.
+
+    ``build_fn(tmp_dir)`` materializes the artifact into ``tmp_dir``;
+    ``key_extra`` folds the geometry parameters into the cache key
+    (format ``":p1:p2"``, or ``""``)."""
+    import shutil
+
+    if usable(published) and manifest_fresh(published, source_path, version):
+        return published
+    key_src = (
+        f"v{version}:{os.path.realpath(source_path)}:"
+        f"{source_fingerprint(source_path)}{key_extra}"
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    uid = getattr(os, "getuid", lambda: "na")()
+    root = os.path.join(tempfile.gettempdir(), f"ser_etl_{family}_{uid}")
+    out = os.path.join(root, key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    tmp = f"{out}.build-{os.getpid()}"
+    build_fn(tmp)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

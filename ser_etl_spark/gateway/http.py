@@ -40,18 +40,26 @@ CORS (main.py:44-52 — ``CORSMiddleware`` with
 "POST"]``, ``allow_headers=["*"]``), mirrored with starlette's
 observable behavior:
 
-- every response to a request carrying an allowed ``Origin`` gets
-  ``Access-Control-Allow-Origin`` (the literal ``*`` when configured
-  with ``["*"]``, else the echoed origin plus ``Vary: Origin``) and
-  ``Access-Control-Allow-Credentials: true``;
-- ``OPTIONS`` + ``Access-Control-Request-Method`` is a PREFLIGHT,
-  answered 200 BEFORE auth (browsers never attach credentials to
-  preflights) with ``Access-Control-Allow-Methods: GET, POST``, the
-  echoed ``Access-Control-Request-Headers`` (the ``["*"]`` config), and
-  ``Access-Control-Max-Age: 600``; a disallowed origin or method gets
-  400 like starlette's "Disallowed CORS" response;
-- a plain ``OPTIONS`` without the request-method header is NOT a
-  preflight and falls through to the normal 405.
+- every response to a request carrying an ``Origin`` gets the config
+  headers (``Access-Control-Allow-Credentials: true``; ``Vary: Origin``
+  for restricted lists); ``Access-Control-Allow-Origin`` is the literal
+  ``*`` under ``["*"]`` — EXCEPT for cookie-bearing requests, where the
+  origin is echoed with ``Vary: Origin`` instead (a credentialed
+  response with ``*`` is invalid, and starlette's has_cookie branch
+  echoes) — or the echoed origin when it matches a restricted list
+  (withheld, but with the other config headers still present, when it
+  doesn't);
+- ``Origin`` + ``OPTIONS`` + ``Access-Control-Request-Method`` is a
+  PREFLIGHT, answered 200 BEFORE auth (browsers never attach
+  credentials to preflights) with ``Access-Control-Allow-Methods: GET,
+  POST``, the echoed ``Access-Control-Request-Headers`` (the ``["*"]``
+  config), and ``Access-Control-Max-Age: 600``; a disallowed origin or
+  method gets starlette's 400 "Disallowed CORS" response WITH the
+  accumulated preflight headers;
+- ``OPTIONS`` without an ``Origin`` header is NOT a preflight — even
+  with a request-method header — and falls through to the normal 405
+  (starlette gates on Origin before the preflight branch), as does a
+  plain ``OPTIONS``.
 """
 
 from __future__ import annotations
@@ -147,56 +155,70 @@ class GatewayHTTP:
         )
 
     def _cors_headers(self, environ: dict[str, Any]) -> list[tuple[str, str]]:
-        """Simple-response headers: only when the request carries an
-        allowed Origin (non-CORS requests stay header-free, exactly like
-        the middleware)."""
+        """Simple-response headers, exactly starlette's send-wrapper
+        behavior: no Origin → no headers at all; under allow-all a
+        COOKIE-bearing (credentialed) request gets the echoed origin +
+        ``Vary: Origin`` instead of the literal ``*`` (a credentialed
+        response with ``*`` is invalid and browsers reject it); under a
+        restricted list the config headers (credentials + Vary) are
+        sent even to a DISALLOWED origin — only the allow-origin header
+        itself is withheld."""
         origin = environ.get("HTTP_ORIGIN", "")
-        if not self._origin_allowed(origin):
+        if not origin:
             return []
-        headers = [
-            (
-                "Access-Control-Allow-Origin",
-                "*" if self._allow_all else origin,
-            ),
-            ("Access-Control-Allow-Credentials", "true"),
-        ]
-        if not self._allow_all:
+        headers = [("Access-Control-Allow-Credentials", "true")]
+        if self._allow_all:
+            if "HTTP_COOKIE" in environ:
+                headers.append(("Access-Control-Allow-Origin", origin))
+                headers.append(("Vary", "Origin"))
+            else:
+                headers.append(("Access-Control-Allow-Origin", "*"))
+        else:
             headers.append(("Vary", "Origin"))
+            if origin in self.cors_origins:
+                headers.append(("Access-Control-Allow-Origin", origin))
         return headers
 
     def _preflight(
         self, environ: dict[str, Any]
     ) -> tuple[int, dict, list[tuple[str, str]]] | None:
-        """Handle OPTIONS preflights; None when the request isn't one
-        (plain OPTIONS falls through to the 405 route table)."""
+        """Handle OPTIONS preflights; None when the request isn't one.
+        Starlette gates on the ORIGIN header before anything else, so
+        OPTIONS without Origin — even with a request-method header —
+        falls through to the route table (405), as does plain OPTIONS.
+        Failures (disallowed origin/method) return 400 WITH the
+        accumulated preflight headers, like the middleware's
+        PlainTextResponse(headers=...)."""
         if environ.get("REQUEST_METHOD") != "OPTIONS":
             return None
-        req_method = environ.get("HTTP_ACCESS_CONTROL_REQUEST_METHOD", "")
-        if not req_method:
-            return None
         origin = environ.get("HTTP_ORIGIN", "")
-        if not self._origin_allowed(origin) or req_method not in (
-            "GET",
-            "POST",
-        ):
-            return 400, {"detail": "Disallowed CORS origin or method"}, []
+        req_method = environ.get("HTTP_ACCESS_CONTROL_REQUEST_METHOD", "")
+        if not origin or not req_method:
+            return None
         headers = [
-            (
-                "Access-Control-Allow-Origin",
-                "*" if self._allow_all else origin,
-            ),
-            ("Access-Control-Allow-Credentials", "true"),
             ("Access-Control-Allow-Methods", "GET, POST"),
             ("Access-Control-Max-Age", "600"),
+            ("Access-Control-Allow-Credentials", "true"),
         ]
+        if self._allow_all:
+            # the literal * rides even a failed preflight (starlette's
+            # preconfigured preflight_headers)
+            headers.append(("Access-Control-Allow-Origin", "*"))
+        else:
+            headers.append(("Vary", "Origin"))
+            if origin in self.cors_origins:
+                headers.append(("Access-Control-Allow-Origin", origin))
         req_headers = environ.get(
             "HTTP_ACCESS_CONTROL_REQUEST_HEADERS", ""
         )
         if req_headers:
             # allow_headers=["*"]: echo whatever the browser asks for
             headers.append(("Access-Control-Allow-Headers", req_headers))
-        if not self._allow_all:
-            headers.append(("Vary", "Origin"))
+        if not self._origin_allowed(origin) or req_method not in (
+            "GET",
+            "POST",
+        ):
+            return 400, {"detail": "Disallowed CORS origin or method"}, headers
         return 200, {"detail": "OK"}, headers
 
     # -- routing ------------------------------------------------------------

@@ -1758,7 +1758,11 @@ def decayed_activity_topk(events: DataFrame, k: int = 20) -> DataFrame:
     day = F.floor(_epoch_s("ts") / F.lit(86400)).cast("long")
     mx = events.agg(F.max(day).alias("max_day"))
     per = (
-        events.select(F.col("user_id"), day.alias("_d"))
+        # NULL user_ids are unattributable (and Spark/DuckDB disagree
+        # on NULL placement under the ASC tie-break at the k-cut —
+        # the view_click_interval convention)
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id"), day.alias("_d"))
         .crossJoin(F.broadcast(mx))
         .groupBy(
             "user_id",
@@ -1793,7 +1797,7 @@ def decayed_activity_topk(events: DataFrame, k: int = 20) -> DataFrame:
              (max_day - CAST(floor(epoch(CAST(ts AS TIMESTAMP))
                     / 86400) AS BIGINT)) // 7 AS age_week,
              COUNT(*) AS n
-      FROM events, mx GROUP BY 1, 2
+      FROM events, mx WHERE user_id IS NOT NULL GROUP BY 1, 2
     )
     SELECT user_id,
            CAST(SUM(n * (1000000 // (CAST(1 AS BIGINT) <<

@@ -1321,43 +1321,26 @@ def ensure_minhash_bands(
     while its ``_manifest.json`` digest still matches the live
     documents table (a corpus rewritten without a matching
     ``upsert_minhash_bands`` must not silently miss matches)."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
-    from ser_etl_spark.artifacts import (
-        manifest_fresh,
-        source_fingerprint as _source_fingerprint,
-    )
+    from ser_etl_spark.artifacts import resolve_artifact
     from ser_etl_spark.sources.parquet import table_path
 
     src = table_path(sf_dir, "documents")
-    published = os.path.join(sf_dir, "documents_minhash_bands")
-    if (
-        (num_perm, bands, n) == (64, 16, 3)
-        and _bands_usable(published)
-        and manifest_fresh(published, src, MINHASH_BANDS_VERSION)
-    ):
-        return published
-    key_src = (
-        f"v{MINHASH_BANDS_VERSION}:{os.path.realpath(src)}:"
-        f"{_source_fingerprint(src)}:{num_perm}:{bands}:{n}"
+    return resolve_artifact(
+        published=os.path.join(sf_dir, "documents_minhash_bands"),
+        source_path=src,
+        version=MINHASH_BANDS_VERSION,
+        family="minhash_bands",
+        key_extra=f":{num_perm}:{bands}:{n}",
+        # the snapshot only ever publishes the default geometry
+        usable=lambda p: (
+            (num_perm, bands, n) == (64, 16, 3) and _bands_usable(p)
+        ),
+        build_fn=lambda tmp: build_minhash_bands(
+            spark, sf_dir, tmp, num_perm, bands, n
+        ),
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: "na")()
-    root = os.path.join(tempfile.gettempdir(), f"ser_etl_minhash_bands_{uid}")
-    out = os.path.join(root, key)
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    tmp = f"{out}.build-{os.getpid()}"
-    build_minhash_bands(spark, sf_dir, tmp, num_perm, bands, n)
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 #: modulo split simulating a sync batch: doc_id % 4 == 3 is the newly

@@ -21,20 +21,13 @@ Python in any per-row path. Scale design:
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ser_etl_spark.artifacts import (
-    manifest_fresh,
-    source_fingerprint,
-    write_manifest,
-)
+from ser_etl_spark.artifacts import resolve_artifact, write_manifest
 from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table, spread_small_input
@@ -787,11 +780,6 @@ def ann_layout_frame(
     return _with_nearest_centroid(p, vec_col, "vnorm", cents, "centroid_id")
 
 
-#: change-detection for cached/published indexes (moved to
-#: ser_etl_spark.artifacts in r8 so the manifest helpers share it)
-_source_fingerprint = source_fingerprint
-
-
 #: data columns the v2 index must carry for every probe family (the
 #: partition columns srp_bucket/centroid_id are directory-encoded and
 #: never appear in the part-file footers)
@@ -852,32 +840,22 @@ def ensure_ann_index(
     from ser_etl_spark.sources.parquet import table_path
 
     src = table_path(sf_dir, "embeddings")
-    published = os.path.join(sf_dir, "embeddings_ann_index")
-    if (
-        planes == ANN_PLANES
-        and num_centroids == IVF_CENTROIDS
-        and _index_usable(published)
-        and manifest_fresh(published, src, ANN_INDEX_VERSION)
-    ):
-        return published
-    key_src = (
-        f"v{ANN_INDEX_VERSION}:{os.path.realpath(src)}:"
-        f"{_source_fingerprint(src)}:{planes}:{num_centroids}"
+    return resolve_artifact(
+        published=os.path.join(sf_dir, "embeddings_ann_index"),
+        source_path=src,
+        version=ANN_INDEX_VERSION,
+        family="ann_index",
+        key_extra=f":{planes}:{num_centroids}",
+        # the snapshot only ever publishes the default geometry
+        usable=lambda p: (
+            planes == ANN_PLANES
+            and num_centroids == IVF_CENTROIDS
+            and _index_usable(p)
+        ),
+        build_fn=lambda tmp: build_ann_index(
+            spark, sf_dir, tmp, planes, num_centroids
+        ),
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: "na")()
-    root = os.path.join(tempfile.gettempdir(), f"ser_etl_ann_index_{uid}")
-    out = os.path.join(root, key)
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    tmp = f"{out}.build-{os.getpid()}"
-    build_ann_index(spark, sf_dir, tmp, planes, num_centroids)
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 def index_centroids(
@@ -3886,11 +3864,16 @@ def kmeans_train(
                 if r["_d2q"] is not None
             )
             trajectory.append((t, cid, n, d2 / _Q_SCALE))
+            # mu can be NULL with the row PRESENT (every member's
+            # quantized summand try_cast'd away at that dim) — keep the
+            # seed coordinate exactly like the oracle's COALESCE(mu, o)
             new_cents.append(
                 (
                     cid,
                     [
-                        float(got[d]["mu"]) if d in got else old[d]
+                        float(got[d]["mu"])
+                        if d in got and got[d]["mu"] is not None
+                        else old[d]
                         for d in range(len(old))
                     ],
                 )
@@ -4052,39 +4035,28 @@ def ensure_trained_quantizer(
     iters: int = KMEANS_TRAIN_ITERS,
 ) -> str:
     """Resolve the trained-quantizer artifact published-first (the
-    ``ensure_ann_index`` discipline): prefer
-    ``<sf_dir>/embeddings_trained_quantizer`` when complete AND fresh
-    (manifest digest matches the live source), else a per-user tmp
-    cache keyed by the recursive source fingerprint."""
+    shared :func:`ser_etl_spark.artifacts.resolve_artifact` protocol):
+    prefer ``<sf_dir>/embeddings_trained_quantizer`` when complete AND
+    fresh (manifest digest matches the live source), else a per-user
+    tmp cache keyed by the recursive source fingerprint."""
     from ser_etl_spark.sources.parquet import table_path
 
     src = table_path(sf_dir, "embeddings")
-    published = os.path.join(sf_dir, "embeddings_trained_quantizer")
-    if (
-        num_centroids == IVF_CENTROIDS
-        and iters == KMEANS_TRAIN_ITERS
-        and os.path.exists(os.path.join(published, "_SUCCESS"))
-        and manifest_fresh(published, src, TRAINED_QUANTIZER_VERSION)
-    ):
-        return published
-    key_src = (
-        f"v{TRAINED_QUANTIZER_VERSION}:{os.path.realpath(src)}:"
-        f"{_source_fingerprint(src)}:{num_centroids}:{iters}"
+    return resolve_artifact(
+        published=os.path.join(sf_dir, "embeddings_trained_quantizer"),
+        source_path=src,
+        version=TRAINED_QUANTIZER_VERSION,
+        family="kmeans_q",
+        key_extra=f":{num_centroids}:{iters}",
+        usable=lambda p: (
+            num_centroids == IVF_CENTROIDS
+            and iters == KMEANS_TRAIN_ITERS
+            and os.path.exists(os.path.join(p, "_SUCCESS"))
+        ),
+        build_fn=lambda tmp: build_trained_quantizer(
+            spark, sf_dir, tmp, num_centroids, iters
+        ),
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: "na")()
-    root = os.path.join(tempfile.gettempdir(), f"ser_etl_kmeans_q_{uid}")
-    out = os.path.join(root, key)
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    tmp = f"{out}.build-{os.getpid()}"
-    build_trained_quantizer(spark, sf_dir, tmp, num_centroids, iters)
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 def trained_quantizer_centroids(

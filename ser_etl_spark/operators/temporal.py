@@ -62,17 +62,30 @@ def asof_join(
         ).alias("_l"),
         F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
     )
+    return (
+        _asof_last_match(l_tagged.unionByName(r_tagged))
+        .select(F.col("_l").alias("left"), "matched")
+        .select("left.*", "matched")
+    )
+
+
+def _asof_last_match(tagged: DataFrame) -> DataFrame:
+    """The as-of WINDOW CORE shared by :func:`asof_join` and its
+    single-scan twin ``purchase_attribution`` (r10 review: the twin
+    previously inlined a byte-copy of this step, so a future tie/NULL
+    semantics fix could silently diverge): per key ``_k``, order by
+    ``(_ts, _side)`` ascending — a right row at the same timestamp
+    sorts BEFORE the left row, making the match inclusive — and attach
+    the running last non-null right struct; the surviving ``_side = 1``
+    rows are the left side carrying their match (NULL = unmatched)."""
     w = (
         Window.partitionBy("_k")
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("matched", F.last("_r", ignorenulls=True).over(w))
+        tagged.withColumn("matched", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(F.col("_l").alias("left"), "matched")
-        .select("left.*", "matched")
     )
 
 
@@ -109,10 +122,17 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-twin: _side 1=left/0=right, (_ts, _side) ascending so a
     # same-timestamp click sorts before the purchase (ts >= inclusive).
     events = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    # NULL seams (r10 review): a NULL-user or NULL-ts CLICK must never
+    # be a match candidate — the oracle's ASOF equality/inequality
+    # rejects NULLs, while the NULL window-partition (and NULLS-FIRST
+    # ASC _ts) would happily attach it. Purchases are kept regardless
+    # (left-join semantics: they surface with the -1 sentinel).
     ev = events.filter(
         F.col("event_type").isin("purchase", "click")
+    ).filter(
+        is_p | (F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     ).select("event_id", "user_id", "ts", "event_type")
-    is_p = F.col("event_type") == "purchase"
     s = F.struct("event_id", "user_id", "ts")
     tagged = ev.select(
         F.col("user_id").alias("_k"),
@@ -121,16 +141,8 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_p, s).alias("_l"),
         F.when(~is_p, s).alias("_r"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = (
-        tagged.withColumn("matched", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-        .select("_l.event_id", "_l.user_id", F.col("_l.ts").alias("ts"),
-                "matched")
+    joined = _asof_last_match(tagged).select(
+        "_l.event_id", "_l.user_id", F.col("_l.ts").alias("ts"), "matched"
     )
     return joined.select(
         "event_id",

@@ -981,40 +981,21 @@ def ensure_text_postings(spark: SparkSession, sf_dir: str) -> str:
     usable AND fresh (manifest digest matches the live documents
     table), else a per-user tmp cache keyed by the recursive source
     fingerprint — the ``ensure_ann_index`` resolution, third artifact."""
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
-    from ser_etl_spark.artifacts import manifest_fresh, source_fingerprint
+    from ser_etl_spark.artifacts import resolve_artifact
     from ser_etl_spark.sources.parquet import table_path
 
     src = table_path(sf_dir, "documents")
-    published = os.path.join(sf_dir, "documents_text_postings")
-    if (
-        _postings_usable(published)
-        and manifest_fresh(published, src, TEXT_POSTINGS_VERSION)
-    ):
-        return published
-
-    key_src = (
-        f"v{TEXT_POSTINGS_VERSION}:{os.path.realpath(src)}:"
-        f"{source_fingerprint(src)}"
+    return resolve_artifact(
+        published=os.path.join(sf_dir, "documents_text_postings"),
+        source_path=src,
+        version=TEXT_POSTINGS_VERSION,
+        family="text_postings",
+        key_extra="",
+        usable=_postings_usable,
+        build_fn=lambda tmp: build_text_postings(spark, sf_dir, tmp),
     )
-    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: "na")()
-    root = os.path.join(tempfile.gettempdir(), f"ser_etl_text_postings_{uid}")
-    out = os.path.join(root, key)
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    tmp = f"{out}.build-{os.getpid()}"
-    build_text_postings(spark, sf_dir, tmp)
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 def bm25_search_indexed(

@@ -70,8 +70,13 @@ def register(
 #: still applies: rewrites that land in helpers invisible to the
 #: builder/oracle source hash must be held out by hand via
 #: ``scripts/update_verified.py --exclude``. r10 manual holds under
-#: that rule: vocab_growth and doc_rarity_topk (single-scan rewrites in
-#: their operator bodies; wrapper + oracle hashes unchanged).
+#: that rule (single-scan/fold rewrites in operator bodies; wrapper +
+#: oracle hashes unchanged): vocab_growth, doc_rarity_topk,
+#: kmeans_lloyd_step, gap_filled_hourly, rolling_active_users,
+#: stickiness_ratio, benford_leading_digit, lorenz_deciles. That makes
+#: 53 pending against the ~50-entry window — the 3 overflow queries
+#: carry to the next round's window rather than silently keeping a
+#: stale verified status.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -81,7 +86,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "approx_sketches",
     "approx_sketches_twin",
     "basket_lift",
-    "benford_leading_digit",
     "bigram_rare_ratio",
     "bloom_fpr_eval",
     "bm25_search",
@@ -132,7 +136,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "fingerprint",
     "frame_sample",
     "fulfillment_latency",
-    "gap_filled_hourly",
     "group_by",
     "group_ksample",
     "hard_negative_mining",
@@ -148,7 +151,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
-    "kmeans_lloyd_step",
     "kmv_distinct",
     "kmv_distinct_by_source",
     "kmv_overlap",
@@ -163,7 +165,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "length_drift",
     "lexical_diversity",
     "local_supplier_volume",
-    "lorenz_deciles",
     "lsh_ann_multiprobe",
     "lsh_ann_topk",
     "lsh_candidate_budget",
@@ -213,7 +214,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "revenue_forecast",
     "revenue_mom_growth",
     "rfm_segments",
-    "rolling_active_users",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
@@ -241,7 +241,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "span_removal",
     "spend_gini",
     "stats_moments",
-    "stickiness_ratio",
     "stocked_parts_promotion",
     "stratified_sample",
     "streaming_burst_flags",

@@ -1078,6 +1078,17 @@ class TestHttpIngress:
         # no Origin → no CORS headers
         _, _, h = self._get(app, "/health")
         assert "Access-Control-Allow-Origin" not in h
+        # credentialed (cookie-bearing) request under allow-all: the
+        # origin is ECHOED with Vary instead of the literal * — a
+        # starred credentialed response is invalid and starlette's
+        # has_cookie branch echoes (r10 review finding)
+        _, _, h = self._get(
+            app, "/health", headers={
+                "Origin": "https://dash.example", "Cookie": "sid=1",
+            },
+        )
+        assert h["Access-Control-Allow-Origin"] == "https://dash.example"
+        assert h["Vary"] == "Origin"
 
     def test_cors_restricted_origin_echo_and_vary(self, engine):
         """A restricted origin list echoes the matching origin (with
@@ -1091,10 +1102,15 @@ class TestHttpIngress:
         )
         assert h["Access-Control-Allow-Origin"] == "https://ok.example"
         assert h["Vary"] == "Origin"
+        # a disallowed origin is withheld the allow-origin header, but
+        # the config headers (credentials, Vary) still ride — exactly
+        # starlette's precomputed simple_headers
         _, _, h = self._get(
             app, "/health", headers={"Origin": "https://evil.example"},
         )
         assert "Access-Control-Allow-Origin" not in h
+        assert h["Vary"] == "Origin"
+        assert h["Access-Control-Allow-Credentials"] == "true"
 
     def test_cors_preflight(self, engine):
         """OPTIONS + Access-Control-Request-Method is answered 200
@@ -1117,25 +1133,38 @@ class TestHttpIngress:
         assert h["Access-Control-Allow-Headers"] == "authorization"
         assert h["Access-Control-Max-Age"] == "600"
         assert h["Access-Control-Allow-Credentials"] == "true"
-        # disallowed method
-        st, body, _ = self._get(
+        # disallowed method: 400 WITH the accumulated preflight headers
+        # (starlette returns its failure response headers=preflight)
+        st, body, h = self._get(
             app, "/query", method="OPTIONS", headers={
                 "Origin": "https://dash.example",
                 "Access-Control-Request-Method": "DELETE",
             },
         )
         assert st == 400 and "CORS" in body["detail"]
-        # disallowed origin under a restricted list
+        assert h["Access-Control-Allow-Methods"] == "GET, POST"
+        assert h["Access-Control-Allow-Origin"] == "*"  # allow-all rides
+        # disallowed origin under a restricted list: 400, no allow-origin
         rapp = GatewayHTTP(app.front, cors_origins=["https://ok.example"])
-        st, _, _ = self._get(
+        st, _, h = self._get(
             rapp, "/query", method="OPTIONS", headers={
                 "Origin": "https://evil.example",
                 "Access-Control-Request-Method": "GET",
             },
         )
         assert st == 400
+        assert "Access-Control-Allow-Origin" not in h
+        assert h["Vary"] == "Origin"
         # plain OPTIONS (no request-method header): not a preflight
         assert self._get(app, "/query", method="OPTIONS")[0] == 405
+        # OPTIONS with a request-method header but NO Origin: starlette
+        # gates on Origin first, so this passes through to the app (405)
+        # rather than being treated as a (failed) preflight
+        st, _, _ = self._get(
+            app, "/query", method="OPTIONS",
+            headers={"Access-Control-Request-Method": "GET"},
+        )
+        assert st == 405
 
     def test_serves_over_a_real_socket(self, engine):
         """End-to-end through the stdlib WSGI server: the same app

@@ -192,3 +192,45 @@ def test_transition_matrix_exact_counts_and_probs(spark):
         ("click", "view"): (1, 0.5),
         ("click", "purchase"): (1, 0.5),
     }
+
+
+def test_purchase_attribution_null_click_seams(spark, monkeypatch, tmp_path):
+    """NULL-user or NULL-ts clicks are never match candidates (the
+    oracle's ASOF equality rejects NULLs; the window form must too),
+    while NULL-user purchases still surface with the -1 sentinel."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, t0, 7, "click"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "purchase"),   # matches 1
+        (3, t0, None, "click"),          # NULL-user click: never matches
+        (4, t0 + dt.timedelta(minutes=1), None, "purchase"),  # -1
+        (5, None, 8, "click"),           # NULL-ts click: never matches
+        (6, t0 + dt.timedelta(minutes=2), 8, "purchase"),   # -1
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from ser_etl_spark.operators.temporal import purchase_attribution
+
+    got = {
+        r["event_id"]: r
+        for r in purchase_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got[2]["click_id"] == 1 and got[2]["gap_s"] == 300
+    assert got[4]["click_id"] == -1 and got[4]["gap_s"] == -1
+    assert got[6]["click_id"] == -1 and got[6]["gap_s"] == -1
