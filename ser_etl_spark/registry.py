@@ -62,21 +62,12 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-10 curation (regenerated from the r1-r9 union, 211 green —
-#: zero verification debt per VERDICT r9): every currently registered
-#: query has a driver-recorded green row at its current source, so the
-#: r10 window starts EMPTY and is spent only on queries this round
-#: rewrites (hash-rotated automatically) or adds. Shared-helper rule
-#: still applies: rewrites that land in helpers invisible to the
-#: builder/oracle source hash must be held out by hand via
-#: ``scripts/update_verified.py --exclude``. r10 manual holds under
-#: that rule (single-scan/fold rewrites in operator bodies; wrapper +
-#: oracle hashes unchanged): vocab_growth, doc_rarity_topk,
-#: kmeans_lloyd_step, gap_filled_hourly, rolling_active_users,
-#: stickiness_ratio, benford_leading_digit, lorenz_deciles. That makes
-#: 53 pending against the ~50-entry window — the 3 overflow queries
-#: carry to the next round's window rather than silently keeping a
-#: stale verified status.
+#: Round-11 curation: regenerated from the r1-r10 union (217 green).
+#: Held out per the standing debt rule (VERDICT r10 item 1): the three
+#: r10 rewrites that overflowed the r10 window — series_autocorr,
+#: stickiness_ratio, changepoint_cusum — start the r11 window so their
+#: current source gets a driver row first. Shared-helper rule still
+#: applies for deep rewrites invisible to the builder/oracle hash.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -86,6 +77,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "approx_sketches",
     "approx_sketches_twin",
     "basket_lift",
+    "benford_leading_digit",
     "bigram_rare_ratio",
     "bloom_fpr_eval",
     "bm25_search",
@@ -94,7 +86,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "brand_size_skyline",
     "burst_detection",
     "centroid_similarity_matrix",
-    "changepoint_cusum",
     "charclass_profile",
     "churned_buyers",
     "code_switch_share",
@@ -105,9 +96,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "corr_matrix",
     "count_min_tokens",
     "count_star",
+    "curriculum_stage_histogram",
     "customer_order_distribution",
     "customer_spend_quartiles",
     "dataset_split",
+    "decayed_activity_topk",
     "decontamination",
     "decontamination_bloom",
     "dedup_canonical",
@@ -119,11 +112,13 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dim_variance_screen",
     "disjunctive_revenue",
     "doc_chunks",
+    "doc_rarity_topk",
     "doc_repetition",
     "dominant_lang_share",
     "dup_source_matrix",
     "embedding_centroids",
     "embedding_drift",
+    "embedding_health_audit",
     "embedding_neardup",
     "embedding_pca_step",
     "embedding_project",
@@ -136,6 +131,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "fingerprint",
     "frame_sample",
     "fulfillment_latency",
+    "gap_filled_hourly",
     "group_by",
     "group_ksample",
     "hard_negative_mining",
@@ -146,11 +142,15 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "incremental_scan",
     "inventory_turnover_topk",
     "ivf_ann_topk",
+    "ivf_ann_topk_trained",
     "ivf_assign",
+    "ivf_list_balance_trained",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
+    "kmeans_lloyd_step",
+    "kmeans_train_readout",
     "kmv_distinct",
     "kmv_distinct_by_source",
     "kmv_overlap",
@@ -165,9 +165,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "length_drift",
     "lexical_diversity",
     "local_supplier_volume",
+    "lorenz_deciles",
     "lsh_ann_multiprobe",
     "lsh_ann_topk",
     "lsh_candidate_budget",
+    "mad_length_outliers",
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
@@ -204,8 +206,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "promo_revenue",
     "purchase_attribution",
     "quality_by_lang",
+    "quality_canonical_dedup",
     "quality_filter_funnel",
     "quality_score",
+    "quantization_error_profile",
     "range_partition_boundaries",
     "referential_integrity",
     "repeat_buyers",
@@ -214,6 +218,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "revenue_forecast",
     "revenue_mom_growth",
     "rfm_segments",
+    "rolling_active_users",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
@@ -222,7 +227,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "select_columns",
     "semdedup_canonical",
     "series_anomalies",
-    "series_autocorr",
     "series_similarity_topk",
     "session_concurrency",
     "sessionize_events",
@@ -276,6 +280,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "value_outliers_mad",
     "vector_quality_audit",
     "view_click_interval",
+    "vocab_growth",
     "where_filter",
     "window_running_total",
     "window_topn_per_group",
