@@ -143,8 +143,10 @@ def resolve_artifact(
        the live source at ``version`` — a stale or incomplete published
        copy is never served.
     2. Else resolve a per-user cache dir under
-       ``$TMPDIR/ser_etl_<family>_<uid>`` (mode 0700 — a world-shared
-       fixed path could be pre-created/poisoned by another local user),
+       ``$TMPDIR/ser_etl_<family>_<uid>`` (mode 0700, with ownership
+       and mode VERIFIED after makedirs — a world-shared fixed path
+       could be pre-created/poisoned by another local user, and
+       makedirs alone would silently accept it; r10 ADVICE),
        keyed by sha256 of ``v<version>:<realpath>:<fingerprint><extra>``
        so any source change re-keys and rebuilds. A concurrent builder
        losing the ``os.replace`` rename race simply discards its copy.
@@ -161,12 +163,29 @@ def resolve_artifact(
         f"{source_fingerprint(source_path)}{key_extra}"
     )
     key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
-    uid = getattr(os, "getuid", lambda: "na")()
-    root = os.path.join(tempfile.gettempdir(), f"ser_etl_{family}_{uid}")
+    uid = getattr(os, "getuid", lambda: None)()
+    root = os.path.join(
+        tempfile.gettempdir(), f"ser_etl_{family}_{uid if uid is not None else 'na'}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    # makedirs does NOT re-apply the mode to a pre-existing directory,
+    # and a cached artifact is served on _SUCCESS alone — so verify the
+    # root is actually ours and private BEFORE trusting anything under
+    # it (r10 ADVICE: a local attacker who pre-creates the fixed path
+    # world-writable could plant a poisoned keyed artifact). A root we
+    # own with loose bits is re-tightened; a root owned by someone else
+    # can't be fixed — fall back to a fresh private directory (cache
+    # miss every call in that pathological case, never poisoned data).
+    import stat as _stat
+
+    st = os.stat(root)
+    if uid is not None and st.st_uid != uid:
+        root = tempfile.mkdtemp(prefix=f"ser_etl_{family}_")
+    elif _stat.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(root, 0o700)
     out = os.path.join(root, key)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    os.makedirs(root, mode=0o700, exist_ok=True)
     tmp = f"{out}.build-{os.getpid()}"
     build_fn(tmp)
     try:

@@ -266,14 +266,18 @@ def build_snapshot(
                     or c.delta_rows == 0
                     or _dim(c.delta, "embedding") is not None
                 )
-                # a delta row whose key falls in the quantizer id range
-                # (vec_id < IVF_CENTROIDS) would change the centroids a
-                # full rebuild derives from the grown table, while the
-                # carried index keeps the PRIOR frozen quantizer — the
-                # refreshed manifest would then mark a divergent index
-                # fresh (r9 ADVICE). Such cycles re-derive fully. The
-                # probe is delta-sized (limit-1 over the delta's key
-                # column); a missing key column is conservative-false.
+                # a delta row whose key falls in the quantizer SEED id
+                # range (vec_id < IVF_CENTROIDS) changes the seeds a
+                # full retrain would start from — the identity of the
+                # quantizer itself, not just its refinement — so such
+                # cycles re-derive (and retrain) fully rather than
+                # upserting under a seed set the grown table no longer
+                # contains (r9 ADVICE, carried into the r11 trained
+                # quantizer: ordinary deltas append under the FROZEN
+                # trained quantizer by design — train-once-freeze — but
+                # seed-range edits invalidate the freeze). The probe is
+                # delta-sized (limit-1 over the delta's key column); a
+                # missing key column is conservative-false.
                 if can and c is not None and c.delta_rows:
                     from ser_etl_spark.operators.similarity import (
                         IVF_CENTROIDS,
@@ -292,15 +296,45 @@ def build_snapshot(
                 )
                 if carried:
                     # carry + delta upsert: O(files) links + O(delta)
-                    # layout work, never a corpus re-derive
+                    # layout work, never a corpus re-derive. The frozen
+                    # in-index quantizer (`_quantizer/`, hardlinked with
+                    # the partitions) keeps assignments consistent —
+                    # train-once-freeze, the production IVF rule.
                     if c.delta_rows:
                         upsert_ann_index(df.sparkSession, idx_dir, c.delta)
                 else:
+                    # full (re)build: TRAIN the coarse quantizer from
+                    # this table (3 data-sized Lloyd jobs — the honest
+                    # index-build cost), lay out with it, persist the
+                    # frozen copy inside the index AND publish the
+                    # trained-quantizer artifact next to the table so
+                    # query-time resolution serves it with zero retrain.
+                    from ser_etl_spark.operators.similarity import (
+                        TRAINED_QUANTIZER_VERSION,
+                        kmeans_train,
+                        write_quantizer_table,
+                    )
+
+                    cents, _ = kmeans_train(df)
                     (
-                        ann_layout_frame(df)
+                        ann_layout_frame(df, centroids=cents)
                         .write.mode("overwrite")
                         .partitionBy("srp_bucket", "centroid_id")
                         .parquet(idx_dir)
+                    )
+                    write_quantizer_table(
+                        df.sparkSession,
+                        cents,
+                        os.path.join(idx_dir, "_quantizer"),
+                    )
+                    qdir = os.path.join(
+                        out_dir, f"{name}_trained_quantizer"
+                    )
+                    write_quantizer_table(df.sparkSession, cents, qdir)
+                    write_manifest(
+                        qdir,
+                        os.path.join(out_dir, name),
+                        TRAINED_QUANTIZER_VERSION,
                     )
                 # freshness manifest (ADVICE r8): digest of the table
                 # dir written above — relative paths/mtimes survive

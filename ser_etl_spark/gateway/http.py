@@ -201,9 +201,15 @@ class GatewayHTTP:
             ("Access-Control-Allow-Credentials", "true"),
         ]
         if self._allow_all:
-            # the literal * rides even a failed preflight (starlette's
-            # preconfigured preflight_headers)
-            headers.append(("Access-Control-Allow-Origin", "*"))
+            # credentials are always on here, so starlette 0.27 (pinned
+            # via the reference's fastapi==0.105.0) takes its
+            # preflight_explicit_allow_origin branch: the preflight
+            # ECHOES the request origin with Vary: Origin and never
+            # sends the literal '*' — a credentialed preflight answered
+            # with '*' is rejected by browsers (r10 ADVICE). Under '*'
+            # every origin is allowed, so the echo is unconditional.
+            headers.append(("Access-Control-Allow-Origin", origin))
+            headers.append(("Vary", "Origin"))
         else:
             headers.append(("Vary", "Origin"))
             if origin in self.cors_origins:

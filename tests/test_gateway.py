@@ -1128,7 +1128,12 @@ class TestHttpIngress:
             },
         )
         assert st == 200  # no token on the preflight, yet not 401
-        assert h["Access-Control-Allow-Origin"] == "*"
+        # allow-all + credentials: starlette's preflight_explicit_allow_
+        # origin branch ECHOES the origin with Vary: Origin — never the
+        # literal '*', which browsers reject on credentialed preflights
+        # (r10 ADVICE)
+        assert h["Access-Control-Allow-Origin"] == "https://dash.example"
+        assert h["Vary"] == "Origin"
         assert h["Access-Control-Allow-Methods"] == "GET, POST"
         assert h["Access-Control-Allow-Headers"] == "authorization"
         assert h["Access-Control-Max-Age"] == "600"
@@ -1143,7 +1148,9 @@ class TestHttpIngress:
         )
         assert st == 400 and "CORS" in body["detail"]
         assert h["Access-Control-Allow-Methods"] == "GET, POST"
-        assert h["Access-Control-Allow-Origin"] == "*"  # allow-all rides
+        # the echoed origin rides even a failed preflight (starlette
+        # returns its failure response headers=preflight)
+        assert h["Access-Control-Allow-Origin"] == "https://dash.example"
         # disallowed origin under a restricted list: 400, no allow-origin
         rapp = GatewayHTTP(app.front, cors_origins=["https://ok.example"])
         st, _, h = self._get(
