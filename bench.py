@@ -123,6 +123,10 @@ def main() -> None:
     # 7.9s cold first run — the spread IS Arrow/Python warmup + host
     # noise, same class as pack_sequences r8 (which recovered r9).
     # No fix needed; the min-of-2 below already absorbs the cold run.
+    # r11 triage of series_anomalies (r9 1.19s -> r10 1.63s raw; only
+    # change was the tie-safe fround conversion): min-of-5 at sf0.1 =
+    # 1.261s with a 10.6s cold first run — in band with r9; the r10
+    # reading was host noise, per the VERDICT r10 #6 expectation.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for entries in by_module.values():

@@ -1287,10 +1287,27 @@ def token_budget_selection(
         (F.size(F.array_distinct(toks)) * F.lit(10000)).alias("_d10k"),
     ).select(
         "doc_id", "source", "ntok",
-        F.expr("_d10k div ntok").alias("priority"),
+        # coalesce never fires (ntok >= 1 after the nullif guard, both
+        # operands non-null) — it exists to mark the column NON-NULLABLE
+        # so the band join below infers no isnotnull(priority) on its
+        # stream side only, which would de-canonicalize the two shared
+        # exchange subtrees and block the runtime ReusedExchange
+        F.expr("coalesce(_d10k div ntok, -1)").alias("priority"),
     )
-    totals = base.groupBy("source", "priority").agg(
-        F.sum("ntok").alias("band_tokens")
+    # Within-band cumsum FIRST (parallel window per (source, priority)
+    # band), so the band totals fall out of the SAME window output as
+    # its running maximum — both consumers then share one identical
+    # exchange(source, priority) subtree, which AQE's ReusedExchange
+    # collapses to a single tokenizing scan at runtime (the static plan
+    # shows 2; the runtime gate in tests/test_plans.py pins the reuse).
+    wd = (
+        Window.partitionBy("source", "priority")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_band = base.withColumn("in_band_cum", F.sum("ntok").over(wd))
+    totals = in_band.groupBy("source", "priority").agg(
+        F.max("in_band_cum").alias("band_tokens")
     )
     wb = (
         Window.partitionBy("source")
@@ -1304,15 +1321,10 @@ def token_budget_selection(
             "band_offset"
         ),
     )
-    wd = (
-        Window.partitionBy("source", "priority")
-        .orderBy(F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = base.join(
+    ranked = in_band.join(
         F.broadcast(offsets), ["source", "priority"]
     ).withColumn(
-        "cum_tokens", F.col("band_offset") + F.sum("ntok").over(wd)
+        "cum_tokens", F.col("band_offset") + F.col("in_band_cum")
     )
     picked = ranked.filter(
         F.col("cum_tokens") - F.col("ntok") < F.lit(budget)

@@ -312,6 +312,14 @@ def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+#: Driver-iteration telemetry: every label-propagation round bumps this.
+#: The rounds run inside the driver loop (localCheckpoint per round), so
+#: the static scan-budget gate sees an empty plan; tests/test_plans.py
+#: pins the DELTA of this counter instead — an extra round (or a shape
+#: change that stops convergence) can't hide (VERDICT r10 #7).
+DRIVER_PASSES = {"propagation": 0}
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """Connected components over ``(doc_a, doc_b)`` duplicate pairs:
     ``(doc_id, cluster_id, is_survivor)`` with ``cluster_id`` = the
@@ -374,6 +382,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     prev_sum = label_sum(labels) if numeric_ids else None
     changed = -1
     for _ in range(max_iter):
+        DRIVER_PASSES["propagation"] += 1
         updated = _propagation_round(edges, labels).localCheckpoint()
         if numeric_ids:
             new_sum = label_sum(updated)

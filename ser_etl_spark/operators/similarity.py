@@ -689,6 +689,7 @@ def ivf_ann_topk(
     num_centroids: int = IVF_CENTROIDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float] | None]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact search over the query's ``nprobe``
     nearest inverted lists only.
@@ -696,9 +697,15 @@ def ivf_ann_topk(
     Probing more lists trades scan cost for recall (nprobe=K degenerates
     to brute force). With centroid-partitioned storage the filter below
     becomes partition pruning — only ``nprobe`` of ``num_centroids``
-    partitions are read at all.
+    partitions are read at all. ``centroids`` injects the quantizer
+    (pass an index's frozen table to replay its probes scan-time);
+    default derives the first-K seeds.
     """
-    cents = ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vectors, num_centroids, vec_col, id_col)
+    )
     q = [float(v) for v in query_vec]
     probes = _ivf_probe_ids(q, cents, nprobe)
     dim = len(q)
@@ -4047,6 +4054,15 @@ def kmeans_lloyd_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINED_QUANTIZER_VERSION = 2
 
 
+#: Driver-iteration telemetry: every ``_lloyd_pass`` E+M job bumps this.
+#: Training scans the corpus inside driver collects — invisible to the
+#: static plan, so the scan-budget gate (tests/test_plans.py) pins the
+#: DELTA of this counter around building ``kmeans_train_readout``
+#: instead of an empty multiset: a hidden fourth pass can't hide
+#: (VERDICT r10 #7).
+DRIVER_PASSES = {"lloyd": 0}
+
+
 def _lloyd_pass(
     vectors: DataFrame,
     cents: list[tuple[int, list[float] | None]],
@@ -4065,6 +4081,7 @@ def _lloyd_pass(
     quantized to BIGINTs IN-ENGINE (``round((mu-o)^2 * 1e9)``) so the
     driver only ever sums exact integers — Python's banker's rounding
     never touches a value."""
+    DRIVER_PASSES["lloyd"] += 1
     spark = vectors.sparkSession
     dim0 = next(len(v) for _, v in cents if v is not None)
     p = vectors.select(

@@ -120,6 +120,9 @@ FULL_QUERIES = [
     "kmeans_train_readout",
     "ivf_ann_topk_trained",
     "ivf_list_balance_trained",
+    # r11: the trained-vs-seed recall readout replays both quantizers'
+    # E-steps and probe choices over the seam rows
+    "ivf_recall_trained_vs_seed",
 ]
 
 REDUCED_QUERIES = [

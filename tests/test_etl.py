@@ -727,8 +727,14 @@ class TestIncrementalArtifactCarry:
         assert len(idx2) > len(idx1) and len(bands2) > len(bands1)
         assert len(posts2) > len(posts1)
 
-        # equivalence: carried+upserted artifact == full re-derive
+        # equivalence: carried+upserted artifact == rebuild of the grown
+        # table WITH THE INDEX'S FROZEN quantizer (train-once-freeze,
+        # v3: the quantizer was trained on the base corpus at the snap1
+        # build and rides inside the index; upserts never retrain)
         grown_e = base_e.unionByName(delta_e).drop("updated_at")
+        frozen = S.index_centroids(
+            spark, os.path.join(snap2, "embeddings_ann_index")
+        )
         got_idx = sorted(
             tuple(r)
             for r in spark.read.parquet(
@@ -737,10 +743,12 @@ class TestIncrementalArtifactCarry:
         )
         want_idx = sorted(
             tuple(r)
-            for r in S.ann_layout_frame(grown_e)
+            for r in S.ann_layout_frame(grown_e, centroids=frozen)
             .select("vec_id", "srp_bucket", "centroid_id").collect()
         )
         assert got_idx == want_idx
+        # and the frozen quantizer IS the base-corpus training result
+        assert frozen == S.kmeans_train(base_e.drop("updated_at"))[0]
         grown_d = base_d.unionByName(delta_d).drop("updated_at")
         got_b = sorted(
             tuple(r)
@@ -836,7 +844,9 @@ class TestIncrementalArtifactCarry:
         assert not any(idx2.get(rel) == ino for rel, ino in idx1.items())
 
         # and the re-derived index equals a full rebuild over the grown
-        # table — centroid 7 participates in every assignment
+        # table — including a RETRAIN of the quantizer on the grown
+        # corpus (the seed-range delta invalidated the freeze), so
+        # centroid 7 participates in every assignment
         grown = base.unionByName(delta).drop("updated_at")
         got = sorted(
             tuple(r)
@@ -844,9 +854,10 @@ class TestIncrementalArtifactCarry:
                 os.path.join(snap2, "embeddings_ann_index")
             ).select("vec_id", "srp_bucket", "centroid_id").collect()
         )
+        retrained = S.kmeans_train(grown)[0]
         want = sorted(
             tuple(r)
-            for r in S.ann_layout_frame(grown)
+            for r in S.ann_layout_frame(grown, centroids=retrained)
             .select("vec_id", "srp_bucket", "centroid_id").collect()
         )
         assert got == want
@@ -988,7 +999,9 @@ class TestIncrementalArtifactCarry:
         grown = load_table(spark, snap2, "embeddings").drop("updated_at")
         want = sorted(
             tuple(r)
-            for r in S.ann_layout_frame(grown)
+            for r in S.ann_layout_frame(
+                grown, centroids=S.kmeans_train(grown)[0]
+            )
             .select("vec_id", "srp_bucket", "centroid_id").collect()
         )
         assert got == want

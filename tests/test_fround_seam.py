@@ -189,3 +189,114 @@ def test_minhash_est_tie_value():
         f"SELECT {sql_fround('2.0 / 64.0', 4)}"
     ).fetchone()[0]
     assert duck == _serial_fround(2.0 / 64.0, 4) == 0.0313
+
+
+# ---------------------------------------------------------------------------
+# r11: the float-cosine presentation class (ROUNDING_AUDIT sites 34-43)
+# ---------------------------------------------------------------------------
+
+#: Adversarial embedding (float32-exact components): with query
+#: a = [1, 0, 0] and the engines' exact op order
+#: (dot = b0; norm = sqrt((b0^2 + b2^2) + b3^2); q = dot / (1.0 * norm))
+#: the computed cosine is EXACTLY the double 0.07125 — a 5th-place
+#: decimal tie where Spark's string-HALF_UP round(x, 4) gives 0.0713 and
+#: DuckDB's binary round gives 0.0712. Found by tuning b3 (the fine
+#: knob: float32 granularity of b3^2 lands several candidates per
+#: double-ulp of the norm's radicand).
+_ADV_B = [0.07158000022172928, 1.0020782947540283, 0.00010208920139120892]
+_ADV_Q = [1.0, 0.0, 0.0]
+
+
+def test_adversarial_cosine_corpus(spark, tmp_path):
+    """The r10 audit deferred the float-cosine round(x, 4) sites on a
+    "ties unreachable except by adversarial construction" argument.
+    This test IS that construction: a float32 corpus whose cosine lands
+    exactly on a divergent tie double — the OLD round(x, 4) provably
+    disagrees across engines on it, and the r11 floor-form presentation
+    (_present_round / _duck_f) agrees bit-exactly on every row,
+    degenerate rows (NaN element, zero norm) included."""
+    import numpy as np
+
+    from ser_etl_spark.operators.similarity import (
+        _dot_lit_sql,
+        _duck_dot,
+        _duck_f,
+        _duck_norm,
+        _norm_sql,
+        _present_round,
+        _pynorm,
+    )
+
+    # preconditions: components are float32-exact and the serial replay
+    # of the engines' op order hits the tie double with repr "0.07125"
+    for v in _ADV_B:
+        assert float(np.float32(v)) == v
+    b0, b2, b3 = _ADV_B
+    s = (b0 * b0 + b2 * b2) + b3 * b3
+    q_serial = b0 / (1.0 * math.sqrt(s))
+    assert repr(q_serial) == "0.07125"
+
+    rows = [
+        (0, _ADV_B, 0),            # the tie row
+        (1, [float("nan"), 1.0, 0.0], 0),   # NaN cosine
+        (2, [0.0, 0.0, 0.0], 0),   # zero norm -> NULL via nullif
+        (3, [0.25, -0.5, 1.0], 0),  # plain control
+    ]
+    from tests.test_edge_vectors_parity import _write_embeddings
+
+    path = str(tmp_path / "adv.parquet")
+    _write_embeddings(path, rows)
+
+    dim = 3
+    raw = (
+        f"{_dot_lit_sql('embedding', _ADV_Q)}"
+        f" / nullif(({_norm_sql('embedding', dim)})"
+        f" * ({_pynorm(_ADV_Q)!r}), 0.0D)"
+    )
+    df = spark.read.parquet(path)
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    got = {
+        r["vec_id"]: (r["old"], r["new"])
+        for r in df.select(
+            "vec_id",
+            F.expr(f"round({raw}, 4)").alias("old"),
+            (F.expr(raw) + barrier).alias("_rcs"),
+        )
+        .select(
+            "vec_id", "old", _present_round(F.col("_rcs"), 4).alias("new")
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    qlit = "[" + ", ".join(repr(v) for v in _ADV_Q) + "]::DOUBLE[]"
+    raw_d = (
+        f"{_duck_dot('embedding', qlit, dim)}"
+        f" / nullif({_duck_norm('embedding', dim)}"
+        f" * {_duck_norm(qlit, dim)}, 0.0)"
+    )
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT vec_id, round({raw_d}, 4), {_duck_f(raw_d, 4)} "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    }
+
+    # 1. the OLD round is a LIVE cross-engine divergence on the tie row
+    assert got[0][0] == 0.0713 and duck[0][0] == 0.0712, (got[0], duck[0])
+    # 2. the floor form agrees everywhere, NaN/NULL rows included
+    for vid in (0, 1, 2, 3):
+        s_new, d_new = got[vid][1], duck[vid][1]
+        if s_new is None or d_new is None:
+            assert s_new is None and d_new is None, (vid, s_new, d_new)
+        elif math.isnan(s_new) or (
+            isinstance(d_new, float) and math.isnan(d_new)
+        ):
+            assert math.isnan(s_new) and math.isnan(d_new), (vid, s_new, d_new)
+        else:
+            assert s_new == d_new, (vid, s_new, d_new)
+    # and the tie row's floor form follows the BINARY value (which sits
+    # just below the decimal tie — fl(q*1e4 + 0.5) stays under 713) on
+    # BOTH engines: the answer is deterministic, not split
+    assert got[0][1] == duck[0][1] == 0.0712

@@ -1018,10 +1018,16 @@ def test_r9_text_quality_plan_shapes(spark, sf_small):
     plan = _plan(spark, sf_small, "context_fit_histogram")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
-    # budget selection: one scan, window partitioned by source
+    # budget selection (two-level prefix sum since r11): the static plan
+    # shows both consumers of the shared (source, priority) window — two
+    # scans statically, ONE at runtime via ReusedExchange (pinned by
+    # test_runtime_exchange_reuse_for_shared_aggregates); the within-band
+    # window partitions by (source, priority)
     plan = _plan(spark, sf_small, "token_budget_selection")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
-    assert re.search(r"hashpartitioning\(source", plan), plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
+    assert re.search(
+        r"hashpartitioning\(source#\d+, priority#\d+", plan
+    ), plan[:2000]
 
 
 def test_r9_vector_and_analytics_plan_shapes(spark, sf_small):
@@ -1070,20 +1076,36 @@ def test_scan_budget_multiset(spark, sf_small, name):
     fails here until scripts/gen_scan_budget.py is deliberately re-run
     and the diff reviewed. Queries that single-scan only at RUNTIME
     (AQE ReusedExchange, e.g. doc_rarity_topk) keep their static count;
-    the runtime gate below covers the reuse."""
-    import os
+    the runtime gate below covers the reuse.
 
-    from scripts.gen_scan_budget import scan_multiset
+    Artifact-building queries whose corpus scans happen inside
+    driver-collected iterations (training loops, label propagation)
+    additionally pin a ``<driver:...>`` iteration count measured while
+    BUILDING the query — 'scans outside the final plan', distinguished
+    from 'no scans' (VERDICT r10 #7): a hidden extra pass fails here."""
+    from scripts.gen_scan_budget import build_with_driver_passes, scan_multiset
 
-    plan = _plan(spark, sf_small, name)
-    assert scan_multiset(plan) == SCAN_BUDGET[name], plan[:2000]
+    df, off_plan = build_with_driver_passes(QUERIES[name], spark, sf_small)
+    plan = explain_string(df, "formatted")
+    assert {**scan_multiset(plan), **off_plan} == SCAN_BUDGET[name], (
+        off_plan,
+        plan[:2000],
+    )
 
 
-def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small):
-    """Queries whose two consumers share one shuffled aggregate rely on
+@pytest.mark.parametrize(
+    "name", ["doc_rarity_topk", "token_budget_selection"]
+)
+def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small, name):
+    """Queries whose two consumers share one shuffled subtree rely on
     AQE's runtime ReusedExchange (the static plan shows both subtrees).
-    Execute and assert the FINAL adaptive plan scans the corpus once."""
-    df = QUERIES["doc_rarity_topk"].builder(spark, sf_small)
+    Execute and assert the FINAL adaptive plan scans the corpus once.
+    token_budget_selection joined the list in r11: its two-level prefix
+    sum derives band totals from the SAME (source, priority) window
+    output the selection consumes, and the non-nullable priority key
+    keeps the two exchange subtrees canonical-identical (a one-sided
+    inferred isnotnull(priority) used to block the reuse)."""
+    df = QUERIES[name].builder(spark, sf_small)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     final = final.split("== Initial Plan ==")[0]
