@@ -1261,9 +1261,24 @@ def _duck_elem(arr: str, i: int) -> str:
 
 
 def _duck_dot(a: str, b: str, dim: int) -> str:
-    return "(" + " + ".join(
-        f"{_duck_elem(a, i)}*{_duck_elem(b, i)}" for i in range(dim)
-    ) + ")"
+    """Left-to-right IEEE dot product as a folded list expression.
+
+    ``list_reduce`` seeds the fold with the FIRST term (no 0.0 init)
+    and accumulates strictly left-to-right, so the result is
+    bit-identical to the Spark side's unrolled ``a[0]*b[0] + a[1]*b[1]
+    + ...`` chain — including NULL propagation (any NULL/out-of-bounds
+    component nulls the whole fold on both engines) and NaN/Inf.
+    The fold REPLACED the textual per-dim unroll in r11: each unrolled
+    cosine was ~17 KB of SQL and the index-family oracles spliced dozens
+    of them, driving DuckDB's expression allocator past the kernel's
+    ``vm.max_map_count`` (65 530 maps) when the Spark JVM shares the
+    process — the driver's own harness topology (bad_alloc at 16 KB
+    with 125 GB free; pinned by tests/test_oracle_sql_budget.py)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"_di -> CAST(({a})[_di] AS DOUBLE)*CAST(({b})[_di] AS DOUBLE)), "
+        f"(_dx, _dy) -> _dx + _dy)"
+    )
 
 
 def _duck_norm(arr: str, dim: int) -> str:
@@ -2093,28 +2108,28 @@ def _quantized_rescore_indexed_oracle(
         f" * {_duck_norm('q.qv', dim)}, 0.0)"
     )
 
-    def elem(i: int) -> str:
-        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
-
+    # folded forms (r11): pairwise-greatest and left-to-right add folds
+    # are bit-identical to the old variadic/unrolled text (NULL-skip
+    # greatest, NaN-top, NULL-poisoning '+') — the unroll was the
+    # map-count blow-up _duck_dot's docstring describes
+    elem = "CAST(embedding[_di] AS DOUBLE)"
     mx = (
-        "greatest(1e-30, "
-        + ", ".join(f"abs({elem(i)})" for i in range(dim))
-        + ")"
+        f"greatest(1e-30, list_reduce(list_transform(range(1, {dim + 1}), "
+        f"_di -> abs({elem})), (_dx, _dy) -> greatest(_dx, _dy)))"
     )
-    comps = ", ".join(
-        f"TRY_CAST(round({elem(i)} * 127.0 / mx) AS INTEGER)"
-        for i in range(dim)
+    comps = (
+        f"list_transform(range(1, {dim + 1}), "
+        f"_di -> TRY_CAST(round({elem} * 127.0 / mx) AS INTEGER))"
     )
-
-    def recon(i: int) -> str:
-        return f"(CAST(qvec[{i + 1}] AS DOUBLE) * scale)"
-
-    rdot = " + ".join(
-        f"{recon(i)}*CAST(q.qv[{i + 1}] AS DOUBLE)" for i in range(dim)
+    recon = "(CAST(qvec[_di] AS DOUBLE) * scale)"
+    rdot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"_di -> {recon}*CAST(q.qv[_di] AS DOUBLE)), (_dx, _dy) -> _dx + _dy)"
     )
-    rnorm = "sqrt(" + " + ".join(
-        f"{recon(i)}*{recon(i)}" for i in range(dim)
-    ) + ")"
+    rnorm = (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"_di -> {recon}*{recon}), (_dx, _dy) -> _dx + _dy))"
+    )
     approx = _duck_f(
         f"({rdot}) / nullif(({rnorm}) * {_duck_norm('q.qv', dim)}, 0.0)", 4
     )
@@ -2142,7 +2157,7 @@ def _quantized_rescore_indexed_oracle(
     ), mq AS (
       SELECT vec_id, embedding, {mx} AS mx FROM pr
     ), qn AS (
-      SELECT vec_id, [{comps}] AS qvec, mx / 127.0 AS scale FROM mq
+      SELECT vec_id, {comps} AS qvec, mx / 127.0 AS scale FROM mq
     ), cand AS (
       SELECT qn.vec_id,
              {approx} AS approx_sim
