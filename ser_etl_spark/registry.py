@@ -328,6 +328,7 @@ def all_queries() -> dict[str, QuerySpec]:
         profiling,
         ranges,
         relational,
+        retrieval,
         sampling,
         semistructured,
         setops,

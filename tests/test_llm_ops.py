@@ -1872,3 +1872,73 @@ class TestIvfRecallTrainedVsSeed:
         )
         # and recall itself stays within one hit per anchor of the seed
         assert tr_hit >= seed_hit - len(anchors)
+
+
+class TestHybridRetrieval:
+    """Behavioral invariants of the retrieval-composition operators
+    (cross-engine parity is covered by tests/test_oracle_parity.py)."""
+
+    def test_rrf_both_arm_docs_dominate(self, spark, sf_small):
+        from ser_etl_spark.operators.retrieval import RRF_K, rrf_fusion
+
+        rows = rrf_fusion(spark, sf_small).collect()
+        assert rows, "fixture corpora are non-empty"
+        for r in rows:
+            expect = 0.0
+            if r["lex_rank"]:
+                expect += 1.0 / (RRF_K + r["lex_rank"])
+            if r["sem_rank"]:
+                expect += 1.0 / (RRF_K + r["sem_rank"])
+            assert r["rrf_score"] == expect
+        # ranking is by fused score with the doc_id tie-break
+        scores = [(r["rrf_score"], -r["doc_id"]) for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # a doc present in BOTH arms beats one holding the same rank in
+        # only one arm
+        both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+        single = [r for r in rows if bool(r["lex_rank"]) != bool(r["sem_rank"])]
+        for b in both:
+            for s in single:
+                lone = s["lex_rank"] or s["sem_rank"]
+                if lone >= max(b["lex_rank"], b["sem_rank"]):
+                    assert b["rrf_score"] > s["rrf_score"]
+
+    def test_mmr_pick1_is_pool_top_and_picks_distinct(self, spark, sf_small):
+        from ser_etl_spark.operators.retrieval import mmr_rerank
+        from ser_etl_spark.operators.similarity import cosine_topk, _query_vector
+
+        picks = mmr_rerank(spark, sf_small).collect()
+        assert len(picks) == 5
+        assert len({p["vec_id"] for p in picks}) == 5
+        assert [p["pick_order"] for p in sorted(picks, key=lambda p: p["pick_order"])] == [1, 2, 3, 4, 5]
+        # pick 1 == the plain cosine argmax excluding the query row
+        vec = _query_vector(spark, sf_small)
+        top = (
+            cosine_topk(load_table(spark, sf_small, "embeddings"), vec, k=2)
+            .filter(F.col("vec_id") != 0)
+            .collect()
+        )
+        p1 = next(p for p in picks if p["pick_order"] == 1)
+        assert p1["vec_id"] == top[0]["vec_id"]
+        assert p1["mmr"] == p1["sim_q"]
+        # later picks trade relevance for diversity: mmr <= sim_q (maxsel
+        # over a pool of non-negative self-similar vectors) and the mmr
+        # sequence is the greedy objective, monotonically non-increasing
+        for p in picks:
+            if p["pick_order"] > 1:
+                assert p["mmr"] <= p["sim_q"]
+
+    def test_knn_graph_bounds(self, spark, vectors):
+        from ser_etl_spark.operators.retrieval import knn_graph_degree_audit
+
+        rows = knn_graph_degree_audit(vectors, k=5).collect()
+        assert rows, "fixture has labeled vectors"
+        for r in rows:
+            assert r["n_edges"] <= 5 * r["n_nodes"]
+            assert 2 * r["n_mutual_pairs"] <= r["n_edges"]
+            assert 0 <= r["reciprocity_bp"] <= 10000
+            if r["n_edges"]:
+                assert (
+                    r["reciprocity_bp"]
+                    == (10000 * 2 * r["n_mutual_pairs"]) // r["n_edges"]
+                )
