@@ -40,6 +40,10 @@ from ser_etl_spark.functions.numeric import fround
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
+#: off-plan corpus-pass counters (scan-budget gate contract — see
+#: scripts/gen_scan_budget.py OFF_PLAN and the dedup.py twin).
+DRIVER_PASSES = {"quantile_rank": 0}
+
 #: Default chunk geometry: 200-char windows advancing by 150 (50 overlap).
 CHUNK_CHARS = 200
 CHUNK_OVERLAP = 50
@@ -1630,3 +1634,139 @@ def snapshot_diff_audit(docs: DataFrame) -> DataFrame:
 )
 def snapshot_diff_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_audit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source quantile normalization of quality scores
+# ---------------------------------------------------------------------------
+
+
+def quality_quantile_normalize(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Quantile-normalize per-source quality scores onto the GLOBAL
+    quality distribution, reporting the ``k`` documents whose score
+    moves the most.
+
+    Heuristic quality scores are not comparable across sources (a
+    boilerplate-heavy crawl scores systematically lower than curated
+    text), so mixing thresholds computed per-source is the standard fix:
+    map each doc's within-source rank ``r`` of ``n_s`` to the global
+    order statistic at position ``ceil((2r-1)·N / (2·n_s))`` (the
+    midpoint plotting position — a single doc maps to the global
+    median). All rank arithmetic is exact BIGINT; the (2r-1)·N product
+    bounds this op at ~2e9 scored docs per run, past which the position
+    math needs a decimal widen (the ``bm25_search`` overflow-note
+    discipline).
+
+    Scale shape: the global rank is NOT a single ORDER BY window — it is
+    the two-level pattern proven by ``shard_manifest``, keyed on the
+    value domain (score bucket ``floor(quality·64)``): per-bucket
+    row_number + cumulative bucket offsets (|buckets| <= 65 rows,
+    broadcast). The within-source rank is a per-source window (the
+    mega-source caveat and its range-partitioned escape hatch are
+    ``token_budget_selection``'s, documented there). The quantile lookup
+    is an equi-join on the target position. The oracle computes the
+    global rank as one naive ORDER BY window — the differential gate
+    thereby PROVES the two-level decomposition equals the serial form.
+
+    NULL-quality docs (empty text) are unrankable and excluded on both
+    engines.
+
+    The scored+globally-ranked table is ``localCheckpoint``-materialized
+    once (the dedup label-propagation discipline): three downstream
+    consumers (per-source ranks, the quantile lookup side, the total)
+    would otherwise each replay the regex-heavy scoring scan — the
+    runtime plan audit showed 9 corpus scans before the checkpoint, 2
+    after (recorded as an off-plan driver pass in the scan budget).
+    """
+    from ser_etl_spark.operators.text import quality_cols
+
+    _, _, score = quality_cols()
+    base = (
+        docs.select("doc_id", "source", score.alias("quality"))
+        .filter(F.col("quality").isNotNull())
+        .withColumn("_b", F.floor(F.col("quality") * F.lit(64.0)).cast("long"))
+    )
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_off")
+    )
+    wg = Window.partitionBy("_b").orderBy("quality", "doc_id")
+    DRIVER_PASSES["quantile_rank"] += 1
+    ranked = (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn("_g", F.col("_off") + F.row_number().over(wg))
+        .localCheckpoint()
+    )
+    totals = ranked.agg(F.count(F.lit(1)).alias("_N"))
+    ws = Window.partitionBy("source").orderBy("quality", "doc_id")
+    wsz = Window.partitionBy("source")
+    src = (
+        ranked.withColumn("_r", F.row_number().over(ws).cast("long"))
+        .withColumn("_ns", F.count(F.lit(1)).over(wsz).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_p", F.expr("((2*_r - 1) * _N + 2*_ns - 1) div (2*_ns)")
+        )
+    )
+    lut = ranked.select(
+        F.col("_g").alias("_p"), F.col("quality").alias("norm_quality")
+    )
+    return (
+        src.join(lut, "_p")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "norm_quality",
+            (F.col("norm_quality") - F.col("quality")).alias("shift"),
+        )
+        .orderBy(F.abs(F.col("shift")).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _quantile_normalize_oracle(k: int = 50) -> str:
+    from ser_etl_spark.operators.text import QUALITY_ORACLE_SQL
+
+    return f"""
+    WITH q0 AS ({QUALITY_ORACLE_SQL}),
+    base AS (
+      SELECT d.doc_id, d.source, q0.quality
+      FROM documents d JOIN q0 USING (doc_id)
+      WHERE q0.quality IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS _g,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS _r,
+             COUNT(*) OVER (PARTITION BY source) AS _ns,
+             COUNT(*) OVER () AS _N
+      FROM base
+    ), tgt AS (
+      SELECT *, ((2*_r - 1) * _N + 2*_ns - 1) // (2*_ns) AS _p FROM ranked
+    )
+    SELECT t.doc_id, t.source, t.quality,
+           l.quality AS norm_quality,
+           l.quality - t.quality AS shift
+    FROM tgt t JOIN ranked l ON l._g = t._p
+    ORDER BY abs(l.quality - t.quality) DESC, t.doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle=_quantile_normalize_oracle(),
+    description="cross-source quantile normalization of quality scores: "
+    "within-source rank r of n_s maps to the global order statistic at "
+    "ceil((2r-1)N/(2n_s)) — exact integer positions; global rank via the "
+    "two-level bucket decomposition (shard_manifest pattern; the oracle's "
+    "naive ORDER BY window proves the decomposition); top-50 largest "
+    "shifts reported",
+    covers=("N-quality", "X-window"),
+)
+def quality_quantile_normalize_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_quantile_normalize(load_table(spark, sf_dir, "documents"))

@@ -305,3 +305,214 @@ def group_ksample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return group_ksample(docs, "doc_id", "lang", k=5,
                          cols=["lang", "doc_id", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling
+# ---------------------------------------------------------------------------
+
+
+def weighted_priority_sample(
+    docs: DataFrame, k: int = 200
+) -> DataFrame:
+    """Deterministic weight-proportional-ish fixed-size sample: each doc
+    gets the priority ``knuth_hash(doc_id) / weight`` (weight = char
+    length, floored at 1) and the ``k`` SMALLEST priorities win — longer
+    documents draw systematically smaller priorities, so selection
+    probability grows with length while staying a pure function of the
+    id (the reproducible analog of weighted reservoir sampling; the
+    exact Efraimidis-Spirakis key ``u^(1/w)`` needs libm ``pow``, which
+    the cross-engine discipline forbids — this rank transform preserves
+    the monotone weight preference with one exact double division).
+
+    Scale: stateless per-row priority, per-partition top-k heaps
+    (``TakeOrderedAndProject``) — no global sort, no shuffle beyond the
+    k-row gather. The fixed-size twin of the fraction-based
+    ``source_temperature_sample``.
+    """
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+    prio = hash_u32("doc_id").cast("double") / w.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chars"),
+            prio.alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(COALESCE(n_chars, 0) AS BIGINT) AS n_chars,
+           CAST({sql_hash_u32('doc_id')} AS DOUBLE)
+             / CAST(greatest(COALESCE(n_chars, 0), 1) AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 200
+    """,
+    description="training-pipeline op: deterministic length-weighted "
+    "fixed-size sample — priority = knuth_hash(id)/weight, k smallest "
+    "win (the engine-exact stand-in for weighted reservoir sampling; "
+    "E-S u^(1/w) needs libm pow); stateless per-row math + "
+    "TakeOrderedAndProject, no global sort",
+    covers=("X-sample",),
+)
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_priority_sample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# exact-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+#: off-plan corpus-pass counters (scan-budget gate contract — see
+#: scripts/gen_scan_budget.py OFF_PLAN and the dedup.py twin).
+DRIVER_PASSES = {"mixture_rank": 0}
+
+#: Target corpus mixture in integer percent, by language group. 'other'
+#: pools every language outside the named ones.
+MIXTURE_TARGETS: tuple[tuple[str, int], ...] = (
+    ("en", 40),
+    ("de", 30),
+    ("fr", 20),
+    ("other", 10),
+)
+
+
+def mixture_rebalance_sample(docs: DataFrame) -> DataFrame:
+    """Exact-count mixture rebalancing: downsample language groups so the
+    kept corpus hits the target mixture EXACTLY (in integer arithmetic),
+    keeping as many documents as feasible without upsampling anyone.
+
+    Feasible total ``M = min_g floor(n_g * 100 / pct_g)`` over the groups
+    present; each group keeps its ``t_g = floor(M * pct_g / 100)``
+    lowest-Knuth-hash documents. Unlike the fraction-based
+    ``source_temperature_sample`` (independent per-row coin flips whose
+    realized mixture drifts at small n), the rank threshold hits the
+    target counts exactly — the contract a curriculum spec demands.
+
+    Scale: ONE corpus scan — group counts ride a per-group window, the
+    cross-group min is a |groups|-row aggregate broadcast back, and the
+    keep decision is a per-group rank threshold (window on the same
+    group shuffle). The ranked table is ``localCheckpoint``-materialized
+    (dedup label-propagation discipline) because four downstream
+    consumers would otherwise each replay the scan; after the checkpoint
+    every replay is checkpoint-local. Output is the |groups|-row audit a
+    pipeline logs.
+    """
+    named = [g for g, _ in MIXTURE_TARGETS if g != "other"]
+    pct = F.create_map(
+        *[x for g, p in MIXTURE_TARGETS for x in (F.lit(g), F.lit(p))]
+    )
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("lang").isin(*named), F.col("lang"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+    ).withColumn("_pct", pct[F.col("grp")])
+    wg = Window.partitionBy("grp")
+    DRIVER_PASSES["mixture_rank"] += 1
+    ranked = base.select(
+        "doc_id",
+        "grp",
+        "_pct",
+        F.count(F.lit(1)).over(wg).alias("n_orig"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy(hash_u32("doc_id"), "doc_id"))
+        .alias("_rnk"),
+    ).localCheckpoint()
+    feasible = (
+        ranked.groupBy("grp", "_pct", "n_orig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.min(F.expr("(n_orig * 100) div _pct")).alias("_m")
+        )
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(feasible))
+        .withColumn("_t", F.expr("(_m * _pct) div 100"))
+        .filter(F.col("_rnk") <= F.col("_t"))
+    )
+    agg = kept.groupBy("grp").agg(
+        F.max("n_orig").cast("bigint").alias("n_orig"),
+        F.max("_pct").cast("bigint").alias("target_pct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    total = agg.agg(F.sum("n_kept").alias("_tot"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "grp",
+            "n_orig",
+            "target_pct",
+            "n_kept",
+            F.expr("(10000 * n_kept) div _tot")
+            .cast("bigint")
+            .alias("kept_share_bp"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _mixture_oracle() -> str:
+    named = [g for g, _ in MIXTURE_TARGETS if g != "other"]
+    in_list = ", ".join(f"'{g}'" for g in named)
+    cases = " ".join(
+        f"WHEN '{g}' THEN {p}" for g, p in MIXTURE_TARGETS if g != "other"
+    )
+    other = dict(MIXTURE_TARGETS)["other"]
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN lang IN ({in_list}) THEN lang ELSE 'other' END AS grp
+      FROM documents
+    ), tagged AS (
+      SELECT doc_id, grp,
+             CASE grp {cases} ELSE {other} END AS _pct,
+             COUNT(*) OVER (PARTITION BY grp) AS n_orig,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY {sql_hash_u32('doc_id')} ASC,
+                                         doc_id ASC) AS _rnk
+      FROM base
+    ), feasible AS (
+      SELECT MIN((n_orig * 100) // _pct) AS _m
+      FROM (SELECT DISTINCT grp, _pct, n_orig FROM tagged)
+    ), kept AS (
+      SELECT t.* FROM tagged t, feasible f
+      WHERE t._rnk <= (f._m * t._pct) // 100
+    ), agg AS (
+      SELECT grp, MAX(n_orig) AS n_orig, MAX(_pct) AS target_pct,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY grp
+    )
+    SELECT grp, CAST(n_orig AS BIGINT) AS n_orig,
+           CAST(target_pct AS BIGINT) AS target_pct,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST((10000 * n_kept) // (SELECT SUM(n_kept) FROM agg) AS BIGINT)
+             AS kept_share_bp
+    FROM agg
+    ORDER BY grp
+    """
+
+
+@register(
+    "mixture_rebalance",
+    oracle=_mixture_oracle(),
+    description="exact-count corpus mixture rebalancing (en 40 / de 30 / "
+    "fr 20 / other 10): feasible total M = min_g floor(n_g*100/pct_g), "
+    "each group keeps its floor(M*pct/100) lowest-Knuth-hash docs — rank "
+    "thresholds hit the target mixture exactly where per-row keep-fraction "
+    "coins drift; one scan, group windows + a broadcast |groups|-row min",
+    covers=("X-sample", "N-quality"),
+)
+def mixture_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_rebalance_sample(load_table(spark, sf_dir, "documents"))

@@ -109,16 +109,11 @@ def language_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", best.getField("lang").alias("lang_guess"))
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic document quality in [0,1]: favors mid-length docs with
-    low punctuation density and a sane stopword ratio (the classic
-    pre-training corpus filters, each a cheap columnar expression).
-
-    A zero-length text has no punctuation DENSITY — the ratio (and the
-    score built on it) is NULL, matching DuckDB's NULL-on-div-by-zero
-    double semantics instead of throwing under Spark's ANSI default
-    (found by the r9 empty-string-corpus seam suite). The token ratio
-    needs no guard: a split always yields at least one element."""
+def quality_cols() -> tuple[Column, Column, Column]:
+    """The (punct_ratio, stop_ratio, quality) column expressions of
+    :func:`quality_score`, exposed so downstream operators
+    (``curation.quality_quantile_normalize``) score with the SAME
+    arithmetic instead of a drifting copy."""
     text = F.col("text")
     toks = _ws_tokens(F.lower(text))
     n_chars = F.nullif(F.length(text).cast("double"), F.lit(0.0))
@@ -133,12 +128,48 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
     )
+    return punct_ratio, stop_ratio, score
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1]: favors mid-length docs with
+    low punctuation density and a sane stopword ratio (the classic
+    pre-training corpus filters, each a cheap columnar expression).
+
+    A zero-length text has no punctuation DENSITY — the ratio (and the
+    score built on it) is NULL, matching DuckDB's NULL-on-div-by-zero
+    double semantics instead of throwing under Spark's ANSI default
+    (found by the r9 empty-string-corpus seam suite). The token ratio
+    needs no guard: a split always yields at least one element."""
+    punct_ratio, stop_ratio, score = quality_cols()
     return docs.select(
         "doc_id",
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
     )
+
+
+#: DuckDB twin of :func:`quality_score` — a module constant so downstream
+#: oracles (quality_quantile_normalize in curation.py) can splice the
+#: SAME text as a subquery instead of duplicating the expression. The
+#: string is byte-identical to the pre-r11 inline literal, so the
+#: registered quality_score hash is unchanged.
+QUALITY_ORACLE_SQL = """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) AS stop_ratio,
+           0.4 * least(CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+           + 0.3 * least(CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) * 4.0, 1.0) AS quality
+    FROM documents
+    """
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -210,21 +241,7 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_score",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS punct_ratio,
-           CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) AS stop_ratio,
-           0.4 * least(CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) / 64.0, 1.0)
-           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE))
-           + 0.3 * least(CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
-                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE) * 4.0, 1.0) AS quality
-    FROM documents
-    """,
+    oracle=QUALITY_ORACLE_SQL,
     description="pre-training quality filter heuristic (length, punct "
     "density, stopword ratio)",
     covers=("N-text",),
