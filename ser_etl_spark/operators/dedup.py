@@ -2364,3 +2364,97 @@ def dup_source_matrix(docs: DataFrame) -> DataFrame:
 )
 def dup_source_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_source_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# shingle-size sensitivity profile
+# ---------------------------------------------------------------------------
+
+
+def _shingle_k_oracle(ks: tuple[int, ...] = (3, 5, 7)) -> str:
+    per_k = []
+    for k in ks:
+        joins = "x" + "".join(
+            f" || ' ' || toks[i+{j}]" for j in range(1, k)
+        )
+        per_k.append(f"""
+      SELECT DISTINCT doc_id, {k} AS k,
+             unnest(list_transform(toks[1:len(toks)-{k - 1}],
+                                   (x, i) -> {joins})) AS sh
+      FROM t WHERE len(toks) >= {k}""")
+    union = "\n      UNION ALL".join(per_k)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), s AS ({union}
+    ), df AS (
+      SELECT k, sh, COUNT(*) AS df FROM s GROUP BY k, sh
+    )
+    SELECT k,
+           CAST(SUM(df) AS BIGINT) AS total_doc_shingles,
+           CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_doc_shingles,
+           CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM df GROUP BY k ORDER BY k
+    """
+
+
+def shingle_size_sensitivity(
+    docs: DataFrame, ks: tuple[int, ...] = (3, 5, 7)
+) -> DataFrame:
+    """How the shingle size ``k`` moves the fuzzy-dedup candidate space:
+    per k, the number of (doc, shingle) set rows, distinct shingles,
+    shingles shared across >=2 docs, and the exact LSH candidate-pair
+    mass ``Σ_sh C(df_sh, 2)`` — the number the banding planner
+    (``lsh_candidate_budget``) bounds, here measured exactly per k.
+
+    The tuning readout before committing a MinHash config: too-small k
+    floods the inverted index with cross-doc shingles (quadratic
+    candidate blowup), too-large k misses near-dups. Scale shape: one
+    narrow shingling pass per k (``shingle_rows`` — index-explode, no
+    lambdas, no shuffle) unioned, then ONE (k, shingle) hash aggregate
+    and a 3-row rollup; |ks| narrow scans beat one scan + a
+    token-stream-sized window shuffle at corpus scale. df·(df−1)
+    overflows BIGINT past ~3e9 docs sharing one shingle — past any sane
+    ``max_shingle_df`` guard (the ``bm25_search`` overflow-note
+    discipline).
+    """
+    tagged = None
+    for k in ks:
+        part = shingle_rows(docs, n=k).select(
+            F.lit(k).alias("k"), F.col("doc_id"), F.col("sh")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    dfreq = tagged.groupBy("k", "sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.groupBy("k")
+        .agg(
+            F.sum("df").cast("bigint").alias("total_doc_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_doc_shingles"),
+            F.sum(F.expr("(df * (df - 1)) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "shingle_size_sensitivity",
+    oracle=_shingle_k_oracle(),
+    description="fuzzy-dedup tuning readout: per shingle size k in "
+    "{3,5,7} the doc-shingle set rows, distinct/cross-doc shingle counts "
+    "and the exact LSH candidate-pair mass sum(C(df,2)) — |ks| narrow "
+    "index-explode shingling passes + one (k,shingle) aggregate; "
+    "all-integer outputs",
+    covers=("N-dedup",),
+)
+def shingle_size_sensitivity_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return shingle_size_sensitivity(load_table(spark, sf_dir, "documents"))

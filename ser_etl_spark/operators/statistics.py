@@ -1057,3 +1057,135 @@ def lorenz_deciles(orders: DataFrame) -> DataFrame:
 )
 def lorenz_deciles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_deciles(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test: lang x source
+# ---------------------------------------------------------------------------
+
+
+def lang_source_chi2(docs: DataFrame) -> DataFrame:
+    """Pearson chi-square independence statistic of the lang × source
+    contingency table, with Cramér's V — the corpus-balance test a
+    curation pass runs to detect language/source coupling (a source
+    feeding one language its boilerplate is invisible to per-axis
+    marginals).
+
+    Per-cell term ``(o·N − r·c)² / (N·r·c)`` — the standard statistic
+    cleared to one double division per cell. Exactness discipline:
+    counts are exact BIGINTs cast to double (products stay exact below
+    2^53, i.e. to ~9e15 docs); each cell's term is 1e-9-quantized to
+    BIGINT so the cross-cell SUM is order-independent (the
+    ``embedding_centroids`` pattern); Cramér's V is one IEEE sqrt.
+
+    Scale: one corpus scan into a |langs|·|sources| cell aggregate
+    (map-side partials); the marginals and the final fold are windows
+    and an aggregate over the metadata-sized cell table. NULL lang or
+    source groups as its own category (NULL-keyed groupBy on both
+    engines).
+    """
+    from pyspark.sql import Window
+
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    t = (
+        cells.withColumn("r", F.sum("o").over(wl))
+        .withColumn("c", F.sum("o").over(ws))
+        .withColumn("n", F.sum("o").over(wall))
+        .withColumn(
+            "nl", F.size(F.collect_set("lang").over(wall))
+        )
+        .withColumn(
+            "ns", F.size(F.collect_set("source").over(wall))
+        )
+    )
+    term = (
+        "(cast(o AS double)*cast(n AS double)"
+        " - cast(r AS double)*cast(c AS double))"
+    )
+    tq = F.expr(
+        f"try_cast(round({term}*{term}"
+        " / (cast(n AS double)*cast(r AS double)*cast(c AS double))"
+        " * 1e9) AS bigint)"
+    )
+    agg = t.groupBy("n", "nl", "ns").agg(
+        (F.sum(tq).cast("double") / F.lit(1.0e9)).alias("chi2")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("nl").cast("bigint").alias("n_langs"),
+        F.col("ns").cast("bigint").alias("n_sources"),
+        F.expr("(nl - 1) * (ns - 1)").cast("bigint").alias("dof"),
+        "chi2",
+        # nullif: a 1x1 table has dof 0 — V is undefined (NULL), matching
+        # DuckDB's NULL-on-zero-divide instead of ANSI-throwing (the
+        # one-row-corpus seam)
+        fround(
+            F.sqrt(
+                F.col("chi2")
+                / F.nullif(
+                    F.col("n").cast("double")
+                    * F.least(F.col("nl") - 1, F.col("ns") - 1).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "lang_source_chi2",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY lang) AS r,
+             SUM(o) OVER (PARTITION BY source) AS c,
+             SUM(o) OVER () AS n,
+             COUNT(DISTINCT lang) OVER () AS nl,
+             COUNT(DISTINCT source) OVER () AS ns
+      FROM cells
+    ), q AS (
+      SELECT n, nl, ns,
+             TRY_CAST(round(
+               (CAST(o AS DOUBLE)*CAST(n AS DOUBLE)
+                - CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+               * (CAST(o AS DOUBLE)*CAST(n AS DOUBLE)
+                  - CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+               / (CAST(n AS DOUBLE)*CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+               * 1e9) AS BIGINT) AS tq
+      FROM t
+    ), agg AS (
+      SELECT n, nl, ns, CAST(SUM(tq) AS DOUBLE) / 1e9 AS chi2
+      FROM q GROUP BY n, nl, ns
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(nl AS BIGINT) AS n_langs,
+           CAST(ns AS BIGINT) AS n_sources,
+           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           chi2,
+           {sql_fround(
+               "sqrt(chi2 / (CAST(n AS DOUBLE)"
+               " * CAST(least(nl - 1, ns - 1) AS DOUBLE)))", 6
+           )} AS cramers_v
+    FROM agg
+    """,
+    description="corpus-balance test: Pearson chi-square of the "
+    "lang x source contingency table + Cramer's V — one scan into a "
+    "|langs|x|sources| cell aggregate, marginals as windows over the "
+    "metadata-sized cell table, per-cell terms 1e-9-quantized BIGINT so "
+    "the fold is order-independent; one double division per cell, one "
+    "IEEE sqrt",
+    covers=("X-stats", "B5"),
+)
+def lang_source_chi2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_source_chi2(load_table(spark, sf_dir, "documents"))

@@ -2442,3 +2442,94 @@ def _code_switch_oracle() -> str:
 )
 def code_switch_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_switch_share(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer compression ratio
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_compression_ratio(docs: DataFrame) -> DataFrame:
+    """Per-source tokenizer compression profile: how many characters one
+    BPE-ish token carries (``chars/token``, integer basis points), with
+    the whitespace-token baseline alongside.
+
+    The fertility readout a tokenizer-selection pass publishes per
+    source: low chars-per-token means the tokenizer fragments that
+    source (e.g. non-Latin scripts on a Latin-heavy vocab), which
+    inflates its effective training cost; the ws-token column separates
+    tokenizer fragmentation from genuinely short words. One scan, one
+    |sources| hash aggregate (map-side partials), all-integer outputs —
+    ``10000*chars div tokens`` — so both engines agree exactly; a
+    source with zero tokens reports 0 (cannot happen for non-empty
+    text, pinned for the empty-corpus seam).
+    """
+    text = F.col("text")
+    return (
+        docs.select(
+            "source",
+            F.length(text).alias("_c"),
+            F.size(_ws_tokens(text)).alias("_w"),
+            F.size(
+                F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
+            ).alias("_b"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_c").cast("bigint").alias("total_chars"),
+            F.sum("_w").cast("bigint").alias("ws_tokens"),
+            F.sum("_b").cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "ws_tokens",
+            "bpe_tokens",
+            F.when(F.col("bpe_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * total_chars) div bpe_tokens"))
+            .cast("bigint")
+            .alias("chars_per_bpe_bp"),
+            F.when(F.col("ws_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * total_chars) div ws_tokens"))
+            .cast("bigint")
+            .alias("chars_per_ws_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tokenizer_compression",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, length(text) AS _c,
+             len(string_split_regex(trim(text), ' +')) AS _w,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS _b
+      FROM documents
+    ), agg AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(_c) AS total_chars,
+             SUM(_w) AS ws_tokens, SUM(_b) AS bpe_tokens
+      FROM s GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(CASE WHEN bpe_tokens = 0 THEN 0
+                ELSE (10000 * total_chars) // bpe_tokens END AS BIGINT)
+             AS chars_per_bpe_bp,
+           CAST(CASE WHEN ws_tokens = 0 THEN 0
+                ELSE (10000 * total_chars) // ws_tokens END AS BIGINT)
+             AS chars_per_ws_bp
+    FROM agg ORDER BY source
+    """,
+    description="per-source tokenizer fertility: chars per BPE-ish token "
+    "and per whitespace token in integer basis points — the compression "
+    "readout a tokenizer-selection pass publishes; one scan, one "
+    "|sources| aggregate, all-integer math",
+    covers=("N-text",),
+)
+def tokenizer_compression_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_compression_ratio(load_table(spark, sf_dir, "documents"))

@@ -1242,3 +1242,98 @@ def changepoint_cusum(orders: DataFrame) -> DataFrame:
 )
 def changepoint_cusum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_cusum(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users (first-seen trick)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """Per-day new and cumulative distinct users — the audience-growth
+    curve every event pipeline publishes.
+
+    A naive per-day ``COUNT(DISTINCT user) OVER (ORDER BY day)`` has no
+    scalable form (distinct state grows with history); the exact
+    linear-state plan is the FIRST-SEEN trick: min-day per user (one
+    keyed aggregate with map-side partials), count first-appearances per
+    day (second tiny aggregate), then a cumulative sum over the
+    |days|-row series — metadata-sized, one ordered window. Days with
+    events but no NEW users still appear (new_users = 0) via the
+    occurring-day set carried through the SAME first aggregate — no
+    second corpus scan (the r10 single-scan discipline). Day buckets are
+    epoch-day integers over the NTZ timestamp (``timestampdiff`` from
+    the NTZ epoch — never ``unix_timestamp``, whose LTZ cast shifts
+    buckets by the session offset; the r6 Kathmandu bug class).
+    """
+    day = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(86400)
+    ).cast("long")
+    per_user = events.select(F.col("user_id"), day.alias("_d")).groupBy(
+        "user_id"
+    ).agg(F.min("_d").alias("first_day"), F.collect_set("_d").alias("_days"))
+    # occurring days ride the same aggregate: explode the per-user day
+    # sets and dedup — |users|·|active days/user| rows, far below raw
+    # event volume (bounded by the first aggregate's output)
+    occurring = (
+        per_user.select(F.explode("_days").alias("day_bucket")).distinct()
+    )
+    news = per_user.groupBy(F.col("first_day").alias("day_bucket")).agg(
+        F.count(F.lit(1)).alias("_new")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        occurring.join(news, "day_bucket", "left")
+        .select(
+            "day_bucket", F.coalesce(F.col("_new"), F.lit(0)).alias("_new")
+        )
+        .select(
+            "day_bucket",
+            F.col("_new").cast("bigint").alias("new_users"),
+            F.sum("_new").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day_bucket")
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS day_bucket
+      FROM events
+    ), fs AS (
+      SELECT user_id, MIN(day_bucket) AS first_day FROM d GROUP BY user_id
+    ), occ AS (SELECT DISTINCT day_bucket FROM d),
+    news AS (
+      SELECT first_day AS day_bucket, COUNT(*) AS _new
+      FROM fs GROUP BY first_day
+    )
+    SELECT o.day_bucket,
+           CAST(COALESCE(n._new, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n._new, 0)) OVER (ORDER BY o.day_bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM occ o LEFT JOIN news n USING (day_bucket)
+    ORDER BY o.day_bucket
+    """,
+    description="audience-growth curve: per-day new + cumulative distinct "
+    "users via the first-seen trick (min-day per user -> per-day counts "
+    "-> |days|-row cumsum) — linear state where a windowed "
+    "COUNT(DISTINCT) cannot scale; occurring days ride the same "
+    "aggregate; NTZ epoch-day buckets",
+    covers=("X-window", "B5"),
+)
+def cumulative_distinct_users_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cumulative_distinct_users(_t(spark, sf_dir, "events"))
