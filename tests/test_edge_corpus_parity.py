@@ -86,6 +86,15 @@ EDGE_QUERIES = [
     "quality_canonical_dedup",
     "mad_length_outliers",
     "curriculum_stage_histogram",
+    # r11: the new token/quality/mixture consumers (rrf_fusion's lexical
+    # arm and the quantile normalizer both run the full tokenizer/quality
+    # pipeline; the samplers exercise the hash SQL on degenerate lengths)
+    "tokenizer_compression",
+    "shingle_size_sensitivity",
+    "quality_quantile_normalize",
+    "weighted_sample",
+    "mixture_rebalance",
+    "lang_source_chi2",
 ]
 
 
@@ -180,6 +189,13 @@ CLIQUE_QUERIES = [
     # (est_pairs = 780 per band)
     "dup_source_matrix",
     "lsh_candidate_budget",
+    # r11: 40 identical docs — every shingle has df=40 at every k
+    # (candidate_pairs = 780·distinct), the mixture feasible total is
+    # bounded by the 'other'-group absence rule, and the quantile
+    # normalizer maps a 40-way score tie purely by doc_id
+    "shingle_size_sensitivity",
+    "mixture_rebalance",
+    "quality_quantile_normalize",
 ]
 
 
