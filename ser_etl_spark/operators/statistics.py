@@ -1189,3 +1189,136 @@ def lang_source_chi2(docs: DataFrame) -> DataFrame:
 )
 def lang_source_chi2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_source_chi2(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# OLS trend: per-nation monthly revenue slope
+# ---------------------------------------------------------------------------
+
+
+def revenue_trend_ols(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation ordinary-least-squares revenue trend: the slope and
+    intercept of monthly revenue (cents) against the month index — the
+    simple-regression readout every revenue dashboard fits, done with
+    the engine-exact recipe the correlation matrix established.
+
+    All five regression sums (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs
+    over (month-index, cents) pairs — x is ``(year-1995)·12 + month-1``
+    from NTZ calendar parts (no epoch math, no tz), y quantizes to
+    cents via the tie-safe floor form. The slope
+    ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is ONE double division of two
+    exact integers; the intercept ``(Σy − slope·Σx)/n`` is a fixed
+    three-op chain on it — both bit-identical cross-engine. A nation
+    with one active month has zero variance: NULL slope/intercept via
+    nullif, both engines. Σxy stays under 2^63 to ~1e17 month-cents —
+    the ``bm25_search`` overflow-note discipline.
+
+    Scale: fact scan → broadcast customer/nation dims → one
+    (nation, month) aggregate (map-side partials) → one |nations|
+    aggregate. No windows, no sort until the |nations|-row output.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    month = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("bigint")
+    monthly = (
+        orders.join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey"), F.col("c_nationkey")
+                )
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey"), F.col("n_name")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name"), month.alias("x"), cents.alias("_c"))
+        .groupBy("n_name", "x")
+        .agg(F.sum("_c").alias("y"))
+    )
+    agg = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.expr(
+        "cast(n*sxy - sx*sy AS double)"
+        " / nullif(cast(n*sxx - sx*sx AS double), 0.0D)"
+    )
+    return (
+        agg.select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("bigint").alias("n_months"),
+            slope.alias("_s"),
+            F.col("sx"),
+            F.col("sy"),
+            F.col("n"),
+        )
+        .select(
+            "nation",
+            "n_months",
+            F.col("_s").alias("slope_cents_per_month"),
+            (
+                (
+                    F.col("sy").cast("double")
+                    - F.col("_s") * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("intercept_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "revenue_trend_ols",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST((year(o.o_orderdate) - 1995) * 12
+                  + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+             SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, x
+    ), agg AS (
+      SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM monthly GROUP BY n_name
+    )
+    SELECT n_name AS nation, CAST(n AS BIGINT) AS n_months,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)
+             AS slope_cents_per_month,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n*sxy - sx*sy AS DOUBLE)
+               / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+    FROM agg ORDER BY n_name
+    """,
+    description="per-nation OLS revenue trend: slope/intercept of monthly "
+    "cents vs month index — five exact-BIGINT regression sums, ONE double "
+    "division for the slope and a fixed 3-op chain for the intercept "
+    "(engine bit-identical); fact scan + broadcast dims + two hash "
+    "aggregates, no windows; single-month nations yield NULL via nullif",
+    covers=("X-stats", "B11", "B5"),
+)
+def revenue_trend_ols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_trend_ols(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )

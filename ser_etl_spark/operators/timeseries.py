@@ -1337,3 +1337,87 @@ def cumulative_distinct_users_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return cumulative_distinct_users(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window rate-limit audit
+# ---------------------------------------------------------------------------
+
+#: per-user events allowed in any 60-second window (the data-side twin
+#: of the gateway's 50/min limiter, scaled to the fixture's traffic).
+RATE_LIMIT_PER_MIN = 10
+
+
+def rate_limit_audit(
+    events: DataFrame, limit: int = RATE_LIMIT_PER_MIN
+) -> DataFrame:
+    """Per-user peak sliding-minute rate and violation counts — the
+    offline audit of the gateway's rate limiter (reference analog:
+    ``api-service/src/rate_limiter.py``'s 50/min window, here measured
+    over the event log instead of enforced at the door).
+
+    For every event, the count of the SAME user's events in the
+    forward 60-second window ``[t, t+59s]`` — an exact sliding window
+    via one RANGE frame over integer NTZ epoch-seconds (both engines
+    define RANGE frames over ties identically: all equal-timestamp rows
+    join the frame). One keyed shuffle, linear per-user state; the
+    |users|-row rollup reports the peak window, how many window starts
+    exceed ``limit``, and the total events.
+
+    Epoch seconds via ``timestampdiff`` from the NTZ epoch — never
+    ``unix_timestamp`` (the r6 Kathmandu bug class).
+    """
+    from pyspark.sql import Window
+
+    es = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(0, 59)
+    )
+    p = events.select(F.col("user_id"), es.alias("es")).withColumn(
+        "_win", F.count(F.lit(1)).over(w)
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("_win").cast("bigint").alias("peak_minute"),
+            F.sum(F.when(F.col("_win") > limit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_window_viol"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rate_limit_audit",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP))
+                                          AS BIGINT)
+                            RANGE BETWEEN CURRENT ROW AND 59 FOLLOWING)
+               AS _win
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(_win) AS BIGINT) AS peak_minute,
+           CAST(SUM(CASE WHEN _win > {RATE_LIMIT_PER_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_window_viol
+    FROM p GROUP BY user_id ORDER BY user_id
+    """,
+    description="offline rate-limiter audit (gateway 50/min analog): per "
+    "user the peak forward-60s sliding-window event count and how many "
+    "window starts exceed the limit — ONE RANGE frame over integer NTZ "
+    "epoch-seconds (tie-inclusive on both engines), one keyed shuffle, "
+    "linear per-user state",
+    covers=("X-window", "C12"),
+)
+def rate_limit_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rate_limit_audit(_t(spark, sf_dir, "events"))
