@@ -42,6 +42,12 @@ PROBES = (
     "kmeans_lloyd_step",
     "embedding_pca_step",
     "dup_source_matrix",
+    # r11: the new pair-space / rank-join operators — the label-blocked
+    # kNN graph (block self-join), the 3-k shingle expansion, and the
+    # quantile normalizer's two-level rank + position join
+    "knn_graph_degree_audit",
+    "shingle_size_sensitivity",
+    "quality_quantile_normalize",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"
