@@ -711,3 +711,85 @@ def fulfillment_latency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state-change history compaction
+# ---------------------------------------------------------------------------
+
+
+def scd2_state_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's
+    ``event_type`` state: compact the event stream to state-CHANGE rows
+    and attach validity intervals ``[valid_from, valid_to)`` — the
+    read-side builder for CDC history tables (the interval twin of
+    ``latest_event_per_user``'s last-writer-wins compaction; reference
+    analog: the versioned-snapshot lineage the publish path keeps,
+    /root/reference/etl-service/src/s3_uploader.py:27).
+
+    One keyed shuffle: a per-user window ordered by (ts, event_id)
+    provides lag(event_type) for the change filter and — after the
+    filter, over the SAME partitioning — lead(valid_from) closes each
+    interval. Equal-type runs collapse (first row of the run survives);
+    the open interval carries ``valid_to NULL`` + ``is_current 1``.
+    Timestamps stay NTZ end-to-end (never cast through the session tz);
+    the event_id tiebreak pins equal-timestamp ordering on both engines.
+    The first row per user always survives (lag NULL != any type via
+    null-safe compare).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        # null-safe inequality: first row (_prev NULL) and NULL-type
+        # transitions compact identically on both engines
+        .filter(~F.col("_prev").eqNullSafe(F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "scd2_state_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS _prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_id, event_type, ts FROM marked
+      WHERE _prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+    description="CDC history build: compact each user's event stream to "
+    "state-change rows with [valid_from, valid_to) validity intervals "
+    "(SCD type 2) — one keyed shuffle, lag for the change filter + lead "
+    "to close intervals over the same partitioning; NTZ end-to-end, "
+    "event_id tiebreak, null-safe state compare",
+    covers=("A12", "X-window"),
+)
+def scd2_state_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_state_history(load_table(spark, sf_dir, "events"))
