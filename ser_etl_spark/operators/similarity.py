@@ -4625,7 +4625,17 @@ def _ivf_recall_one(
     ``in_probe`` marks rows landing in the anchor's ``nprobe`` nearest
     lists (driver-side :func:`_ivf_probe_ids`, O(K) per anchor), and
     the single sorted window per anchor yields both the exact rank and
-    the running in-probe count."""
+    the running in-probe count.
+
+    Known bounded cost: the fused assign+5-anchor-sims+explode stage
+    exceeds janino's method limit, so THIS stage runs interpreted
+    (2 ``ERROR CodeGenerator`` lines per call — the only builder in the
+    registry that falls back; every other 64-dim consumer compiles via
+    the barrier discipline). Measured r11: 4.58 s at sf0.1 = 0.15x the
+    30 s budget, in-band with its compiled siblings — a comparison
+    readout run at retrain time, not in the serving path, so the
+    fallback is accepted rather than splitting the fused scan into two
+    passes (which would double the corpus I/O to win back CPU)."""
     from pyspark.sql.window import Window
 
     spark = vectors.sparkSession
