@@ -1815,3 +1815,129 @@ def decayed_activity_topk(events: DataFrame, k: int = 20) -> DataFrame:
 )
 def decayed_activity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_activity_topk(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# session dwell-time distribution: exact percentiles via value histogram
+# ---------------------------------------------------------------------------
+
+
+def session_dwell_stats(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of session dwell time (seconds) plus the
+    bounce share — the engagement distribution a product pipeline
+    publishes next to its sessionization.
+
+    Exact percentiles over ALL sessions without a global sort: dwell
+    seconds are bounded small integers (a 30-min-gap session lasts
+    minutes-to-hours), so the scalable exact plan is the VALUE
+    HISTOGRAM — one hash aggregate to (dwell_s -> count), a cumulative
+    sum over the |distinct values| series (domain-bounded, not
+    row-bounded), and each percentile is the least value whose
+    cumulative count reaches ``ceil(p·n)`` — the discrete order
+    statistic, all-integer, engine-exact. Bounces (single-event
+    sessions) ride the same session aggregate.
+    """
+    from pyspark.sql import Window
+
+    s = sessionize(events).select("events", "duration_s")
+    counts = s.groupBy("duration_s").agg(F.count(F.lit(1)).alias("_c"))
+    totals = s.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("events") == 1, 1).otherwise(0)).alias("_b"),
+    )
+    w = Window.orderBy("duration_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "duration_s", F.sum("_c").over(w).alias("_cum")
+    ).crossJoin(F.broadcast(totals))
+
+    def pick(p: float):
+        need = F.ceil(F.lit(p) * F.col("_n"))
+        return F.min(
+            F.when(F.col("_cum") >= need, F.col("duration_s"))
+        ).cast("bigint")
+
+    # -1 sentinels (never coalesced NULL ints): an empty corpus yields the
+    # one-row n_sessions=0 summary, and a NULL-bearing BIGINT column would
+    # float through the driver's pandas canonicalization (the
+    # purchase_attribution r2 lesson, enforced by the oracle-type gate)
+    return cum.agg(
+        F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("n_sessions"),
+        F.coalesce(pick(0.5), F.lit(-1)).alias("p50_dwell_s"),
+        F.coalesce(pick(0.9), F.lit(-1)).alias("p90_dwell_s"),
+        F.coalesce(pick(0.99), F.lit(-1)).alias("p99_dwell_s"),
+        F.coalesce(F.max("duration_s"), F.lit(-1))
+        .cast("bigint")
+        .alias("max_dwell_s"),
+        F.when(
+            F.coalesce(F.max("_n"), F.lit(0)) == 0, F.lit(-1)
+        )
+        .otherwise(F.expr("(10000 * max(_b)) div max(_n)"))
+        .cast("bigint")
+        .alias("bounce_share_bp"),
+    )
+
+
+@register(
+    "session_dwell_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR floor(epoch(CAST(ts AS TIMESTAMP))
+                             - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w))
+                       > {{gap}}
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_break) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), s AS (
+      SELECT COUNT(*) AS events,
+             CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+               AS duration_s
+      FROM numbered GROUP BY user_id, session_id
+    ), counts AS (
+      SELECT duration_s, COUNT(*) AS _c FROM s GROUP BY duration_s
+    ), totals AS (
+      SELECT COUNT(*) AS _n,
+             SUM(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS _b
+      FROM s
+    ), cum AS (
+      SELECT duration_s,
+             SUM(_c) OVER (ORDER BY duration_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+             t._n, t._b
+      FROM counts, totals t
+    )
+    SELECT CAST(COALESCE(MAX(_n), 0) AS BIGINT) AS n_sessions,
+           CAST(COALESCE(MIN(CASE WHEN _cum >= ceil(0.5 * _n)
+                               THEN duration_s END), -1)
+                AS BIGINT) AS p50_dwell_s,
+           CAST(COALESCE(MIN(CASE WHEN _cum >= ceil(0.9 * _n)
+                               THEN duration_s END), -1)
+                AS BIGINT) AS p90_dwell_s,
+           CAST(COALESCE(MIN(CASE WHEN _cum >= ceil(0.99 * _n)
+                               THEN duration_s END), -1)
+                AS BIGINT) AS p99_dwell_s,
+           CAST(COALESCE(MAX(duration_s), -1) AS BIGINT) AS max_dwell_s,
+           CAST(CASE WHEN COALESCE(MAX(_n), 0) = 0 THEN -1
+                ELSE (10000 * MAX(_b)) // MAX(_n) END AS BIGINT)
+             AS bounce_share_bp
+    FROM cum
+    """.format(gap=SESSION_GAP_S),
+    description="engagement distribution: exact p50/p90/p99/max session "
+    "dwell seconds + bounce share bp — exact order statistics WITHOUT a "
+    "global sort via the value histogram (dwell domain is bounded-small: "
+    "one hash agg, a domain-sized cumsum, discrete ceil(p*n) rank picks); "
+    "reuses the sessionize shuffle",
+    covers=("X-session", "X-stats", "B4"),
+)
+def session_dwell_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_dwell_stats(_t(spark, sf_dir, "events"))
