@@ -1165,3 +1165,60 @@ def test_r10_new_query_plan_shapes(spark, sf_small):
     plan = _plan(spark, sf_small, "ivf_list_balance_trained")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r11 operator plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_small):
+    plan = _plan(spark, sf_small, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rrf_arms_are_take_ordered_no_cartesian(spark, sf_small):
+    plan = _plan(spark, sf_small, "rrf_fusion")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_graph_pairs_are_equi_join(spark, sf_small):
+    """The label-block pair join must be an equi-join (hash/sort-merge on
+    the block key) — a nested-loop regression here is the all-pairs
+    scale killer the blocking exists to prevent."""
+    plan = _plan(spark, sf_small, "knn_graph_degree_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rate_limit_audit_single_window_no_joins(spark, sf_small):
+    plan = _plan(spark, sf_small, "rate_limit_audit")
+    # formatted mode lists each node twice (tree + detail section)
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_scd2_two_windows_no_joins(spark, sf_small):
+    plan = _plan(spark, sf_small, "scd2_state_history")
+    assert plan.count("Window") == 4, plan  # 2 nodes x (tree + detail)
+    assert "Join" not in plan, plan
+
+
+def test_revenue_trend_dims_broadcast(spark, sf_small):
+    plan = _plan(spark, sf_small, "revenue_trend_ols")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan or "Partial" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tokenizer_compression", "shingle_size_sensitivity"]
+)
+def test_single_pass_text_aggregates(spark, sf_small, name):
+    """One-scan text rollups: map-side partial aggregation, no windows,
+    no joins."""
+    plan = _plan(spark, sf_small, name)
+    assert "partial_" in plan or "Partial" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
