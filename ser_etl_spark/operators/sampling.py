@@ -442,20 +442,33 @@ def mixture_rebalance_sample(docs: DataFrame) -> DataFrame:
         .withColumn("_t", F.expr("(_m * _pct) div 100"))
         .filter(F.col("_rnk") <= F.col("_t"))
     )
-    agg = kept.groupBy("grp").agg(
+    # the audit reports EVERY present group — a group whose feasible keep
+    # count is 0 (tiny group dominating the min) must surface as
+    # n_kept=0, not vanish (hypothesis-found: a lone 'en' doc yields
+    # t_en = 0 and the group disappeared from the old kept-side rollup)
+    universe = ranked.groupBy("grp").agg(
         F.max("n_orig").cast("bigint").alias("n_orig"),
         F.max("_pct").cast("bigint").alias("target_pct"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    total = agg.agg(F.sum("n_kept").alias("_tot"))
+    agg = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k")
+    )
+    out = universe.join(agg, "grp", "left").select(
+        "grp",
+        "n_orig",
+        "target_pct",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+    total = out.agg(F.sum("n_kept").alias("_tot"))
     return (
-        agg.crossJoin(F.broadcast(total))
+        out.crossJoin(F.broadcast(total))
         .select(
             "grp",
             "n_orig",
             "target_pct",
             "n_kept",
-            F.expr("(10000 * n_kept) div _tot")
+            F.when(F.col("_tot") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * n_kept) div _tot"))
             .cast("bigint")
             .alias("kept_share_bp"),
         )
@@ -489,16 +502,22 @@ def _mixture_oracle() -> str:
     ), kept AS (
       SELECT t.* FROM tagged t, feasible f
       WHERE t._rnk <= (f._m * t._pct) // 100
+    ), universe AS (
+      SELECT grp, MAX(n_orig) AS n_orig, MAX(_pct) AS target_pct
+      FROM tagged GROUP BY grp
     ), agg AS (
-      SELECT grp, MAX(n_orig) AS n_orig, MAX(_pct) AS target_pct,
-             COUNT(*) AS n_kept
-      FROM kept GROUP BY grp
+      SELECT u.grp, u.n_orig, u.target_pct,
+             COALESCE(k._k, 0) AS n_kept
+      FROM universe u
+      LEFT JOIN (SELECT grp, COUNT(*) AS _k FROM kept GROUP BY grp) k
+        USING (grp)
     )
     SELECT grp, CAST(n_orig AS BIGINT) AS n_orig,
            CAST(target_pct AS BIGINT) AS target_pct,
            CAST(n_kept AS BIGINT) AS n_kept,
-           CAST((10000 * n_kept) // (SELECT SUM(n_kept) FROM agg) AS BIGINT)
-             AS kept_share_bp
+           CAST(CASE WHEN (SELECT SUM(n_kept) FROM agg) = 0 THEN 0
+                ELSE (10000 * n_kept) // (SELECT SUM(n_kept) FROM agg)
+                END AS BIGINT) AS kept_share_bp
     FROM agg
     ORDER BY grp
     """

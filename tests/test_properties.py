@@ -786,3 +786,194 @@ def test_quality_canonical_matches_serial_model(spark, docs_):
         for r in quality_canonical_dedup(docs).collect()
     }
     assert got == model()
+
+
+# ---------------------------------------------------------------------------
+# r11 operators vs serial models
+# ---------------------------------------------------------------------------
+
+_KNUTH_P = 2654435761
+_FOLD_P = 2**31
+
+
+def _py_hash_u32(i: int) -> int:
+    return ((i % _FOLD_P + _FOLD_P) % _FOLD_P * _KNUTH_P) % 2**32
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),  # doc_id
+            st.sampled_from(["en", "de", "fr", "zh", "es"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_mixture_rebalance_matches_serial_model(spark, docs):
+    """The exact-count rebalancer must equal the trivial serial model:
+    feasible M = min over present groups of n_g*100//pct, each group
+    keeps its M*pct//100 lowest-hash docs."""
+    from ser_etl_spark.operators.sampling import (
+        MIXTURE_TARGETS,
+        mixture_rebalance_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None, lang, None, 0) for i, lang in docs],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    got = {
+        r["grp"]: (r["n_orig"], r["target_pct"], r["n_kept"])
+        for r in mixture_rebalance_sample(df).collect()
+    }
+    pct = dict(MIXTURE_TARGETS)
+    named = {g for g in pct if g != "other"}
+    groups: dict[str, list[int]] = {}
+    for i, lang in docs:
+        groups.setdefault(lang if lang in named else "other", []).append(i)
+    m = min(len(v) * 100 // pct[g] for g, v in groups.items())
+    exp = {}
+    for g, ids in groups.items():
+        t = m * pct[g] // 100
+        exp[g] = (len(ids), pct[g], min(t, len(ids)))
+    assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdefg .,!", min_size=1, max_size=60
+        ).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_quantile_normalize_is_identity_on_single_source(spark, texts):
+    """With ONE source, within-source rank == global rank, so the
+    midpoint position maps every doc to ITSELF: norm == quality and
+    every shift is exactly 0.0 — the calibration no-op the algebra
+    promises."""
+    from ser_etl_spark.operators.curation import quality_quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    rows = quality_quantile_normalize(df).collect()
+    assert rows, "non-empty single-source corpus must rank"
+    for r in rows:
+        assert r["shift"] == 0.0
+        assert r["norm_quality"] == r["quality"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=300),  # epoch second
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rate_limit_audit_matches_serial_model(spark, events):
+    """The RANGE-frame sliding window must equal the brute-force count
+    of same-user events in [t, t+59] — ties (equal timestamps) all
+    share one frame."""
+    import datetime as _dt
+
+    from ser_etl_spark.operators.timeseries import rate_limit_audit
+
+    epoch = _dt.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, epoch + _dt.timedelta(seconds=s), u, "view", 0.0, None)
+            for eid, (u, s) in enumerate(events)
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["peak_minute"], r["n_window_viol"])
+        for r in rate_limit_audit(df, limit=3).collect()
+    }
+    by_user: dict[int, list[int]] = {}
+    for u, s in events:
+        by_user.setdefault(u, []).append(s)
+    exp = {}
+    for u, ss in by_user.items():
+        wins = [sum(1 for t2 in ss if t <= t2 <= t + 59) for t in ss]
+        exp[u] = (len(ss), max(wins), sum(1 for w in wins if w > 3))
+    assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=50),  # second
+            st.sampled_from(["a", "b", "c"]),  # state
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_intervals_partition_each_user_timeline(spark, events):
+    """SCD2 invariants for ANY stream: per user, valid_from strictly
+    increases in (ts, event_id) order, each valid_to equals the next
+    valid_from, adjacent states differ, and exactly one open
+    (is_current) interval exists."""
+    import datetime as _dt
+
+    from ser_etl_spark.operators.temporal import scd2_state_history
+
+    epoch = _dt.datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, epoch + _dt.timedelta(seconds=s), u, st_, 0.0, None)
+            for eid, (u, s, st_) in enumerate(events)
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    rows = scd2_state_history(df).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {u for u, _, _ in events}
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"] or True  # equal-run collapse:
+            # adjacent SURVIVING rows may share a state only when an
+            # intervening different state row exists at the same ts —
+            # impossible after compaction, so assert strictly:
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["state"] != b["state"]
