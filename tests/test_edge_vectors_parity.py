@@ -123,6 +123,13 @@ FULL_QUERIES = [
     # r11: the trained-vs-seed recall readout replays both quantizers'
     # E-steps and probe choices over the seam rows
     "ivf_recall_trained_vs_seed",
+    # r11: the MMR pool filter (NULL/NaN cosines must never reach the
+    # driver-side selection, where python NaN compares diverge from
+    # SQL's total order) and the kNN graph's edge filter inherit the
+    # same seam obligations; vector-less/degenerate labels must report
+    # zero edges, not vanish
+    "mmr_rerank_topk",
+    "knn_graph_degree_audit",
 ]
 
 REDUCED_QUERIES = [
