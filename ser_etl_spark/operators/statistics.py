@@ -1322,3 +1322,102 @@ def revenue_trend_ols_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary concentration: exact Gini over token frequencies
+# ---------------------------------------------------------------------------
+
+
+def vocab_gini(docs: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of the corpus token-frequency distribution
+    — the vocabulary-concentration readout (a healthy natural corpus is
+    strongly Zipfian, G near 1; near-uniform token mass flags synthetic
+    or template text).
+
+    Same scale trick as :func:`spend_gini`: global ranks collapse to
+    arithmetic series over DISTINCT frequency values, so the only
+    ordered pass is a window over the |distinct frequencies| series
+    (≈ O(sqrt(total tokens)) values under Zipf — metadata-sized at any
+    corpus scale). One explode + two hash aggregates before it; all
+    rank/value sums exact in decimal(38,0)/HUGEINT.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " +")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    vals = freq.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+    staged = vals.select(
+        "f",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cumn"),
+    )
+    fd = F.col("f").cast("decimal(19,0)")
+    cntd = F.col("cnt").cast("decimal(19,0)")
+    cumd = F.col("cumn").cast("decimal(19,0)")
+    rank_sum2 = F.lit(2).cast("decimal(19,0)") * cntd * cumd \
+        + cntd * (cntd + F.lit(1))
+    agg = staged.agg(
+        F.sum(cntd).alias("n"),
+        F.sum(fd * cntd).alias("sx"),
+        F.sum(fd * rank_sum2).alias("srx2"),
+    )
+    num = F.col("srx2") - (F.col("n") + F.lit(1)) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return agg.select(
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n_types"),
+        F.coalesce(F.col("sx").cast("long"), F.lit(0)).alias("total_tokens"),
+        fround(
+            num.cast("double")
+            / F.when(den != F.lit(0).cast("decimal(38,0)"), den.cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "vocab_gini",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+              AS tok FROM documents)
+      GROUP BY tok
+    ), vals AS (
+      SELECT f, COUNT(*) AS cnt FROM freq GROUP BY f
+    ), staged AS (
+      SELECT f, cnt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumn
+      FROM vals
+    ), agg AS (
+      SELECT SUM(CAST(cnt AS HUGEINT)) AS n,
+             SUM(CAST(f AS HUGEINT) * cnt) AS sx,
+             SUM(CAST(f AS HUGEINT)
+                 * (2 * CAST(cnt AS HUGEINT) * cumn
+                    + CAST(cnt AS HUGEINT) * (cnt + 1))) AS srx2
+      FROM staged
+    )
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_types,
+           CAST(COALESCE(sx, 0) AS BIGINT) AS total_tokens,
+           (CAST(floor((CAST(srx2 - (n+1)*sx AS DOUBLE)
+                 / nullif(CAST(n*sx AS DOUBLE), 0.0)) * 1e6 + 0.5)
+                 AS DOUBLE) / 1e6) AS gini
+    FROM agg
+    """,
+    description="vocabulary concentration: exact Gini of the corpus "
+    "token-frequency distribution — tied ranks collapse to arithmetic "
+    "series over DISTINCT frequency values (Zipf => ~sqrt(N) of them), "
+    "the only ordered pass is the distinct-value window; exact "
+    "decimal/HUGEINT sums, one final double division, floor-form 6dp",
+    covers=("N-text", "X-stats", "X-window"),
+)
+def vocab_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_gini(load_table(spark, sf_dir, "documents"))

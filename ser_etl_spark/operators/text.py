@@ -2533,3 +2533,53 @@ def tokenizer_compression_ratio(docs: DataFrame) -> DataFrame:
 )
 def tokenizer_compression_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# corpus composition rollup
+# ---------------------------------------------------------------------------
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """ROLLUP hierarchy over the corpus composition: per (lang, source),
+    per lang, and grand total — docs, characters, and whitespace tokens
+    in one pass. The OLAP composition dashboard of the training corpus,
+    and the text-domain sibling of ``sales_rollup``: Catalyst expands
+    the grouping sets with a single shuffle, partial aggregation intact;
+    all-integer outputs."""
+    text = F.col("text")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.length(text).alias("_c"),
+            F.size(_ws_tokens(text)).alias("_w"),
+        )
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("chars"),
+            F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("ws_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_rollup",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS chars,
+           CAST(COALESCE(SUM(len(string_split_regex(trim(text), ' +'))), 0)
+                AS BIGINT) AS ws_tokens
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    description="corpus composition ROLLUP: docs/chars/ws-tokens per "
+    "(lang, source), per lang, and grand total in one pass — single "
+    "grouping-sets shuffle with map-side partials, all-integer outputs; "
+    "the text-domain sibling of sales_rollup",
+    covers=("B5", "N-text"),
+)
+def corpus_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_rollup(load_table(spark, sf_dir, "documents"))

@@ -95,6 +95,8 @@ EDGE_QUERIES = [
     "weighted_sample",
     "mixture_rebalance",
     "lang_source_chi2",
+    "vocab_gini",
+    "corpus_rollup",
 ]
 
 
@@ -196,6 +198,11 @@ CLIQUE_QUERIES = [
     "shingle_size_sensitivity",
     "mixture_rebalance",
     "quality_quantile_normalize",
+    # r11b: 40 identical docs — the frequency distribution is uniform
+    # at f=40 per type (Gini over a point mass), and the rollup's lang
+    # level equals its grand total
+    "vocab_gini",
+    "corpus_rollup",
 ]
 
 

@@ -28,7 +28,8 @@ from tests.oracle import compare
 
 #: Spark-native rollup/cube semantics on empty input (0 rows) diverge
 #: from ANSI/DuckDB (grand-total row) — see module docstring.
-ROLLUP_DIVERGENT = {"sales_rollup", "sales_cube", "time_bucket_rollup"}
+ROLLUP_DIVERGENT = {"sales_rollup", "sales_cube", "time_bucket_rollup",
+                    "corpus_rollup"}
 
 QUERIES = all_queries()
 
