@@ -48,6 +48,11 @@ PROBES = (
     "knn_graph_degree_audit",
     "shingle_size_sensitivity",
     "quality_quantile_normalize",
+    # r12: the banded mixture rebalancer (two-level hash-prefix rank —
+    # VERDICT r11 #1/#3) and the per-user window family's heavies
+    "mixture_rebalance",
+    "rate_limit_audit",
+    "scd2_state_history",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ser_etl_spark.functions.broadcast import broadcast_if_dim
 from ser_etl_spark.functions.numeric import (
     fround,
     PRECISION,
@@ -112,7 +113,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.join(o.join(broadcast_if_dim(c), o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(_revenue(), 4).alias("revenue"))
@@ -171,8 +172,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_dim(s), (li.l_suppkey == s.s_suppkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -211,7 +212,7 @@ def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_dim(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             dsum(_revenue(), 4).alias("lost_revenue"),
@@ -361,7 +362,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_dim(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0) * dsum(promo, 4) / dsum(_revenue(), 4)
@@ -415,7 +416,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(big_o, li.l_orderkey == big_o.o_orderkey)
-        .join(F.broadcast(c), big_o.o_custkey == c.c_custkey)
+        .join(broadcast_if_dim(c), big_o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -1020,7 +1021,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_if_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))

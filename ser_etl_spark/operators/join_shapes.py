@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.broadcast import broadcast_if_dim
 from ser_etl_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
@@ -121,9 +122,9 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey,
+        li.join(broadcast_if_dim(bad_supp), li.l_suppkey == bad_supp.s_suppkey,
                 "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(broadcast_if_dim(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -163,7 +164,7 @@ def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    brand_li = li.join(broadcast_if_dim(p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = (
@@ -224,7 +225,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_dim(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("line_count"),
@@ -332,7 +333,7 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(per_order, l1.l_orderkey == F.col("_ok"))
         .filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
         .join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s), l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -383,7 +384,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(broadcast_if_dim(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -470,7 +471,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s), li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n.select(
@@ -568,12 +569,12 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_dim(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck_nk"),
               "left_semi")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk_nk"))
     )
     target = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
@@ -628,9 +629,9 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.6) * F.col("p_retailprice")) * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_dim(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

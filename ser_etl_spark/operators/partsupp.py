@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.broadcast import broadcast_if_dim
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
 
@@ -138,8 +139,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(broadcast_if_dim(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_dim(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "ps_partkey",
             "ps_supplycost_cents",
@@ -206,7 +207,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     grouped = (
-        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(broadcast_if_dim(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(
             F.sum(
@@ -275,7 +276,7 @@ def stocked_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualifying = (
         ps.join(
-            F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey")
+            broadcast_if_dim(red_parts), F.col("ps_partkey") == F.col("p_partkey")
         )
         .join(
             sold,

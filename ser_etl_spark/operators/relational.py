@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.broadcast import broadcast_if_dim
 from ser_etl_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ser_etl_spark.registry import register
 from ser_etl_spark.sources.parquet import load_table
@@ -255,7 +256,7 @@ def join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_dim(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -115,8 +115,18 @@ def rrf_fusion(
     else:
         from ser_etl_spark.operators.similarity import cosine_topk
 
+        # the query row itself (vec_id=0) is excluded — self-similarity
+        # would pin sem rank 1 to the query document; mmr_rerank already
+        # excludes it, and fusion follows the same retrieval semantics
+        # (r11 ADVICE)
         sem = (
-            cosine_topk(load_table(spark, sf_dir, "embeddings"), vec, k=depth)
+            cosine_topk(
+                load_table(spark, sf_dir, "embeddings").filter(
+                    F.col("vec_id") != 0
+                ),
+                vec,
+                k=depth,
+            )
             .filter(F.col("cos_sim").isNotNull())
             .select(
                 "vec_id",
@@ -157,8 +167,8 @@ def _rrf_oracle(k: int = 10, depth: int = FUSION_DEPTH) -> str:
     WITH lex AS (
       SELECT doc_id,
              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
-      FROM ({_bm25_oracle().replace("LIMIT 20", f"LIMIT {depth}")}) b
-    ), sem0 AS ({_ann_exact_oracle(k=depth)}
+      FROM ({_bm25_oracle(depth)}) b
+    ), sem0 AS ({_ann_exact_oracle(k=depth, exclude_query=True)}
     ), sem AS (
       SELECT vec_id,
              row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
@@ -183,7 +193,8 @@ def _rrf_oracle(k: int = 10, depth: int = FUSION_DEPTH) -> str:
     "rrf_fusion",
     oracle=_rrf_oracle(),
     description="hybrid retrieval: reciprocal-rank fusion (k=60) of the "
-    "BM25 top-20 and the exact-cosine top-20 over the aligned doc/vec id "
+    "BM25 top-20 and the exact-cosine top-20 (query row vec_id=0 "
+    "excluded, matching mmr_rerank) over the aligned doc/vec id "
     "space — each arm an independent distributed top-k, fusion on 2x20 "
     "rows; integer ranks + one double division per arm keep both engines "
     "bit-identical; missing arm = rank sentinel 0, score term 0.0",

@@ -386,6 +386,44 @@ MIXTURE_TARGETS: tuple[tuple[str, int], ...] = (
 )
 
 
+#: hash-prefix band width for the two-level rank: ``hash_u32 div 2^16``
+#: yields up to 2^16 bands per group — the per-(grp, band) rank window
+#: is ~1/65536th of a group, and the band table stays metadata-sized
+#: (|groups| x 65536 rows max, broadcastable).
+MIXTURE_BAND_DIV = 1 << 16
+
+
+def _mixture_banded_rank(docs: DataFrame) -> DataFrame:
+    """The pre-checkpoint banded-rank fragment of
+    :func:`mixture_rebalance_sample`, exposed so the plan gate can pin
+    the window partitioning (grp, _band) — the checkpoint in the full
+    builder makes the downstream plan opaque to ``explain``."""
+    named = [g for g, _ in MIXTURE_TARGETS if g != "other"]
+    pct = F.create_map(
+        *[x for g, p in MIXTURE_TARGETS for x in (F.lit(g), F.lit(p))]
+    )
+    from pyspark.sql import Window
+
+    base = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang").isin(*named), F.col("lang"))
+            .otherwise(F.lit("other"))
+            .alias("grp"),
+        )
+        .withColumn("_pct", pct[F.col("grp")])
+        .withColumn("_h", hash_u32("doc_id"))
+        .withColumn("_band", F.expr(f"_h div {MIXTURE_BAND_DIV}"))
+    )
+    wband = Window.partitionBy("grp", "_band").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
+    return base.select(
+        "doc_id", "grp", "_pct", "_band",
+        F.row_number().over(wband).alias("_ibr"),
+    )
+
+
 def mixture_rebalance_sample(docs: DataFrame) -> DataFrame:
     """Exact-count mixture rebalancing: downsample language groups so the
     kept corpus hits the target mixture EXACTLY (in integer arithmetic),
@@ -398,44 +436,63 @@ def mixture_rebalance_sample(docs: DataFrame) -> DataFrame:
     realized mixture drifts at small n), the rank threshold hits the
     target counts exactly — the contract a curriculum spec demands.
 
-    Scale: ONE corpus scan — group counts ride a per-group window, the
-    cross-group min is a |groups|-row aggregate broadcast back, and the
-    keep decision is a per-group rank threshold (window on the same
-    group shuffle). The ranked table is ``localCheckpoint``-materialized
-    (dedup label-propagation discipline) because four downstream
-    consumers would otherwise each replay the scan; after the checkpoint
-    every replay is checkpoint-local. Output is the |groups|-row audit a
+    Skew (r11 VERDICT #1): the group domain is FIXED at four
+    (:data:`MIXTURE_TARGETS`), so a single per-group rank window would
+    serialize ~a quarter of the corpus through one task at scale. This
+    uses the two-level banded rank proven in ``token_budget_selection``
+    and ``quality_quantile_normalize``: band on the hash PREFIX
+    (``hash_u32 div 2^16`` — banding by a prefix of the rank key keeps
+    band order ≡ rank order), rank within each (grp, band) partition,
+    cumulate the metadata-sized per-(grp, band) counts in band order,
+    and broadcast the exclusive offsets back. ``band_offset +
+    in_band_rank`` equals the single-window ``row_number`` bit-for-bit
+    (same hash, same doc_id tie-break), so the oracle keeps the naive
+    single-window form and the differential gate proves the
+    decomposition. The residual serial unit is one (grp, band) slice —
+    ~1/65536th of a group.
+
+    Scale: ONE corpus scan, ``localCheckpoint``-materialized after the
+    banded rank (dedup label-propagation discipline — the downstream
+    consumers replay checkpoint-local, not from parquet); the band
+    table is aggregated once off the SAME checkpoint and is itself
+    checkpointed (metadata-sized). Output is the |groups|-row audit a
     pipeline logs.
     """
-    named = [g for g, _ in MIXTURE_TARGETS if g != "other"]
-    pct = F.create_map(
-        *[x for g, p in MIXTURE_TARGETS for x in (F.lit(g), F.lit(p))]
-    )
     from pyspark.sql import Window
 
-    base = docs.select(
-        "doc_id",
-        F.when(F.col("lang").isin(*named), F.col("lang"))
-        .otherwise(F.lit("other"))
-        .alias("grp"),
-    ).withColumn("_pct", pct[F.col("grp")])
-    wg = Window.partitionBy("grp")
     DRIVER_PASSES["mixture_rank"] += 1
-    ranked = base.select(
+    in_band = _mixture_banded_rank(docs).localCheckpoint()
+    # band sizes fall out of the SAME window output as its max rank —
+    # grouping keys exactly match the window partitioning, so this
+    # aggregate rides the existing (grp, _band) distribution; the tiny
+    # result is checkpointed because three consumers (offsets, feasible,
+    # universe) would otherwise each replay the checkpoint-local pass
+    totals = (
+        in_band.groupBy("grp", "_band")
+        .agg(F.max("_ibr").alias("_bn"), F.max("_pct").alias("_pct"))
+        .localCheckpoint()
+    )
+    wb_off = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "grp",
+        "_band",
+        F.coalesce(F.sum("_bn").over(wb_off), F.lit(0)).alias("_boff"),
+    )
+    ranked = in_band.join(F.broadcast(offsets), ["grp", "_band"]).select(
         "doc_id",
         "grp",
         "_pct",
-        F.count(F.lit(1)).over(wg).alias("n_orig"),
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy(hash_u32("doc_id"), "doc_id"))
-        .alias("_rnk"),
-    ).localCheckpoint()
-    feasible = (
-        ranked.groupBy("grp", "_pct", "n_orig")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(
-            F.min(F.expr("(n_orig * 100) div _pct")).alias("_m")
-        )
+        (F.col("_boff") + F.col("_ibr")).alias("_rnk"),
+    )
+    per_group = totals.groupBy("grp").agg(
+        F.sum("_bn").alias("n_orig"), F.max("_pct").alias("_pct")
+    )
+    feasible = per_group.agg(
+        F.min(F.expr("(n_orig * 100) div _pct")).alias("_m")
     )
     kept = (
         ranked.crossJoin(F.broadcast(feasible))
@@ -446,9 +503,10 @@ def mixture_rebalance_sample(docs: DataFrame) -> DataFrame:
     # count is 0 (tiny group dominating the min) must surface as
     # n_kept=0, not vanish (hypothesis-found: a lone 'en' doc yields
     # t_en = 0 and the group disappeared from the old kept-side rollup)
-    universe = ranked.groupBy("grp").agg(
-        F.max("n_orig").cast("bigint").alias("n_orig"),
-        F.max("_pct").cast("bigint").alias("target_pct"),
+    universe = per_group.select(
+        "grp",
+        F.col("n_orig").cast("bigint").alias("n_orig"),
+        F.col("_pct").cast("bigint").alias("target_pct"),
     )
     agg = kept.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("_k")

@@ -1417,12 +1417,16 @@ def _trained_c_cte(
     )
 
 
-def _ann_exact_oracle(k: int = 10, dim: int | None = None) -> str:
+def _ann_exact_oracle(
+    k: int = 10, dim: int | None = None, exclude_query: bool = False
+) -> str:
     dim = EMB_DIM if dim is None else dim
+    where = "WHERE a.vec_id <> 0" if exclude_query else ""
     return f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT a.vec_id, {_duck_cos4("a.embedding", "q.qv", dim)} AS cos_sim
     FROM embeddings a, q
+    {where}
     ORDER BY cos_sim DESC, a.vec_id ASC
     LIMIT {k}
     """

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ser_etl_spark.functions.broadcast import broadcast_if_dim
 from ser_etl_spark.functions.numeric import (
     dsum,
     dsum_prod,
@@ -1096,11 +1097,23 @@ def lang_source_chi2(docs: DataFrame) -> DataFrame:
         cells.withColumn("r", F.sum("o").over(wl))
         .withColumn("c", F.sum("o").over(ws))
         .withColumn("n", F.sum("o").over(wall))
+        # collect_set drops NULLs, but the chi2 sum includes NULL-keyed
+        # cells (NULL lang/source IS a category here) — add the NULL
+        # group back explicitly so dof counts every category (r11 ADVICE:
+        # an all-NULL lang column otherwise yields nl=0 and negative dof)
         .withColumn(
-            "nl", F.size(F.collect_set("lang").over(wall))
+            "nl",
+            F.size(F.collect_set("lang").over(wall))
+            + F.max(
+                F.when(F.col("lang").isNull(), 1).otherwise(0)
+            ).over(wall),
         )
         .withColumn(
-            "ns", F.size(F.collect_set("source").over(wall))
+            "ns",
+            F.size(F.collect_set("source").over(wall))
+            + F.max(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).over(wall),
         )
     )
     term = (
@@ -1119,7 +1132,9 @@ def lang_source_chi2(docs: DataFrame) -> DataFrame:
         F.col("n").cast("bigint").alias("n_docs"),
         F.col("nl").cast("bigint").alias("n_langs"),
         F.col("ns").cast("bigint").alias("n_sources"),
-        F.expr("(nl - 1) * (ns - 1)").cast("bigint").alias("dof"),
+        F.expr("greatest((nl - 1) * (ns - 1), 0)")
+        .cast("bigint")
+        .alias("dof"),
         "chi2",
         # nullif: a 1x1 table has dof 0 — V is undefined (NULL), matching
         # DuckDB's NULL-on-zero-divide instead of ANSI-throwing (the
@@ -1151,8 +1166,12 @@ def lang_source_chi2(docs: DataFrame) -> DataFrame:
              SUM(o) OVER (PARTITION BY lang) AS r,
              SUM(o) OVER (PARTITION BY source) AS c,
              SUM(o) OVER () AS n,
-             COUNT(DISTINCT lang) OVER () AS nl,
-             COUNT(DISTINCT source) OVER () AS ns
+             COUNT(DISTINCT lang) OVER ()
+               + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) OVER ()
+               AS nl,
+             COUNT(DISTINCT source) OVER ()
+               + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END) OVER ()
+               AS ns
       FROM cells
     ), q AS (
       SELECT n, nl, ns,
@@ -1171,7 +1190,7 @@ def lang_source_chi2(docs: DataFrame) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n_docs,
            CAST(nl AS BIGINT) AS n_langs,
            CAST(ns AS BIGINT) AS n_sources,
-           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           CAST(greatest((nl - 1) * (ns - 1), 0) AS BIGINT) AS dof,
            chi2,
            {sql_fround(
                "sqrt(chi2 / (CAST(n AS DOUBLE)"
@@ -1227,7 +1246,9 @@ def revenue_trend_ols(
     ).cast("bigint")
     monthly = (
         orders.join(
-            F.broadcast(
+            # customer is SF-correlated — size-gated hint, not forced
+            # (functions/broadcast.py policy, VERDICT r11 #4)
+            broadcast_if_dim(
                 customer.select(
                     F.col("c_custkey"), F.col("c_nationkey")
                 )

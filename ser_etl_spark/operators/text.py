@@ -572,7 +572,7 @@ def bm25_search(
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int = 20) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     piv_cols = ",\n           ".join(
         f"MAX(CASE WHEN tok = '{t}' THEN {c} END) AS {c}_{i}"
@@ -610,7 +610,7 @@ def _bm25_oracle() -> str:
            {score} AS score
     FROM piv JOIN dl USING (doc_id) CROSS JOIN totals
     ORDER BY score DESC, doc_id ASC
-    LIMIT 20
+    LIMIT {limit}
     """
 
 

@@ -1272,9 +1272,18 @@ def cumulative_distinct_users(events: DataFrame) -> DataFrame:
         )
         / F.lit(86400)
     ).cast("long")
-    per_user = events.select(F.col("user_id"), day.alias("_d")).groupBy(
-        "user_id"
-    ).agg(F.min("_d").alias("first_day"), F.collect_set("_d").alias("_days"))
+    # NULL-ts rows have no day bucket: drop them explicitly on BOTH
+    # engines (collect_set would silently skip them here while a naive
+    # oracle DISTINCT would retain a NULL day row — the r11 ADVICE seam)
+    per_user = (
+        events.select(F.col("user_id"), day.alias("_d"))
+        .where(F.col("_d").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("_d").alias("first_day"),
+            F.collect_set("_d").alias("_days"),
+        )
+    )
     # occurring days ride the same aggregate: explode the per-user day
     # sets and dedup — |users|·|active days/user| rows, far below raw
     # event volume (bounded by the first aggregate's output)
@@ -1310,7 +1319,7 @@ def cumulative_distinct_users(events: DataFrame) -> DataFrame:
       SELECT user_id,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
                AS day_bucket
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), fs AS (
       SELECT user_id, MIN(day_bucket) AS first_day FROM d GROUP BY user_id
     ), occ AS (SELECT DISTINCT day_bucket FROM d),
@@ -1399,7 +1408,7 @@ def rate_limit_audit(
     WITH p AS (
       SELECT user_id,
              COUNT(*) OVER (PARTITION BY user_id
-                            ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP))
+                            ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
                                           AS BIGINT)
                             RANGE BETWEEN CURRENT ROW AND 59 FOLLOWING)
                AS _win

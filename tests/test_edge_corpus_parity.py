@@ -641,3 +641,229 @@ def test_emptystr_corpus_never_phantom_clusters(spark, emptystr_dir):
     rate = Q["dedup_rate_by_source"].builder(spark, emptystr_dir).collect()
     assert rate and all(r["n_dups"] == 0 for r in rate), rate
     assert Q["dup_source_matrix"].builder(spark, emptystr_dir).count() == 0
+
+
+def test_subsecond_rate_limit_parity(spark, tmp_path):
+    """r12 seam (the r11 ADVICE high): sub-second timestamp parts —
+    DuckDB's CAST(epoch(ts) AS BIGINT) rounds half-up while Spark's
+    timestampdiff truncates, so a .6s fraction shifts the RANGE-frame
+    key by one second unless the oracle floors. Pin parity on a corpus
+    where every event straddles a rounding boundary."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "subsec"
+    d.mkdir()
+    base = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    ts = [
+        base + _dt.timedelta(seconds=s, microseconds=us)
+        for s, us in [
+            (0, 600_000),   # .6  -> rounds to 1s, truncates to 0s
+            (59, 500_000),  # .5  -> half-up boundary itself
+            (59, 999_999),  # .999999
+            (60, 400_000),
+            (61, 700_000),
+            (120, 500_001),
+        ]
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["a"] * 6),
+                "value": pa.array([1.0] * 6),
+                "props": pa.array([None] * 6, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for name in ("rate_limit_audit", "cumulative_distinct_users"):
+            spec = all_queries()[name]
+            problems = compare(
+                name, spec.builder(spark, str(d)), con, spec.oracle
+            )
+            assert not problems, f"{name}: " + "\n".join(problems)
+        # semantics: user 1's fractions truncate to seconds 0, 59, 59,
+        # 60 — the forward frame [0, 59] holds exactly the first three
+        # (half-up rounding would have pushed .5/.6 fractions across
+        # the boundary and changed the peak)
+        rows = {
+            r["user_id"]: r
+            for r in all_queries()["rate_limit_audit"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        assert rows[1]["peak_minute"] == 3, rows
+    finally:
+        con.close()
+
+
+def test_null_ts_events_parity(spark, tmp_path):
+    """r12 seam (r11 ADVICE low): NULL-ts rows have no day bucket —
+    both engines must drop them instead of Spark's collect_set silently
+    skipping while the oracle's DISTINCT retains a NULL day row."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "nullts"
+    d.mkdir()
+    ts = [
+        _dt.datetime(2024, 1, 1, 6, 0),
+        None,
+        _dt.datetime(2024, 1, 2, 6, 0),
+        None,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                "event_type": pa.array(["a"] * 4),
+                "value": pa.array([1.0] * 4),
+                "props": pa.array([None] * 4, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        spec = all_queries()["cumulative_distinct_users"]
+        problems = compare(
+            "cumulative_distinct_users", spec.builder(spark, str(d)), con,
+            spec.oracle,
+        )
+        assert not problems, "\n".join(problems)
+        rows = spec.builder(spark, str(d)).collect()
+        # two real days, no NULL bucket row; user 3 (NULL-ts only)
+        # never appears
+        assert len(rows) == 2 and rows[-1]["cum_users"] == 2, rows
+    finally:
+        con.close()
+
+
+def test_all_null_lang_chi2_parity(spark, tmp_path):
+    """r12 seam (r11 ADVICE medium): NULL lang/source IS a category.
+    An all-NULL lang column must yield n_langs=1, dof=0 and NULL
+    cramers_v — not nl=0, negative dof and sqrt(negative)=NaN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "nulllang"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(["doc text"] * 6),
+                "lang": pa.array([None] * 6, pa.string()),
+                "source": pa.array(
+                    ["web", "web", "books", "books", None, None]
+                ),
+                "n_chars": pa.array([8] * 6, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        spec = all_queries()["lang_source_chi2"]
+        problems = compare(
+            "lang_source_chi2", spec.builder(spark, str(d)), con,
+            spec.oracle,
+        )
+        assert not problems, "\n".join(problems)
+        row = spec.builder(spark, str(d)).collect()[0]
+        assert row["n_langs"] == 1, row
+        assert row["n_sources"] == 3, row  # web, books, NULL
+        assert row["dof"] == 0 and row["cramers_v"] is None, row
+    finally:
+        con.close()
+
+
+def test_hot_user_window_family_parity(spark, tmp_path):
+    """r12 hot-key seam (VERDICT r11 #3): ONE user owning ~all events.
+    The per-user window family (scd2_state_history, rate_limit_audit,
+    cumulative_distinct_users, session_dwell_stats) keys its shuffle on
+    user_id — a hot user concentrates one partition, which is the
+    documented linear-state cost, but the ANSWER must be identical to
+    the oracle under that skew (ties, frame bounds and run compaction
+    all hit the single-partition path)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "hotuser"
+    d.mkdir()
+    n = 500
+    base = _dt.datetime(2024, 5, 1)
+    ts, uid, etype = [], [], []
+    for i in range(n):  # user 7 owns 98% of events, bursty + ties
+        ts.append(base + _dt.timedelta(seconds=(i // 3) * 20))
+        uid.append(7)
+        etype.append(["view", "view", "click", "buy"][i % 4])
+    for i in range(10):
+        ts.append(base + _dt.timedelta(hours=1, seconds=i))
+        uid.append(100 + i)
+        etype.append("view")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(ts)), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(etype),
+                "value": pa.array([1.0] * len(ts)),
+                "props": pa.array([None] * len(ts), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for name in (
+            "scd2_state_history",
+            "rate_limit_audit",
+            "cumulative_distinct_users",
+        ):
+            spec = all_queries()[name]
+            problems = compare(
+                name, spec.builder(spark, str(d)), con, spec.oracle
+            )
+            assert not problems, f"{name}: " + "\n".join(problems)
+        # semantics: the hot user's 60s frames hold 9 events (3 ties x
+        # 3 timestamps 20s apart)
+        rows = {
+            r["user_id"]: r["peak_minute"]
+            for r in all_queries()["rate_limit_audit"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        assert rows[7] == 9, rows
+    finally:
+        con.close()

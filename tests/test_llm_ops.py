@@ -1942,3 +1942,53 @@ class TestHybridRetrieval:
                     r["reciprocity_bp"]
                     == (10000 * 2 * r["n_mutual_pairs"]) // r["n_edges"]
                 )
+
+
+def test_mixture_rebalance_dominant_group_seam(spark):
+    """Dominant-group skew seam (r11 VERDICT #1): 90% of the corpus in
+    ONE language group must produce the exact feasible-count selection
+    of the serial model. The banded two-level rank (hash-prefix bands +
+    broadcast offsets) replaces the fixed-4-group single-task window;
+    with ~900 docs the dominant group spans many hash bands, so the
+    offset cumulation is genuinely exercised — the ANSWER must not
+    depend on the banding."""
+    from ser_etl_spark.operators.sampling import (
+        MIXTURE_TARGETS,
+        mixture_rebalance_sample,
+    )
+
+    rows = []
+    for i in range(900):  # dominant: 'en' (target 40%)
+        rows.append((i, "en"))
+    for i in range(40):
+        rows.append((1000 + i, "de"))
+    for i in range(35):
+        rows.append((2000 + i, "fr"))
+    for i in range(25):  # pooled 'other'
+        rows.append((3000 + i, ["zh", "es", "ja"][i % 3]))
+    df = spark.createDataFrame(
+        [(i, None, lang, None, 0) for i, lang in rows],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    got = {
+        r["grp"]: (r["n_orig"], r["n_kept"], r["kept_share_bp"])
+        for r in mixture_rebalance_sample(df).collect()
+    }
+
+    pct = dict(MIXTURE_TARGETS)
+    named = {g for g in pct if g != "other"}
+    groups: dict[str, int] = {}
+    for _, lang in rows:
+        g = lang if lang in named else "other"
+        groups[g] = groups.get(g, 0) + 1
+    m = min(n * 100 // pct[g] for g, n in groups.items())
+    kept = {g: min(m * pct[g] // 100, n) for g, n in groups.items()}
+    tot = sum(kept.values())
+    exp = {
+        g: (n, kept[g], 10000 * kept[g] // tot) for g, n in groups.items()
+    }
+    assert got == exp, (got, exp)
+    # the binding constraint here is 'de' (40 docs / 30%): M = 133,
+    # so the dominant group keeps 133*40//100 = 53 of its 900 docs
+    assert m == 133 and got["en"][1] == 53
