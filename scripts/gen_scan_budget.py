@@ -50,12 +50,35 @@ OFF_PLAN: dict[str, tuple[str, str]] = {
     ),
     "dedup_clusters": ("ser_etl_spark.operators.dedup", "propagation"),
     "dedup_cluster_sizes": ("ser_etl_spark.operators.dedup", "propagation"),
+    # surfaced by the r12 all-counter snapshot: these two consume the
+    # propagation closure during build as well (the old single-counter
+    # measurement could not see it — the exact desync VERDICT r11 #6
+    # warned about)
+    "dedup_canonical": ("ser_etl_spark.operators.dedup", "propagation"),
+    "semdedup_canonical": ("ser_etl_spark.operators.dedup", "propagation"),
     "mmr_rerank_topk": ("ser_etl_spark.operators.retrieval", "mmr_pool"),
     "mixture_rebalance": ("ser_etl_spark.operators.sampling", "mixture_rank"),
     "quality_quantile_normalize": (
         "ser_etl_spark.operators.curation", "quantile_rank"
     ),
 }
+
+
+#: every module that declares a DRIVER_PASSES counter dict. The
+#: measurement below snapshots ALL of them around every build, so a
+#: builder that starts moving a counter it is not budgeted for — or a
+#: new off-plan pass added without an OFF_PLAN entry — shows up as an
+#: unexpected ``<driver:...>`` delta and fails the gate (VERDICT r11
+#: #6: the counters are module globals; pin the contract, don't trust
+#: the wiring). Counter KEYS must be globally unique across modules
+#: (tests/test_plans.py::test_driver_passes_contract pins that).
+COUNTER_MODULES: tuple[str, ...] = (
+    "ser_etl_spark.operators.curation",
+    "ser_etl_spark.operators.dedup",
+    "ser_etl_spark.operators.retrieval",
+    "ser_etl_spark.operators.sampling",
+    "ser_etl_spark.operators.similarity",
+)
 
 
 def _counter(name: str) -> tuple[dict, str]:
@@ -66,17 +89,36 @@ def _counter(name: str) -> tuple[dict, str]:
     return importlib.import_module(mod_path).DRIVER_PASSES, key
 
 
+def all_driver_counters() -> dict[str, int]:
+    """One flat snapshot of every DRIVER_PASSES counter (keys are
+    globally unique by contract)."""
+    import importlib
+
+    out: dict[str, int] = {}
+    for mod_path in COUNTER_MODULES:
+        for key, val in importlib.import_module(
+            mod_path
+        ).DRIVER_PASSES.items():
+            if key in out:
+                raise AssertionError(f"duplicate driver counter key {key!r}")
+            out[key] = val
+    return out
+
+
 def build_with_driver_passes(spec, spark, sf: str):
-    """Invoke the builder, returning (df, off_plan_annotation) where the
-    annotation is ``{"<driver:key>": delta}`` for OFF_PLAN queries (the
-    driver-iteration count their artifact/closure work executed during
-    the build call) and ``{}`` otherwise."""
-    if spec.name not in OFF_PLAN:
-        return spec.builder(spark, sf), {}
-    counter, key = _counter(spec.name)
-    before = counter[key]
+    """Invoke the builder, returning (df, off_plan_annotation): the
+    ``{"<driver:key>": delta}`` of EVERY driver counter the build moved
+    (expected nonempty only for OFF_PLAN queries — any other movement
+    fails the budget compare)."""
+    before = all_driver_counters()
     df = spec.builder(spark, sf)
-    return df, {f"<driver:{key}>": counter[key] - before}
+    after = all_driver_counters()
+    deltas = {
+        f"<driver:{k}>": after[k] - before[k]
+        for k in after
+        if after[k] != before[k]
+    }
+    return df, deltas
 
 
 def scan_multiset(plan: str) -> dict[str, int]:

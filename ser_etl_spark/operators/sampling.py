@@ -593,3 +593,148 @@ def _mixture_oracle() -> str:
 )
 def mixture_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_rebalance_sample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (r12)
+# ---------------------------------------------------------------------------
+
+#: total sample size for the cluster-balanced selection (fixture-scale;
+#: per-cluster quota = target div K over the K trained IVF clusters)
+CLUSTER_SAMPLE_TARGET = 200
+
+
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str, target: int = CLUSTER_SAMPLE_TARGET
+) -> DataFrame:
+    """Cluster-balanced embedding sample: assign every vector to its
+    nearest TRAINED coarse centroid (the persisted quantizer the ANN
+    family serves from), then keep each cluster's ``target div K``
+    lowest-Knuth-hash members — the diversity-preserving downsample
+    (semantic-cluster stratification) a curation pipeline runs so one
+    dominant mode cannot monopolize the training mix. Degenerate
+    vectors (NULL cosine everywhere) form the ``-1`` cluster and are
+    quota'd like any other.
+
+    Scale: the E-step assign is one narrow scan (K dot products per
+    row, no shuffle); the per-cluster rank uses the SAME two-level
+    hash-prefix banded rank as :func:`mixture_rebalance_sample` — the
+    cluster domain is fixed at K+1, exactly the fixed-small-domain
+    window the r11 verdict flagged there, so it ships banded from day
+    one. Output is the |K|-row audit (cluster size, kept, quota,
+    kept share in bp).
+    """
+    from pyspark.sql import Window
+
+    from ser_etl_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        _trained_cents,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_cents(spark, sf_dir)
+    quota = target // IVF_CENTROIDS
+    assigned = ivf_assign(emb, centroids=cents).select(
+        "vec_id",
+        # the coalesces never fire (ivf_assign's sentinel is already -1,
+        # the hash is total) — they mark the join keys NON-NULLABLE so
+        # the band join infers no one-sided isnotnull, which would
+        # de-canonicalize the two shared exchange subtrees and block
+        # AQE's ReusedExchange (the token_budget_selection lesson)
+        F.expr("coalesce(centroid_id, -1)").alias("centroid_id"),
+    )
+    base = assigned.withColumn(
+        "_h", F.coalesce(hash_u32("vec_id"), F.lit(-1))
+    ).withColumn(
+        "_band", F.expr(f"coalesce(_h div {MIXTURE_BAND_DIV}, -1)")
+    )
+    wband = Window.partitionBy("centroid_id", "_band").orderBy(
+        F.col("_h").asc(), F.col("vec_id").asc()
+    )
+    in_band = base.select(
+        "vec_id", "centroid_id", "_band",
+        F.row_number().over(wband).alias("_ibr"),
+    )
+    totals = in_band.groupBy("centroid_id", "_band").agg(
+        F.max("_ibr").alias("_bn")
+    )
+    wb_off = (
+        Window.partitionBy("centroid_id")
+        .orderBy(F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "centroid_id",
+        "_band",
+        F.coalesce(F.sum("_bn").over(wb_off), F.lit(0)).alias("_boff"),
+    )
+    ranked = in_band.join(
+        F.broadcast(offsets), ["centroid_id", "_band"]
+    ).select(
+        "centroid_id",
+        (F.col("_boff") + F.col("_ibr")).alias("_rnk"),
+    )
+    return (
+        ranked.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orig"),
+            F.sum(F.when(F.col("_rnk") <= quota, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "centroid_id",
+            "n_orig",
+            F.lit(quota).cast("bigint").alias("quota"),
+            "n_kept",
+            F.expr("(10000 * n_kept) div n_orig")
+            .cast("bigint")
+            .alias("kept_share_bp"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _cluster_sample_oracle(target: int = CLUSTER_SAMPLE_TARGET) -> str:
+    from ser_etl_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        _ivf_assign_oracle,
+    )
+
+    quota = target // IVF_CENTROIDS
+    return f"""
+    WITH a AS ({_ivf_assign_oracle()}
+    ), ranked AS (
+      SELECT centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                ORDER BY {sql_hash_u32('vec_id')} ASC,
+                                         vec_id ASC) AS _rnk
+      FROM a
+    )
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orig,
+           CAST({quota} AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN _rnk <= {quota} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST((10000 * SUM(CASE WHEN _rnk <= {quota} THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS kept_share_bp
+    FROM ranked GROUP BY centroid_id ORDER BY centroid_id
+    """
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_cluster_sample_oracle(),
+    description="cluster-balanced embedding downsample: E-step assign to "
+    "the trained quantizer (one narrow scan, K dots/row), then each "
+    "cluster keeps its target/K lowest-hash members via the two-level "
+    "banded rank (fixed K+1-cluster domain — banded from day one); "
+    "|K|-row audit of size/quota/kept/share; the oracle re-derives the "
+    "trained centroids and replays the naive single-window rank",
+    covers=("N-sim", "X-sample"),
+)
+def cluster_balanced_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cluster_balanced_sample(spark, sf_dir)

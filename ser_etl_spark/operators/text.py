@@ -2583,3 +2583,217 @@ def corpus_rollup(docs: DataFrame) -> DataFrame:
 )
 def corpus_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_rollup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII scan (r12)
+# ---------------------------------------------------------------------------
+
+#: PII detectors as (name, regex) — portable across Java (Spark) and
+#: RE2 (DuckDB) dialects: character classes + bounded repetition only,
+#: no lookaround, no backreferences. The digit-run catches phone/SSN/
+#: account-number shapes; precision is a policy knob, recall is what a
+#: redaction pass audits.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("digit_run", r"[0-9]{7,}"),
+)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-source PII exposure audit: documents flagged by any detector
+    (email address, IPv4, long digit run) plus per-detector hit totals
+    and the flagged share in integer basis points — the redaction-pass
+    readout a training-data pipeline publishes before release.
+
+    Scale: stateless per-row ``regexp_count`` (whole-stage codegen, no
+    Python), ONE corpus scan into a |sources|-row hash aggregate with
+    map-side partials. NULL text carries no matches (counts coalesce
+    to 0 and the doc is unflagged) on both engines.
+    """
+    cols = [
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(pat)), F.lit(0)
+        ).alias(f"_n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    flagged = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"_n_{name}") > 0
+        flagged = c if flagged is None else (flagged | c)
+    per_doc = docs.select("source", *cols).withColumn(
+        "_flagged", flagged.cast("int")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_flagged").cast("bigint").alias("docs_flagged"),
+        *[
+            F.sum(f"_n_{name}").cast("bigint").alias(f"n_{name}")
+            for name, _ in PII_PATTERNS
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_flagged",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        F.expr("(10000 * docs_flagged) div n_docs")
+        .cast("bigint")
+        .alias("flagged_bp"),
+    ).orderBy("source")
+
+
+def _pii_oracle() -> str:
+    counts = ",\n             ".join(
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) AS _n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    any_flag = " OR ".join(f"_n_{name} > 0" for name, _ in PII_PATTERNS)
+    sums = ",\n           ".join(
+        f"CAST(SUM(_n_{name}) AS BIGINT) AS n_{name}"
+        for name, _ in PII_PATTERNS
+    )
+    names = ", ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    return f"""
+    WITH d AS (
+      SELECT source,
+             {counts}
+      FROM documents
+    ), f AS (
+      SELECT source,
+             CASE WHEN {any_flag} THEN 1 ELSE 0 END AS _flagged,
+             d.* EXCLUDE (source)
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(_flagged) AS BIGINT) AS docs_flagged,
+           {sums},
+           CAST((10000 * SUM(_flagged)) // COUNT(*) AS BIGINT) AS flagged_bp
+    FROM f GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "pii_scan",
+    oracle=_pii_oracle(),
+    description="PII exposure audit per source: docs flagged by any "
+    "detector (email / IPv4 / 7+ digit run) + per-detector hit totals "
+    "and flagged share in basis points — stateless regexp_count per "
+    "row (codegen, portable Java/RE2 patterns), one scan into a "
+    "|sources|-row aggregate",
+    covers=("N-quality", "N-text"),
+)
+def pii_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (r12)
+# ---------------------------------------------------------------------------
+
+
+def intra_doc_repetition(docs: DataFrame) -> DataFrame:
+    """Per-source intra-document repetition profile: adjacent duplicate
+    tokens (the "word word word" degeneration every repetition filter
+    targets) as exact counts — docs affected, total adjacent repeats,
+    and the repeat share of all token ADJACENCIES in basis points.
+
+    The adjacent-pair comparison is a ``zip_with`` over the token list
+    and its shift — array-local, no explode, no shuffle beyond the
+    |sources|-row aggregate. Both engines compare the same (i, i+1)
+    pairs: Spark zips ``slice(t, 1, n-1)`` with ``slice(t, 2, n-1)``;
+    DuckDB's indexed lambda is 1-based so ``t[i + 1]`` addresses the
+    same neighbor. Empty/NULL text contributes zero pairs.
+    """
+    toks = _ws_tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    reps = F.when(
+        F.col("text").isNull() | (n < 2), F.lit(0)
+    ).otherwise(
+        F.aggregate(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = F.when(F.col("text").isNull() | (n < 2), F.lit(0)).otherwise(
+        n - 1
+    )
+    per_doc = docs.select(
+        "source", reps.alias("_reps"), pairs.alias("_pairs")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_reps") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_repeats"),
+            F.sum("_reps").cast("bigint").alias("n_repeats"),
+            F.sum("_pairs").cast("bigint").alias("n_adjacencies"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_repeats",
+            "n_repeats",
+            "n_adjacencies",
+            F.when(F.col("n_adjacencies") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * n_repeats) div n_adjacencies"))
+            .cast("bigint")
+            .alias("repeat_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "intra_doc_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN text IS NULL
+                       OR len(string_split_regex(trim(lower(text)), ' +')) < 2
+                  THEN 0
+                  ELSE list_sum(list_transform(
+                         string_split_regex(trim(lower(text)), ' +'),
+                         (x, i) -> CASE WHEN i < len(string_split_regex(
+                                             trim(lower(text)), ' +'))
+                                         AND x = string_split_regex(
+                                             trim(lower(text)), ' +')[i + 1]
+                                        THEN 1 ELSE 0 END))
+             END AS _reps,
+             CASE WHEN text IS NULL
+                       OR len(string_split_regex(trim(lower(text)), ' +')) < 2
+                  THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), ' +')) - 1
+             END AS _pairs
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN _reps > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_repeats,
+           CAST(SUM(_reps) AS BIGINT) AS n_repeats,
+           CAST(SUM(_pairs) AS BIGINT) AS n_adjacencies,
+           CAST(CASE WHEN SUM(_pairs) = 0 THEN 0
+                ELSE (10000 * SUM(_reps)) // SUM(_pairs) END AS BIGINT)
+             AS repeat_bp
+    FROM d GROUP BY source ORDER BY source
+    """,
+    description="repetition-filter readout per source: adjacent "
+    "duplicate tokens (docs affected, repeat count, repeat share of "
+    "token adjacencies in bp) — array-local zip_with against the "
+    "shifted token list, no explode, one scan + |sources|-row aggregate",
+    covers=("N-quality", "N-text"),
+)
+def intra_doc_repetition_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return intra_doc_repetition(load_table(spark, sf_dir, "documents"))

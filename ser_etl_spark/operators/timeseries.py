@@ -1430,3 +1430,266 @@ def rate_limit_audit(
 )
 def rate_limit_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_limit_audit(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (r12)
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Day-cohort retention matrix: users cohorted by FIRST-seen epoch
+    day; for every (cohort_day, day_offset) the count of cohort members
+    active that day and the retention share in integer basis points —
+    the activation/retention readout next to the audience-growth curve
+    (:func:`cumulative_distinct_users`).
+
+    Single-scan shape (the first-seen trick extended): ONE per-user
+    aggregate carries both the first day and the distinct active-day
+    set; exploding the bounded day set yields (cohort, offset)
+    presence rows — |users|·|active days/user|, far below event volume
+    — and the cohort size rides the offset-0 cell via a per-cohort
+    window over the metadata-sized matrix. No join back to the corpus,
+    no windowed COUNT(DISTINCT). NTZ epoch-day buckets
+    (``timestampdiff``, the r6 Kathmandu discipline); NULL ts/user
+    rows are out of scope on both engines.
+    """
+    from pyspark.sql import Window
+
+    day = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(86400)
+    ).cast("long")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", day.alias("_d"))
+        .groupBy("user_id")
+        .agg(
+            F.min("_d").alias("_first"),
+            F.collect_set("_d").alias("_days"),
+        )
+    )
+    presence = per_user.select(
+        F.col("_first").alias("cohort_day"),
+        F.explode("_days").alias("_day"),
+    ).select(
+        "cohort_day",
+        (F.col("_day") - F.col("cohort_day")).alias("day_offset"),
+    )
+    cells = presence.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    wc = Window.partitionBy("cohort_day")
+    return (
+        cells.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("day_offset") == 0, F.col("active_users"))
+            ).over(wc),
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.expr("(10000 * active_users) div cohort_size")
+            .cast("bigint")
+            .alias("retention_bp"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS _d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), pu AS (
+      SELECT user_id, MIN(_d) AS _first, list_distinct(list(_d)) AS _days
+      FROM d GROUP BY user_id
+    ), presence AS (
+      SELECT _first AS cohort_day, unnest(_days) - _first AS day_offset
+      FROM pu
+    ), cells AS (
+      SELECT cohort_day, day_offset, COUNT(*) AS active_users
+      FROM presence GROUP BY cohort_day, day_offset
+    )
+    SELECT cohort_day, day_offset,
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(MAX(CASE WHEN day_offset = 0 THEN active_users END)
+                  OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+           CAST((10000 * active_users)
+                // MAX(CASE WHEN day_offset = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort_day) AS BIGINT)
+             AS retention_bp
+    FROM cells
+    ORDER BY cohort_day, day_offset
+    """,
+    description="day-cohort retention matrix: users cohorted by first-"
+    "seen day, per (cohort, offset) active members + retention bp — "
+    "one per-user aggregate carries first day AND the distinct day set "
+    "(no second scan, no windowed COUNT(DISTINCT)), cohort size rides "
+    "the offset-0 cell via a window over the metadata-sized matrix",
+    covers=("X-window", "B5"),
+)
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (r12)
+# ---------------------------------------------------------------------------
+
+#: funnel stages in order (event_type values of the events table)
+FUNNEL_STAGES: tuple[str, ...] = ("view", "click", "purchase")
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per stage, how
+    many users reached it IN ORDER (first view, then the first click at
+    or after it, then the first purchase at or after that click) and
+    the conversion from the previous stage in basis points.
+
+    One keyed shuffle: three chained window passes over the SAME
+    user_id partitioning resolve the sequential "first X after first
+    Y" dependencies (each stage's anchor is the previous window
+    column, so no self-joins and no per-user sort explosion); a
+    constant 3-row unpivot of the one-row aggregate yields the funnel.
+    Equal timestamps count as reached (``>=`` — a click logged in the
+    same microsecond as the view converts) on both engines; the
+    event_id tiebreak is unnecessary because only the MIN timestamp
+    per stage matters.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    base = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin(*FUNNEL_STAGES)
+    ).select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    staged = base.withColumn("_t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == s2) & (F.col("ts") >= F.col("_t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("_t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == s3) & (F.col("ts") >= F.col("_t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("_t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("_t1").isNotNull().cast("int")).alias("_r1"),
+        F.max(F.col("_t2").isNotNull().cast("int")).alias("_r2"),
+        F.max(F.col("_t3").isNotNull().cast("int")).alias("_r3"),
+    )
+    totals = per_user.agg(
+        F.sum("_r1").cast("bigint").alias("u1"),
+        F.sum("_r2").cast("bigint").alias("u2"),
+        F.sum("_r3").cast("bigint").alias("u3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_no"),
+            F.lit(s1).alias("stage"),
+            F.col("u1").alias("users"),
+            F.col("u1").alias("prev"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_no"),
+            F.lit(s2).alias("stage"),
+            F.col("u2").alias("users"),
+            F.col("u1").alias("prev"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_no"),
+            F.lit(s3).alias("stage"),
+            F.col("u3").alias("users"),
+            F.col("u2").alias("prev"),
+        ),
+    )
+    return (
+        totals.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage_no").cast("bigint").alias("stage_no"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.users").alias("users"),
+            F.when(F.col("s.prev") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * s.users) div s.prev"))
+            .cast("bigint")
+            .alias("conversion_bp"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+@register(
+    "event_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('{FUNNEL_STAGES[0]}', '{FUNNEL_STAGES[1]}',
+                           '{FUNNEL_STAGES[2]}')
+    ), w1 AS (
+      SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+                  OVER (PARTITION BY user_id) AS _t1
+      FROM base
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                          AND ts >= _t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS _t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'
+                          AND ts >= _t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS _t3
+      FROM w2
+    ), pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN _t1 IS NOT NULL THEN 1 ELSE 0 END) AS _r1,
+             MAX(CASE WHEN _t2 IS NOT NULL THEN 1 ELSE 0 END) AS _r2,
+             MAX(CASE WHEN _t3 IS NOT NULL THEN 1 ELSE 0 END) AS _r3
+      FROM w3 GROUP BY user_id
+    ), t AS (
+      SELECT SUM(_r1) AS u1, SUM(_r2) AS u2, SUM(_r3) AS u3 FROM pu
+    )
+    SELECT stage_no, stage, users, conversion_bp FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_no, '{FUNNEL_STAGES[0]}' AS stage,
+             CAST(u1 AS BIGINT) AS users,
+             CAST(CASE WHEN u1 = 0 THEN 0
+                  ELSE (10000 * u1) // u1 END AS BIGINT) AS conversion_bp
+      FROM t
+      UNION ALL
+      SELECT 2, '{FUNNEL_STAGES[1]}', CAST(u2 AS BIGINT),
+             CAST(CASE WHEN u1 = 0 THEN 0
+                  ELSE (10000 * u2) // u1 END AS BIGINT)
+      FROM t
+      UNION ALL
+      SELECT 3, '{FUNNEL_STAGES[2]}', CAST(u3 AS BIGINT),
+             CAST(CASE WHEN u2 = 0 THEN 0
+                  ELSE (10000 * u3) // u2 END AS BIGINT)
+      FROM t)
+    ORDER BY stage_no
+    """,
+    description="ordered conversion funnel view->click->purchase: per "
+    "stage the users reaching it in sequence (first-X-after-first-Y via "
+    "three chained windows over ONE user_id shuffle, no self-joins) + "
+    "stage conversion in bp; constant 3-row unpivot",
+    covers=("X-window", "B5"),
+)
+def event_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_funnel(_t(spark, sf_dir, "events"))

@@ -97,6 +97,10 @@ EDGE_QUERIES = [
     "lang_source_chi2",
     "vocab_gini",
     "corpus_rollup",
+    # r12: the PII detectors and the adjacent-repeat zipper must agree
+    # on unicode, multi-space, empty and repeated-token shapes
+    "pii_scan",
+    "intra_doc_repetition",
 ]
 
 
@@ -865,5 +869,141 @@ def test_hot_user_window_family_parity(spark, tmp_path):
             .collect()
         }
         assert rows[7] == 9, rows
+    finally:
+        con.close()
+
+
+def test_pii_and_repetition_semantics(spark, tmp_path):
+    """r12: the new audits on a corpus that actually CONTAINS PII and
+    degenerate repetition (the fixtures are clean, so their green rows
+    only prove the zero path). Parity plus hand-computed counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "piirep"
+    d.mkdir()
+    texts = [
+        "contact me at john.doe+spam@example.com or admin@sub.example.org",
+        "server at 192.168.0.1 and 10.0.0.255 responded",
+        "call 5551234567 now",
+        "clean document with no sensitive content at all",
+        "word word word stutter stutter end",
+        "",
+        None,
+        "a a a a a",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(
+                    ["web", "web", "web", "web", "code", "code", "code",
+                     "code"]
+                ),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        for name in ("pii_scan", "intra_doc_repetition"):
+            spec = all_queries()[name]
+            problems = compare(
+                name, spec.builder(spark, str(d)), con, spec.oracle
+            )
+            assert not problems, f"{name}: " + "\n".join(problems)
+        pii = {
+            r["source"]: r
+            for r in all_queries()["pii_scan"].builder(spark, str(d)).collect()
+        }
+        assert pii["web"]["n_email"] == 2
+        assert pii["web"]["n_ipv4"] == 2
+        assert pii["web"]["n_digit_run"] == 1
+        assert pii["web"]["docs_flagged"] == 3
+        assert pii["code"]["docs_flagged"] == 0
+        rep = {
+            r["source"]: r
+            for r in all_queries()["intra_doc_repetition"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        # 'word word word stutter stutter end': repeats at (0,1),(1,2),
+        # (3,4) = 3; 'a a a a a': 4
+        assert rep["code"]["n_repeats"] == 7, rep
+        assert rep["code"]["docs_with_repeats"] == 2, rep
+        assert rep["web"]["n_repeats"] == 0, rep
+    finally:
+        con.close()
+
+
+def test_event_funnel_ordering_semantics(spark, tmp_path):
+    """r12: the funnel must be ORDER-sensitive — a click before the
+    first view does not convert (even if a purchase follows), and
+    equal timestamps DO convert (>= frame). Parity + hand model."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    t0 = _dt.datetime(2024, 2, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + _dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        (2, s(0), "click"), (2, s(10), "view"), (2, s(20), "purchase"),
+        (3, s(0), "view"), (3, s(0), "click"), (3, s(0), "purchase"),
+        (4, s(0), "view"),
+        (5, s(0), "purchase"),
+        (6, s(5), "signup"),  # non-funnel type, ignored
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for name in ("event_funnel", "cohort_retention"):
+            spec = all_queries()[name]
+            problems = compare(
+                name, spec.builder(spark, str(d)), con, spec.oracle
+            )
+            assert not problems, f"{name}: " + "\n".join(problems)
+        got = {
+            r["stage"]: (r["users"], r["conversion_bp"])
+            for r in all_queries()["event_funnel"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        # viewers: 1, 2, 3, 4; click-after-view: 1, 3 (user 2's click
+        # precedes their view); purchase-after-that-click: 1, 3
+        assert got["view"] == (4, 10000), got
+        assert got["click"] == (2, 5000), got
+        assert got["purchase"] == (2, 10000), got
     finally:
         con.close()

@@ -343,7 +343,9 @@ def test_expanded_vector_stages_compile(sf_small):
     captured for real. The r6 write-time ANN layout removed the one
     documented interpreted stage (the registry ivf_ann_topk probe now
     reads precomputed centroid partitions + vnorm, so the fused
-    argmax+cosine expression no longer exists) — ALL four registry ANN
+    argmax+cosine expression no longer exists), and the r12 observe()
+    stage split removed the last one (ivf_recall_trained_vs_seed's fused
+    assign+anchor-sims stage, VERDICT r11 #5) — ALL registry ANN
     queries must now compile clean. The SCAN-time ivf_ann_topk function,
     which still fuses the centroid argmax with the query-cosine
     projection in one stage, remains the POSITIVE control: its error
@@ -366,7 +368,8 @@ from ser_etl_spark.operators.similarity import build_ann_index
 build_ann_index(spark, {sf_small!r}, tempfile.mkdtemp(prefix="annidx_"))
 print("CLEAN_DONE build_ann_index", file=sys.stderr, flush=True)
 for name in ("lsh_ann_topk", "ivf_assign", "hard_negative_mining",
-             "ivf_ann_topk", "lsh_ann_multiprobe", "ann_quantized_rescore"):
+             "ivf_ann_topk", "lsh_ann_multiprobe", "ann_quantized_rescore",
+             "ivf_recall_trained_vs_seed"):
     Q[name].builder(spark, {sf_small!r}).collect()
     print("CLEAN_DONE " + name, file=sys.stderr, flush=True)
 print("CONTROL_START", file=sys.stderr, flush=True)
@@ -385,7 +388,7 @@ spark.stop()
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     clean, _, control = proc.stderr.partition("CONTROL_START")
-    assert clean.count("CLEAN_DONE") == 7, proc.stderr[-3000:]
+    assert clean.count("CLEAN_DONE") == 8, proc.stderr[-3000:]
     assert "Failed to compile" not in clean, clean[-3000:]
     # positive control: the known-failing stage must surface the error,
     # otherwise this test has silently stopped observing codegen at all
@@ -1094,7 +1097,8 @@ def test_scan_budget_multiset(spark, sf_small, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_rarity_topk", "token_budget_selection"]
+    "name", ["doc_rarity_topk", "token_budget_selection",
+             "cluster_balanced_sample"]
 )
 def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small, name):
     """Queries whose two consumers share one shuffled subtree rely on
@@ -1241,3 +1245,107 @@ def test_mixture_banded_rank_partitions_by_band(spark, sf_small):
     # exactly one window node (tree + detail = 2 mentions), one scan
     assert plan.count("Window") == 2, plan[:2000]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+
+
+def test_driver_passes_contract(spark, sf_small):
+    """r12 (VERDICT r11 #6): the off-plan scan accounting is module
+    globals wired by name — pin the contract so a refactor can't
+    silently desync the budget gate. Every OFF_PLAN entry must point at
+    a real (module, key); keys must be globally unique (the measurement
+    flattens them); and building each OFF_PLAN query must move exactly
+    its own counter, by exactly the budgeted delta, touching no other
+    counter (the widened build_with_driver_passes snapshot enforces the
+    no-other-counter half for ALL 237 queries via the budget gate)."""
+    from scripts.gen_scan_budget import (
+        OFF_PLAN,
+        all_driver_counters,
+        build_with_driver_passes,
+    )
+
+    # structural half: entries resolve, keys unique
+    flat = all_driver_counters()
+    for name, (mod_path, key) in OFF_PLAN.items():
+        assert key in flat, (name, key)
+        assert name in QUERIES, name
+    # behavioral half: each OFF_PLAN build moves its key only, matching
+    # the recorded budget annotation
+    for name in sorted(OFF_PLAN):
+        _, deltas = build_with_driver_passes(QUERIES[name], spark, sf_small)
+        key = OFF_PLAN[name][1]
+        expected = {
+            k: v for k, v in SCAN_BUDGET[name].items()
+            if k.startswith("<driver:")
+        }
+        assert deltas == expected, (name, deltas, expected)
+        assert set(deltas) == {f"<driver:{key}>"}, (name, deltas)
+
+
+def test_broadcast_if_dim_declines_oversized(spark, sf_small):
+    """r12 (VERDICT r11 #4): the dim-broadcast policy, not the hint.
+    Under the ceiling the helper hints (plan shows BroadcastHashJoin
+    without AQE's help); over a forced tiny ceiling it must return the
+    frame UNHINTED so AQE picks the strategy from runtime stats."""
+    from ser_etl_spark.functions.broadcast import (
+        broadcast_if_dim,
+        plan_size_estimate,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    est = plan_size_estimate(c)
+    assert est is not None and est > 0
+
+    hinted = o.join(broadcast_if_dim(c), o.o_custkey == c.c_custkey)
+    plan = explain_string(hinted, "formatted")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    declined = o.join(
+        broadcast_if_dim(c, max_bytes=1), o.o_custkey == c.c_custkey
+    )
+    # the unhinted logical plan must carry NO broadcast hint: disable
+    # AQE/auto-broadcast for the explain so a size-based conversion
+    # can't mask a leaked hint
+    prev_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan2 = explain_string(declined, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_auto)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert "BroadcastHashJoin" not in plan2, plan2[:2000]
+
+
+def test_r12_new_op_plan_shapes(spark, sf_small):
+    """r12 wave: scan/shuffle/window claims pinned on the plan."""
+    # pii_scan / intra_doc_repetition: one scan, partial+final agg,
+    # no join, no window
+    for name in ("pii_scan", "intra_doc_repetition"):
+        plan = _plan(spark, sf_small, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert "Join" not in plan, name
+        assert "partial_" in plan, name  # map-side partials
+    # cohort_retention: one scan (first-seen trick — no join back to the
+    # corpus), the only window runs over the metadata-sized cell matrix
+    plan = _plan(spark, sf_small, "cohort_retention")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    # event_funnel: ONE user_id exchange feeds the three chained windows
+    # (same partitioning — no re-shuffle between stages), no join
+    plan = _plan(spark, sf_small, "event_funnel")
+    assert "Join" not in plan, plan[:2000]
+    assert (
+        len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    ), plan[:3000]
+    # cluster_balanced_sample: the per-cluster rank window partitions by
+    # (centroid_id, _band) — fixed K+1 domain, banded from day one
+    plan = _plan(spark, sf_small, "cluster_balanced_sample")
+    assert re.search(
+        r"hashpartitioning\(centroid_id#\d+, _band#\d+", plan
+    ), plan[:3000]

@@ -977,3 +977,57 @@ def test_scd2_intervals_partition_each_user_timeline(spark, events):
             # impossible after compaction, so assert strictly:
         for a, b in zip(ivs, ivs[1:]):
             assert a["state"] != b["state"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),    # user_id
+            st.integers(min_value=0, max_value=20),   # epoch day
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cohort_retention_matches_serial_model(spark, events):
+    """The retention matrix must equal the trivial serial model: cohort
+    = min active day per user, cell (c, o) = |{u : first(u)=c, c+o in
+    days(u)}|, size = offset-0 cell."""
+    import datetime as _dt
+
+    from ser_etl_spark.operators.timeseries import cohort_retention
+
+    base = _dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(days=day), u, "view", 1.0, None)
+            for i, (u, day) in enumerate(events)
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): (
+            r["active_users"], r["cohort_size"], r["retention_bp"]
+        )
+        for r in cohort_retention(df).collect()
+    }
+    day0 = (base - _dt.datetime(1970, 1, 1)).days
+    per_user: dict[int, set] = {}
+    for u, day in events:
+        per_user.setdefault(u, set()).add(day0 + day)
+    cells: dict[tuple, int] = {}
+    for u, days in per_user.items():
+        first = min(days)
+        for dd in days:
+            cells[(first, dd - first)] = cells.get((first, dd - first), 0) + 1
+    exp = {}
+    for (c, o), n in cells.items():
+        size = cells[(c, 0)]
+        exp[(c, o)] = (n, size, 10000 * n // size)
+    assert got == exp
