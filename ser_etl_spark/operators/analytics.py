@@ -1942,3 +1942,192 @@ def session_dwell_stats(events: DataFrame) -> DataFrame:
 )
 def session_dwell_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_dwell_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# customer reorder-gap histogram (r12)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Reorder-cadence histogram: days between each customer's
+    consecutive orders, bucketed into weeks — the repeat-purchase
+    rhythm readout behind retention targets (a week-0 spike means
+    same-week reorders; a fat tail means churn risk).
+
+    One keyed shuffle: ``lag`` of the epoch-day over the per-customer
+    (day, orderkey) order — integer NTZ epoch-days (``timestampdiff``,
+    never ``unix_timestamp``), so the gap is an exact BIGINT
+    subtraction; first orders have no predecessor and drop. The
+    histogram is a |buckets|-row aggregate; shares are exact basis
+    points of all gaps.
+    """
+    day = F.floor(_epoch_s("o_orderdate") / F.lit(86400)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    gaps = (
+        orders.filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select("o_custkey", "o_orderkey", day.alias("_d"))
+        .withColumn("_prev", F.lag("_d").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select((F.col("_d") - F.col("_prev")).alias("_gap"))
+    )
+    hist = gaps.groupBy(
+        F.expr("_gap div 7").cast("bigint").alias("gap_week_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    # the total rides a window over the metadata-sized histogram — a
+    # second aggregate + crossJoin would replay the orders scan
+    return (
+        hist.withColumn(
+            "_tot", F.sum("n_gaps").over(Window.partitionBy())
+        )
+        .select(
+            "gap_week_bucket",
+            "n_gaps",
+            F.expr("(10000 * n_gaps) div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("gap_week_bucket")
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+                  AS BIGINT) AS _d
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), g AS (
+      SELECT _d - lag(_d) OVER (PARTITION BY o_custkey
+                                ORDER BY _d, o_orderkey) AS _gap
+      FROM d
+    ), hist AS (
+      SELECT _gap // 7 AS gap_week_bucket, COUNT(*) AS n_gaps
+      FROM g WHERE _gap IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT CAST(gap_week_bucket AS BIGINT) AS gap_week_bucket,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST((10000 * n_gaps) // (SELECT SUM(n_gaps) FROM hist)
+                AS BIGINT) AS share_bp
+    FROM hist
+    ORDER BY gap_week_bucket
+    """,
+    description="reorder-cadence histogram: per-customer consecutive-"
+    "order gaps in exact epoch-day integers (lag over one custkey "
+    "shuffle), bucketed by week with exact bp shares — the repeat-"
+    "purchase rhythm readout",
+    covers=("X-window", "B5"),
+)
+def customer_order_gaps_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return customer_order_gaps(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# supplier revenue concentration (HHI) per nation (r12)
+# ---------------------------------------------------------------------------
+
+
+def supplier_concentration_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: per nation the supplier count, total revenue cents,
+    top-supplier share and the HHI over basis-point shares (0..1e8 —
+    10000^2 = single-supplier monopoly) — the supply-risk readout a
+    procurement dashboard keys on. Complements
+    ``statistics.supplier_hhi_histogram`` (per-PART quantity
+    concentration bucketed into bands): same metric family, different
+    axis — this one answers "which NATION's revenue hangs on one
+    supplier", with the dim-join plumbing that question needs.
+
+    Exactness: revenue folds to exact cents per supplier; shares are
+    integer basis points (``10000*cents div total``); the HHI is a sum
+    of squared BIGINT shares — no doubles anywhere. Scale: one
+    lineitem scan into a |suppliers|-row aggregate (map-side partials),
+    dims broadcast (supplier size-gated, nation fixed), then windows
+    over the metadata-sized supplier rollup.
+    """
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+        + 0.5
+    ).cast("long")
+    per_supp = (
+        lineitem.join(
+            broadcast_if_dim(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(cents).alias("_cents"))
+    )
+    wn = Window.partitionBy("n_name")
+    shared = per_supp.withColumn(
+        "_tot", F.sum("_cents").over(wn)
+    ).withColumn("share_bp", F.expr("(10000 * _cents) div _tot"))
+    return (
+        shared.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.max("_tot").cast("bigint").alias("revenue_cents"),
+            F.max("share_bp").cast("bigint").alias("top_share_bp"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH per_supp AS (
+      SELECT n.n_name, l.l_suppkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS _cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ), shared AS (
+      SELECT n_name, _cents,
+             SUM(_cents) OVER (PARTITION BY n_name) AS _tot,
+             (10000 * _cents) // SUM(_cents) OVER (PARTITION BY n_name)
+               AS share_bp
+      FROM per_supp
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(_tot) AS BIGINT) AS revenue_cents,
+           CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi
+    FROM shared GROUP BY n_name ORDER BY n_name
+    """,
+    description="supply-risk readout: per-nation supplier revenue "
+    "concentration — supplier count, exact revenue cents, top share and "
+    "HHI over integer bp shares (no doubles anywhere); one lineitem "
+    "scan to a supplier rollup, dims broadcast (size-gated), windows "
+    "over the metadata-sized rollup",
+    covers=("B11", "B5"),
+)
+def supplier_concentration_hhi_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return supplier_concentration_hhi(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )

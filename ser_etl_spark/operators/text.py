@@ -2797,3 +2797,106 @@ def intra_doc_repetition_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return intra_doc_repetition(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction preview (r12)
+# ---------------------------------------------------------------------------
+
+#: replacement tokens per detector, applied IN :data:`PII_PATTERNS`
+#: order (emails first — their local parts may contain digit runs that
+#: must not double-count for the later detectors).
+PII_REPLACEMENTS: tuple[tuple[str, str], ...] = (
+    ("email", "[EMAIL]"),
+    ("ipv4", "[IP]"),
+    ("digit_run", "[NUM]"),
+)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redaction preview: flagged documents with their redacted text and
+    the per-detector replacement counts — the transform twin of
+    :func:`pii_scan` (the audit says how much; this is what the kept
+    corpus would actually look like).
+
+    Each detector counts matches against the text AS ALREADY REDACTED
+    by the previous detectors, then replaces them — so an email's digits
+    never double-count as a digit run, identically on both engines
+    (sequential ``regexp_count`` + ``regexp_replace`` chain, fixed
+    order). Stateless per row (codegen, no Python); only flagged rows
+    survive, so the result is redaction-sized, not corpus-sized.
+    """
+    pats = dict(PII_PATTERNS)
+    cur = F.col("text")
+    counts = []
+    for name, rep in PII_REPLACEMENTS:
+        pat = pats[name]
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    out = docs.select(
+        "doc_id", *counts, cur.alias("redacted_text")
+    )
+    total = None
+    for name, _ in PII_REPLACEMENTS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return (
+        out.withColumn("n_redactions", total.cast("bigint"))
+        .filter(F.col("n_redactions") > 0)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_digit_run",
+            "n_redactions",
+            "redacted_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_redact_oracle() -> str:
+    pats = dict(PII_PATTERNS)
+    cur = "text"
+    count_cols = []
+    for name, rep in PII_REPLACEMENTS:
+        pat = pats[name]
+        count_cols.append(
+            f"CAST(COALESCE(len(regexp_extract_all({cur}, '{pat}')), 0)"
+            f" AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+    counts = ",\n             ".join(count_cols)
+    total = " + ".join(f"n_{name}" for name, _ in PII_REPLACEMENTS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             {counts},
+             {cur} AS redacted_text
+      FROM documents
+    )
+    SELECT doc_id, n_email, n_ipv4, n_digit_run,
+           CAST({total} AS BIGINT) AS n_redactions,
+           redacted_text
+    FROM d
+    WHERE {total} > 0
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "pii_redact",
+    oracle=_pii_redact_oracle(),
+    description="redaction preview (transform twin of pii_scan): flagged "
+    "docs with redacted text + per-detector replacement counts — "
+    "sequential count-then-replace chain so earlier detectors' matches "
+    "never double-count for later ones; stateless per-row codegen, "
+    "redaction-sized output",
+    covers=("N-quality", "N-text"),
+)
+def pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(load_table(spark, sf_dir, "documents"))

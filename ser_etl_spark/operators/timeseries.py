@@ -1693,3 +1693,90 @@ def event_funnel(events: DataFrame) -> DataFrame:
 )
 def event_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix (r12)
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order event-type transition matrix: for every consecutive
+    pair in each user's (ts, event_id)-ordered stream, the count of
+    (from_type, to_type) transitions and the row-normalized share in
+    integer basis points — the behavioral fingerprint next to the
+    funnel (:func:`event_funnel` asks "did they convert"; this asks
+    "what do they do next, from anywhere").
+
+    One keyed shuffle: ``lead(event_type)`` over the per-user order,
+    then a |types|^2-row hash aggregate; the per-from totals are a
+    window over that metadata-sized matrix. The last event of each user
+    has no successor and drops (no self-padding sentinel). NULL ts /
+    user rows are out of scope on both engines; the event_id tiebreak
+    pins equal-timestamp ordering.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        cells.withColumn(
+            "_row_total", F.sum("n_transitions").over(wf)
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(10000 * n_transitions) div _row_total")
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST((10000 * n_transitions)
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_bp
+    FROM cells
+    ORDER BY from_type, to_type
+    """,
+    description="first-order event-type transition matrix: per "
+    "(from, to) consecutive-pair counts + row-normalized share bp — "
+    "lead() over one user_id shuffle, |types|^2 aggregate, per-from "
+    "totals as a window over the metadata-sized matrix",
+    covers=("X-window", "B5"),
+)
+def event_transition_matrix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return event_transition_matrix(_t(spark, sf_dir, "events"))

@@ -100,6 +100,7 @@ EDGE_QUERIES = [
     # r12: the PII detectors and the adjacent-repeat zipper must agree
     # on unicode, multi-space, empty and repeated-token shapes
     "pii_scan",
+    "pii_redact",
     "intra_doc_repetition",
 ]
 
@@ -915,7 +916,7 @@ def test_pii_and_repetition_semantics(spark, tmp_path):
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{d}/documents.parquet')"
         )
-        for name in ("pii_scan", "intra_doc_repetition"):
+        for name in ("pii_scan", "pii_redact", "intra_doc_repetition"):
             spec = all_queries()[name]
             problems = compare(
                 name, spec.builder(spark, str(d)), con, spec.oracle
@@ -925,6 +926,19 @@ def test_pii_and_repetition_semantics(spark, tmp_path):
             r["source"]: r
             for r in all_queries()["pii_scan"].builder(spark, str(d)).collect()
         }
+        red = {
+            r["doc_id"]: r
+            for r in all_queries()["pii_redact"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        # doc 0: two emails -> two [EMAIL] markers, no digit-run
+        # double-count from the addresses
+        assert red[0]["n_email"] == 2 and red[0]["n_digit_run"] == 0
+        assert red[0]["redacted_text"].count("[EMAIL]") == 2
+        assert red[2]["n_digit_run"] == 1
+        assert "[NUM]" in red[2]["redacted_text"]
+        assert 3 not in red  # clean doc emits no redaction row
         assert pii["web"]["n_email"] == 2
         assert pii["web"]["n_ipv4"] == 2
         assert pii["web"]["n_digit_run"] == 1
@@ -988,7 +1002,8 @@ def test_event_funnel_ordering_semantics(spark, tmp_path):
             "CREATE VIEW events AS SELECT * FROM "
             f"read_parquet('{d}/events.parquet')"
         )
-        for name in ("event_funnel", "cohort_retention"):
+        for name in ("event_funnel", "cohort_retention",
+                     "event_transition_matrix"):
             spec = all_queries()[name]
             problems = compare(
                 name, spec.builder(spark, str(d)), con, spec.oracle

@@ -1349,3 +1349,30 @@ def test_r12_new_op_plan_shapes(spark, sf_small):
     assert re.search(
         r"hashpartitioning\(centroid_id#\d+, _band#\d+", plan
     ), plan[:3000]
+
+
+def test_r12_wave2_plan_shapes(spark, sf_small):
+    """r12 wave 2: scan/shuffle/broadcast claims pinned on the plan."""
+    # pii_redact: one scan, no shuffle at all (stateless row transform
+    # + ordered output only)
+    plan = _plan(spark, sf_small, "pii_redact")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    # event_transition_matrix / customer_order_gaps: ONE keyed exchange
+    # feeds the lag/lead window; the share window runs over the
+    # metadata-sized matrix
+    plan = _plan(spark, sf_small, "event_transition_matrix")
+    assert (
+        len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    ), plan[:3000]
+    assert "Join" not in plan, plan[:2000]
+    plan = _plan(spark, sf_small, "customer_order_gaps")
+    assert (
+        len(re.findall(r"hashpartitioning\(o_custkey", plan)) == 1
+    ), plan[:3000]
+    # supplier_concentration_hhi: dims broadcast, one lineitem scan,
+    # no cartesian
+    plan = _plan(spark, sf_small, "supplier_concentration_hhi")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan[:2000]
