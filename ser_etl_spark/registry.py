@@ -62,15 +62,15 @@ def register(
 #: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
 #: A query whose builder source changed since its green row is rotated back
 #: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-11 curation: regenerated from the r1-r10 union (217 green).
-#: Held out per the standing debt rule (VERDICT r10 item 1): the three
-#: r10 rewrites that overflowed the r10 window — series_autocorr,
-#: stickiness_ratio, changepoint_cusum — start the r11 window so their
-#: current source gets a driver row first. Shared-helper rule still
-#: applies for deep rewrites invisible to the builder/oracle hash.
+#: Round-12 curation: regenerated from the r1-r11 union (212 kept).
+#: Held out: every query whose builder/oracle changed since the r11
+#: close (23 — the ADVICE fixes, the rrf/ann oracle tweaks and the
+#: broadcast_if_dim routing) plus the two deep-HELPER rewrites the
+#: wrapper hash cannot see (mixture_rebalance's banded rank,
+#: ivf_recall_trained_vs_seed's observe stage split) — all re-enter the
+#: r12 window alongside the 9 net-new operators (34 pending total).
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
-    "ann_cosine_topk",
     "ann_index_layout",
     "ann_quantized_rescore",
     "ann_recall_eval",
@@ -86,6 +86,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "brand_size_skyline",
     "burst_detection",
     "centroid_similarity_matrix",
+    "changepoint_cusum",
     "charclass_profile",
     "churned_buyers",
     "code_switch_share",
@@ -93,6 +94,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "context_fit_histogram",
     "conversion_funnel",
     "corpus_curation",
+    "corpus_rollup",
     "corr_matrix",
     "count_min_tokens",
     "count_star",
@@ -110,7 +112,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dedup_fingerprint",
     "dedup_rate_by_source",
     "dim_variance_screen",
-    "disjunctive_revenue",
     "doc_chunks",
     "doc_rarity_topk",
     "doc_repetition",
@@ -137,7 +138,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
-    "important_stock",
     "incremental_dedup",
     "incremental_scan",
     "inventory_turnover_topk",
@@ -146,7 +146,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ivf_assign",
     "ivf_list_balance_trained",
     "join_broadcast_dims",
-    "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
     "kmeans_lloyd_step",
@@ -156,15 +155,14 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "kmv_overlap",
     "kmv_union_distinct",
     "knn_classify",
+    "knn_graph_degree_audit",
     "label_centroid_confusion",
     "label_cohesion",
     "lang_id",
     "langid_confusion",
-    "large_orders",
     "latest_event_per_user",
     "length_drift",
     "lexical_diversity",
-    "local_supplier_volume",
     "lorenz_deciles",
     "lsh_ann_multiprobe",
     "lsh_ann_topk",
@@ -175,15 +173,12 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "measures_unpivot",
     "media_decode_budget",
     "media_phash_neardup",
-    "min_cost_supplier",
     "minhash_error_eval",
     "minhash_lsh_pairs",
+    "mmr_rerank_topk",
     "moving_spend_90d",
     "multimodal_features",
     "name_edit_neardup",
-    "nation_market_share",
-    "nation_revenue_share",
-    "nation_trade_volume",
     "ngram_containment",
     "ngram_jaccard_guarded",
     "ngram_jaccard_pairs",
@@ -202,12 +197,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "price_percentiles",
     "pricing_summary",
     "priority_shipping",
-    "product_type_profit",
-    "promo_revenue",
     "purchase_attribution",
     "quality_by_lang",
     "quality_canonical_dedup",
     "quality_filter_funnel",
+    "quality_quantile_normalize",
     "quality_score",
     "quantization_error_profile",
     "range_partition_boundaries",
@@ -217,26 +211,28 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "revenue_abc_classes",
     "revenue_forecast",
     "revenue_mom_growth",
+    "revenue_trend_ols",
     "rfm_segments",
     "rolling_active_users",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
     "salted_segment_sales",
+    "scd2_state_history",
     "select_all",
     "select_columns",
     "semdedup_canonical",
     "series_anomalies",
+    "series_autocorr",
     "series_similarity_topk",
     "session_concurrency",
+    "session_dwell_stats",
     "sessionize_events",
     "shard_manifest",
     "shingle_df_histogram",
-    "shipping_priority",
+    "shingle_size_sensitivity",
     "simhash_pairs",
-    "small_order_revenue",
     "snapshot_diff_audit",
-    "sole_returning_supplier",
     "source_cap",
     "source_length_quartiles",
     "source_mixture",
@@ -245,7 +241,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "span_removal",
     "spend_gini",
     "stats_moments",
-    "stocked_parts_promotion",
+    "stickiness_ratio",
     "stratified_sample",
     "streaming_burst_flags",
     "streaming_enriched_counts",
@@ -260,7 +256,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "substring_dedup",
     "summary_view",
     "supplier_hhi_histogram",
-    "supplier_variety",
     "table_profile",
     "text_stats",
     "time_bucket_rollup",
@@ -268,9 +263,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "token_budget_selection",
     "token_cooccurrence",
     "token_frequencies",
+    "tokenizer_compression",
     "top_k",
-    "top_returned_customers",
-    "top_supplier_revenue",
     "top_terms",
     "training_order",
     "uniform_ksample",
@@ -280,7 +274,9 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "value_outliers_mad",
     "vector_quality_audit",
     "view_click_interval",
+    "vocab_gini",
     "vocab_growth",
+    "weighted_sample",
     "where_filter",
     "window_running_total",
     "window_topn_per_group",
