@@ -506,3 +506,196 @@ def media_decode_budget(media_df: DataFrame, every_n: int = 30) -> DataFrame:
 def media_decode_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return media_decode_budget(with_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# media storage/size profile (r12)
+# ---------------------------------------------------------------------------
+
+
+def media_type_profile(media_df: DataFrame) -> DataFrame:
+    """Per-modality storage and decode-cost profile: asset counts,
+    exact payload bytes, pixel totals (width·height·frames — the
+    decode-cost driver) and the byte share per media type in basis
+    points — the capacity-planning readout a multimodal ingest logs
+    before scheduling decode fleets.
+
+    Pure column math over payload length + typed metadata (no decode,
+    no Python); one scan into a |types|-row aggregate, shares via a
+    window over that metadata-sized rollup. All integers exact BIGINTs.
+    """
+    from pyspark.sql import Window
+
+    base = media_df.select(
+        F.col("media.media_type").alias("media_type"),
+        F.length("payload").cast("bigint").alias("_bytes"),
+        (
+            F.col("media.width").cast("bigint")
+            * F.col("media.height").cast("bigint")
+            * F.col("media.n_frames").cast("bigint")
+        ).alias("_pixels"),
+    )
+    agg = base.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("_bytes").cast("bigint").alias("payload_bytes"),
+        F.sum("_pixels").cast("bigint").alias("total_pixels"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("_tot", F.sum("payload_bytes").over(w))
+        .select(
+            "media_type",
+            "n_assets",
+            "payload_bytes",
+            "total_pixels",
+            F.expr("(10000 * payload_bytes) div _tot")
+            .cast("bigint")
+            .alias("bytes_share_bp"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register(
+    "media_type_profile",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             128 AS _bytes,
+             CAST(64 + (doc_id % 8) * 32 AS BIGINT)
+               * CAST(64 + (doc_id % 5) * 32 AS BIGINT)
+               * CAST(1 + (doc_id % 16) * 30 AS BIGINT) AS _pixels
+      FROM documents
+    ), agg AS (
+      SELECT media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(SUM(_bytes) AS BIGINT) AS payload_bytes,
+             CAST(SUM(_pixels) AS BIGINT) AS total_pixels
+      FROM m GROUP BY media_type
+    )
+    SELECT media_type, n_assets, payload_bytes, total_pixels,
+           CAST((10000 * payload_bytes)
+                // SUM(payload_bytes) OVER () AS BIGINT) AS bytes_share_bp
+    FROM agg ORDER BY media_type
+    """,
+    description="multimodal capacity profile: per media type the asset "
+    "count, exact payload bytes, pixel totals (decode-cost driver) and "
+    "byte share bp — pure column math over payload length + typed "
+    "metadata, one scan, |types|-row aggregate (the fake payload is "
+    "fixed-width, so the oracle replays sizes from id arithmetic)",
+    covers=("N-multimodal",),
+)
+def media_type_profile_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_type_profile(with_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# per-frame feature extraction (r12)
+# ---------------------------------------------------------------------------
+
+
+def frame_features(
+    media_df: DataFrame, every_n: int = 30, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-level feature extraction: the sampling plan of
+    :func:`sample_frames` joined back to its payload and pushed through
+    the SAME Arrow ``mapInPandas`` path as :func:`extract_features`,
+    one feature row per (video, sampled frame) — the composite-key
+    batch shape a real video pipeline ships (frames of one asset may
+    split across Arrow batches; the stub decode is keyed on payload
+    hex + frame index, so batch boundaries cannot change results).
+
+    Scale: the frame explosion happens BEFORE the Python boundary, so
+    Arrow batches carry (id, frame_idx, payload) rows and each frame
+    decodes independently — embarrassingly parallel at any frame
+    count; payload bytes are consumed inside the stage and never
+    shuffle.
+    """
+    frames = F.sequence(
+        F.lit(0), F.col("media.n_frames") - 1, F.lit(every_n)
+    )
+    planned = (
+        media_df.filter(F.col("media.media_type") == "video")
+        .select(id_col, "payload", F.explode(frames).alias("frame_idx"))
+    )
+
+    # self-contained closure (cloudpickle ships it by value)
+    def batches(it):
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            f0, f1 = [], []
+            for payload, fi in zip(pdf["payload"], pdf["frame_idx"]):
+                dh = hashlib.sha256(
+                    b"frame:"
+                    + bytes(payload).hex().encode()
+                    + b":"
+                    + str(int(fi)).encode()
+                ).digest()
+                f0.append(int.from_bytes(dh[0:4], "big") / float(2**32))
+                f1.append(int.from_bytes(dh[4:8], "big") / float(2**32))
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_idx": pdf["frame_idx"],
+                    "f0_raw": f0,
+                    "f1_raw": f1,
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, frame_idx int, f0_raw double, f1_raw double"
+    )
+    return planned.mapInPandas(batches, out_schema)
+
+
+@register(
+    "media_frame_features",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id,
+             1 + (doc_id % 16) * 30 AS n_frames,
+             {" || ".join(
+                 f"sha256(CAST(doc_id AS VARCHAR) || ':{i}')"
+                 for i in range(4)
+             )} AS payload_hex
+      FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx,
+             payload_hex
+      FROM vids
+    ), d AS (
+      SELECT doc_id, frame_idx,
+             sha256('frame:' || payload_hex || ':'
+                    || CAST(frame_idx AS VARCHAR)) AS dh
+      FROM frames
+    )
+    SELECT doc_id, frame_idx,
+           (CAST(floor((CAST({_hexint_sql('dh', 1)} AS DOUBLE)
+             / 4294967296.0) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS f0,
+           (CAST(floor((CAST({_hexint_sql('dh', 9)} AS DOUBLE)
+             / 4294967296.0) * 1e6 + 0.5) AS DOUBLE) / 1e6) AS f1
+    FROM d
+    """,
+    description="frame-level multimodal features: sampling plan x payload "
+    "through the Arrow mapInPandas path, one row per (video, frame) — "
+    "frame-keyed stub decode (payload hex + frame index) makes batch "
+    "boundaries irrelevant and replays bit-exactly in SQL; explosion "
+    "before the Python boundary, payload never shuffles",
+    covers=("N-multimodal",),
+)
+def media_frame_features_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = frame_features(with_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        fround(F.col("f0_raw"), 6).alias("f0"),
+        fround(F.col("f1_raw"), 6).alias("f1"),
+    )

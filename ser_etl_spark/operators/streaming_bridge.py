@@ -528,3 +528,50 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def _pii_gate_oracle() -> str:
+    from ser_etl_spark.operators.text import PII_PATTERNS
+
+    any_flag = " OR ".join(
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) > 0"
+        for _, pat in PII_PATTERNS
+    )
+    return f"""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN {any_flag} THEN 1 ELSE 0 END AS _flagged
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(_flagged) AS BIGINT) AS n_flagged,
+           CAST((10000 * SUM(_flagged)) // COUNT(*) AS BIGINT)
+             AS flagged_bp
+    FROM f GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "streaming_pii_gate",
+    oracle=_pii_gate_oracle(),
+    description="continuous PII admission gate (r12): the documents "
+    "table replayed as a multi-file availableNow stream, every "
+    "micro-batch counting PII-flagged docs per source into a parquet "
+    "sink (idempotent per-batch overwrite, zero streaming state) — "
+    "oracle-backed because the detector verdict is per-row/stateless, "
+    "so summed per-batch counts are invariant to batch boundaries and "
+    "equal pii_scan's per-source flag totals",
+    covers=("A16", "N-quality"),
+)
+def streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.quality import stream_pii_gate_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.first() is None:
+        return spark.createDataFrame(
+            [], "source string, n_docs bigint, n_flagged bigint, "
+            "flagged_bp bigint"
+        )
+    return stream_pii_gate_replay(spark, docs, files=2)

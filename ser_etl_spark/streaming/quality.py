@@ -102,3 +102,93 @@ def stream_quality_gate_replay(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def stream_pii_gate_replay(
+    spark, docs: DataFrame, files: int = 2
+) -> DataFrame:
+    """Replay ``docs`` as a multi-file ``availableNow`` stream through
+    the PII detectors (r12): every micro-batch counts flagged documents
+    per source and appends to a parquet sink; the return is the
+    summed-over-batches rollup (n_docs, n_flagged, flagged_bp). The
+    per-row verdict is stateless, so batch boundaries cannot change the
+    totals — the streaming admission twin of ``pii_scan``."""
+    import os
+    import shutil
+    import tempfile
+
+    from ser_etl_spark.operators.text import PII_PATTERNS
+
+    tmp = tempfile.mkdtemp(prefix="ser_etl_pii_stream_")
+    ckpt = tmp + "_ckpt"
+    sink = tmp + "_counts"
+    schema = "source string, n_docs bigint, n_flagged bigint"
+    try:
+        docs.repartition(files).write.mode("overwrite").parquet(tmp)
+        os.makedirs(sink, exist_ok=True)
+
+        flagged = None
+        for _, pat in PII_PATTERNS:
+            c = (
+                F.coalesce(
+                    F.regexp_count(F.col("text"), F.lit(pat)), F.lit(0)
+                )
+                > 0
+            )
+            flagged = c if flagged is None else (flagged | c)
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            out = batch_df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(flagged.cast("bigint"))
+                .cast("bigint")
+                .alias("n_flagged"),
+            )
+            out.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sink, f"b{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batch_dirs = sorted(
+            os.path.join(sink, d)
+            for d in os.listdir(sink)
+            if d.startswith("b")
+        )
+        if not batch_dirs:
+            return spark.createDataFrame([], schema + ", flagged_bp bigint")
+        merged = (
+            spark.read.schema(schema)
+            .parquet(*batch_dirs)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_flagged").cast("bigint").alias("n_flagged"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_flagged",
+                F.expr("(10000 * n_flagged) div n_docs")
+                .cast("bigint")
+                .alias("flagged_bp"),
+            )
+            .orderBy("source")
+        )
+        # materialize before the finally deletes the sink it reads from
+        return merged.localCheckpoint(eager=True)
+    finally:
+        for p in (tmp, ckpt, sink):
+            shutil.rmtree(p, ignore_errors=True)

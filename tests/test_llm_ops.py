@@ -1992,3 +1992,34 @@ def test_mixture_rebalance_dominant_group_seam(spark):
     # the binding constraint here is 'de' (40 docs / 30%): M = 133,
     # so the dominant group keeps 133*40//100 = 53 of its 900 docs
     assert m == 133 and got["en"][1] == 53
+
+
+def test_frame_features_invariant_to_arrow_batch_size(spark, sf_small):
+    """r12: the frame-keyed stub decode must make Arrow batch boundaries
+    irrelevant — frames of one asset split across batches at
+    maxRecordsPerBatch=3 must produce the identical feature rows."""
+    from ser_etl_spark.operators.multimodal import (
+        frame_features,
+        with_fake_payload,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    media = with_fake_payload(docs)
+
+    def rows():
+        return sorted(
+            (r["doc_id"], r["frame_idx"], r["f0_raw"], r["f1_raw"])
+            for r in frame_features(media).collect()
+        )
+
+    baseline = rows()
+    assert baseline, "video rows must exist at sf_small"
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        assert rows() == baseline
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )

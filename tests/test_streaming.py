@@ -613,3 +613,32 @@ def test_stream_quality_gate_invariant_to_batch_boundaries(spark, sf_small):
         .orderBy("source")
     )
     assert one == many == batch and batch
+
+
+def test_stream_pii_gate_invariant_to_batch_boundaries(spark, sf_small):
+    """r12: per-source PII-flag totals must be identical under different
+    micro-batchings (1 vs 7 files) AND equal pii_scan's per-source
+    docs_flagged applied directly — detector verdicts are per-row, so
+    batching can't move counts."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.text import pii_scan
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.quality import stream_pii_gate_replay
+
+    docs = load_table(spark, sf_small, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = rows(stream_pii_gate_replay(spark, docs, files=1))
+    many = rows(stream_pii_gate_replay(spark, docs, files=7))
+    batch = rows(
+        pii_scan(docs).select(
+            "source",
+            "n_docs",
+            F.col("docs_flagged").alias("n_flagged"),
+            "flagged_bp",
+        )
+    )
+    assert one == many == batch
