@@ -2458,3 +2458,126 @@ def shingle_size_sensitivity_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return shingle_size_sensitivity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sweep (r12)
+# ---------------------------------------------------------------------------
+
+#: thresholds swept, in integer basis points (0.5 / 0.7 / 0.8 / 0.9)
+DEDUP_SWEEP_THRESHOLDS: tuple[int, ...] = (5000, 7000, 8000, 9000)
+
+
+def dedup_threshold_sweep(docs: DataFrame) -> DataFrame:
+    """Near-dup pair mass per Jaccard THRESHOLD — the threshold-axis
+    tuning readout next to :func:`shingle_size_sensitivity`'s shingle-k
+    axis: before committing a dedup cut, a pipeline asks how many pairs
+    (and how strong) each candidate threshold would fire on.
+
+    The guarded pair space (``max_shingle_df=50`` inverted index, the
+    production plan) is computed ONCE at threshold 0; each sweep
+    threshold is then a filter over that bounded pair table —
+    |thresholds| × pairs rows through one explode, NO re-pairing. The
+    per-threshold mean Jaccard folds as an exact BIGINT micro-Jaccard
+    sum (round(j*1e6) — the quantized-sum discipline), so both engines
+    agree bit-for-bit; float threshold compares are safe because the
+    raw Jaccard is the identical one-division double on both engines.
+    Thresholds with zero qualifying pairs still appear (zero row).
+    """
+    spark = docs.sparkSession
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=50)
+    ts = F.array(*[F.lit(t) for t in DEDUP_SWEEP_THRESHOLDS])
+    sweep = (
+        pairs.select(
+            F.explode(ts).alias("threshold_bp"), "jaccard"
+        )
+        .filter(
+            F.col("jaccard")
+            >= F.col("threshold_bp").cast("double") / F.lit(10000.0)
+        )
+        .groupBy("threshold_bp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.round(F.col("jaccard") * F.lit(1.0e6), 0).cast("long")
+            ).alias("_sj"),
+        )
+    )
+    universe = spark.range(1).select(
+        F.explode(ts).alias("threshold_bp")
+    )
+    return (
+        universe.join(F.broadcast(sweep), "threshold_bp", "left")
+        .select(
+            F.col("threshold_bp").cast("bigint").alias("threshold_bp"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(
+                F.expr("_sj div n_pairs"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("mean_jaccard_micro"),
+        )
+        .orderBy("threshold_bp")
+    )
+
+
+def _sweep_oracle() -> str:
+    ts = list(DEDUP_SWEEP_THRESHOLDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), freq AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 50
+    ), exg AS (
+      SELECT ex.doc_id, ex.g FROM ex ANTI JOIN freq USING (g)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      FROM shared
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+    ), sweep AS (
+      SELECT t.threshold_bp,
+             COUNT(*) AS n_pairs,
+             SUM(CAST(round(jaccard * 1e6) AS BIGINT)) AS _sj
+      FROM pairs, (SELECT unnest({ts}) AS threshold_bp) t
+      WHERE jaccard >= CAST(t.threshold_bp AS DOUBLE) / 10000.0
+      GROUP BY t.threshold_bp
+    )
+    SELECT CAST(u.threshold_bp AS BIGINT) AS threshold_bp,
+           CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(s._sj // s.n_pairs, 0) AS BIGINT)
+             AS mean_jaccard_micro
+    FROM (SELECT unnest({ts}) AS threshold_bp) u
+    LEFT JOIN sweep s USING (threshold_bp)
+    ORDER BY threshold_bp
+    """
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=_sweep_oracle(),
+    description="dedup-threshold tuning readout: qualifying near-dup "
+    "pair counts + exact micro-Jaccard means at thresholds 0.5/0.7/0.8/"
+    "0.9 — the guarded inverted-index pair space computed ONCE, each "
+    "threshold a filter over the bounded pair table (one explode, no "
+    "re-pairing); zero-pair thresholds surface as zero rows",
+    covers=("N-dedup",),
+)
+def dedup_threshold_sweep_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup_threshold_sweep(load_table(spark, sf_dir, "documents"))

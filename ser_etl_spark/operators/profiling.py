@@ -571,3 +571,107 @@ def orphan_events_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document/embedding alignment audit (r12)
+# ---------------------------------------------------------------------------
+
+
+def doc_embedding_alignment(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Corpus/vector-store alignment audit: how many documents have an
+    embedding, how many are missing one, how many vectors are orphaned
+    (no document), and how many present vectors are NULL payloads — the
+    join-coverage QA every retrieval pipeline runs before serving (the
+    doc/vec id spaces are aligned by the corpus contract
+    documents.doc_id == embeddings.vec_id).
+
+    One full-outer equi-join of two id-projected scans (column pruning
+    leaves two thin columns + the NULL flag), folded to ONE summary row
+    of exact BIGINTs plus coverage in basis points. At 100 TB both
+    sides shuffle on their ids once; nothing wider than an id and a
+    boolean moves.
+    """
+    d = docs.select(F.col("doc_id").alias("_did"))
+    e = emb.select(
+        F.col("vec_id").alias("_vid"),
+        F.col("embedding").isNull().alias("_vnull"),
+    )
+    j = d.join(e, d["_did"] == e["_vid"], "full_outer")
+    return j.agg(
+        F.count("_did").cast("bigint").alias("n_docs"),
+        F.count("_vid").cast("bigint").alias("n_vectors"),
+        F.sum(
+            (F.col("_did").isNotNull() & F.col("_vid").isNotNull())
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            (F.col("_did").isNotNull() & F.col("_vid").isNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_docs_unembedded"),
+        F.sum(
+            (F.col("_did").isNull() & F.col("_vid").isNotNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_orphan_vectors"),
+        F.sum(F.coalesce(F.col("_vnull").cast("int"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_null_payloads"),
+    ).select(
+        "n_docs",
+        "n_vectors",
+        "n_matched",
+        "n_docs_unembedded",
+        "n_orphan_vectors",
+        "n_null_payloads",
+        F.when(F.col("n_docs") == 0, F.lit(0))
+        .otherwise(F.expr("(10000 * n_matched) div n_docs"))
+        .cast("bigint")
+        .alias("coverage_bp"),
+    )
+
+
+@register(
+    "doc_embedding_alignment",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id AS _did, e.vec_id AS _vid,
+             CASE WHEN e.vec_id IS NOT NULL AND e.embedding IS NULL
+                  THEN 1 ELSE 0 END AS _vnull
+      FROM documents d
+      FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT CAST(COUNT(_did) AS BIGINT) AS n_docs,
+           CAST(COUNT(_vid) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_unembedded,
+           CAST(SUM(CASE WHEN _did IS NULL AND _vid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_vectors,
+           CAST(SUM(_vnull) AS BIGINT) AS n_null_payloads,
+           CAST(CASE WHEN COUNT(_did) = 0 THEN 0
+                ELSE (10000 * SUM(CASE WHEN _did IS NOT NULL
+                                        AND _vid IS NOT NULL
+                                       THEN 1 ELSE 0 END)) // COUNT(_did)
+                END AS BIGINT) AS coverage_bp
+    FROM j
+    """,
+    description="retrieval-readiness QA: docs<->vectors full-outer "
+    "alignment — matched/unembedded/orphan/NULL-payload counts + "
+    "coverage bp in one summary row; two id-projected scans, one "
+    "id-keyed shuffle each, nothing wider than an id moves",
+    covers=("N-sim", "B11"),
+)
+def doc_embedding_alignment_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return doc_embedding_alignment(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

@@ -102,6 +102,7 @@ EDGE_QUERIES = [
     "pii_scan",
     "pii_redact",
     "intra_doc_repetition",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -201,6 +202,7 @@ CLIQUE_QUERIES = [
     # bounded by the 'other'-group absence rule, and the quantile
     # normalizer maps a 40-way score tie purely by doc_id
     "shingle_size_sensitivity",
+    "dedup_threshold_sweep",
     "mixture_rebalance",
     "quality_quantile_normalize",
     # r11b: 40 identical docs — the frequency distribution is uniform
