@@ -53,6 +53,9 @@ PROBES = (
     "mixture_rebalance",
     "rate_limit_audit",
     "scd2_state_history",
+    # r12b: the threshold sweep rides the guarded pair space — probe it
+    # directly so a regression in the explode/filter tail shows up
+    "dedup_threshold_sweep",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -598,26 +598,43 @@ def doc_embedding_alignment(docs: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("embedding").isNull().alias("_vnull"),
     )
     j = d.join(e, d["_did"] == e["_vid"], "full_outer")
+    # coalesce every SUM: over an EMPTY join it is NULL, and a
+    # NULL-bearing BIGINT floats through the driver's pandas path
+    # (empty-corpus suite) — an empty store has zero of everything
     return j.agg(
         F.count("_did").cast("bigint").alias("n_docs"),
         F.count("_vid").cast("bigint").alias("n_vectors"),
-        F.sum(
-            (F.col("_did").isNotNull() & F.col("_vid").isNotNull())
-            .cast("int")
+        F.coalesce(
+            F.sum(
+                (F.col("_did").isNotNull() & F.col("_vid").isNotNull())
+                .cast("int")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_matched"),
-        F.sum(
-            (F.col("_did").isNotNull() & F.col("_vid").isNull()).cast("int")
+        F.coalesce(
+            F.sum(
+                (F.col("_did").isNotNull() & F.col("_vid").isNull())
+                .cast("int")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_docs_unembedded"),
-        F.sum(
-            (F.col("_did").isNull() & F.col("_vid").isNotNull()).cast("int")
+        F.coalesce(
+            F.sum(
+                (F.col("_did").isNull() & F.col("_vid").isNotNull())
+                .cast("int")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_orphan_vectors"),
-        F.sum(F.coalesce(F.col("_vnull").cast("int"), F.lit(0)))
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_vnull").cast("int"), F.lit(0))),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n_null_payloads"),
     ).select(
@@ -646,15 +663,15 @@ def doc_embedding_alignment(docs: DataFrame, emb: DataFrame) -> DataFrame:
     )
     SELECT CAST(COUNT(_did) AS BIGINT) AS n_docs,
            CAST(COUNT(_vid) AS BIGINT) AS n_vectors,
-           CAST(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-           CAST(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NOT NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(CASE WHEN _did IS NOT NULL AND _vid IS NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS n_docs_unembedded,
-           CAST(SUM(CASE WHEN _did IS NULL AND _vid IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN _did IS NULL AND _vid IS NOT NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS n_orphan_vectors,
-           CAST(SUM(_vnull) AS BIGINT) AS n_null_payloads,
+           CAST(COALESCE(SUM(_vnull), 0) AS BIGINT) AS n_null_payloads,
            CAST(CASE WHEN COUNT(_did) = 0 THEN 0
                 ELSE (10000 * SUM(CASE WHEN _did IS NOT NULL
                                         AND _vid IS NOT NULL

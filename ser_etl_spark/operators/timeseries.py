@@ -1596,10 +1596,13 @@ def event_funnel(events: DataFrame) -> DataFrame:
         F.max(F.col("_t2").isNotNull().cast("int")).alias("_r2"),
         F.max(F.col("_t3").isNotNull().cast("int")).alias("_r3"),
     )
+    # coalesce: SUM over an EMPTY corpus is NULL, and a NULL-bearing
+    # BIGINT column floats through the driver's pandas canonicalization
+    # (empty-corpus suite) — the funnel of nobody is all zeros
     totals = per_user.agg(
-        F.sum("_r1").cast("bigint").alias("u1"),
-        F.sum("_r2").cast("bigint").alias("u2"),
-        F.sum("_r3").cast("bigint").alias("u3"),
+        F.coalesce(F.sum("_r1"), F.lit(0)).cast("bigint").alias("u1"),
+        F.coalesce(F.sum("_r2"), F.lit(0)).cast("bigint").alias("u2"),
+        F.coalesce(F.sum("_r3"), F.lit(0)).cast("bigint").alias("u3"),
     )
     stages = F.array(
         F.struct(
@@ -1665,7 +1668,9 @@ def event_funnel(events: DataFrame) -> DataFrame:
              MAX(CASE WHEN _t3 IS NOT NULL THEN 1 ELSE 0 END) AS _r3
       FROM w3 GROUP BY user_id
     ), t AS (
-      SELECT SUM(_r1) AS u1, SUM(_r2) AS u2, SUM(_r3) AS u3 FROM pu
+      SELECT COALESCE(SUM(_r1), 0) AS u1,
+             COALESCE(SUM(_r2), 0) AS u2,
+             COALESCE(SUM(_r3), 0) AS u3 FROM pu
     )
     SELECT stage_no, stage, users, conversion_bp FROM (
       SELECT CAST(1 AS BIGINT) AS stage_no, '{FUNNEL_STAGES[0]}' AS stage,
