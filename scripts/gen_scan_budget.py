@@ -105,11 +105,35 @@ def all_driver_counters() -> dict[str, int]:
     return out
 
 
+#: sf dirs whose build-time-resolved artifacts are already warm. The
+#: trained-quantizer consumers (cluster_balanced_sample,
+#: ivf_ann_topk_trained, …) call ensure_trained_quantizer at BUILD
+#: time: on a cold per-user tmp cache the first measured build would
+#: run Lloyd training and show an unexpected ``<driver:lloyd>`` delta
+#: that is an artifact-cache fact, not a plan fact (ADVICE r12).
+#: Pre-warming once per sf makes the measurement cache-state- and
+#: order-independent; the checked-in budget is the warm-cache one.
+_PREWARMED: set[str] = set()
+
+
+def prewarm_artifacts(spark, sf: str) -> None:
+    """Resolve every artifact whose build moves a driver counter, once
+    per sf dir, BEFORE any counter snapshot."""
+    if sf in _PREWARMED:
+        return
+    _PREWARMED.add(sf)
+    from ser_etl_spark.operators.similarity import ensure_trained_quantizer
+
+    ensure_trained_quantizer(spark, sf)
+
+
 def build_with_driver_passes(spec, spark, sf: str):
     """Invoke the builder, returning (df, off_plan_annotation): the
     ``{"<driver:key>": delta}`` of EVERY driver counter the build moved
     (expected nonempty only for OFF_PLAN queries — any other movement
-    fails the budget compare)."""
+    fails the budget compare). Artifact caches are pre-warmed first so
+    the deltas reflect the query build alone."""
+    prewarm_artifacts(spark, sf)
     before = all_driver_counters()
     df = spec.builder(spark, sf)
     after = all_driver_counters()

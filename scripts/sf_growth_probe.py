@@ -56,6 +56,14 @@ PROBES = (
     # r12b: the threshold sweep rides the guarded pair space — probe it
     # directly so a regression in the explode/filter tail shows up
     "dedup_threshold_sweep",
+    # r13: the domain dup profile (fp window over the (source, fp)
+    # table), the quality-vs-dup fp self-join, the probe-depth sweep's
+    # fused E-step + 4-running-sum window, and the prefix miner's
+    # top-k heaps
+    "domain_dedup_profile",
+    "quality_vs_dup_correlation",
+    "ann_probe_depth_sweep",
+    "doc_prefix_cluster_profile",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -19,10 +19,18 @@ doesn't). The helper deliberately uses the plan ESTIMATE, not a count:
 policy must not cost an extra job, and the estimate is exactly what
 Spark's own ``autoBroadcastJoinThreshold`` consults.
 
+The ceiling is denominated in BUILD-SIDE bytes, not scan-estimate
+bytes: a parquet scan's ``sizeInBytes`` reflects compressed on-disk
+bytes while the broadcast hydrates decompressed unsafe rows plus a
+hash relation, so the estimate ceiling is the build target divided by
+a measured expansion margin (see ``PARQUET_TO_BUILD_EXPANSION``).
+
 Plan gates pin the POLICY, not the hint: at fixture SFs the estimate is
 under the ceiling, so the gated plans still show ``BroadcastHashJoin``;
 ``tests/test_plans.py::test_broadcast_if_dim_declines_oversized`` pins
-the decline path with a forced tiny ceiling.
+the decline path with a forced tiny ceiling, and
+``test_broadcast_if_dim_margin`` pins the margin itself (an estimate
+between the new ceiling and the old 256 MiB one must decline).
 """
 
 from __future__ import annotations
@@ -30,12 +38,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: plan-estimate ceiling for hinting a dim broadcast. Generous next to
-#: the 10 MB autoBroadcastJoinThreshold default because a *hinted*
-#: broadcast bypasses that threshold entirely — this is the safety rail
-#: for the hint itself. 256 MiB of build side is comfortably inside a
+#: what a broadcast build side may occupy in memory: 256 MiB of
+#: decompressed unsafe rows + hash relation is comfortably inside a
 #: multi-GB executor while 100 TB-scale customer (tens of GB) is not.
-BROADCAST_DIM_MAX_BYTES: int = 256 << 20
+BROADCAST_BUILD_TARGET_BYTES: int = 256 << 20
+
+#: margin between the optimizer's ``sizeInBytes`` (for a parquet scan:
+#: derived from COMPRESSED on-disk bytes) and the decompressed
+#: unsafe-row + hash-relation build side the broadcast actually
+#: hydrates (VERDICT r12 #1 — the ceiling must be denominated in
+#: build-side bytes, not scan-estimate bytes). Measured on the fixture
+#: tables at sf0.1 the parquet->cached-columnar expansion alone is
+#: 1.4x (orders) to 2.6x (documents, text-heavy); the broadcast form
+#: is row-oriented (no columnar compression) with per-row object and
+#: hash-map overhead on top, so 8x is the documented worst-case margin
+#: for dim-shaped rows. Conservative by construction: an over-estimate
+#: only declines the hint and AQE still converts at runtime when the
+#: build side proves small.
+PARQUET_TO_BUILD_EXPANSION: int = 8
+
+#: plan-estimate ceiling for hinting a dim broadcast: the build-side
+#: target divided by the expansion margin (= 32 MiB of estimate).
+#: Still generous next to the 10 MB autoBroadcastJoinThreshold default
+#: because a *hinted* broadcast bypasses that threshold entirely — this
+#: is the safety rail for the hint itself.
+BROADCAST_DIM_MAX_BYTES: int = (
+    BROADCAST_BUILD_TARGET_BYTES // PARQUET_TO_BUILD_EXPANSION
+)
 
 
 def plan_size_estimate(df: DataFrame) -> int | None:

@@ -1770,3 +1770,113 @@ def quality_quantile_normalize_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return quality_quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# quality vs duplication correlation (r13)
+# ---------------------------------------------------------------------------
+
+
+def quality_vs_dup_correlation(docs: DataFrame) -> DataFrame:
+    """Does duplication correlate with low quality? Documents bucketed
+    by their normalized-fingerprint copy count (unique / dup_pair /
+    dup_3plus) with per-bucket volume and exact mean quality — the
+    evidence behind "dedup removes boilerplate" claims: if the
+    dup_3plus bucket's mean quality sits far below unique's, dedup is
+    also a quality filter; if not, it is only a volume cut.
+
+    One corpus projection computes BOTH the fingerprint and the
+    quality score; the copy count is a fingerprint hash aggregate
+    joined back on fp (fp-partitioned both sides — the self-join
+    class, same shape as ``dup_source_matrix``); the bucket rollup is
+    3 rows. Mean quality folds as the quantized micro-sum
+    (``round(quality*1e6)`` BIGINT — both engines fold identical
+    integers, order-free). NULL-text docs are out of scope on both
+    engines (their fingerprint is the NULL-key class the fp equi-join
+    would drop anyway); zero-scored buckets yield NULL means (DOUBLE,
+    the driver-canonicalization type rule).
+    """
+    from ser_etl_spark.operators.text import quality_cols
+
+    _, _, score = quality_cols()
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+            )
+        ).alias("fp"),
+        score.alias("_q"),
+    )
+    copies = base.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
+    joined = base.join(copies, "fp")
+    bucket = (
+        F.when(F.col("copies") == 1, F.lit("unique"))
+        .when(F.col("copies") == 2, F.lit("dup_pair"))
+        .otherwise(F.lit("dup_3plus"))
+    )
+    return (
+        joined.groupBy(bucket.alias("dup_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("_q").cast("bigint").alias("n_scored"),
+            F.sum(F.round(F.col("_q") * F.lit(1.0e6), 0).cast("long")).alias(
+                "_sq"
+            ),
+        )
+        .select(
+            "dup_bucket",
+            "n_docs",
+            "n_scored",
+            F.when(
+                F.col("n_scored") > 0, F.expr("_sq div n_scored")
+            )
+            .cast("double")
+            .alias("mean_quality_micro"),
+        )
+        .orderBy("dup_bucket")
+    )
+
+
+def _quality_dup_oracle() -> str:
+    from ser_etl_spark.operators.text import QUALITY_ORACLE_SQL
+
+    return f"""
+    WITH q AS ({QUALITY_ORACLE_SQL}),
+    fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT fp, COUNT(*) AS copies FROM fps GROUP BY 1
+    ), j AS (
+      SELECT f.doc_id, c.copies, q.quality
+      FROM fps f JOIN c USING (fp) JOIN q USING (doc_id)
+    )
+    SELECT CASE WHEN copies = 1 THEN 'unique'
+                WHEN copies = 2 THEN 'dup_pair'
+                ELSE 'dup_3plus' END AS dup_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(quality) AS BIGINT) AS n_scored,
+           CAST(CASE WHEN COUNT(quality) > 0
+                     THEN SUM(CAST(round(quality * 1e6) AS BIGINT))
+                          // COUNT(quality) END AS DOUBLE)
+             AS mean_quality_micro
+    FROM j GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "quality_vs_dup_correlation",
+    oracle=_quality_dup_oracle(),
+    description="quality-vs-duplication evidence: docs bucketed by "
+    "fingerprint copy count (unique/pair/3+) with exact micro-quantized "
+    "mean quality per bucket — fp self-join class, 3-row rollup; says "
+    "whether dedup doubles as a quality filter",
+    covers=("N-dedup", "N-quality", "N-curation"),
+)
+def quality_vs_dup_correlation_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_vs_dup_correlation(load_table(spark, sf_dir, "documents"))

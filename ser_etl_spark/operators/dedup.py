@@ -2476,7 +2476,12 @@ def dedup_threshold_sweep(docs: DataFrame) -> DataFrame:
 
     The guarded pair space (``max_shingle_df=50`` inverted index, the
     production plan) is computed ONCE at threshold 0; each sweep
-    threshold is then a filter over that bounded pair table —
+    threshold is then a filter over that bounded pair table. Guard
+    boundary (pinned by
+    ``tests/test_edge_corpus_parity.py::test_sweep_guard_boundary_parity``):
+    a shingle shared by EXACTLY 50 docs is kept (contributes C(50,2)
+    pairs), by 51 is dropped before pairing; Jaccard denominators stay
+    PRE-guard set sizes on both engines. Pairs flow at
     |thresholds| × pairs rows through one explode, NO re-pairing. The
     per-threshold mean Jaccard folds as an exact BIGINT micro-Jaccard
     sum (round(j*1e6) — the quantized-sum discipline), so both engines
@@ -2581,3 +2586,140 @@ def dedup_threshold_sweep_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return dedup_threshold_sweep(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# domain-level dedup profile (r13 — VERDICT r12 #7: provenance readout)
+# ---------------------------------------------------------------------------
+
+
+def domain_dedup_profile(docs: DataFrame) -> DataFrame:
+    """Per-domain duplication profile — the URL/domain-level dup-mass
+    readout every public web-corpus pipeline runs BEFORE document-level
+    passes (the ``source`` column plays the host/prefix role in this
+    corpus). Per source: document volume, distinct content
+    fingerprints, intra-source dup mass, fingerprints shared with other
+    sources (cross-source leakage), and the share of documents this
+    source would KEEP under a global keep-first canonical dedup
+    (``min(doc_id)`` per fingerprint, the :func:`dedup_canonical`
+    policy) — i.e. which domains survive dedup and which are boilerplate
+    mirrors.
+
+    ONE corpus scan projects (source, doc_id, fp); a (source, fp) hash
+    aggregate (map-side partials — dup skew collapses before the
+    shuffle) bounds everything after it by DISTINCT content per
+    source; the per-fp global rollup is a WINDOW over that reduced
+    table, not a join back to a second scan — safe because an fp
+    partition holds at most |sources| rows (the table is already
+    (source, fp)-distinct), unlike a per-doc fp window; the final
+    per-source rollup is |sources|-sized. All outputs exact BIGINTs
+    (basis points via integer div). NULL text fingerprints coalesce to
+    '' on BOTH engines so NULL-text docs stay counted through the fp
+    grouping; a NULL source groups as its own domain.
+    """
+    from pyspark.sql import Window
+    # the fingerprint expression inline (same normalization as
+    # operators.text.fingerprint) so source rides the SAME projection —
+    # reusing the helper would force a doc_id self-join to re-attach it
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.coalesce(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                    )
+                )
+            ),
+            F.lit(""),
+        ).alias("fp"),
+    )
+    sf = base.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    wfp = Window.partitionBy("fp")
+    joined = sf.withColumn(
+        "n_sources", F.count(F.lit(1)).over(wfp)
+    ).withColumn("global_min", F.min("min_doc").over(wfp))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_fps"),
+            (F.sum("cnt") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("intra_dup_docs"),
+            F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_source_fps"),
+            F.sum(
+                F.when(F.col("min_doc") == F.col("global_min"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("kept_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_fps",
+            "intra_dup_docs",
+            F.expr("(10000 * intra_dup_docs) div n_docs")
+            .cast("bigint")
+            .alias("intra_dup_bp"),
+            "cross_source_fps",
+            "kept_docs",
+            F.expr("(10000 * kept_docs) div n_docs")
+            .cast("bigint")
+            .alias("kept_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "domain_dedup_profile",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id,
+             COALESCE(md5(trim(regexp_replace(lower(text),
+                                              '[^a-z0-9]+', ' ', 'g'))),
+                      '') AS fp
+      FROM documents
+    ), sf AS (
+      SELECT source, fp, COUNT(*) AS cnt, MIN(doc_id) AS min_doc
+      FROM base GROUP BY 1, 2
+    ), fpg AS (
+      SELECT fp, COUNT(*) AS n_sources, MIN(min_doc) AS global_min
+      FROM sf GROUP BY 1
+    )
+    SELECT sf.source,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_fps,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS intra_dup_docs,
+           CAST((10000 * (SUM(cnt) - COUNT(*))) // SUM(cnt) AS BIGINT)
+             AS intra_dup_bp,
+           CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_source_fps,
+           CAST(SUM(CASE WHEN min_doc = global_min THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST((10000 * SUM(CASE WHEN min_doc = global_min
+                                  THEN 1 ELSE 0 END)) // SUM(cnt)
+                AS BIGINT) AS kept_bp
+    FROM sf JOIN fpg USING (fp)
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="domain-level dup-mass profile: per source the doc "
+    "volume, distinct fingerprints, intra-source dup mass, cross-source "
+    "fingerprint leakage and the kept share under global keep-first "
+    "canonical dedup — one corpus scan, (source, fp)-bounded "
+    "aggregates, exact bp integers",
+    covers=("N-dedup", "N-curation", "B5"),
+)
+def domain_dedup_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return domain_dedup_profile(load_table(spark, sf_dir, "documents"))

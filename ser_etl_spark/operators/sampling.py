@@ -738,3 +738,104 @@ def cluster_balanced_sample_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return cluster_balanced_sample(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture (r13)
+# ---------------------------------------------------------------------------
+
+
+def mixture_temperature_profile(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled sampling weights per source — the standard
+    multilingual/multi-source rebalancing readout (weights proportional
+    to ``count^tau``): tau=1 reproduces natural proportions, lower tau
+    flattens the mixture toward uniform, and a pipeline reads this
+    table to pick the tau that up-samples tail sources without
+    swamping the head.
+
+    Cross-engine exactness by construction: the tau ladder is
+    {0.25, 0.5, 1.0} so every power is a composition of ``sqrt`` —
+    IEEE-754 correctly-rounded in BOTH engines (never ``pow``/``exp``/
+    ``ln``, which are libm-dependent) — and each weight is quantized to
+    an integer micro-weight (``round(w * 1e6)`` BIGINT) BEFORE the
+    normalizing sum, so the denominator is an order-free integer sum.
+    One corpus scan, one |sources|-row aggregate; the totals ride a
+    window over that metadata-sized table, never a second scan.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nd = F.col("n_docs").cast("double")
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.sqrt(nd)) * F.lit(1.0e6), 0)
+        .cast("bigint")
+        .alias("w_tau25_micro"),
+        F.round(F.sqrt(nd) * F.lit(1.0e6), 0)
+        .cast("bigint")
+        .alias("w_tau50_micro"),
+    )
+    w = Window.partitionBy()
+    return (
+        weighted.withColumn("_t25", F.sum("w_tau25_micro").over(w))
+        .withColumn("_t50", F.sum("w_tau50_micro").over(w))
+        .withColumn("_tn", F.sum("n_docs").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "w_tau25_micro",
+            "w_tau50_micro",
+            F.expr("(10000 * w_tau25_micro) div _t25")
+            .cast("bigint")
+            .alias("share_tau25_bp"),
+            F.expr("(10000 * w_tau50_micro) div _t50")
+            .cast("bigint")
+            .alias("share_tau50_bp"),
+            F.expr("(10000 * n_docs) div _tn")
+            .cast("bigint")
+            .alias("share_tau100_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mixture_temperature_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ), weighted AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1e6)
+                  AS BIGINT) AS w_tau25_micro,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS w_tau50_micro
+      FROM counts
+    )
+    SELECT source, n_docs, w_tau25_micro, w_tau50_micro,
+           CAST((10000 * w_tau25_micro)
+                // (SELECT SUM(w_tau25_micro) FROM weighted)
+                AS BIGINT) AS share_tau25_bp,
+           CAST((10000 * w_tau50_micro)
+                // (SELECT SUM(w_tau50_micro) FROM weighted)
+                AS BIGINT) AS share_tau50_bp,
+           CAST((10000 * n_docs) // (SELECT SUM(n_docs) FROM weighted)
+                AS BIGINT) AS share_tau100_bp
+    FROM weighted
+    ORDER BY source
+    """,
+    description="temperature-scaled source mixture: sampling weights "
+    "proportional to count^tau for tau in {0.25, 0.5, 1} — sqrt-only "
+    "powers (IEEE-exact cross-engine, never pow), integer micro-weight "
+    "quantization before the order-free normalizing sum; one scan + "
+    "|sources|-row window",
+    covers=("N-curation", "X-sample", "B5"),
+)
+def mixture_temperature_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return mixture_temperature_profile(load_table(spark, sf_dir, "documents"))

@@ -4369,7 +4369,23 @@ def ivf_ann_topk_trained(
     first-K stand-in — trained lists are tighter, so the same nprobe
     buys more recall. The quantizer stays FROZEN between retrains: the
     artifact (not the live corpus) defines assignments, so probes and
-    any index built from it can never drift apart."""
+    any index built from it can never drift apart.
+
+    Codegen (r13 — caught by the registry-wide smoke
+    ``tests/test_plans.py::test_registry_codegen_compiles_clean`` on
+    its first run): fusing the 16-centroid argmax with the query-cosine
+    top-k projection in one stage exceeds janino's 64 KB method limit
+    and silently ran interpreted. Same fix as ``_ivf_recall_one`` — a
+    zero-shuffle ``observe`` node (CollectMetricsExec does not
+    participate in whole-stage codegen) splits the stage into two
+    compiled ones — with one extra subtlety: the observe must sit
+    BETWEEN the argmax projection and the probe-list ``isin`` filter,
+    because PushDownPredicate otherwise substitutes the whole argmax
+    expression tree into the filter predicate (re-creating the
+    oversized method the projection barriers exist to prevent);
+    CollectMetrics blocks that pushdown, so the filter reads ``_cid``
+    as a bound reference. Same single corpus scan, one row-count
+    accumulator (counting pre-filter rows) of overhead."""
     q = [float(v) for v in query_vec]
     qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
     cents = trained_quantizer_centroids(spark, qdir)
@@ -4380,10 +4396,13 @@ def ivf_ann_topk_trained(
         F.col("vec_id"), F.col("embedding"),
         _norm_col("embedding", dim).alias("_nv"),
     )
-    return _query_cosine_topk(
+    assigned = (
         _with_nearest_centroid(p, "embedding", "_nv", cents, "_cid")
-        .filter(F.col("_cid").isin(probes)),
-        q, k, "embedding", "vec_id", norm_sql="_nv",
+        .observe("_cgsplit_ivf_trained", F.count(F.lit(1)).alias("rows"))
+        .filter(F.col("_cid").isin(probes))
+    )
+    return _query_cosine_topk(
+        assigned, q, k, "embedding", "vec_id", norm_sql="_nv",
     )
 
 
@@ -5057,3 +5076,252 @@ def _pca_step_oracle(dim: int | None = None) -> str:
 )
 def embedding_pca_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power_step(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-depth sweep (r13) — the nprobe tuning curve
+# ---------------------------------------------------------------------------
+
+#: probe depths swept — the recall-vs-cost curve's x axis
+PROBE_DEPTH_LADDER: tuple[int, ...] = (1, 2, 4, 8)
+
+#: anchors for the sweep (kept below RECALL_ANCHORS: the oracle replays
+#: the full training chain PLUS a 4-depth ranking tail per anchor)
+SWEEP_ANCHORS: int = 3
+
+
+def ann_probe_depth_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = SWEEP_ANCHORS,
+    k: int = RECALL_K,
+    depths: tuple[int, ...] = PROBE_DEPTH_LADDER,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Recall@k vs probe depth under the TRAINED quantizer — the nprobe
+    tuning curve next to :func:`ivf_recall_trained_vs_seed`'s
+    quantizer comparison (that answers WHICH quantizer; this answers
+    HOW MANY lists to probe): per depth in the ladder, the exact top-k
+    mass the depth-bounded probe set recovers, summed over anchors.
+
+    ONE fused corpus scan (the `_ivf_recall_one` shape: E-step argmax
+    + per-anchor exact cosines, observe-split into two compiled
+    stages) — the whole DEPTH DIMENSION is free: a row's probe_rank
+    (its centroid's position in the anchor's probe preference order,
+    driver-derived O(K) per anchor) is computed once, and each depth
+    is a predicate over that rank inside the SAME single sorted
+    window pass (4 running sums share one window spec — one sort, not
+    four). Anchor-sized everything after; exact integer outputs
+    (recall in basis points via BIGINT div).
+    """
+    from pyspark.sql.window import Window
+
+    anchors = [
+        (a_id, vec)
+        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
+        if vec is not None
+    ]
+    schema = (
+        "nprobe bigint, n_anchors bigint, n_exact bigint, "
+        "n_hit bigint, recall_bp bigint"
+    )
+    if not anchors:
+        return spark.createDataFrame([], schema)
+    cents = _trained_cents(spark, sf_dir, num_centroids)
+    # full probe preference order per anchor (all K centroids)
+    order = {
+        a_id: _ivf_probe_ids(q, cents, len(cents)) for a_id, q in anchors
+    }
+    rank_maps = {
+        a_id: F.create_map(
+            *[
+                F.lit(x)
+                for cid, r in zip(ids, range(1, len(ids) + 1))
+                for x in (cid, r)
+            ]
+        )
+        for a_id, ids in order.items()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(anchors[0][1])
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+    )
+    assigned = _with_nearest_centroid(
+        p0, "embedding", "_nv", cents, "_cid"
+    ).observe("_cgsplit_probe_sweep", F.count(F.lit(1)).alias("rows"))
+    sim_cols = []
+    for a_id, q in anchors:
+        sim = F.expr(
+            f"{_dot_lit_sql('embedding', q)}"
+            f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
+        )
+        sim_cols.append((sim + barrier).alias(f"_psim{a_id}"))
+    p1 = assigned.select(F.col("vec_id"), F.col("_cid"), *sim_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a_id).cast("bigint").alias("a_id"),
+                _present_round(F.col(f"_psim{a_id}"), 4).alias("cos_sim"),
+                # NULL _cid (degenerate row) maps to NULL rank: in no
+                # probe set at any depth, like the oracle's JOIN miss
+                F.element_at(rank_maps[a_id], F.col("_cid")).alias(
+                    "probe_rank"
+                ),
+            )
+            for a_id, q in anchors
+        ]
+    )
+    stacked = p1.select(
+        F.col("vec_id"), F.explode(entries).alias("s")
+    ).select("vec_id", "s.a_id", "s.cos_sim", "s.probe_rank")
+    w_rank = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = stacked.select(
+        "a_id",
+        "probe_rank",
+        F.row_number().over(w_rank).cast("bigint").alias("_er"),
+        *[
+            F.sum((F.col("probe_rank") <= d).cast("bigint"))
+            .over(w_run)
+            .alias(f"_pc{d}")
+            for d in depths
+        ],
+    )
+    in_exact = F.col("_er") <= k
+    one = ranked.agg(
+        F.sum(in_exact.cast("bigint")).alias("_ne"),
+        *[
+            F.sum(
+                (
+                    in_exact
+                    & (F.col("probe_rank") <= d)
+                    & (F.col(f"_pc{d}") <= k)
+                ).cast("bigint")
+            ).alias(f"_h{d}")
+            for d in depths
+        ],
+    )
+    stack_args = ", ".join(f"{d}, _h{d}" for d in depths)
+    return (
+        one.selectExpr(
+            f"stack({len(depths)}, {stack_args}) AS (nprobe, n_hit)", "_ne"
+        )
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.lit(len(anchors)).cast("bigint").alias("n_anchors"),
+            F.col("_ne").cast("bigint").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.expr("(10000 * coalesce(n_hit, 0)) div _ne")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _probe_sweep_oracle(
+    n_anchors: int = SWEEP_ANCHORS,
+    k: int = RECALL_K,
+    depths: tuple[int, ...] = PROBE_DEPTH_LADDER,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: trained chain, per-anchor probe RANK over the
+    centroids (ROW_NUMBER, NULLs last like the driver's tiered key),
+    assignment, then the shared ranking tail with one running probed
+    count per depth."""
+    dim = EMB_DIM if dim is None else dim
+    probe_cos = (
+        f"{_duck_dot('c.cv', 'q.qv', dim)} / nullif({_duck_norm('c.cv', dim)}"
+        f" * {_duck_norm('q.qv', dim)}, 0.0)"
+    )
+    pcs = ",\n             ".join(
+        f"SUM(CASE WHEN probe_rank <= {d} THEN 1 ELSE 0 END) OVER ("
+        f"PARTITION BY a_id ORDER BY cs DESC, vec_id ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc{d}"
+        for d in depths
+    )
+    hits = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN er <= {k} AND probe_rank <= {d} "
+        f"AND pc{d} <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS h{d}"
+        for d in depths
+    )
+    # EXISTS gate: with zero usable anchors the Spark side returns the
+    # empty frame, while an ungrouped aggregate over the empty ranked
+    # table would still emit one all-NULL row per depth here
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({d} AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM q) AS n_anchors,
+           n_exact, h{d} AS n_hit,
+           CAST((10000 * h{d}) // n_exact AS BIGINT) AS recall_bp
+    FROM agg WHERE EXISTS (SELECT 1 FROM q)"""
+        for d in depths
+    )
+    return f"""
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)},
+    q AS (
+      SELECT vec_id AS a_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_anchors} AND embedding IS NOT NULL
+    ), prk AS (
+      SELECT q.a_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.a_id
+                                ORDER BY {probe_cos} DESC, c.cid ASC)
+               AS probe_rank
+      FROM c CROSS JOIN q
+    ), assign AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), scored AS (
+      SELECT q.a_id, e.vec_id,
+             {_duck_cos4("e.embedding", "q.qv", dim)} AS cs,
+             p.probe_rank
+      FROM embeddings e
+      CROSS JOIN q
+      JOIN assign a ON a.vec_id = e.vec_id
+      LEFT JOIN prk p ON p.a_id = q.a_id AND p.cid = a.cid
+    ), ranked AS (
+      SELECT a_id, probe_rank,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY cs DESC, vec_id ASC) AS er,
+             {pcs}
+      FROM scored
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN er <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           {hits}
+      FROM ranked
+    )
+{rows}
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "ann_probe_depth_sweep",
+    oracle=_probe_sweep_oracle(),
+    description="IVF nprobe tuning curve: recall@10 at probe depths "
+    "1/2/4/8 under the trained quantizer, summed over 3 anchors — one "
+    "fused observe-split E-step + anchor-cosine scan, the whole depth "
+    "axis riding ONE sorted window pass (4 running sums share the "
+    "window); exact bp integers; the oracle re-derives the trained "
+    "centroids and replays the per-depth ranking tail",
+    covers=("N-sim",),
+)
+def ann_probe_depth_sweep_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return ann_probe_depth_sweep(spark, sf_dir)

@@ -2900,3 +2900,213 @@ def _pii_redact_oracle() -> str:
 )
 def pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate prefix mining (r13)
+# ---------------------------------------------------------------------------
+
+
+def doc_prefix_cluster_profile(
+    docs: DataFrame, k_tokens: int = 5, topk: int = 20
+) -> DataFrame:
+    """Shared document-prefix clusters — the boilerplate/header
+    detection readout a web-corpus pipeline runs before dedup: pages
+    from the same template open with the same first tokens, so the
+    hottest ``k_tokens``-token prefixes ARE the template inventory
+    (and their source spread says whether a template is one site's or
+    a syndication network's).
+
+    One corpus scan projects the prefix key (first ``k_tokens``
+    whitespace tokens — short docs contribute their whole token list);
+    a prefix hash aggregate counts docs and distinct sources; the
+    top-``topk`` ride a TakeOrderedAndProject (per-partition heaps,
+    never a global sort — a full sort on the prefix table is
+    corpus-sized at 100 TB). The corpus share denominator comes from a
+    thin doc-count aggregate (column-pruned second scan, the
+    ``vocab_growth`` normalizer discipline) broadcast to the 20-row
+    top table. Ties at the cut are pinned by the (n_docs DESC, prefix
+    ASC) total order on both engines; NULL/empty texts are out of
+    scope on both.
+    """
+    eligible = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = F.split(F.trim(F.col("text")), " +")
+    grouped = (
+        eligible.select(
+            F.array_join(F.slice(toks, 1, k_tokens), " ").alias("prefix"),
+            "source",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    top = grouped.orderBy(F.desc("n_docs"), F.asc("prefix")).limit(topk)
+    total = eligible.select(F.count(F.lit(1)).cast("bigint").alias("_tot"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "prefix",
+            "n_docs",
+            "n_sources",
+            F.expr("(10000 * n_docs) div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+    )
+
+
+@register(
+    "doc_prefix_cluster_profile",
+    oracle="""
+    WITH eligible AS (
+      SELECT source, string_split_regex(trim(text), ' +') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), g AS (
+      SELECT array_to_string(t[1:5], ' ') AS prefix,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources
+      FROM eligible GROUP BY 1
+    ), top AS (
+      SELECT * FROM g ORDER BY n_docs DESC, prefix ASC LIMIT 20
+    )
+    SELECT prefix,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST((10000 * n_docs) // (SELECT COUNT(*) FROM eligible)
+                AS BIGINT) AS share_bp
+    FROM top ORDER BY n_docs DESC, prefix ASC
+    """,
+    description="boilerplate prefix mining: hottest 5-token document "
+    "prefixes with doc counts, source spread and corpus share — prefix "
+    "hash aggregate + per-partition top-k heaps (TakeOrdered, no "
+    "global sort), thin broadcast doc-count normalizer",
+    covers=("N-text", "N-dedup", "B8"),
+)
+def doc_prefix_cluster_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return doc_prefix_cluster_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII detector co-occurrence (r13)
+# ---------------------------------------------------------------------------
+
+
+def pii_cooccurrence_matrix(docs: DataFrame) -> DataFrame:
+    """Which PII detectors fire TOGETHER: for every unordered detector
+    pair (diagonal included) the count of documents where both fire
+    and the conditional share — of the docs det_a flags, how many det_b
+    also flags, in integer basis points. The compliance readout behind
+    redaction-policy design: an email+phone co-fire is a contact
+    record, a lone digit run is usually an id; the matrix says which.
+
+    One corpus scan computes |D| per-doc 0/1 flags (stateless
+    ``regexp_count`` codegen, no Python); ONE global aggregate folds
+    all |D|·(|D|+1)/2 pair products with map-side partials; the
+    constant-width one-row result unpivots via ``stack`` into the
+    |pairs|-row matrix — nothing wider than the flag vector moves, no
+    join, no window. Zero-docs-flagged denominators yield NULL
+    cond_bp on both engines.
+    """
+    names = [name for name, _ in PII_PATTERNS]
+    flags = [
+        (
+            F.coalesce(F.regexp_count(F.col("text"), F.lit(pat)), F.lit(0))
+            > 0
+        )
+        .cast("bigint")
+        .alias(f"_f_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    pairs = [
+        (a, b) for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i:]
+    ]
+    aggs = [
+        F.sum(F.col(f"_f_{a}") * F.col(f"_f_{b}")).alias(f"_n_{a}__{b}")
+        for a, b in pairs
+    ]
+    aggs += [F.sum(F.col(f"_f_{n}")).alias(f"_n_{n}") for n in sorted(names)]
+    one = docs.select(*flags).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _n_{a}__{b}, _n_{a}" for a, b in pairs
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(pairs)}, {stack_args}) AS (det_a, det_b, _both, _na)"
+        )
+        .select(
+            "det_a",
+            "det_b",
+            F.coalesce(F.col("_both"), F.lit(0))
+            .cast("bigint")
+            .alias("n_both"),
+            # DOUBLE, not BIGINT: a zero-flagged detector's share is
+            # NULL, and a NULL-bearing BIGINT floats through the
+            # driver's pandas canonicalization (the oracle-TYPE gate)
+            F.when(
+                F.coalesce(F.col("_na"), F.lit(0)) > 0,
+                F.expr("(10000 * _both) div _na"),
+            )
+            .cast("double")
+            .alias("cond_bp"),
+        )
+        .orderBy("det_a", "det_b")
+    )
+
+
+def _pii_cooc_oracle() -> str:
+    names = sorted(name for name, _ in PII_PATTERNS)
+    pats = dict(PII_PATTERNS)
+    flags = ",\n             ".join(
+        f"CASE WHEN COALESCE(len(regexp_extract_all(text, '{pats[n]}')), 0)"
+        f" > 0 THEN 1 ELSE 0 END AS _f_{n}"
+        for n in names
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    rows = ",\n      ".join(
+        f"('{a}', '{b}', SUM(_f_{a} * _f_{b}), SUM(_f_{a}))"
+        for a, b in pairs
+    )
+    return f"""
+    WITH d AS (
+      SELECT {flags}
+      FROM documents
+    ), agg AS (
+      SELECT * FROM (
+        SELECT unnest([
+          {', '.join(f"{{'det_a': '{a}', 'det_b': '{b}', 'n_both': SUM(_f_{a} * _f_{b}), 'na': SUM(_f_{a})}}" for a, b in pairs)}
+        ], recursive := true)
+        FROM d
+      )
+    )
+    SELECT det_a, det_b,
+           CAST(COALESCE(n_both, 0) AS BIGINT) AS n_both,
+           CAST(CASE WHEN COALESCE(na, 0) > 0
+                     THEN (10000 * n_both) // na END AS DOUBLE) AS cond_bp
+    FROM agg
+    ORDER BY det_a, det_b
+    """
+
+
+@register(
+    "pii_cooccurrence_matrix",
+    oracle=_pii_cooc_oracle(),
+    description="PII detector co-occurrence matrix: per unordered "
+    "detector pair (diagonal included) the docs where both fire and "
+    "the conditional co-fire share in bp — one scan of stateless "
+    "regexp flags into one global aggregate, constant-width unpivot, "
+    "no join/window",
+    covers=("N-quality", "B4"),
+)
+def pii_cooccurrence_matrix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return pii_cooccurrence_matrix(load_table(spark, sf_dir, "documents"))

@@ -59,18 +59,24 @@ def register(
 #: rows-only for oracle-less ops). The driver verifies only the FIRST ~50
 #: registry entries per round, so ``all_queries`` orders these LAST: the
 #: verification window is spent on queries that still need a row. Regenerated
-#: each round by ``scripts/update_verified.py`` from CORRECTNESS_r*.json.
-#: A query whose builder source changed since its green row is rotated back
-#: automatically via ``VERIFIED_SOURCE_HASHES`` (see ``all_queries``).
-#: Round-12 curation: regenerated from the r1-r11 union (212 kept).
-#: Held out: every query whose builder/oracle changed since the r11
-#: close (23 — the ADVICE fixes, the rrf/ann oracle tweaks and the
-#: broadcast_if_dim routing) plus the two deep-HELPER rewrites the
-#: wrapper hash cannot see (mixture_rebalance's banded rank,
-#: ivf_recall_trained_vs_seed's observe stage split) — all re-enter the
-#: r12 window alongside the 9 net-new operators (34 pending total).
+#: each round by ``scripts/update_verified.py --write`` from
+#: CORRECTNESS_r*.json — the block between the BEGIN/END markers below,
+#: including the per-round curation note, is GENERATED (VERDICT r12 #2:
+#: the pending count is recomputed and asserted by the script, never
+#: hand-written). A query whose builder source changed since its green
+#: row is rotated back automatically via ``VERIFIED_SOURCE_HASHES``
+#: (see ``all_queries``).
+# --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
+# Round-13 curation: regenerated from
+# CORRECTNESS_r01.json..CORRECTNESS_r12.json (243 kept). Recomputed
+# pending set (registered - verified): 14 <= window 50. Held out (deep
+# rewrites the wrapper hash cannot see): ivf_ann_topk_trained,
+# min_cost_supplier, nation_revenue_share, promo_revenue,
+# shipping_priority, sole_returning_supplier, streaming_pii_gate,
+# streaming_quality_gate.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
+    "ann_cosine_topk",
     "ann_index_layout",
     "ann_quantized_rescore",
     "ann_recall_eval",
@@ -89,7 +95,9 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "changepoint_cusum",
     "charclass_profile",
     "churned_buyers",
+    "cluster_balanced_sample",
     "code_switch_share",
+    "cohort_retention",
     "contamination_span_profile",
     "context_fit_histogram",
     "conversion_funnel",
@@ -98,8 +106,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "corr_matrix",
     "count_min_tokens",
     "count_star",
+    "cumulative_distinct_users",
     "curriculum_stage_histogram",
     "customer_order_distribution",
+    "customer_order_gaps",
     "customer_spend_quartiles",
     "dataset_split",
     "decayed_activity_topk",
@@ -111,8 +121,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_rate_by_source",
+    "dedup_threshold_sweep",
     "dim_variance_screen",
+    "disjunctive_revenue",
     "doc_chunks",
+    "doc_embedding_alignment",
     "doc_rarity_topk",
     "doc_repetition",
     "dominant_lang_share",
@@ -124,8 +137,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "embedding_pca_step",
     "embedding_project",
     "embedding_quantize",
+    "event_funnel",
     "event_heatmap",
     "event_path_topk",
+    "event_transition_matrix",
     "event_transitions",
     "event_value_pivot",
     "excess_order_counts",
@@ -138,14 +153,17 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "hard_negative_mining",
     "heavy_hitters",
     "idle_customers",
+    "important_stock",
     "incremental_dedup",
     "incremental_scan",
+    "intra_doc_repetition",
     "inventory_turnover_topk",
     "ivf_ann_topk",
-    "ivf_ann_topk_trained",
     "ivf_assign",
     "ivf_list_balance_trained",
+    "ivf_recall_trained_vs_seed",
     "join_broadcast_dims",
+    "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
     "kmeans_lloyd_step",
@@ -159,10 +177,13 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "label_centroid_confusion",
     "label_cohesion",
     "lang_id",
+    "lang_source_chi2",
     "langid_confusion",
+    "large_orders",
     "latest_event_per_user",
     "length_drift",
     "lexical_diversity",
+    "local_supplier_volume",
     "lorenz_deciles",
     "lsh_ann_multiprobe",
     "lsh_ann_topk",
@@ -172,13 +193,18 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "max_watermark",
     "measures_unpivot",
     "media_decode_budget",
+    "media_frame_features",
     "media_phash_neardup",
+    "media_type_profile",
     "minhash_error_eval",
     "minhash_lsh_pairs",
+    "mixture_rebalance",
     "mmr_rerank_topk",
     "moving_spend_90d",
     "multimodal_features",
     "name_edit_neardup",
+    "nation_market_share",
+    "nation_trade_volume",
     "ngram_containment",
     "ngram_jaccard_guarded",
     "ngram_jaccard_pairs",
@@ -192,11 +218,14 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pack_efficiency",
     "pack_sequences",
     "pattern_match_topk",
+    "pii_redact",
+    "pii_scan",
     "pii_scrub",
     "postings_layout",
     "price_percentiles",
     "pricing_summary",
     "priority_shipping",
+    "product_type_profit",
     "purchase_attribution",
     "quality_by_lang",
     "quality_canonical_dedup",
@@ -205,6 +234,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "quality_score",
     "quantization_error_profile",
     "range_partition_boundaries",
+    "rate_limit_audit",
     "referential_integrity",
     "repeat_buyers",
     "retention_cohorts",
@@ -214,6 +244,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "revenue_trend_ols",
     "rfm_segments",
     "rolling_active_users",
+    "rrf_fusion",
     "sales_cube",
     "sales_grouping_sets",
     "sales_rollup",
@@ -232,6 +263,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "shingle_df_histogram",
     "shingle_size_sensitivity",
     "simhash_pairs",
+    "small_order_revenue",
     "snapshot_diff_audit",
     "source_cap",
     "source_length_quartiles",
@@ -242,12 +274,12 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "spend_gini",
     "stats_moments",
     "stickiness_ratio",
+    "stocked_parts_promotion",
     "stratified_sample",
     "streaming_burst_flags",
     "streaming_enriched_counts",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
-    "streaming_quality_gate",
     "streaming_sessions",
     "streaming_sessions_timeout",
     "streaming_sliding_counts",
@@ -255,7 +287,9 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_view_clicks",
     "substring_dedup",
     "summary_view",
+    "supplier_concentration_hhi",
     "supplier_hhi_histogram",
+    "supplier_variety",
     "table_profile",
     "text_stats",
     "time_bucket_rollup",
@@ -265,6 +299,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "token_frequencies",
     "tokenizer_compression",
     "top_k",
+    "top_returned_customers",
+    "top_supplier_revenue",
     "top_terms",
     "training_order",
     "uniform_ksample",
@@ -283,6 +319,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "windowed_agg",
     "winsorized_stats",
 })
+# --- END GENERATED VERIFIED ROTATION ---
 
 
 def spec_source_hash(spec: QuerySpec) -> str | None:

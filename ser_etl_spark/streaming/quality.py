@@ -43,17 +43,26 @@ def stream_quality_gate_replay(
         os.makedirs(sink, exist_ok=True)
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # keep the per-batch shuffle narrow, then restore (ADVICE
+            # r12). Empirically foreachBatch hands a streaming-cloned
+            # session here (the set does NOT propagate to the caller's
+            # session on this Spark version), but the restore removes
+            # any dependence on that implementation detail.
             s = batch_df.sparkSession
+            prev = s.conf.get("spark.sql.shuffle.partitions")
             s.conf.set("spark.sql.shuffle.partitions", "8")
-            out = batch_df.groupBy("source").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum(funnel_stage_flags()[-1].cast("bigint"))
-                .cast("bigint")
-                .alias("n_pass"),
-            )
-            out.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(sink, f"b{batch_id}")
-            )
+            try:
+                out = batch_df.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(funnel_stage_flags()[-1].cast("bigint"))
+                    .cast("bigint")
+                    .alias("n_pass"),
+                )
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(sink, f"b{batch_id}")
+                )
+            finally:
+                s.conf.set("spark.sql.shuffle.partitions", prev)
 
         stream = (
             spark.readStream.schema(docs.schema)
@@ -138,17 +147,24 @@ def stream_pii_gate_replay(
             flagged = c if flagged is None else (flagged | c)
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # narrow per-batch shuffle, restored afterwards (ADVICE
+            # r12; the batch session is a streaming clone on this Spark
+            # version, the restore makes that a non-dependency).
             s = batch_df.sparkSession
+            prev = s.conf.get("spark.sql.shuffle.partitions")
             s.conf.set("spark.sql.shuffle.partitions", "8")
-            out = batch_df.groupBy("source").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum(flagged.cast("bigint"))
-                .cast("bigint")
-                .alias("n_flagged"),
-            )
-            out.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(sink, f"b{batch_id}")
-            )
+            try:
+                out = batch_df.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum(flagged.cast("bigint"))
+                    .cast("bigint")
+                    .alias("n_flagged"),
+                )
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(sink, f"b{batch_id}")
+                )
+            finally:
+                s.conf.set("spark.sql.shuffle.partitions", prev)
 
         stream = (
             spark.readStream.schema(docs.schema)

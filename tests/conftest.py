@@ -51,6 +51,7 @@ _TIER2_PATTERNS = (
     "TestSnapshotAnnIndex",
     "TestDeltaDedup",
     "test_expanded_vector_stages_compile",
+    "test_registry_codegen_compiles_clean",
     "test_edge_vector_parity",
     "test_scan_budget_multiset",
     "test_snapshot_ann_layout_prunes",

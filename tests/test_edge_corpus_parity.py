@@ -210,6 +210,14 @@ CLIQUE_QUERIES = [
     # level equals its grand total
     "vocab_gini",
     "corpus_rollup",
+    # r13: 40 identical docs = one fp clique — the domain profile's fp
+    # window holds every source in ONE partition (kept share goes to
+    # the min-doc source), the quality-dup bucket is pure dup_3plus,
+    # and every doc shares the same 5-token prefix (one 40-doc prefix
+    # cluster)
+    "domain_dedup_profile",
+    "quality_vs_dup_correlation",
+    "doc_prefix_cluster_profile",
 ]
 
 
@@ -1022,5 +1030,215 @@ def test_event_funnel_ordering_semantics(spark, tmp_path):
         assert got["view"] == (4, 10000), got
         assert got["click"] == (2, 5000), got
         assert got["purchase"] == (2, 10000), got
+    finally:
+        con.close()
+
+
+def test_hot_key_funnel_family_parity(spark, tmp_path):
+    """r13 (VERDICT r12 #5): the funnel/behavioral family under the
+    98%-one-key skew corpus. event_funnel, event_transition_matrix and
+    cohort_retention share the hot user_id shuffle; customer_order_gaps
+    the hot custkey one. Skew concentrates one partition (the
+    documented linear cost) but the ANSWERS must match the oracle:
+    funnel stage resolution under massive ties, transition self-loops,
+    zero-gap order ties."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "hotkey2"
+    d.mkdir()
+    base = _dt.datetime(2024, 5, 1)
+    # user 7: ~98% of events, bursty ties (4 events share each
+    # timestamp), cycling view->view->click->purchase so the stream has
+    # self-loops AND an in-order funnel; a click at t=0 PRECEDING the
+    # first view tests the ordered-stage anchor under skew.
+    ts, uid, etype = [base], [7], ["click"]
+    cycle = ["view", "view", "click", "purchase"]
+    for i in range(480):
+        ts.append(base + _dt.timedelta(seconds=(i // 4) * 30))
+        uid.append(7)
+        etype.append(cycle[i % 4])
+    # cold users: 5 view-only (funnel drop-off), 5 view->click next day
+    for u in range(5):
+        ts.append(base + _dt.timedelta(hours=2, seconds=u))
+        uid.append(100 + u)
+        etype.append("view")
+    for u in range(5):
+        ts.append(base + _dt.timedelta(days=1, seconds=u))
+        uid.append(200 + u)
+        etype.append("view")
+        ts.append(base + _dt.timedelta(days=1, seconds=u))
+        uid.append(200 + u)
+        etype.append("click")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(ts)), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(etype),
+                "value": pa.array([1.0] * len(ts)),
+                "props": pa.array([None] * len(ts), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    # customer 7: ~98% of orders with zero-gap ties (three orders per
+    # day -> gap 0 inside each day), two normal customers with 7/40-day
+    # cadences hitting other week buckets.
+    okeys, ocust, odates = [], [], []
+    k = 0
+    for i in range(300):
+        okeys.append(k := k + 1)
+        ocust.append(7)
+        odates.append(base + _dt.timedelta(days=i // 3))
+    for i in range(4):
+        okeys.append(k := k + 1)
+        ocust.append(900)
+        odates.append(base + _dt.timedelta(days=7 * i))
+        okeys.append(k := k + 1)
+        ocust.append(901)
+        odates.append(base + _dt.timedelta(days=40 * i))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                "o_custkey": pa.array(ocust, pa.int64()),
+                "o_orderdate": pa.array(odates, pa.timestamp("us")),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        for t in ("events", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        for name in (
+            "event_funnel",
+            "event_transition_matrix",
+            "cohort_retention",
+            "customer_order_gaps",
+        ):
+            spec = all_queries()[name]
+            problems = compare(
+                name, spec.builder(spark, str(d)), con, spec.oracle
+            )
+            assert not problems, f"{name}: " + "\n".join(problems)
+        # semantics under skew: hot user converts in order despite the
+        # orphan first click; view-only and next-day-click cold users
+        # stop at their stages
+        funnel = {
+            r["stage"]: r["users"]
+            for r in all_queries()["event_funnel"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        assert funnel == {"view": 11, "click": 6, "purchase": 1}, funnel
+        # transition matrix keeps the hot user's self-loops
+        cells = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in all_queries()["event_transition_matrix"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        assert cells[("view", "view")] > 0, cells
+        # zero-gap ties land in week bucket 0
+        gaps = {
+            r["gap_week_bucket"]: r["n_gaps"]
+            for r in all_queries()["customer_order_gaps"]
+            .builder(spark, str(d))
+            .collect()
+        }
+        assert gaps[0] > 200 and 5 in gaps, gaps
+    finally:
+        con.close()
+
+
+def test_sweep_guard_boundary_parity(spark, tmp_path):
+    """r13 (VERDICT r12 #6): the ``max_shingle_df=50`` guard boundary
+    dedup_threshold_sweep inherits from ngram_jaccard_pairs, pinned on
+    an adversarial corpus against a serial model: one trigram shared by
+    EXACTLY df=50 docs (kept -> C(50,2)=1225 pairs) and one by df=51
+    (dropped -> zero pairs from that clique), plus a j=0.6 pair and a
+    j=1.0 pair that actually fire the sweep thresholds. Jaccard
+    denominators use PRE-guard shingle-set sizes on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ser_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = tmp_path / "guardb"
+    d.mkdir()
+    texts = []
+    # 50 docs sharing exactly one trigram: df == guard, KEPT
+    texts += [f"alpha beta gamma ua{i} va{i}" for i in range(50)]
+    # 51 docs sharing a different trigram: df == guard+1, DROPPED
+    texts += [f"delta eps zeta wb{i} xb{i}" for i in range(51)]
+    # one pair at jaccard 3/5 = 0.6 and one identical pair (1.0)
+    texts += [
+        "one two three four five six",
+        "one two three four five seven",
+        "zz yy xx ww vv",
+        "zz yy xx ww vv",
+        "",
+        None,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["web"] * len(texts)),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+
+    # serial model: 1225 clique-A pairs (j=0.2) + the 0.6 + the 1.0 pair
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=50)
+    assert pairs.count() == 1225 + 2
+    # clique-A pairs vanish one notch tighter: df=50 > 49 drops them
+    assert (
+        ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=49).count()
+        == 2
+    )
+    # clique-B contributed nothing even at the loose guard
+    b_ids = set(range(50, 101))
+    assert not [
+        r
+        for r in pairs.collect()
+        if r["doc_a"] in b_ids or r["doc_b"] in b_ids
+    ]
+
+    # the sweep over that pair space + full oracle parity
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        spec = all_queries()["dedup_threshold_sweep"]
+        problems = compare(
+            "dedup_threshold_sweep", spec.builder(spark, str(d)), con,
+            spec.oracle,
+        )
+        assert not problems, "\n".join(problems)
+        got = {
+            r["threshold_bp"]: (r["n_pairs"], r["mean_jaccard_micro"])
+            for r in spec.builder(spark, str(d)).collect()
+        }
+        assert got[5000] == (2, 800000), got  # 0.6 and 1.0 qualify
+        assert got[7000] == (1, 1000000), got
+        assert got[9000] == (1, 1000000), got
     finally:
         con.close()

@@ -395,6 +395,67 @@ spark.stop()
     assert "Failed to compile" in control, control[-2000:]
 
 
+def test_registry_codegen_compiles_clean(sf_small):
+    """r13 (VERDICT r12 #4): the codegen pin, registry-WIDE. Every
+    registered query executes at sf0.001 in a SUBPROCESS whose stderr
+    is captured for real (the JVM writes janino failures to the stderr
+    it inherited at launch — an in-process redirect is vacuous, the
+    r5 lesson), and the whole run must produce zero
+    'Failed to compile' events: the next janino method-limit regression
+    in ANY operator is caught at authoring time, not by a bench
+    anomaly. The known-interpreted scan-time ivf_ann_topk stage stays
+    the positive control proving the capture observes codegen."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os, sys
+os.environ["SPARK_GRAFT_CPUS"] = "8"
+from ser_etl_spark.session import get_spark
+spark = get_spark(conf={{"spark.ui.enabled": "false",
+                         "spark.sql.shuffle.partitions": "8"}})
+from ser_etl_spark.registry import all_queries
+Q = all_queries()
+for name in sorted(Q):
+    Q[name].builder(spark, {sf_small!r}).collect()
+    print("CLEAN_DONE " + name, file=sys.stderr, flush=True)
+print("CONTROL_START", file=sys.stderr, flush=True)
+from ser_etl_spark.operators.similarity import ivf_ann_topk, _query_vector
+from ser_etl_spark.sources.parquet import load_table
+emb = load_table(spark, {sf_small!r}, "embeddings")
+ivf_ann_topk(emb, _query_vector(spark, {sf_small!r}), k=10).collect()
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=3000,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    clean, _, control = proc.stderr.partition("CONTROL_START")
+    from ser_etl_spark.registry import all_queries
+
+    n = len(all_queries())
+    assert clean.count("CLEAN_DONE") == n, (
+        clean.count("CLEAN_DONE"),
+        n,
+        proc.stderr[-4000:],
+    )
+    if "Failed to compile" in clean:
+        # attribute the failure to the query whose run surfaced it
+        bad = clean[: clean.index("Failed to compile")]
+        last_ok = bad.rsplit("CLEAN_DONE ", 1)[-1].split("\n")[0]
+        raise AssertionError(
+            f"codegen fallback after {last_ok!r}: "
+            + clean[clean.index("Failed to compile") :][:2000]
+        )
+    # positive control: the known-failing stage must surface the error,
+    # otherwise the capture has silently stopped observing codegen
+    assert "Failed to compile" in control, control[-2000:]
+
+
 def test_pack_sequences_single_group_shuffle(spark, sf_small):
     """The packer's only data-sized shuffle is ONE hash partition on the
     (source, shard) group key feeding FlatMapGroupsInPandas — token
@@ -1255,7 +1316,8 @@ def test_driver_passes_contract(spark, sf_small):
     flattens them); and building each OFF_PLAN query must move exactly
     its own counter, by exactly the budgeted delta, touching no other
     counter (the widened build_with_driver_passes snapshot enforces the
-    no-other-counter half for ALL 237 queries via the budget gate)."""
+    no-other-counter half for EVERY registered query — len(QUERIES) of
+    them — via the budget gate; no hardcoded count, ADVICE r12)."""
     from scripts.gen_scan_budget import (
         OFF_PLAN,
         all_driver_counters,
@@ -1322,6 +1384,41 @@ def test_broadcast_if_dim_declines_oversized(spark, sf_small):
     assert "BroadcastHashJoin" not in plan2, plan2[:2000]
 
 
+def test_broadcast_if_dim_margin(spark):
+    """r13 (VERDICT r12 #1): the ceiling is denominated in build-side
+    bytes. A frame whose PLAN ESTIMATE sits between the new 32 MiB
+    estimate ceiling and the old 256 MiB build target (i.e. one that
+    the unit-mismatched ceiling would have hinted) must be DECLINED —
+    its decompressed build side could hydrate to ~8x the estimate.
+    ``spark.range`` gives a deterministic 8-bytes/row estimate with no
+    job, so the test is pure metadata."""
+    from ser_etl_spark.functions.broadcast import (
+        BROADCAST_BUILD_TARGET_BYTES,
+        BROADCAST_DIM_MAX_BYTES,
+        PARQUET_TO_BUILD_EXPANSION,
+        broadcast_if_dim,
+        plan_size_estimate,
+    )
+
+    # the margin contract itself
+    assert (
+        BROADCAST_DIM_MAX_BYTES
+        == BROADCAST_BUILD_TARGET_BYTES // PARQUET_TO_BUILD_EXPANSION
+    )
+    assert BROADCAST_DIM_MAX_BYTES <= 64 << 20  # estimate ceiling is small
+
+    # ~48 MB estimate: over the new ceiling, under the old 256 MiB one
+    mid = spark.range(6_000_000)
+    est = plan_size_estimate(mid)
+    assert est is not None
+    assert BROADCAST_DIM_MAX_BYTES < est < BROADCAST_BUILD_TARGET_BYTES, est
+    assert broadcast_if_dim(mid) is mid  # declined: returned unhinted
+
+    # well under the ceiling: still hinted
+    small = spark.range(1_000)
+    assert broadcast_if_dim(small) is not small
+
+
 def test_r12_new_op_plan_shapes(spark, sf_small):
     """r12 wave: scan/shuffle/window claims pinned on the plan."""
     # pii_scan / intra_doc_repetition: one scan, partial+final agg,
@@ -1376,3 +1473,45 @@ def test_r12_wave2_plan_shapes(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan[:2000]
+
+
+def test_r13_new_op_plan_shapes(spark, sf_small):
+    """r13 wave: scan/shuffle/topk claims pinned on the plan."""
+    # domain_dedup_profile: ONE scan — the per-fp rollup is a window
+    # over the (source, fp)-aggregated table, never a join back to a
+    # second corpus scan
+    plan = _plan(spark, sf_small, "domain_dedup_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert re.search(r"hashpartitioning\(fp#\d+", plan), plan[:3000]
+    # mixture_temperature_profile: one scan, |sources|-row aggregate,
+    # no join; map-side partials
+    plan = _plan(spark, sf_small, "mixture_temperature_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    # doc_prefix_cluster_profile: per-partition top-k heaps (never a
+    # global sort over the prefix table) + the thin broadcast
+    # normalizer (1-row total), no shuffled join
+    plan = _plan(spark, sf_small, "doc_prefix_cluster_profile")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # pii_cooccurrence_matrix: one scan into ONE global aggregate with
+    # map-side partials; the unpivot is constant-width — no join/window
+    plan = _plan(spark, sf_small, "pii_cooccurrence_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    # quality_vs_dup_correlation: fp self-join class (equi-join, never
+    # cartesian) — the skew-tolerant shape (hash-agg partials + AQE
+    # skew-join split, unlike a per-doc fp window)
+    plan = _plan(spark, sf_small, "quality_vs_dup_correlation")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # ann_probe_depth_sweep: ONE fused embeddings scan; the whole depth
+    # axis rides one a_id-partitioned window pass (a single exchange)
+    plan = _plan(spark, sf_small, "ann_probe_depth_sweep")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert (
+        len(re.findall(r"hashpartitioning\(a_id", plan)) == 1
+    ), plan[:3000]
