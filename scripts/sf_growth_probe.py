@@ -64,6 +64,9 @@ PROBES = (
     "quality_vs_dup_correlation",
     "ann_probe_depth_sweep",
     "doc_prefix_cluster_profile",
+    # r13b: the P/R harness rides BOTH bounded pair spaces (band join +
+    # guarded exact) — a superlinear blowup in either side shows here
+    "minhash_pr_eval",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -2723,3 +2723,186 @@ def domain_dedup_profile_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return domain_dedup_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH precision/recall evaluation (r13) — the banding QA harness
+# ---------------------------------------------------------------------------
+
+
+def minhash_pr_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Precision/recall of the LSH CANDIDATE stage against the guarded
+    exact-Jaccard join — the banding QA number next to
+    :func:`minhash_error_eval`'s per-pair estimate error: error_eval
+    says how well the signature approximates Jaccard ON candidates; this
+    says how much of the true pair mass the 16x4 banding SURFACES at
+    all (recall — the quantity LSH actually trades away; the verify
+    step already guarantees output precision) and how much verify work
+    the band join buys per true pair (candidate precision).
+
+    Truth side = the PRODUCTION exact baseline
+    (:func:`ngram_jaccard_pairs` with the ``max_shingle_df=50`` guard),
+    so both sides stay sub-quadratic at any corpus size — this harness
+    is runnable on the full corpus, not just fixtures. One full-outer
+    join of two bounded pair tables folds to a single row of exact
+    counts; precision/recall are DOUBLEs (NULL on empty sides, the
+    driver-canonicalization rule).
+    """
+    band_entries = minhash_band_entries(docs, num_perm, bands, n)
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    exact = (
+        ngram_jaccard_pairs(docs, threshold, n, max_shingle_df=50)
+        .select("doc_a", "doc_b")
+        .withColumn("_e", F.lit(1))
+    )
+    merged = cand.join(exact, ["doc_a", "doc_b"], "full_outer")
+    one = merged.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.coalesce(F.sum(F.col("_e") * F.col("_c")), F.lit(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return one.select(
+        F.lit(int(threshold * 10000)).cast("bigint").alias("threshold_bp"),
+        "n_exact",
+        "n_candidates",
+        "tp",
+        (F.col("n_candidates") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_exact") - F.col("tp")).cast("bigint").alias("fn"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("(10000 * tp) div n_candidates"),
+        )
+        .cast("double")
+        .alias("precision_bp"),
+        F.when(F.col("n_exact") > 0, F.expr("(10000 * tp) div n_exact"))
+        .cast("double")
+        .alias("recall_bp"),
+    )
+
+
+def _minhash_pr_oracle(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB twin: the minhash_lsh_pairs candidate CTE chain (staged
+    xxhash64 emulation, 4-tuple band equality — same documented 2^-64
+    bucket-collision caveat) next to the GUARDED exact pair chain, one
+    full-outer fold."""
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    rows_per_band = num_perm // bands
+    str_ctes, str_fin = stages_to_ctes(
+        "dg", xxh64_str_stage_cols("g", "_mb", pfx="_mxs"), "_msa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_mb", "_mh1", pfx="_mxl"), "_msb"
+    )
+    perm_ctes, perm_fin = stages_to_ctes(
+        long_fin, _minhash_perm_stages("_mh1", num_perm), "_msc"
+    )
+    perm_cols = ", ".join(f"p._mps{k}" for k in range(num_perm))
+    mins = ", ".join(f"MIN(_mps{k}) AS m{k}" for k in range(num_perm))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(
+            f"m{i * rows_per_band + r} AS w{r}" for r in range(rows_per_band)
+        )
+        + " FROM sig"
+        for i in range(bands)
+    )
+    band_eq = " AND ".join(f"a.w{r} = b.w{r}" for r in range(rows_per_band))
+    return f"""
+    WITH {_SHINGLE_CTES}, dg AS (
+      SELECT DISTINCT g FROM ex
+    ){str_ctes}{long_ctes}{perm_ctes}, sigsrc AS (
+      SELECT e.doc_id, {perm_cols}
+      FROM ex e JOIN {perm_fin} p USING (g)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sigsrc GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+    ), freq AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 50
+    ), exg AS (
+      SELECT ex.doc_id, ex.g FROM ex ANTI JOIN freq USING (g)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+            >= {threshold}
+    ), merged AS (
+      SELECT COALESCE(c.doc_a, e.doc_a) AS doc_a,
+             (c.doc_a IS NOT NULL)::INT AS _c,
+             (e.doc_a IS NOT NULL)::INT AS _e
+      FROM cand c
+      FULL OUTER JOIN exact e
+        ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    ), agg AS (
+      SELECT CAST(COALESCE(SUM(_e), 0) AS BIGINT) AS n_exact,
+             CAST(COALESCE(SUM(_c), 0) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(SUM(_e * _c), 0) AS BIGINT) AS tp
+      FROM merged
+    )
+    SELECT CAST({int(threshold * 10000)} AS BIGINT) AS threshold_bp,
+           n_exact, n_candidates, tp,
+           CAST(n_candidates - tp AS BIGINT) AS fp,
+           CAST(n_exact - tp AS BIGINT) AS fn,
+           CAST(CASE WHEN n_candidates > 0
+                     THEN (10000 * tp) // n_candidates END AS DOUBLE)
+             AS precision_bp,
+           CAST(CASE WHEN n_exact > 0
+                     THEN (10000 * tp) // n_exact END AS DOUBLE)
+             AS recall_bp
+    FROM agg
+    """
+
+
+@register(
+    "minhash_pr_eval",
+    oracle=_minhash_pr_oracle(),
+    description="LSH banding precision/recall QA: the 16x4 candidate "
+    "stage vs the guarded exact-Jaccard join at threshold 0.5 — tp/fp/"
+    "fn exact counts + bp precision (verify work per true pair) and "
+    "recall (the mass banding actually surfaces); both sides "
+    "sub-quadratic, one full-outer fold to a single row",
+    covers=("N-dedup",),
+)
+def minhash_pr_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pr_eval(load_table(spark, sf_dir, "documents"), 0.5)

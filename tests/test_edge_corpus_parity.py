@@ -103,6 +103,12 @@ EDGE_QUERIES = [
     "pii_redact",
     "intra_doc_repetition",
     "dedup_threshold_sweep",
+    # r13: the new fingerprint/shingle/band consumers
+    "domain_dedup_profile",
+    "quality_vs_dup_correlation",
+    "doc_prefix_cluster_profile",
+    "pii_cooccurrence_matrix",
+    "minhash_pr_eval",
 ]
 
 
@@ -218,6 +224,9 @@ CLIQUE_QUERIES = [
     "domain_dedup_profile",
     "quality_vs_dup_correlation",
     "doc_prefix_cluster_profile",
+    # r13b: every pair is both a band candidate and an exact pair —
+    # tp = C(40,2), precision = recall = 10000
+    "minhash_pr_eval",
 ]
 
 
@@ -1240,5 +1249,58 @@ def test_sweep_guard_boundary_parity(spark, tmp_path):
         assert got[5000] == (2, 800000), got  # 0.6 and 1.0 qualify
         assert got[7000] == (1, 1000000), got
         assert got[9000] == (1, 1000000), got
+    finally:
+        con.close()
+
+
+def test_minhash_pr_eval_measures_banding_misses(spark, tmp_path):
+    """r13: the P/R harness on a corpus where the 16x4 S-curve actually
+    loses pairs — 30 near-dup pairs at exact Jaccard 9/17 ≈ 0.529
+    (11-token shared prefix + 4 unique tail tokens each side), right
+    on the banding threshold where P(candidate) ≈ 0.73. The fixtures
+    only exercise the degenerate exact-copy path (P = R = 10000); here
+    recall MUST be measurably below 10000 with fn > 0, precision stays
+    10000 (the guarded exact join is the truth side, banding only
+    loses), and the whole readout still hash-matches DuckDB's replay
+    of both pipelines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "prseam"
+    d.mkdir()
+    texts = []
+    for i in range(30):
+        pref = " ".join(f"w{i}t{j}" for j in range(11))
+        texts.append(pref + f" a{i}x a{i}y a{i}z a{i}q")
+        texts.append(pref + f" b{i}x b{i}y b{i}z b{i}q")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["w"] * len(texts)),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        spec = all_queries()["minhash_pr_eval"]
+        df = spec.builder(spark, str(d))
+        problems = compare("minhash_pr_eval", df, con, spec.oracle)
+        assert not problems, "\n".join(problems)
+        row = df.collect()[0]
+        assert row["n_exact"] == 30, row
+        assert row["precision_bp"] == 10000.0, row
+        assert row["fn"] > 0 and row["recall_bp"] < 10000.0, row
+        assert row["tp"] + row["fn"] == 30 and row["fp"] == 0, row
     finally:
         con.close()

@@ -1515,3 +1515,9 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert (
         len(re.findall(r"hashpartitioning\(a_id", plan)) == 1
     ), plan[:3000]
+    # minhash_pr_eval: both pair spaces are equi-join-shaped (band join
+    # + guarded inverted index) — never cartesian, and the final fold
+    # is a single ungrouped aggregate with partials
+    plan = _plan(spark, sf_small, "minhash_pr_eval")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
