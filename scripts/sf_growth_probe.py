@@ -67,6 +67,8 @@ PROBES = (
     # r13b: the P/R harness rides BOTH bounded pair spaces (band join +
     # guarded exact) — a superlinear blowup in either side shows here
     "minhash_pr_eval",
+    # r13c: the prototypicality E-step scan (argmax + winning cosine)
+    "prototypicality_profile",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -511,6 +511,7 @@ def _with_nearest_centroid(
     vec_norm: str,
     centroids: list[tuple[int, list[float]]],
     out: str = "_cid",
+    keep_best: str | None = None,
 ) -> DataFrame:
     """Append the argmax-cosine centroid id (ties to lowest cid) as
     column ``out``; every per-centroid similarity is quantized to 4
@@ -586,7 +587,11 @@ def _with_nearest_centroid(
     best = cs_refs[0] if len(cs_refs) == 1 else F.greatest(*cs_refs)
     whens = [F.when(F.col(n) == best, F.lit(cid)) for cid, n in cs_cols]
     cid_col = whens[0] if len(whens) == 1 else F.least(*whens)
-    return scored.select("*", cid_col.alias(out)).drop(
+    # keep_best (r13): also expose the WINNING quantized cosine — the
+    # prototypicality score — as a column; both expressions read the
+    # same cheap quantized refs, so this costs nothing extra.
+    extra = [best.alias(keep_best)] if keep_best else []
+    return scored.select("*", cid_col.alias(out), *extra).drop(
         *[n for _, n in cs_cols]
     )
 
@@ -5325,3 +5330,142 @@ def ann_probe_depth_sweep_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return ann_probe_depth_sweep(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# prototypicality profile (r13) — the SSL-prototypes data-pruning readout
+# ---------------------------------------------------------------------------
+
+
+def prototypicality_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Cosine-to-assigned-centroid histogram under the TRAINED
+    quantizer — the prototypicality readout behind cluster-based data
+    pruning (keep prototypical examples, drop far-from-every-centroid
+    noise and near-centroid redundancy): per (centroid, cosine decile)
+    the vector count and the exact basis-point cosine mass.
+
+    One E-step corpus scan (the shared argmax, which now also exposes
+    the WINNING quantized cosine via ``keep_best`` — no join back, no
+    second dot product); the rollup is a ≤ K·21-row hash aggregate.
+    Exactness discipline: the rounded-4 cosine reconstructs to an
+    exact INTEGER basis-point value (``round(cs*1e4)``), deciles come
+    from ``floor(bp/1000.0)`` (floor on a double — ``div``/``//``
+    disagree on negatives across engines), and the per-bucket mass is
+    the raw BIGINT bp sum (no mean division — same negative-division
+    seam). Unassigned rows (NULL/zero-norm vectors, degenerate
+    quantizer) keep sentinel ids (-1 centroid, -99 decile) so every
+    BIGINT column stays NULL-free through the driver's pandas
+    canonicalization.
+    """
+    cents = _trained_cents(spark, sf_dir, num_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(emb, "embedding")
+    if dim is None:
+        # rows may still EXIST (all-NULL vectors): every row lands in
+        # the sentinel bucket with zero scored mass — a grouped
+        # aggregate over literals yields that row, and zero rows on a
+        # truly empty corpus (no groups), matching the oracle
+        return (
+            emb.select(
+                F.lit(-1).cast("bigint").alias("centroid_id"),
+                F.lit(-99).cast("bigint").alias("cos_decile"),
+            )
+            .groupBy("centroid_id", "cos_decile")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.lit(0).cast("bigint").alias("n_scored"),
+                F.lit(0).cast("bigint").alias("sum_cos_bp"),
+            )
+        )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+    )
+    assigned = _with_nearest_centroid(
+        p0, "embedding", "_nv", cents, "_cid", keep_best="_best"
+    )
+    bp = F.round(F.col("_best") * F.lit(1.0e4), 0).cast("long")
+    # explicit NULL branch: both engines' least() SKIPS NULLs (least(9,
+    # NULL) = 9), so an unscored row would silently land in decile 9
+    # instead of the sentinel without it (caught by the nullvec seam)
+    decile = F.when(bp.isNull(), F.lit(-99)).otherwise(
+        F.least(F.lit(9), F.floor(bp / F.lit(1000.0)).cast("long"))
+    )
+    return (
+        assigned.select(
+            F.coalesce(F.col("_cid").cast("bigint"), F.lit(-1)).alias(
+                "centroid_id"
+            ),
+            decile.cast("bigint").alias("cos_decile"),
+            bp.alias("_bp"),
+        )
+        .groupBy("centroid_id", "cos_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count("_bp").cast("bigint").alias("n_scored"),
+            F.coalesce(F.sum("_bp"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cos_bp"),
+        )
+        .orderBy("centroid_id", "cos_decile")
+    )
+
+
+def _prototypicality_oracle(
+    num_centroids: int = IVF_CENTROIDS, dim: int | None = None
+) -> str:
+    """DuckDB twin: trained chain + the fassign E-step KEEPING the
+    winning rounded cosine, then the same integer-bp bucket algebra."""
+    dim = EMB_DIM if dim is None else dim
+    return f"""
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)},
+    fa AS (
+      SELECT vec_id,
+             CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid,
+             cs
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), b AS (
+      SELECT COALESCE(cid, -1) AS centroid_id,
+             CAST(round(cs * 1e4) AS BIGINT) AS bp
+      FROM fa
+    )
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(CASE WHEN bp IS NULL THEN -99
+                     ELSE least(9, CAST(floor(bp / 1000.0) AS BIGINT))
+                END AS BIGINT) AS cos_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(bp) AS BIGINT) AS n_scored,
+           CAST(COALESCE(SUM(bp), 0) AS BIGINT) AS sum_cos_bp
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "prototypicality_profile",
+    oracle=_prototypicality_oracle(),
+    description="cluster-pruning prototypicality readout: per (trained "
+    "centroid, cosine decile) the vector count and exact bp cosine "
+    "mass — one E-step scan exposing the winning quantized cosine "
+    "(keep_best, no join back), K*21-row rollup; sentinel ids keep "
+    "BIGINTs NULL-free; floor-form deciles avoid the negative "
+    "div/floor cross-engine seam",
+    covers=("N-sim", "N-curation", "B5"),
+)
+def prototypicality_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return prototypicality_profile(spark, sf_dir)

@@ -69,7 +69,7 @@ def register(
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
 # Round-13 curation: regenerated from
 # CORRECTNESS_r01.json..CORRECTNESS_r12.json (243 kept). Recomputed
-# pending set (registered - verified): 15 <= window 50. Held out (deep
+# pending set (registered - verified): 16 <= window 50. Held out (deep
 # rewrites the wrapper hash cannot see): ivf_ann_topk_trained,
 # min_cost_supplier, nation_revenue_share, promo_revenue,
 # shipping_priority, sole_returning_supplier, streaming_pii_gate,

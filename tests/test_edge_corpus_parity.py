@@ -429,6 +429,10 @@ def nullvec_dir(tmp_path_factory):
         "embedding_neardup",
         "embedding_centroids",
         "embedding_drift",
+        # r13: all-NULL vectors -> every row lands in the (-1, -99)
+        # sentinel bucket with zero scored mass on both engines
+        "prototypicality_profile",
+        "ann_probe_depth_sweep",
     ],
 )
 def test_nullvec_corpus_parity(spark, nullvec_dir, name):

@@ -1521,3 +1521,10 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     plan = _plan(spark, sf_small, "minhash_pr_eval")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+    # prototypicality_profile: ONE E-step scan (keep_best rides the
+    # same argmax projection — no join back for the winning cosine),
+    # K*21-row aggregate with partials
+    plan = _plan(spark, sf_small, "prototypicality_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
