@@ -69,6 +69,13 @@ PROBES = (
     "minhash_pr_eval",
     # r13c: the prototypicality E-step scan (argmax + winning cosine)
     "prototypicality_profile",
+    # r13d: the split-leakage audits ride the banded pair space / the
+    # broadcast contamination sliver — probe both compositions
+    "cross_split_neardup_leakage",
+    "benchmark_leakage_by_split",
+    # r13e: the segment explosion (≈ n_tokens/16 rows per doc) + the
+    # per-hash window over the reduced (source, hash) table
+    "segment_dedup_profile",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

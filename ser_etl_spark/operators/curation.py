@@ -1880,3 +1880,115 @@ def quality_vs_dup_correlation_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return quality_vs_dup_correlation(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark leakage by split (r13) — where does contamination land?
+# ---------------------------------------------------------------------------
+
+
+def benchmark_leakage_by_split(
+    docs: DataFrame, n: int = CONTAMINATION_N, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Benchmark contamination broken down by train/val/test split —
+    the question decontamination reports must answer before a release:
+    contamination in TRAIN inflates eval scores silently, while the
+    same mass in a discarded split is harmless. Per split: the train-
+    universe doc count, how many carry ≥1 benchmark n-gram, and the
+    contamination rate in basis points.
+
+    Composition, not recomputation: the contaminated doc set comes
+    from :func:`benchmark_contamination` (benchmark n-grams broadcast,
+    totals only for hit docs — the sliver), the split is the pure
+    doc_id hash (stateless projection), and the per-split rollup joins
+    the sliver-sized contaminated set BROADCAST against the thin
+    (doc_id, split) projection. 3-row output, exact integers.
+    """
+    from ser_etl_spark.operators.sampling import DEFAULT_SPLITS, split_bucket
+
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    bucket = split_bucket("doc_id")
+    split_expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(DEFAULT_SPLITS):
+        split_expr = F.when(
+            (bucket >= lo) & (bucket < hi), name
+        ).otherwise(split_expr)
+    universe = docs.filter(~is_bench).select(
+        "doc_id", split_expr.alias("split")
+    )
+    contaminated = (
+        benchmark_contamination(docs, n, bench_mod)
+        .select("doc_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        universe.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "split",
+            "n_train_docs",
+            "n_contaminated",
+            F.expr("(10000 * n_contaminated) div n_train_docs")
+            .cast("bigint")
+            .alias("contamination_bp"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_by_split_oracle() -> str:
+    from ser_etl_spark.operators.sampling import sql_split_bucket
+
+    k = CONTAMINATION_N
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" for j in range(k)
+    ).replace("t[i+0]", "t[i]")
+    split_case = (
+        f"CASE WHEN {sql_split_bucket('doc_id')} < 80 THEN 'train' "
+        f"WHEN {sql_split_bucket('doc_id')} < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{k - 1})) AS i
+            FROM toks WHERE len(t) >= {k})),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM sh JOIN bench USING (sh)
+      WHERE doc_id % {BENCH_MOD} <> 0),
+    universe AS (
+      SELECT doc_id, {split_case} AS split
+      FROM documents WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT u.split,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST((10000 * COUNT(h.doc_id)) // COUNT(*) AS BIGINT)
+             AS contamination_bp
+    FROM universe u LEFT JOIN hits h USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "benchmark_leakage_by_split",
+    oracle=_leakage_by_split_oracle(),
+    description="contamination-by-split report: benchmark n-gram hits "
+    "per train/val/test bucket with bp rates — the contaminated sliver "
+    "broadcast against the thin (doc_id, split-hash) projection, 3-row "
+    "output; says whether leakage lands where it hurts (train) or "
+    "where it doesn't",
+    covers=("N-curation", "N-text", "X-sample"),
+)
+def benchmark_leakage_by_split_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return benchmark_leakage_by_split(load_table(spark, sf_dir, "documents"))

@@ -2906,3 +2906,311 @@ def _minhash_pr_oracle(
 )
 def minhash_pr_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pr_eval(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# cross-split near-dup leakage (r13) — the eval-integrity audit
+# ---------------------------------------------------------------------------
+
+
+def cross_split_neardup_leakage(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE train/val/test splits — the
+    eval-integrity audit every public pipeline runs before trusting
+    held-out numbers: an exact-dedup pass can't catch a test document
+    whose near-copy sits in train, so the verified MinHash-LSH pair
+    table is re-keyed by each endpoint's split and cross-split mass is
+    surfaced per (split, split) cell with leak share in basis points.
+
+    Zero extra joins: the split is a PURE FUNCTION of doc_id (the
+    :func:`~ser_etl_spark.operators.sampling.split_bucket` Knuth hash),
+    so both endpoints' splits are stateless projections ON the pair
+    table; the rollup is a ≤ 6-row aggregate and the share rides a
+    window over it. Pair direction is normalized lexicographically
+    (LEAST/GREATEST on the split names) so (train, test) and
+    (test, train) fold into one cell on both engines.
+    """
+    from pyspark.sql import Window
+
+    from ser_etl_spark.operators.sampling import DEFAULT_SPLITS, split_bucket
+
+    def split_of(col: str):
+        bucket = split_bucket(col)
+        expr = F.lit(None).cast("string")
+        for name, lo, hi in reversed(DEFAULT_SPLITS):
+            expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(
+                expr
+            )
+        return expr
+
+    pairs = minhash_lsh_pairs(docs, threshold)
+    sa, sb = split_of("doc_a"), split_of("doc_b")
+    cells = (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("_tot", F.sum("n_pairs").over(w))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi"))
+            .cast("bigint")
+            .alias("cross_split"),
+            F.expr("(10000 * n_pairs) div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _cross_split_oracle(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB twin: the verified MinHash pair chain (staged xxhash64
+    emulation, same 2^-64 band-bucket caveat) + the split CASE on both
+    endpoints + the 6-cell rollup."""
+    from ser_etl_spark.operators.sampling import sql_split_bucket
+    from ser_etl_spark.oracle_hash import (
+        stages_to_ctes,
+        xxh64_long_stage_cols,
+        xxh64_str_stage_cols,
+    )
+
+    rows_per_band = num_perm // bands
+    str_ctes, str_fin = stages_to_ctes(
+        "dg", xxh64_str_stage_cols("g", "_mb", pfx="_mxs"), "_msa"
+    )
+    long_ctes, long_fin = stages_to_ctes(
+        str_fin, xxh64_long_stage_cols("_mb", "_mh1", pfx="_mxl"), "_msb"
+    )
+    perm_ctes, perm_fin = stages_to_ctes(
+        long_fin, _minhash_perm_stages("_mh1", num_perm), "_msc"
+    )
+    perm_cols = ", ".join(f"p._mps{k}" for k in range(num_perm))
+    mins = ", ".join(f"MIN(_mps{k}) AS m{k}" for k in range(num_perm))
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(
+            f"m{i * rows_per_band + r} AS w{r}" for r in range(rows_per_band)
+        )
+        + " FROM sig"
+        for i in range(bands)
+    )
+    band_eq = " AND ".join(f"a.w{r} = b.w{r}" for r in range(rows_per_band))
+
+    def split_case(col: str) -> str:
+        return (
+            f"CASE WHEN {sql_split_bucket(col)} < 80 THEN 'train' "
+            f"WHEN {sql_split_bucket(col)} < 90 THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+    WITH {_SHINGLE_CTES}, dg AS (
+      SELECT DISTINCT g FROM ex
+    ){str_ctes}{long_ctes}{perm_ctes}, sigsrc AS (
+      SELECT e.doc_id, {perm_cols}
+      FROM ex e JOIN {perm_fin} p USING (g)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sigsrc GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shared s2 ON s2.doc_a = c.doc_a AND s2.doc_b = c.doc_b
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = c.doc_a
+      JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = c.doc_b
+      WHERE CAST(s2.shared AS DOUBLE) / (sa.n + sb.n - s2.shared)
+            >= {threshold}
+    ), cells AS (
+      SELECT LEAST({split_case('doc_a')}, {split_case('doc_b')})
+               AS split_lo,
+             GREATEST({split_case('doc_a')}, {split_case('doc_b')})
+               AS split_hi,
+             COUNT(*) AS n_pairs
+      FROM verified GROUP BY 1, 2
+    )
+    SELECT split_lo, split_hi,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(split_lo <> split_hi AS BIGINT) AS cross_split,
+           CAST((10000 * n_pairs) // (SELECT SUM(n_pairs) FROM cells)
+                AS BIGINT) AS share_bp
+    FROM cells
+    ORDER BY split_lo, split_hi
+    """
+
+
+@register(
+    "cross_split_neardup_leakage",
+    oracle=_cross_split_oracle(),
+    description="eval-integrity audit: verified MinHash near-dup pairs "
+    "re-keyed by each endpoint's train/val/test split (the split is a "
+    "pure hash of doc_id — zero extra joins), cross-split leak mass "
+    "per normalized (split, split) cell with bp shares over a 6-row "
+    "window",
+    covers=("N-dedup", "N-curation", "X-sample"),
+)
+def cross_split_neardup_leakage_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cross_split_neardup_leakage(
+        load_table(spark, sf_dir, "documents"), 0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# segment-level boilerplate dedup (r13) — sub-document repeated chunks
+# ---------------------------------------------------------------------------
+
+#: segment width in tokens — wide enough that a repeat is boilerplate,
+#: not chance phrase reuse
+SEGMENT_TOKENS = 16
+
+
+def segment_dedup_profile(
+    docs: DataFrame, seg: int = SEGMENT_TOKENS
+) -> DataFrame:
+    """Sub-document boilerplate profile: consecutive ``seg``-token
+    segments hashed and counted across the corpus — the segment-level
+    pass (headers, footers, license blocks, navigation chrome) that
+    document-level fingerprints CANNOT see because the surrounding text
+    differs. Per source: total segments, segment occurrences whose
+    content repeats anywhere in the corpus (the removable boilerplate
+    mass, in bp), and distinct segments this source shares with at
+    least one OTHER source (template leakage).
+
+    One corpus scan; the segment explosion is position-driven (explode
+    a 0..n_segs-1 index, slice the token array per row — no
+    higher-order lambdas, stays in codegen) and reduces immediately to
+    (source, seg_hash) counts with map-side partials, so the shuffle
+    carries 8-byte hashes, never text. The global per-segment rollup is
+    a WINDOW over that reduced table (≤ |sources| rows per hash
+    partition), the domain-profile pattern — no join back, no second
+    scan. Docs shorter than ``seg`` tokens contribute no segments;
+    sources with zero segments are absent on both engines.
+
+    Grouping by ``xxhash64`` of the segment text (the oracle groups by
+    the text itself) carries the standard 2^-64 per-pair collision
+    caveat shared with the MinHash band buckets.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    base = docs.select("source", toks.alias("_t")).select(
+        "source",
+        "_t",
+        F.expr(f"size(_t) div {seg}").alias("_nseg"),
+    )
+    exploded = (
+        base.filter(F.col("_nseg") >= 1)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, _nseg - 1), "
+                    f"i -> slice(_t, i * {seg} + 1, {seg}))"
+                )
+            ).alias("_seg"),
+        )
+        .select(
+            "source",
+            F.xxhash64(F.concat_ws(" ", "_seg")).alias("chash"),
+        )
+    )
+    sf = exploded.groupBy("source", "chash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wch = Window.partitionBy("chash")
+    marked = sf.withColumn("g", F.sum("cnt").over(wch)).withColumn(
+        "n_sources", F.count(F.lit(1)).over(wch)
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("g") >= 2, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_segments"),
+            F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cross_source_segs"),
+        )
+        .select(
+            "source",
+            "n_segments",
+            "dup_segments",
+            F.expr("(10000 * dup_segments) div n_segments")
+            .cast("bigint")
+            .alias("dup_bp"),
+            "cross_source_segs",
+        )
+        .orderBy("source")
+    )
+
+
+def _segment_dedup_oracle(seg: int = SEGMENT_TOKENS) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), segs AS (
+      SELECT source,
+             array_to_string(
+               t[(i - 1) * {seg} + 1 : (i - 1) * {seg} + {seg}], ' ')
+               AS seg
+      FROM (SELECT source, t,
+                   unnest(generate_series(1, len(t) // {seg})) AS i
+            FROM toks WHERE len(t) >= {seg})
+    ), sf AS (
+      SELECT source, seg, COUNT(*) AS cnt FROM segs GROUP BY 1, 2
+    ), g AS (
+      SELECT seg, SUM(cnt) AS g, COUNT(*) AS n_sources
+      FROM sf GROUP BY 1
+    )
+    SELECT sf.source,
+           CAST(SUM(cnt) AS BIGINT) AS n_segments,
+           CAST(COALESCE(SUM(CASE WHEN g >= 2 THEN cnt END), 0) AS BIGINT)
+             AS dup_segments,
+           CAST((10000 * COALESCE(SUM(CASE WHEN g >= 2 THEN cnt END), 0))
+                // SUM(cnt) AS BIGINT) AS dup_bp,
+           CAST(COALESCE(SUM(CASE WHEN n_sources >= 2 THEN 1 END), 0)
+                AS BIGINT) AS cross_source_segs
+    FROM sf JOIN g USING (seg)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "segment_dedup_profile",
+    oracle=_segment_dedup_oracle(),
+    description="sub-document boilerplate profile: 16-token segment "
+    "hashes counted corpus-wide — per source the segment total, the "
+    "repeated-segment occurrence mass (removable boilerplate, bp) and "
+    "cross-source shared segments; position-driven explode (no "
+    "lambdas in the hot path beyond an array slice), 8-byte hashes "
+    "through the shuffle, per-hash rollup as a window over the "
+    "(source, hash)-reduced table",
+    covers=("N-dedup", "N-text", "N-quality"),
+)
+def segment_dedup_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return segment_dedup_profile(load_table(spark, sf_dir, "documents"))

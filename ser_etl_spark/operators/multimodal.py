@@ -699,3 +699,299 @@ def media_frame_features_query(spark, sf_dir):
         fround(F.col("f0_raw"), 6).alias("f0"),
         fround(F.col("f1_raw"), 6).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk/segment planner (r13) — audio/video training windows
+# ---------------------------------------------------------------------------
+
+#: default segmentation: 64-frame chunks, 16-frame overlap (stride 48)
+CHUNK_FRAMES = 64
+CHUNK_OVERLAP = 16
+
+
+def media_chunk_plan(
+    media_df: DataFrame,
+    chunk: int = CHUNK_FRAMES,
+    overlap: int = CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-window chunk plan for time-based media (audio/video): one
+    row per (asset, chunk) with frame bounds — the segmentation every
+    A/V training pipeline runs before decode (Whisper-style 30 s audio
+    windows, video-clip sampling): chunks of ``chunk`` frames advancing
+    by ``chunk - overlap``, last chunk truncated at the asset's end.
+
+    Pure integer column math over the metadata struct — the chunk
+    count is closed-form (1 + ceil((n_frames - chunk)/stride) when the
+    asset exceeds one window), the plan rows come from an array-local
+    ``sequence`` + ``explode`` (no shuffle, no Python), and the payload
+    column is NOT carried: the plan is metadata-sized, the decode fleet
+    joins payloads back per-partition at execution time.
+    """
+    stride = chunk - overlap
+    nf = F.col("media.n_frames").cast("bigint")
+    n_chunks = F.expr(
+        f"CASE WHEN CAST(media.n_frames AS BIGINT) <= {chunk} THEN 1L "
+        f"ELSE 1L + ((CAST(media.n_frames AS BIGINT) - {chunk} "
+        f"+ {stride - 1}) div {stride}) END"
+    )
+    planned = media_df.filter(
+        F.col("media.media_type").isin("audio", "video")
+    ).select(
+        id_col,
+        F.col("media.media_type").alias("media_type"),
+        nf.alias("_nf"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk, F.col("_nf"))
+    return planned.select(
+        id_col,
+        "media_type",
+        "chunk_idx",
+        start.cast("bigint").alias("start_frame"),
+        end.cast("bigint").alias("end_frame"),
+        (end - start).cast("bigint").alias("chunk_frames"),
+    )
+
+
+def media_chunk_rollup(
+    media_df: DataFrame,
+    chunk: int = CHUNK_FRAMES,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Per-modality rollup of :func:`media_chunk_plan`: asset count,
+    total chunks, decoded-frame total vs source-frame total, and the
+    overlap re-decode overhead in basis points — the number that says
+    what the chosen (chunk, overlap) costs in duplicated decode work.
+
+    ``source_frames`` sums each asset's frame count ONCE (the plan
+    carries it per chunk row, so the rollup takes it from each asset's
+    chunk 0 — no second scan, no join back).
+    """
+    plan = media_chunk_plan(media_df, chunk, overlap)
+    src = F.when(
+        F.col("chunk_idx") == 0, F.col("end_frame") - F.col("start_frame")
+    )
+    # chunk 0 alone may undercount the asset (truncated window) — carry
+    # the asset total instead: end of the LAST chunk == n_frames, so
+    # max(end_frame) per asset is exact; two-level agg keeps it one pass
+    per_asset = plan.groupBy("doc_id", "media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_frames").cast("bigint").alias("decoded_frames"),
+        F.max("end_frame").cast("bigint").alias("src_frames"),
+    )
+    agg = per_asset.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+        F.sum("decoded_frames").cast("bigint").alias("decoded_frames"),
+        F.sum("src_frames").cast("bigint").alias("source_frames"),
+    )
+    return agg.select(
+        "media_type",
+        "n_assets",
+        "total_chunks",
+        "decoded_frames",
+        "source_frames",
+        F.expr(
+            "(10000 * (decoded_frames - source_frames)) div decoded_frames"
+        )
+        .cast("bigint")
+        .alias("overlap_overhead_bp"),
+    ).orderBy("media_type")
+
+
+@register(
+    "media_chunk_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+             CAST(1 + (doc_id % 16) * 30 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 <> 0
+    ), counted AS (
+      SELECT doc_id, media_type, nf,
+             CASE WHEN nf <= {CHUNK_FRAMES} THEN 1
+                  ELSE 1 + (nf - {CHUNK_FRAMES}
+                            + {CHUNK_FRAMES - CHUNK_OVERLAP} - 1)
+                           // {CHUNK_FRAMES - CHUNK_OVERLAP}
+             END AS n_chunks
+      FROM m
+    ), plan AS (
+      SELECT doc_id, media_type, nf,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM counted
+    ), b AS (
+      SELECT doc_id, media_type, chunk_idx,
+             chunk_idx * {CHUNK_FRAMES - CHUNK_OVERLAP} AS start_frame,
+             LEAST(chunk_idx * {CHUNK_FRAMES - CHUNK_OVERLAP}
+                   + {CHUNK_FRAMES}, nf) AS end_frame
+      FROM plan
+    ), pa AS (
+      SELECT doc_id, media_type,
+             COUNT(*) AS n_chunks,
+             SUM(end_frame - start_frame) AS decoded_frames,
+             MAX(end_frame) AS src_frames
+      FROM b GROUP BY 1, 2
+    ), agg AS (
+      SELECT media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+             CAST(SUM(decoded_frames) AS BIGINT) AS decoded_frames,
+             CAST(SUM(src_frames) AS BIGINT) AS source_frames
+      FROM pa GROUP BY 1
+    )
+    SELECT media_type, n_assets, total_chunks, decoded_frames,
+           source_frames,
+           CAST((10000 * (decoded_frames - source_frames))
+                // decoded_frames AS BIGINT) AS overlap_overhead_bp
+    FROM agg ORDER BY media_type
+    """,
+    description="A/V chunk/segment planner rollup: 64-frame windows at "
+    "stride 48 over every audio/video asset (closed-form chunk count, "
+    "array-local sequence+explode, payload never carried), per-modality "
+    "asset/chunk/frame totals and the overlap re-decode overhead bp — "
+    "the pre-decode segmentation readout",
+    covers=("N-multimodal",),
+)
+def media_chunk_plan_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_chunk_rollup(with_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (r13) — image batch assembly profile
+# ---------------------------------------------------------------------------
+
+#: the training buckets in reduced-ratio form (name, bw, bh) — batches
+#: mix only same-bucket images, so bucket balance IS batch efficiency
+ASPECT_BUCKETS: tuple[tuple[str, int, int], ...] = (
+    ("1:1", 1, 1),
+    ("4:3", 4, 3),
+    ("3:4", 3, 4),
+    ("16:9", 16, 9),
+    ("9:16", 9, 16),
+)
+
+#: LCM of the bucket denominators — scales |w/h - bw/bh| comparisons
+#: into a common integer domain (exact argmin, no floats anywhere)
+_BUCKET_LCM = 144
+
+
+def media_aspect_buckets(media_df: DataFrame) -> DataFrame:
+    """Aspect-ratio bucket assignment profile for image batching — the
+    SDXL-style bucketing readout: every image maps to the nearest
+    aspect bucket (batches mix only same-bucket images), and per bucket
+    the profile reports image count, population share, and the mean
+    crop waste in basis points (pixels lost when center-cropping the
+    image to the bucket's aspect — the quality cost of the assignment).
+
+    Everything stays in exact integers: the nearest-bucket argmin
+    compares ``|w*bh - bw*h| * (LCM/bh)`` (a common denominator, so the
+    comparison IS the rational ``|w/h - bw/bh|`` ordering; ties take
+    the first bucket in declaration order on both engines), and per-
+    image crop waste is ``10000 - (10000*min(w*bh, bw*h)) div
+    max(w*bh, bw*h)``. One scan, stateless row math, |buckets|-row
+    aggregate, share via a window over that metadata-sized rollup.
+    """
+    from pyspark.sql import Window
+
+    w_ = F.col("media.width").cast("bigint")
+    h_ = F.col("media.height").cast("bigint")
+    diffs = [
+        F.abs(w_ * bh - bw * h_) * (_BUCKET_LCM // bh)
+        for _, bw, bh in ASPECT_BUCKETS
+    ]
+    best = F.least(*diffs)
+    bucket = F.lit(None).cast("string")
+    waste = F.lit(None).cast("bigint")
+    for (name, bw, bh), d in reversed(list(zip(ASPECT_BUCKETS, diffs))):
+        per_img = F.expr(
+            f"10000 - (10000 * least(CAST(media.width AS BIGINT) * {bh}, "
+            f"{bw} * CAST(media.height AS BIGINT))) "
+            f"div greatest(CAST(media.width AS BIGINT) * {bh}, "
+            f"{bw} * CAST(media.height AS BIGINT))"
+        )
+        bucket = F.when(d == best, F.lit(name)).otherwise(bucket)
+        waste = F.when(d == best, per_img).otherwise(waste)
+    base = media_df.filter(F.col("media.media_type") == "image").select(
+        bucket.alias("bucket"), waste.cast("bigint").alias("_waste")
+    )
+    agg = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("_waste").cast("bigint").alias("_waste_sum"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("_tot", F.sum("n_images").over(w))
+        .select(
+            "bucket",
+            "n_images",
+            F.expr("(10000 * n_images) div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+            F.expr("_waste_sum div n_images")
+            .cast("bigint")
+            .alias("mean_crop_waste_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _aspect_oracle() -> str:
+    """DuckDB twin: the same integer argmin/waste math, CASE-chained in
+    declaration order (tie policy identical by construction)."""
+    w, h = "CAST(64 + (doc_id % 8) * 32 AS BIGINT)", (
+        "CAST(64 + (doc_id % 5) * 32 AS BIGINT)"
+    )
+    diffs = [
+        f"(abs({w} * {bh} - {bw} * {h}) * {_BUCKET_LCM // bh})"
+        for _, bw, bh in ASPECT_BUCKETS
+    ]
+    best = "LEAST(" + ", ".join(diffs) + ")"
+    b_arms = " ".join(
+        f"WHEN {d} = {best} THEN '{name}'"
+        for (name, _, _), d in zip(ASPECT_BUCKETS, diffs)
+    )
+    w_arms = " ".join(
+        f"WHEN {d} = {best} THEN 10000 - (10000 * "
+        f"LEAST({w} * {bh}, {bw} * {h})) "
+        f"// GREATEST({w} * {bh}, {bw} * {h})"
+        for (_, bw, bh), d in zip(ASPECT_BUCKETS, diffs)
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT CASE {b_arms} END AS bucket,
+             CASE {w_arms} END AS waste
+      FROM documents WHERE doc_id % 3 = 0
+    ), agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(SUM(waste) AS BIGINT) AS waste_sum
+      FROM imgs GROUP BY 1
+    )
+    SELECT bucket, n_images,
+           CAST((10000 * n_images) // SUM(n_images) OVER () AS BIGINT)
+             AS share_bp,
+           CAST(waste_sum // n_images AS BIGINT) AS mean_crop_waste_bp
+    FROM agg ORDER BY bucket
+    """
+
+
+@register(
+    "media_aspect_buckets",
+    oracle=_aspect_oracle(),
+    description="image aspect-ratio bucketing profile (SDXL-style batch "
+    "assembly): nearest-bucket argmin in exact integers (|w*bh - bw*h| "
+    "over the bucket-denominator LCM, first-bucket tie policy), per "
+    "bucket the image count, population share bp and mean center-crop "
+    "waste bp — one scan, stateless row math, |buckets|-row rollup",
+    covers=("N-multimodal", "N-quality"),
+)
+def media_aspect_buckets_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_aspect_buckets(with_fake_payload(docs))

@@ -68,12 +68,8 @@ def register(
 #: (see ``all_queries``).
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
 # Round-13 curation: regenerated from
-# CORRECTNESS_r01.json..CORRECTNESS_r12.json (243 kept). Recomputed
-# pending set (registered - verified): 16 <= window 50. Held out (deep
-# rewrites the wrapper hash cannot see): ivf_ann_topk_trained,
-# min_cost_supplier, nation_revenue_share, promo_revenue,
-# shipping_priority, sole_returning_supplier, streaming_pii_gate,
-# streaming_quality_gate.
+# CORRECTNESS_r01.json..CORRECTNESS_r12.json (251 kept). Recomputed
+# pending set (registered - verified): 13 <= window 50.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -159,6 +155,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "intra_doc_repetition",
     "inventory_turnover_topk",
     "ivf_ann_topk",
+    "ivf_ann_topk_trained",
     "ivf_assign",
     "ivf_list_balance_trained",
     "ivf_recall_trained_vs_seed",
@@ -196,6 +193,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "media_frame_features",
     "media_phash_neardup",
     "media_type_profile",
+    "min_cost_supplier",
     "minhash_error_eval",
     "minhash_lsh_pairs",
     "mixture_rebalance",
@@ -204,6 +202,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "multimodal_features",
     "name_edit_neardup",
     "nation_market_share",
+    "nation_revenue_share",
     "nation_trade_volume",
     "ngram_containment",
     "ngram_jaccard_guarded",
@@ -226,6 +225,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pricing_summary",
     "priority_shipping",
     "product_type_profit",
+    "promo_revenue",
     "purchase_attribution",
     "quality_by_lang",
     "quality_canonical_dedup",
@@ -262,9 +262,11 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "shard_manifest",
     "shingle_df_histogram",
     "shingle_size_sensitivity",
+    "shipping_priority",
     "simhash_pairs",
     "small_order_revenue",
     "snapshot_diff_audit",
+    "sole_returning_supplier",
     "source_cap",
     "source_length_quartiles",
     "source_mixture",
@@ -280,6 +282,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_enriched_counts",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
+    "streaming_pii_gate",
+    "streaming_quality_gate",
     "streaming_sessions",
     "streaming_sessions_timeout",
     "streaming_sliding_counts",

@@ -109,6 +109,15 @@ EDGE_QUERIES = [
     "doc_prefix_cluster_profile",
     "pii_cooccurrence_matrix",
     "minhash_pr_eval",
+    "cross_split_neardup_leakage",
+    "benchmark_leakage_by_split",
+    # r13d: the segment hasher must agree on empty/short/unicode/
+    # multi-space shapes (doc 9's 40 repeated tokens yield 2 identical
+    # segments — intra-doc boilerplate; doc 10's 64 tokens yield 4);
+    # the media ops exercise the id-derived metadata on a tiny corpus
+    "segment_dedup_profile",
+    "media_chunk_plan",
+    "media_aspect_buckets",
 ]
 
 
@@ -227,6 +236,15 @@ CLIQUE_QUERIES = [
     # r13b: every pair is both a band candidate and an exact pair —
     # tp = C(40,2), precision = recall = 10000
     "minhash_pr_eval",
+    # r13c: the 40-doc clique's 780 pairs spread across every split
+    # cell the doc_id hash produces; contamination covers every
+    # non-bench doc (benchmark slice is identical text)
+    "cross_split_neardup_leakage",
+    "benchmark_leakage_by_split",
+    # r13d: clique docs are 7 tokens — BELOW the 16-token segment
+    # width, so the profile must be EMPTY on both engines (the
+    # zero-segment seam)
+    "segment_dedup_profile",
 ]
 
 

@@ -1528,3 +1528,37 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+    # cross_split_neardup_leakage: the split is a PURE doc_id hash —
+    # the pair table gains its split cells with ZERO extra scans
+    # beyond minhash_lsh_pairs' own (budget pins 4 = the pair chain),
+    # and no cartesian anywhere
+    plan = _plan(spark, sf_small, "cross_split_neardup_leakage")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # benchmark_leakage_by_split: the contaminated sliver broadcasts
+    # to the thin universe projection — never a shuffled join for the
+    # per-split rollup
+    plan = _plan(spark, sf_small, "benchmark_leakage_by_split")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # segment_dedup_profile: ONE corpus scan, the position-driven
+    # explode (Generate) feeds a hash aggregate with map-side partials,
+    # and nothing joins — the per-hash rollup is a window over the
+    # reduced table
+    plan = _plan(spark, sf_small, "segment_dedup_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    # media_chunk_plan: metadata-only chunk math — one scan, the
+    # array-local sequence explode, no join, payload column pruned out
+    # of the scan entirely (ReadSchema carries doc_id only)
+    plan = _plan(spark, sf_small, "media_chunk_plan")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    # media_aspect_buckets: stateless integer row math into a
+    # |buckets|-row aggregate — one scan, no join, no explode
+    plan = _plan(spark, sf_small, "media_aspect_buckets")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
