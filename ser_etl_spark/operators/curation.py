@@ -1992,3 +1992,203 @@ def benchmark_leakage_by_split_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return benchmark_leakage_by_split(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split assignment (r13) — the FIX the audits call for
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Cluster-keyed split assignment vs the naive per-document hash —
+    the remediation for what :func:`cross_split_neardup_leakage`
+    measures: hashing each ``doc_id`` into train/val/test lets an
+    exact-duplicate cluster straddle splits (its copies land in
+    different buckets), while keying every member on the cluster's
+    CANONICAL id (``min(doc_id)`` per content fingerprint — the
+    :func:`~ser_etl_spark.operators.dedup.dedup_canonical` policy)
+    pins whole clusters to one split by construction. Two policy rows
+    compare them: cluster count, multi-doc clusters, clusters that
+    straddle ≥2 splits (with the rate over multi-doc clusters in bp),
+    and the documents the safe policy re-assigns relative to naive.
+
+    One corpus scan; the canonical id rides a window over the fp
+    partition, straddling is detected with MIN≠MAX over the per-doc
+    split name (never a COUNT DISTINCT expand), the fp-grouped
+    aggregate reuses the window's partitioning, and the 2-policy
+    unpivot is a ``stack`` over the final single-row rollup. The safe
+    policy's straddle count is MEASURED (and must come out 0), not
+    asserted.
+    """
+    from pyspark.sql import Window
+
+    from ser_etl_spark.operators.sampling import DEFAULT_SPLITS, split_bucket
+
+    def name_of(bucket):
+        expr = F.lit(None).cast("string")
+        for name, lo, hi in reversed(DEFAULT_SPLITS):
+            expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(
+                expr
+            )
+        return expr
+
+    base = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                    )
+                )
+            ),
+            F.lit(""),
+        ).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    per_doc = base.withColumn("_min_id", F.min("doc_id").over(wfp)).select(
+        "fp",
+        name_of(split_bucket("doc_id")).alias("_naive"),
+        name_of(split_bucket("_min_id")).alias("_safe"),
+    )
+    per_fp = per_doc.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("_naive") != F.max("_naive")).alias("_str_naive"),
+        (F.min("_safe") != F.max("_safe")).alias("_str_safe"),
+        F.sum((F.col("_naive") != F.col("_safe")).cast("bigint")).alias(
+            "_moved"
+        ),
+    )
+    # every SUM coalesces to 0: a global aggregate over an EMPTY corpus
+    # yields one row of NULL sums, and NULLs in BIGINT outputs float the
+    # whole column through the driver's pandas path (the r12 seam)
+    row = per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.coalesce(F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("multi"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 2) & F.col("_str_naive"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("str_naive"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("n") >= 2) & F.col("_str_safe"), 1).otherwise(
+                    0
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("str_safe"),
+        F.coalesce(F.sum("_moved"), F.lit(0)).cast("bigint").alias("moved"),
+    )
+    return (
+        row.select(
+            F.expr(
+                "stack(2, 'doc_hash', nc, multi, str_naive, 0L, "
+                "'fp_hash', nc, multi, str_safe, moved) AS "
+                "(policy, n_clusters, multi_doc_clusters, "
+                "straddling_clusters, docs_reassigned)"
+            )
+        )
+        .select(
+            "policy",
+            "n_clusters",
+            "multi_doc_clusters",
+            "straddling_clusters",
+            # -1 sentinel (not NULL) when there are no multi-doc
+            # clusters: NULL would float the BIGINT column driver-side
+            F.when(
+                F.col("multi_doc_clusters") > 0,
+                F.expr("(10000 * straddling_clusters) div multi_doc_clusters"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("straddle_bp"),
+            "docs_reassigned",
+        )
+        .orderBy("policy")
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from ser_etl_spark.operators.sampling import sql_split_bucket
+
+    def split_case(expr: str) -> str:
+        return (
+            f"CASE WHEN {sql_split_bucket(expr)} < 80 THEN 'train' "
+            f"WHEN {sql_split_bucket(expr)} < 90 THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             COALESCE(md5(trim(regexp_replace(lower(text),
+                                              '[^a-z0-9]+', ' ', 'g'))),
+                      '') AS fp
+      FROM documents
+    ), per_doc AS (
+      SELECT fp,
+             {split_case('doc_id')} AS naive,
+             {split_case('MIN(doc_id) OVER (PARTITION BY fp)')} AS safe
+      FROM base
+    ), per_fp AS (
+      SELECT fp, COUNT(*) AS n,
+             MIN(naive) <> MAX(naive) AS str_naive,
+             MIN(safe) <> MAX(safe) AS str_safe,
+             SUM(CASE WHEN naive <> safe THEN 1 ELSE 0 END) AS moved
+      FROM per_doc GROUP BY fp
+    ), row1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN 1 END), 0) AS BIGINT)
+               AS multi,
+             CAST(COALESCE(SUM(CASE WHEN n >= 2 AND str_naive
+                                    THEN 1 END), 0) AS BIGINT)
+               AS str_naive,
+             CAST(COALESCE(SUM(CASE WHEN n >= 2 AND str_safe
+                                    THEN 1 END), 0) AS BIGINT) AS str_safe,
+             CAST(COALESCE(SUM(moved), 0) AS BIGINT) AS moved
+      FROM per_fp
+    ), pol AS (
+      SELECT 'doc_hash' AS policy, nc, multi, str_naive AS straddling,
+             CAST(0 AS BIGINT) AS docs_reassigned FROM row1
+      UNION ALL
+      SELECT 'fp_hash', nc, multi, str_safe, moved FROM row1
+    )
+    SELECT policy,
+           nc AS n_clusters,
+           multi AS multi_doc_clusters,
+           straddling AS straddling_clusters,
+           CASE WHEN multi > 0
+                THEN CAST((10000 * straddling) // multi AS BIGINT)
+                ELSE CAST(-1 AS BIGINT)
+           END AS straddle_bp,
+           docs_reassigned
+    FROM pol ORDER BY policy
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    description="cluster-keyed vs naive split assignment: hashing each "
+    "doc_id lets exact-dup clusters straddle train/val/test; keying "
+    "members on the cluster's canonical min(doc_id) pins whole clusters "
+    "to one split — per policy the straddling-cluster count (MIN<>MAX "
+    "over split names, no distinct expand; the safe policy measures 0) "
+    "and the re-assignment churn; one scan, fp window + fp aggregate on "
+    "the same partitioning",
+    covers=("N-curation", "N-dedup", "X-sample"),
+)
+def leakage_safe_split_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))

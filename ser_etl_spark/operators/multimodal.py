@@ -804,9 +804,11 @@ def media_chunk_rollup(
     ).orderBy("media_type")
 
 
-@register(
-    "media_chunk_plan",
-    oracle=f"""
+def _chunk_rollup_oracle() -> str:
+    """DuckDB twin of :func:`media_chunk_rollup` (shared with the
+    streaming gate — the replay sums per-batch totals of this same
+    per-asset pure function)."""
+    return f"""
     WITH m AS (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
@@ -850,7 +852,12 @@ def media_chunk_rollup(
            CAST((10000 * (decoded_frames - source_frames))
                 // decoded_frames AS BIGINT) AS overlap_overhead_bp
     FROM agg ORDER BY media_type
-    """,
+    """
+
+
+@register(
+    "media_chunk_plan",
+    oracle=_chunk_rollup_oracle(),
     description="A/V chunk/segment planner rollup: 64-frame windows at "
     "stride 48 over every audio/video asset (closed-form chunk count, "
     "array-local sequence+explode, payload never carried), per-modality "

@@ -575,3 +575,38 @@ def streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_bp bigint"
         )
     return stream_pii_gate_replay(spark, docs, files=2)
+
+
+def _media_chunk_oracle() -> str:
+    from ser_etl_spark.operators.multimodal import _chunk_rollup_oracle
+
+    return _chunk_rollup_oracle()
+
+
+@register(
+    "streaming_media_chunks",
+    oracle=_media_chunk_oracle(),
+    description="continuous multimodal ingest meter (r13): the asset "
+    "manifest replayed as a multi-file availableNow stream, every "
+    "micro-batch running the A/V chunk planner and appending its "
+    "per-modality chunk/frame totals to a parquet sink (idempotent "
+    "per-batch overwrite, zero streaming state); the overlap-overhead "
+    "bp is a ratio of merged sums, never a sum of ratios — "
+    "oracle-backed because the chunk plan is a pure per-asset function "
+    "of the metadata, so summed per-batch totals are invariant to "
+    "batch boundaries and equal media_chunk_plan's rollup",
+    covers=("A16", "N-multimodal"),
+)
+def streaming_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.media import stream_media_chunks_replay
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    if ids.first() is None:
+        return spark.createDataFrame(
+            [],
+            "media_type string, n_assets bigint, total_chunks bigint, "
+            "decoded_frames bigint, source_frames bigint, "
+            "overlap_overhead_bp bigint",
+        )
+    return stream_media_chunks_replay(spark, ids, files=2)

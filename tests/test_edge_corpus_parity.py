@@ -118,6 +118,11 @@ EDGE_QUERIES = [
     "segment_dedup_profile",
     "media_chunk_plan",
     "media_aspect_buckets",
+    # r13e: docs 4/5 are an exact-dup pair with adjacent ids — whether
+    # the naive split straddles them is decided by the Knuth hash, and
+    # both engines must agree on it (plus the fp of empty/whitespace
+    # docs collapsing into one cluster)
+    "leakage_safe_split",
 ]
 
 
@@ -245,6 +250,10 @@ CLIQUE_QUERIES = [
     # width, so the profile must be EMPTY on both engines (the
     # zero-segment seam)
     "segment_dedup_profile",
+    # r13e: ONE 40-doc cluster — the naive policy straddles it (40
+    # sequential ids cover every split), the safe policy pins all 40
+    # to doc 0's split and reassigns everyone the hash moved
+    "leakage_safe_split",
 ]
 
 

@@ -1562,3 +1562,12 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+    # leakage_safe_split: ONE corpus scan; the canonical-id window and
+    # the fp aggregate share the fp hash partitioning (exactly one
+    # data-sized exchange), MIN<>MAX straddle detection means no
+    # Expand, and nothing joins
+    plan = _plan(spark, sf_small, "leakage_safe_split")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    assert len(re.findall(r"hashpartitioning\(fp", plan)) == 1, plan[:3000]

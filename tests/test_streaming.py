@@ -642,3 +642,27 @@ def test_stream_pii_gate_invariant_to_batch_boundaries(spark, sf_small):
         )
     )
     assert one == many == batch
+
+
+def test_stream_media_chunks_invariant_to_batch_boundaries(spark, sf_small):
+    """r13: per-modality chunk/frame totals must be identical under
+    different micro-batchings (1 vs 7 files) AND equal the batch chunk
+    planner's rollup applied directly — the chunk plan is a pure
+    per-asset function of the metadata, so batching can't move totals
+    (the overhead bp is a ratio of merged sums on both paths)."""
+    from ser_etl_spark.operators.multimodal import (
+        media_chunk_rollup,
+        with_fake_payload,
+    )
+    from ser_etl_spark.sources.parquet import load_table
+    from ser_etl_spark.streaming.media import stream_media_chunks_replay
+
+    ids = load_table(spark, sf_small, "documents").select("doc_id")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = rows(stream_media_chunks_replay(spark, ids, files=1))
+    many = rows(stream_media_chunks_replay(spark, ids, files=7))
+    batch = rows(media_chunk_rollup(with_fake_payload(ids)))
+    assert one == many == batch and batch
