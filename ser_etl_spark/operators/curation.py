@@ -2192,3 +2192,159 @@ def leakage_safe_split_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup survivorship quality shift (r13) — what does dedup do to the mix?
+# ---------------------------------------------------------------------------
+
+
+def dedup_quality_shift(docs: DataFrame) -> DataFrame:
+    """Before/after comparison of the corpus under keep-first canonical
+    dedup: the ``kept`` cohort (each fingerprint's ``min(doc_id)``),
+    the ``dropped`` cohort (everyone else), and the ``corpus`` total —
+    each with volume, exact micro-quantized mean quality and mean
+    length. The release-notes table for a dedup pass: it says not just
+    how much volume dedup cuts, but whether the SURVIVING corpus is
+    measurably better (or worse — canonical selection can bias toward
+    whatever the keep rule favors) than what went in.
+
+    One corpus projection computes fingerprint, quality and length;
+    the canonical flag rides a ``min(doc_id)`` window over the fp
+    partition (no join back); the cohort rollup is 2 rows and the
+    corpus total is their metadata-sized re-aggregate unioned in —
+    never a second scan. Mean quality folds as the quantized micro-sum
+    (order-free BIGINT); mean length is an exact integer div.
+    NULL-text docs are out of scope on both engines (the
+    :func:`quality_vs_dup_correlation` convention).
+    """
+    from pyspark.sql import Window
+
+    from ser_etl_spark.operators.text import quality_cols
+
+    _, _, score = quality_cols()
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+            )
+        ).alias("fp"),
+        score.alias("_q"),
+        F.length("text").cast("bigint").alias("_len"),
+    )
+    wfp = Window.partitionBy("fp")
+    flagged = base.withColumn(
+        "cohort",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(wfp), "kept"
+        ).otherwise("dropped"),
+    )
+    cohorts = flagged.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("_q").cast("bigint").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.round(F.col("_q") * F.lit(1.0e6), 0).cast("long")),
+            F.lit(0),
+        ).alias("_sq"),
+        F.coalesce(F.sum("_len"), F.lit(0)).alias("_sl"),
+    )
+    # the corpus row comes from the SAME subtree: each cohort row
+    # explodes into itself + a 'corpus' copy and the tiny 4-row frame
+    # re-aggregates — a union of cohorts with its own re-aggregate
+    # would make Catalyst recompute the whole scan (no common-subplan
+    # sharing), which is the double-scan class the scan budget pins
+    expanded = cohorts.select(
+        F.explode(F.array(F.col("cohort"), F.lit("corpus"))).alias(
+            "cohort2"
+        ),
+        "n_docs",
+        "n_scored",
+        "_sq",
+        "_sl",
+    )
+    final = expanded.groupBy(F.col("cohort2").alias("cohort")).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_scored").cast("bigint").alias("n_scored"),
+        F.sum("_sq").alias("_sq"),
+        F.sum("_sl").alias("_sl"),
+    )
+    return (
+        final
+        .select(
+            "cohort",
+            "n_docs",
+            "n_scored",
+            F.when(F.col("n_scored") > 0, F.expr("_sq div n_scored"))
+            .cast("double")
+            .alias("mean_quality_micro"),
+            F.when(F.col("n_docs") > 0, F.expr("_sl div n_docs"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("mean_chars"),
+        )
+        .orderBy("cohort")
+    )
+
+
+def _quality_shift_oracle() -> str:
+    from ser_etl_spark.operators.text import QUALITY_ORACLE_SQL
+
+    return f"""
+    WITH q AS ({QUALITY_ORACLE_SQL}),
+    base AS (
+      SELECT d.doc_id,
+             md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ',
+                                     'g'))) AS fp,
+             q.quality,
+             CAST(len(d.text) AS BIGINT) AS _len
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 'kept' ELSE 'dropped' END AS cohort
+      FROM base
+    ), cohorts AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(quality) AS BIGINT) AS n_scored,
+             COALESCE(SUM(CAST(round(quality * 1e6) AS BIGINT)), 0) AS sq,
+             COALESCE(SUM(_len), 0) AS sl
+      FROM flagged GROUP BY 1
+    ), allrows AS (
+      SELECT * FROM cohorts
+      UNION ALL
+      -- grouped by the constant so an EMPTY cohort table contributes
+      -- ZERO corpus rows (Spark's grouped re-aggregate semantics),
+      -- not an ungrouped all-zero row
+      SELECT 'corpus' AS cohort,
+             CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+             CAST(COALESCE(SUM(n_scored), 0) AS BIGINT),
+             COALESCE(SUM(sq), 0), COALESCE(SUM(sl), 0)
+      FROM cohorts GROUP BY 1
+    )
+    SELECT cohort, n_docs, n_scored,
+           CAST(CASE WHEN n_scored > 0 THEN sq // n_scored END AS DOUBLE)
+             AS mean_quality_micro,
+           CAST(CASE WHEN n_docs > 0 THEN sl // n_docs ELSE -1 END
+                AS BIGINT) AS mean_chars
+    FROM allrows ORDER BY cohort
+    """
+
+
+@register(
+    "dedup_quality_shift",
+    oracle=_quality_shift_oracle(),
+    description="dedup survivorship report: kept vs dropped vs corpus "
+    "cohorts under keep-first canonical dedup, each with volume, exact "
+    "micro-quantized mean quality and mean length — says whether the "
+    "surviving corpus is measurably better than what went in; one "
+    "scan, fp window for the canonical flag, corpus row re-aggregated "
+    "from the 2-row cohort table",
+    covers=("N-dedup", "N-quality", "N-curation"),
+)
+def dedup_quality_shift_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup_quality_shift(load_table(spark, sf_dir, "documents"))

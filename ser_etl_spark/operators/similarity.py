@@ -5469,3 +5469,238 @@ def prototypicality_profile_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return prototypicality_profile(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# recall-vs-k sweep (r13) — the OTHER IVF tuning axis
+# ---------------------------------------------------------------------------
+
+#: the k ladder the serving tier actually chooses between
+RECALL_K_LADDER: tuple[int, ...] = (1, 5, 10, 20)
+
+#: fixed probe depth for the k sweep (the ladder's production middle)
+SWEEP_NPROBE: int = 4
+
+
+def ann_recall_vs_k(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = SWEEP_ANCHORS,
+    ks: tuple[int, ...] = RECALL_K_LADDER,
+    nprobe: int = SWEEP_NPROBE,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Recall@k vs k at a FIXED probe depth under the trained
+    quantizer — the axis :func:`ann_probe_depth_sweep` holds constant:
+    that curve tunes nprobe at k=10; this one answers whether the
+    chosen depth serves every k the retrieval tier is asked for (IVF
+    recall typically degrades as k grows past the probed lists' depth,
+    and the k knee says when to raise nprobe).
+
+    Same fused single-scan shape as the depth sweep (observe-split
+    E-step + per-anchor exact cosines), but the k axis is even
+    cheaper than the depth axis: every k shares ONE running
+    probed-count column (``probe_rank <= nprobe`` cumulated over the
+    same sorted window), so the whole ladder is |ks| predicates over
+    one sort. Exact integer outputs; per-k exact mass is
+    ``sum(er <= k)`` (= k·anchors when the corpus is large enough,
+    smaller on tiny corpora — never assumed).
+    """
+    from pyspark.sql.window import Window
+
+    anchors = [
+        (a_id, vec)
+        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
+        if vec is not None
+    ]
+    schema = (
+        "k bigint, n_anchors bigint, n_exact bigint, "
+        "n_hit bigint, recall_bp bigint"
+    )
+    if not anchors:
+        return spark.createDataFrame([], schema)
+    cents = _trained_cents(spark, sf_dir, num_centroids)
+    order = {
+        a_id: _ivf_probe_ids(q, cents, len(cents)) for a_id, q in anchors
+    }
+    rank_maps = {
+        a_id: F.create_map(
+            *[
+                F.lit(x)
+                for cid, r in zip(ids, range(1, len(ids) + 1))
+                for x in (cid, r)
+            ]
+        )
+        for a_id, ids in order.items()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(anchors[0][1])
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+    )
+    assigned = _with_nearest_centroid(
+        p0, "embedding", "_nv", cents, "_cid"
+    ).observe("_cgsplit_k_sweep", F.count(F.lit(1)).alias("rows"))
+    sim_cols = []
+    for a_id, q in anchors:
+        sim = F.expr(
+            f"{_dot_lit_sql('embedding', q)}"
+            f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
+        )
+        sim_cols.append((sim + barrier).alias(f"_ksim{a_id}"))
+    p1 = assigned.select(F.col("vec_id"), F.col("_cid"), *sim_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a_id).cast("bigint").alias("a_id"),
+                _present_round(F.col(f"_ksim{a_id}"), 4).alias("cos_sim"),
+                F.element_at(rank_maps[a_id], F.col("_cid")).alias(
+                    "probe_rank"
+                ),
+            )
+            for a_id, q in anchors
+        ]
+    )
+    stacked = p1.select(
+        F.col("vec_id"), F.explode(entries).alias("s")
+    ).select("vec_id", "s.a_id", "s.cos_sim", "s.probe_rank")
+    w_rank = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probed = F.col("probe_rank") <= nprobe
+    ranked = stacked.select(
+        "a_id",
+        "probe_rank",
+        F.row_number().over(w_rank).cast("bigint").alias("_er"),
+        F.sum(probed.cast("bigint")).over(w_run).alias("_pc"),
+    )
+    one = ranked.agg(
+        *[
+            F.sum((F.col("_er") <= kk).cast("bigint")).alias(f"_ne{kk}")
+            for kk in ks
+        ],
+        *[
+            F.sum(
+                (
+                    (F.col("_er") <= kk)
+                    & probed
+                    & (F.col("_pc") <= kk)
+                ).cast("bigint")
+            ).alias(f"_h{kk}")
+            for kk in ks
+        ],
+    )
+    stack_args = ", ".join(f"{kk}, _ne{kk}, _h{kk}" for kk in ks)
+    return (
+        one.selectExpr(
+            f"stack({len(ks)}, {stack_args}) AS (k, n_exact, n_hit)"
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.lit(len(anchors)).cast("bigint").alias("n_anchors"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.expr("(10000 * coalesce(n_hit, 0)) div n_exact")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+def _recall_vs_k_oracle(
+    n_anchors: int = SWEEP_ANCHORS,
+    ks: tuple[int, ...] = RECALL_K_LADDER,
+    nprobe: int = SWEEP_NPROBE,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`ann_recall_vs_k`: the probe-sweep oracle's
+    trained chain and ranking tail, with ONE running probed count and
+    the k ladder as per-k predicates."""
+    dim = EMB_DIM if dim is None else dim
+    probe_cos = (
+        f"{_duck_dot('c.cv', 'q.qv', dim)} / nullif({_duck_norm('c.cv', dim)}"
+        f" * {_duck_norm('q.qv', dim)}, 0.0)"
+    )
+    aggs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN er <= {kk} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS ne{kk},\n           "
+        f"CAST(SUM(CASE WHEN er <= {kk} AND probe_rank <= {nprobe} "
+        f"AND pc <= {kk} THEN 1 ELSE 0 END) AS BIGINT) AS h{kk}"
+        for kk in ks
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({kk} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM q) AS n_anchors,
+           ne{kk} AS n_exact, h{kk} AS n_hit,
+           CAST((10000 * h{kk}) // ne{kk} AS BIGINT) AS recall_bp
+    FROM agg WHERE EXISTS (SELECT 1 FROM q)"""
+        for kk in ks
+    )
+    return f"""
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)},
+    q AS (
+      SELECT vec_id AS a_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_anchors} AND embedding IS NOT NULL
+    ), prk AS (
+      SELECT q.a_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.a_id
+                                ORDER BY {probe_cos} DESC, c.cid ASC)
+               AS probe_rank
+      FROM c CROSS JOIN q
+    ), assign AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), scored AS (
+      SELECT q.a_id, e.vec_id,
+             {_duck_cos4("e.embedding", "q.qv", dim)} AS cs,
+             p.probe_rank
+      FROM embeddings e
+      CROSS JOIN q
+      JOIN assign a ON a.vec_id = e.vec_id
+      LEFT JOIN prk p ON p.a_id = q.a_id AND p.cid = a.cid
+    ), ranked AS (
+      SELECT a_id, probe_rank,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY cs DESC, vec_id ASC) AS er,
+             SUM(CASE WHEN probe_rank <= {nprobe} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY a_id ORDER BY cs DESC, vec_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pc
+      FROM scored
+    ), agg AS (
+      SELECT {aggs}
+      FROM ranked
+    )
+{rows}
+    ORDER BY k
+    """
+
+
+@register(
+    "ann_recall_vs_k",
+    oracle=_recall_vs_k_oracle(),
+    description="IVF recall-vs-k curve at fixed nprobe=4 under the "
+    "trained quantizer (the axis the depth sweep holds constant): "
+    "recall@k for k in 1/5/10/20, the whole ladder riding ONE sorted "
+    "window pass with a single shared running probed count — fused "
+    "observe-split E-step + anchor-cosine scan, exact bp integers",
+    covers=("N-sim",),
+)
+def ann_recall_vs_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall_vs_k(spark, sf_dir)

@@ -123,6 +123,10 @@ EDGE_QUERIES = [
     # both engines must agree on it (plus the fp of empty/whitespace
     # docs collapsing into one cluster)
     "leakage_safe_split",
+    # r13f: the survivorship report on the same seams — empty/
+    # whitespace docs share one fp (kept=1/dropped=1 inside it), and
+    # the micro-quantized quality fold must agree on unicode shapes
+    "dedup_quality_shift",
 ]
 
 
@@ -254,6 +258,10 @@ CLIQUE_QUERIES = [
     # sequential ids cover every split), the safe policy pins all 40
     # to doc 0's split and reassigns everyone the hash moved
     "leakage_safe_split",
+    # r13f: kept=1 / dropped=39 with identical quality everywhere —
+    # the cohort means must be equal and the corpus row must fold the
+    # same micro-sums
+    "dedup_quality_shift",
 ]
 
 
@@ -1333,5 +1341,54 @@ def test_minhash_pr_eval_measures_banding_misses(spark, tmp_path):
         assert row["precision_bp"] == 10000.0, row
         assert row["fn"] > 0 and row["recall_bp"] < 10000.0, row
         assert row["tp"] + row["fn"] == 30 and row["fp"] == 0, row
+    finally:
+        con.close()
+
+
+def test_segment_clique_parity(spark, tmp_path):
+    """r13: the segment-clique seam — 30 byte-identical 48-token docs
+    across 3 sources: every doc contributes the SAME 3 segments, so the
+    hash aggregate holds 3 giant groups (the skew shape a boilerplate
+    corpus produces at scale). Per source: all segments duplicated
+    (dup_bp exactly 10000) and every segment shared with both other
+    sources; hash-parity against the DuckDB string-grouped replay pins
+    that the xxhash64 grouping changes nothing on this shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "segclique"
+    d.mkdir()
+    body = " ".join(f"tok{j}" for j in range(48))
+    n = 30
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([body] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(
+                    [("web", "books", "code")[i % 3] for i in range(n)]
+                ),
+                "n_chars": pa.array([len(body)] * n, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        spec = all_queries()["segment_dedup_profile"]
+        df = spec.builder(spark, str(d))
+        problems = compare("segment_dedup_profile", df, con, spec.oracle)
+        assert not problems, "\n".join(problems)
+        rows = {r["source"]: r for r in df.collect()}
+        assert set(rows) == {"web", "books", "code"}
+        for r in rows.values():
+            assert r["n_segments"] == 30  # 10 docs x 3 segments
+            assert r["dup_segments"] == 30 and r["dup_bp"] == 10000, r
+            assert r["cross_source_segs"] == 3, r
     finally:
         con.close()

@@ -1571,3 +1571,18 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert "Join" not in plan, plan[:2000]
     assert "Expand" not in plan, plan[:2000]
     assert len(re.findall(r"hashpartitioning\(fp", plan)) == 1, plan[:3000]
+    # dedup_quality_shift: same single-scan/single-fp-exchange shape —
+    # the canonical flag is a window, never a join back; the corpus
+    # row re-aggregates the 2-row cohort table (metadata-sized)
+    plan = _plan(spark, sf_small, "dedup_quality_shift")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"hashpartitioning\(fp", plan)) == 1, plan[:3000]
+    # ann_recall_vs_k: the depth sweep's fused shape with the k axis —
+    # ONE embeddings scan, one a_id-partitioned window exchange, the
+    # whole ladder as predicates over a single running probed count
+    plan = _plan(spark, sf_small, "ann_recall_vs_k")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert (
+        len(re.findall(r"hashpartitioning\(a_id", plan)) == 1
+    ), plan[:3000]
