@@ -1442,3 +1442,156 @@ def vocab_gini(docs: DataFrame) -> DataFrame:
 )
 def vocab_gini_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_gini(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (r13) — the tokenizer vocab-size axis
+# ---------------------------------------------------------------------------
+
+#: candidate vocabulary sizes a tokenizer design actually chooses between
+VOCAB_LADDER: tuple[int, ...] = (100, 1000, 10000)
+
+
+def vocab_coverage_curve(
+    docs: DataFrame, ladder: tuple[int, ...] = VOCAB_LADDER
+) -> DataFrame:
+    """Token coverage (and OOV rate) at candidate vocabulary sizes —
+    the curve a tokenizer design reads before fixing its vocab: with
+    the top-V types as the vocabulary, what share of all token
+    OCCURRENCES is covered, and what hits <unk>?
+
+    Scale shape (the :func:`vocab_gini` trick, pointed the other way):
+    a vocab cutoff never needs per-token global ranks, because every
+    type inside one frequency class is interchangeable — so the curve
+    collapses onto the DISTINCT-frequency histogram (≈ O(sqrt(total
+    tokens)) rows under Zipf). Classes wholly above the cutoff
+    contribute full mass; the one boundary class contributes
+    ``(V - types_above) · f`` exactly; tie order inside the class
+    cannot matter. One explode + two hash aggregates; the only ordered
+    pass is a window over the tiny histogram; the whole ladder is
+    |ladder| predicates over ONE running types-above column. All
+    outputs exact BIGINTs.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+            "tok"
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    vals = freq.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = vals.select(
+        F.col("f").cast("bigint").alias("f"),
+        "cnt",
+        (F.col("f").cast("bigint") * F.col("cnt")).alias("_mass"),
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("_above"),
+    )
+    covered = [
+        F.sum(
+            F.when(F.col("_above") + F.col("cnt") <= v, F.col("_mass"))
+            .when(
+                F.col("_above") < v,
+                (F.lit(v) - F.col("_above")) * F.col("f"),
+            )
+            .otherwise(F.lit(0))
+        ).alias(f"_cov{v}")
+        for v in ladder
+    ]
+    # grouped by a constant so an EMPTY corpus yields zero rows on both
+    # engines (an ungrouped aggregate would emit one all-NULL row)
+    agg = staged.groupBy(F.lit(1).alias("_g")).agg(
+        F.sum("cnt").cast("bigint").alias("_types"),
+        F.sum("_mass").cast("bigint").alias("_total"),
+        *covered,
+    )
+    stack_args = ", ".join(f"{v}L, _cov{v}" for v in ladder)
+    return (
+        agg.selectExpr(
+            "_types",
+            "_total",
+            f"stack({len(ladder)}, {stack_args}) AS (vocab_size, covered)",
+        )
+        .select(
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.least(F.col("vocab_size"), F.col("_types"))
+            .cast("bigint")
+            .alias("n_types"),
+            F.col("covered").cast("bigint").alias("covered_tokens"),
+            F.col("_total").alias("total_tokens"),
+            F.when(
+                F.col("_total") > 0,
+                F.expr("(10000 * covered) div _total"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("coverage_bp"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def _vocab_coverage_oracle(ladder: tuple[int, ...] = VOCAB_LADDER) -> str:
+    covs = ",\n             ".join(
+        f"SUM(CASE WHEN _above + cnt <= {v} THEN _mass "
+        f"WHEN _above < {v} THEN ({v} - _above) * f "
+        f"ELSE 0 END) AS cov{v}"
+        for v in ladder
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({v} AS BIGINT) AS vocab_size,
+           CAST(LEAST({v}, _types) AS BIGINT) AS n_types,
+           CAST(cov{v} AS BIGINT) AS covered_tokens,
+           CAST(_total AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN _total > 0 THEN (10000 * cov{v}) // _total
+                     ELSE -1 END AS BIGINT) AS coverage_bp
+    FROM agg"""
+        for v in ladder
+    )
+    return f"""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+              AS tok FROM documents)
+      GROUP BY tok
+    ), vals AS (
+      SELECT f, COUNT(*) AS cnt FROM freq GROUP BY f
+    ), staged AS (
+      SELECT f, cnt, f * cnt AS _mass,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS _above
+      FROM vals
+    ), agg AS (
+      SELECT SUM(cnt) AS _types,
+             SUM(_mass) AS _total,
+             {covs}
+      FROM staged GROUP BY 1=1
+    )
+{rows}
+    ORDER BY vocab_size
+    """
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=_vocab_coverage_oracle(),
+    description="tokenizer vocab-size curve: token-occurrence coverage "
+    "and OOV share with the top-V types as vocabulary, V in "
+    "100/1k/10k — per-token global ranks collapse onto the "
+    "distinct-frequency histogram (types in one class are "
+    "interchangeable; the boundary class contributes (V - above) * f "
+    "exactly), so the only ordered pass is a window over ~sqrt(N) "
+    "rows and the whole ladder shares ONE running types-above column",
+    covers=("N-text", "N-quality", "B5"),
+)
+def vocab_coverage_curve_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return vocab_coverage_curve(load_table(spark, sf_dir, "documents"))

@@ -127,6 +127,9 @@ EDGE_QUERIES = [
     # whitespace docs share one fp (kept=1/dropped=1 inside it), and
     # the micro-quantized quality fold must agree on unicode shapes
     "dedup_quality_shift",
+    # r13g: the coverage ladder over the edge vocabulary (empty-string
+    # tokens, unicode/CJK types, the 40x 'repeat' hot class)
+    "vocab_coverage_curve",
 ]
 
 
@@ -1390,5 +1393,56 @@ def test_segment_clique_parity(spark, tmp_path):
             assert r["n_segments"] == 30  # 10 docs x 3 segments
             assert r["dup_segments"] == 30 and r["dup_bp"] == 10000, r
             assert r["cross_source_segs"] == 3, r
+    finally:
+        con.close()
+
+
+def test_vocab_coverage_boundary_class_parity(spark, tmp_path):
+    """r13: the fixtures hold ~31 token types, so every ladder cutoff
+    saturates (coverage 10000 bp) and the BOUNDARY-CLASS branch —
+    ``(V - types_above) * f`` for the frequency class the cutoff
+    splits — never fires. This corpus makes V=100 land INSIDE the
+    singleton class: 3 hot types (f=40 each) + 200 singletons, so
+    covered@100 = 3*40 + 97*1 exactly, and no tie order can matter
+    because every split-class member carries the same f."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "vocabseam"
+    d.mkdir()
+    texts = []
+    for i in range(20):
+        hot = " ".join(["hota hotb hotc"] * 2)  # 3 hot types, 2x per doc
+        singles = " ".join(f"rare{i}_{j}" for j in range(10))
+        texts.append(hot + " " + singles)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["w"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        spec = all_queries()["vocab_coverage_curve"]
+        df = spec.builder(spark, str(d))
+        problems = compare("vocab_coverage_curve", df, con, spec.oracle)
+        assert not problems, "\n".join(problems)
+        rows = {r["vocab_size"]: r for r in df.collect()}
+        # 3 hot types at f=40, 200 singletons; total = 120 + 200 = 320
+        assert rows[100]["total_tokens"] == 320
+        assert rows[100]["covered_tokens"] == 3 * 40 + 97  # boundary split
+        assert rows[100]["n_types"] == 100
+        assert rows[1000]["covered_tokens"] == 320  # ladder saturates
+        assert rows[1000]["n_types"] == 203
     finally:
         con.close()

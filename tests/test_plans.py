@@ -1586,3 +1586,18 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert (
         len(re.findall(r"hashpartitioning\(a_id", plan)) == 1
     ), plan[:3000]
+    # vocab_coverage_curve: one scan, two hash aggregates, no join —
+    # the only window runs over the distinct-frequency histogram (a
+    # SinglePartition sort over ~sqrt(N) rows, never over types)
+    plan = _plan(spark, sf_small, "vocab_coverage_curve")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    # the single-partition window must sit on the f-histogram, after
+    # BOTH reducing aggregates — never on the raw token stream (node
+    # ids increase from the scan upward, so every reducing aggregate
+    # must carry a smaller id than the window)
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert len(win_ids) == 1, plan[:2000]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert sum(1 for a in agg_ids if a < win_ids[0]) >= 4, plan[:2000]
