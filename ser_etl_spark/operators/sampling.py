@@ -839,3 +839,144 @@ def mixture_temperature_profile_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return mixture_temperature_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# epoch plan (r13) — the data-recipe repeat-count readout
+# ---------------------------------------------------------------------------
+
+#: token budget as a multiple of the natural corpus (train "2 epochs
+#: worth" of tokens, temperature-mixed)
+EPOCH_BUDGET_X = 2
+
+
+def epoch_plan(
+    docs: DataFrame, budget_x: int = EPOCH_BUDGET_X
+) -> DataFrame:
+    """Per-source epoch counts implied by a temperature-mixed token
+    budget — the data-recipe table model cards publish ("wikipedia:
+    3.3 epochs, web: 0.7"): with a budget of ``budget_x`` natural
+    corpus passes allocated ∝ ``tokens^0.5`` (the tau=0.5 mixture),
+    how many times does each source repeat? Tail sources land above
+    1.0 epochs (up-sampled — the repetition the recipe must justify),
+    head sources below (sub-sampled).
+
+    Cross-engine exactness: the only non-integer step is ``sqrt``
+    (IEEE-correctly-rounded in both engines, the
+    :func:`mixture_temperature_profile` convention) quantized to an
+    integer micro-weight BEFORE the normalizing sum; the budget
+    arithmetic runs in decimal(38,0)/HUGEINT so ``budget · w_s`` can
+    never overflow at any corpus size. One scan (per-source token
+    sums), a |sources|-row aggregate, totals via a window over that
+    metadata-sized table.
+    """
+    from pyspark.sql import Window
+
+    n_toks = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum(n_toks).cast("bigint").alias("tokens")
+    )
+    weighted = counts.select(
+        "source",
+        "tokens",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * F.lit(1.0e6), 0)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    w = Window.partitionBy()
+    staged = weighted.withColumn(
+        "_wsum", F.sum("w_micro").over(w)
+    ).withColumn("_total", F.sum("tokens").over(w))
+    # all products exact in decimal(38,0) (<= ~30 digits at 100 TB),
+    # floor division via decimal `div` == DuckDB's HUGEINT `//`
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        f"({dec.format(budget_x)} * {dec.format('_total')} "
+        f"* {dec.format('w_micro')})"
+    )
+    alloc = f"{num} div {dec.format('_wsum')}"
+    epochs = (
+        f"({dec.format(1000)} * {num}) "
+        f"div ({dec.format('_wsum')} * {dec.format('tokens')})"
+    )
+    return (
+        staged.select(
+            "source",
+            "tokens",
+            "w_micro",
+            F.when(F.col("_wsum") > 0, F.expr(alloc))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            F.when(
+                (F.col("tokens") > 0) & (F.col("_wsum") > 0),
+                F.expr(epochs),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("epochs_milli"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "w_micro",
+            "alloc_tokens",
+            "epochs_milli",
+            (F.col("epochs_milli") > 1000).cast("bigint").alias("upsampled"),
+        )
+        .orderBy("source")
+    )
+
+
+def _epoch_plan_oracle(budget_x: int = EPOCH_BUDGET_X) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN text IS NULL THEN 0
+                           ELSE len(string_split_regex(trim(lower(text)),
+                                                       ' +')) END)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ), weighted AS (
+      SELECT source, tokens,
+             CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS w_micro
+      FROM counts
+    ), staged AS (
+      SELECT *, SUM(w_micro) OVER () AS wsum,
+             SUM(tokens) OVER () AS total
+      FROM weighted
+    )
+    SELECT source, tokens, w_micro,
+           CAST(CASE WHEN wsum > 0
+                THEN (CAST({budget_x} AS HUGEINT) * total * w_micro)
+                     // wsum
+                ELSE -1 END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN tokens > 0 AND wsum > 0
+                THEN (CAST(1000 AS HUGEINT) * {budget_x} * total * w_micro)
+                     // (CAST(wsum AS HUGEINT) * tokens)
+                ELSE -1 END AS BIGINT) AS epochs_milli,
+           CAST(CASE WHEN tokens > 0 AND wsum > 0
+                THEN (CAST(1000 AS HUGEINT) * {budget_x} * total * w_micro)
+                     // (CAST(wsum AS HUGEINT) * tokens) > 1000
+                ELSE FALSE END AS BIGINT) AS upsampled
+    FROM staged ORDER BY source
+    """
+
+
+@register(
+    "epoch_plan",
+    oracle=_epoch_plan_oracle(),
+    description="data-recipe repeat counts: per-source epochs implied "
+    "by a 2x-natural token budget allocated by the tau=0.5 temperature "
+    "mixture (tail sources land above 1.0 epochs = up-sampled, head "
+    "below) — sqrt-only weights quantized to integer micro-weights "
+    "before the order-free normalizing sum, budget arithmetic in "
+    "decimal(38,0)/HUGEINT with floor div on both engines; one scan, "
+    "|sources|-row aggregate + metadata window",
+    covers=("N-curation", "X-sample", "B5"),
+)
+def epoch_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_plan(load_table(spark, sf_dir, "documents"))

@@ -130,6 +130,9 @@ EDGE_QUERIES = [
     # r13g: the coverage ladder over the edge vocabulary (empty-string
     # tokens, unicode/CJK types, the 40x 'repeat' hot class)
     "vocab_coverage_curve",
+    # r13h: the recipe arithmetic on degenerate token counts (empty/
+    # whitespace docs contribute the ''-token, NULL text contributes 0)
+    "epoch_plan",
 ]
 
 

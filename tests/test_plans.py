@@ -1601,3 +1601,9 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert len(win_ids) == 1, plan[:2000]
     agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
     assert sum(1 for a in agg_ids if a < win_ids[0]) >= 4, plan[:2000]
+    # epoch_plan: one scan into the |sources|-row aggregate; the budget
+    # totals ride a metadata window over that rollup, nothing joins
+    plan = _plan(spark, sf_small, "epoch_plan")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
