@@ -76,6 +76,10 @@ PROBES = (
     # r13e: the segment explosion (≈ n_tokens/16 rows per doc) + the
     # per-hash window over the reduced (source, hash) table
     "segment_dedup_profile",
+    # r13f: the fp-window survivorship pass and the distinct-frequency
+    # histogram window (must stay ~sqrt(N)-sized, never type-sized)
+    "dedup_quality_shift",
+    "vocab_coverage_curve",
 )
 
 SF_SMALL = "/root/testdata/sf0.01"
