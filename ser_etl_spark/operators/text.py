@@ -3110,3 +3110,111 @@ def pii_cooccurrence_matrix_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return pii_cooccurrence_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII by split (r13) — the privacy-release gate
+# ---------------------------------------------------------------------------
+
+
+def pii_by_split(docs: DataFrame) -> DataFrame:
+    """PII exposure broken down by train/val/test split — the privacy
+    twin of the contamination-by-split report: a privacy review asks
+    WHERE the flagged documents land, because PII in a released or
+    externally-evaluated split carries different obligations than PII
+    in train. Per split: doc volume, docs flagged by any detector,
+    per-detector hit totals, and the flagged share in basis points.
+
+    Pure composition of stateless projections: the detector flags are
+    per-row ``regexp_count`` (codegen), the split is the pure doc_id
+    Knuth hash — ONE corpus scan into a 3-row hash aggregate with
+    map-side partials; no joins anywhere.
+    """
+    from ser_etl_spark.operators.sampling import DEFAULT_SPLITS, split_bucket
+
+    bucket = split_bucket("doc_id")
+    split_expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(DEFAULT_SPLITS):
+        split_expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(
+            split_expr
+        )
+    cols = [
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(pat)), F.lit(0)
+        ).alias(f"_n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    flagged = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"_n_{name}") > 0
+        flagged = c if flagged is None else (flagged | c)
+    per_doc = docs.select(split_expr.alias("split"), *cols).withColumn(
+        "_flagged", flagged.cast("int")
+    )
+    agg = per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_flagged").cast("bigint").alias("docs_flagged"),
+        *[
+            F.sum(f"_n_{name}").cast("bigint").alias(f"n_{name}")
+            for name, _ in PII_PATTERNS
+        ],
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "docs_flagged",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        F.expr("(10000 * docs_flagged) div n_docs")
+        .cast("bigint")
+        .alias("flagged_bp"),
+    ).orderBy("split")
+
+
+def _pii_by_split_oracle() -> str:
+    from ser_etl_spark.operators.sampling import sql_split_bucket
+
+    split_case = (
+        f"CASE WHEN {sql_split_bucket('doc_id')} < 80 THEN 'train' "
+        f"WHEN {sql_split_bucket('doc_id')} < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    counts = ",\n             ".join(
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) AS _n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    any_flag = " OR ".join(f"_n_{name} > 0" for name, _ in PII_PATTERNS)
+    sums = ",\n           ".join(
+        f"CAST(SUM(_n_{name}) AS BIGINT) AS n_{name}"
+        for name, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH d AS (
+      SELECT {split_case} AS split,
+             {counts}
+      FROM documents
+    ), f AS (
+      SELECT split,
+             CASE WHEN {any_flag} THEN 1 ELSE 0 END AS _flagged,
+             d.* EXCLUDE (split)
+      FROM d
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(_flagged) AS BIGINT) AS docs_flagged,
+           {sums},
+           CAST((10000 * SUM(_flagged)) // COUNT(*) AS BIGINT) AS flagged_bp
+    FROM f GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "pii_by_split",
+    oracle=_pii_by_split_oracle(),
+    description="privacy-release gate: PII exposure per train/val/test "
+    "split (where do the flagged docs land?) — stateless regexp_count "
+    "flags x the pure doc_id split hash, one scan into a 3-row "
+    "aggregate with map-side partials, no joins",
+    covers=("N-quality", "N-text", "X-sample"),
+)
+def pii_by_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_by_split(load_table(spark, sf_dir, "documents"))

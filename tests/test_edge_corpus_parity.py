@@ -133,6 +133,8 @@ EDGE_QUERIES = [
     # r13h: the recipe arithmetic on degenerate token counts (empty/
     # whitespace docs contribute the ''-token, NULL text contributes 0)
     "epoch_plan",
+    # r13i: PII flags x the split hash on the same seams
+    "pii_by_split",
 ]
 
 

@@ -1607,3 +1607,9 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+    # pii_by_split: stateless flags x the split hash — one scan, 3-row
+    # aggregate, nothing joins, no window anywhere
+    plan = _plan(spark, sf_small, "pii_by_split")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
