@@ -2348,3 +2348,96 @@ def dedup_quality_shift_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return dedup_quality_shift(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# contamination by source (r13) — which feed is contaminated?
+# ---------------------------------------------------------------------------
+
+
+def contamination_by_source(
+    docs: DataFrame, n: int = CONTAMINATION_N, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Benchmark contamination broken down by SOURCE — the
+    actionability twin of :func:`benchmark_leakage_by_split`: the split
+    view says whether leakage hurts, this view says which FEED to fix
+    (drop, re-scrape, or decontaminate at ingest) — per source the
+    train-universe volume, docs carrying ≥1 benchmark n-gram, and the
+    contamination rate in basis points.
+
+    Same composition: the contaminated doc set comes from
+    :func:`benchmark_contamination` (the sliver — only hit docs),
+    BROADCAST against the thin (doc_id, source) projection; |sources|-
+    row output, exact integers.
+    """
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == 0
+    universe = docs.filter(~is_bench).select("doc_id", "source")
+    contaminated = (
+        benchmark_contamination(docs, n, bench_mod)
+        .select("doc_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        universe.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            F.expr("(10000 * n_contaminated) div n_train_docs")
+            .cast("bigint")
+            .alias("contamination_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _contamination_by_source_oracle() -> str:
+    k = CONTAMINATION_N
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" for j in range(k)
+    ).replace("t[i+0]", "t[i]")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {gram} AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{k - 1})) AS i
+            FROM toks WHERE len(t) >= {k})),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM sh JOIN bench USING (sh)
+      WHERE doc_id % {BENCH_MOD} <> 0),
+    universe AS (
+      SELECT doc_id, source
+      FROM documents WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT u.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST((10000 * COUNT(h.doc_id)) // COUNT(*) AS BIGINT)
+             AS contamination_bp
+    FROM universe u LEFT JOIN hits h USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "contamination_by_source",
+    oracle=_contamination_by_source_oracle(),
+    description="contamination-by-feed report: benchmark n-gram hits "
+    "per source with bp rates — the actionability twin of the by-split "
+    "view (which FEED to fix); the contaminated sliver broadcast "
+    "against the thin (doc_id, source) projection, |sources|-row "
+    "output, exact integers",
+    covers=("N-curation", "N-text", "N-quality"),
+)
+def contamination_by_source_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return contamination_by_source(load_table(spark, sf_dir, "documents"))

@@ -980,3 +980,108 @@ def _epoch_plan_oracle(budget_x: int = EPOCH_BUDGET_X) -> str:
 )
 def epoch_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_plan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# split mixture audit (r13) — does the split hash preserve the mix?
+# ---------------------------------------------------------------------------
+
+
+def split_mixture_audit(docs: DataFrame) -> DataFrame:
+    """Per-(split, source) mixture balance audit: a hash split is only
+    trustworthy if each split's source mixture matches the corpus —
+    a skewed val/test mixture silently reweights every evaluation. Per
+    cell: doc count, the source's share within the split, the source's
+    global share, and the imbalance (split share − global share) in
+    signed basis points.
+
+    One scan into a (split, source) aggregate with map-side partials;
+    both normalizers ride windows over that ≤ 3·|sources|-row rollup
+    (per-split total and per-source global total) — never a second
+    scan. All outputs exact signed BIGINT bp.
+    """
+    from pyspark.sql import Window
+
+    bucket = split_bucket("doc_id")
+    split_expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(DEFAULT_SPLITS):
+        split_expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(
+            split_expr
+        )
+    cells = docs.select(
+        split_expr.alias("split"), "source"
+    ).groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w_split = Window.partitionBy("split")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    return (
+        cells.withColumn("_split_tot", F.sum("n_docs").over(w_split))
+        .withColumn("_src_tot", F.sum("n_docs").over(w_src))
+        .withColumn("_all_tot", F.sum("n_docs").over(w_all))
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            F.expr("(10000 * n_docs) div _split_tot")
+            .cast("bigint")
+            .alias("split_share_bp"),
+            F.expr("(10000 * _src_tot) div _all_tot")
+            .cast("bigint")
+            .alias("global_share_bp"),
+            (
+                F.expr("(10000 * n_docs) div _split_tot")
+                - F.expr("(10000 * _src_tot) div _all_tot")
+            )
+            .cast("bigint")
+            .alias("imbalance_bp"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _split_mixture_oracle() -> str:
+    split_case = (
+        f"CASE WHEN {sql_split_bucket('doc_id')} < 80 THEN 'train' "
+        f"WHEN {sql_split_bucket('doc_id')} < 90 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {split_case} AS split, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), staged AS (
+      SELECT split, source, n_docs,
+             SUM(n_docs) OVER (PARTITION BY split) AS split_tot,
+             SUM(n_docs) OVER (PARTITION BY source) AS src_tot,
+             SUM(n_docs) OVER () AS all_tot
+      FROM cells
+    )
+    SELECT split, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((10000 * n_docs) // split_tot AS BIGINT)
+             AS split_share_bp,
+           CAST((10000 * src_tot) // all_tot AS BIGINT)
+             AS global_share_bp,
+           CAST((10000 * n_docs) // split_tot
+                - (10000 * src_tot) // all_tot AS BIGINT)
+             AS imbalance_bp
+    FROM staged ORDER BY split, source
+    """
+
+
+@register(
+    "split_mixture_audit",
+    oracle=_split_mixture_oracle(),
+    description="split balance audit: per (split, source) the doc "
+    "count, within-split share, global share and signed imbalance bp — "
+    "a skewed val/test mixture silently reweights every evaluation; "
+    "one scan into the (split, source) rollup, both normalizers as "
+    "windows over that metadata-sized table",
+    covers=("X-sample", "N-curation", "B5"),
+)
+def split_mixture_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return split_mixture_audit(load_table(spark, sf_dir, "documents"))

@@ -69,7 +69,7 @@ def register(
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
 # Round-13 curation: regenerated from
 # CORRECTNESS_r01.json..CORRECTNESS_r12.json (251 kept). Recomputed
-# pending set (registered - verified): 20 <= window 50.
+# pending set (registered - verified): 22 <= window 50.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",

@@ -135,6 +135,11 @@ EDGE_QUERIES = [
     "epoch_plan",
     # r13i: PII flags x the split hash on the same seams
     "pii_by_split",
+    # r13j: the by-source contamination rollup and the (split, source)
+    # balance audit on the degenerate shapes (empty/whitespace docs
+    # carry no grams; every doc_id bucket must agree cross-engine)
+    "contamination_by_source",
+    "split_mixture_audit",
 ]
 
 
@@ -270,6 +275,11 @@ CLIQUE_QUERIES = [
     # the cohort means must be equal and the corpus row must fold the
     # same micro-sums
     "dedup_quality_shift",
+    # r13j: identical text everywhere — every non-bench doc is fully
+    # contaminated (doc 0 is the benchmark slice), per source AND per
+    # split cell; the mixture audit sees the id-hash's natural spread
+    "contamination_by_source",
+    "split_mixture_audit",
 ]
 
 

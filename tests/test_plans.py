@@ -1613,3 +1613,14 @@ def test_r13_new_op_plan_shapes(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
     assert "partial_" in plan, plan[:2000]
+    # contamination_by_source: the contaminated sliver broadcasts to
+    # the thin (doc_id, source) projection — never a shuffled join
+    plan = _plan(spark, sf_small, "contamination_by_source")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # split_mixture_audit: one scan into the (split, source) rollup;
+    # both normalizers are windows over that metadata-sized table
+    plan = _plan(spark, sf_small, "split_mixture_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
