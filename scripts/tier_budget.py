@@ -10,11 +10,10 @@ label "~10 min" does not (the r12 round ran the fast tier in 12m23s on
 a host the bench itself measured at 1.65x slower; the unit-denominated
 budget was within 4%).
 
-Canonical budgets, measured at the r12 close (scan_calibration 0.584 s,
-fast tier 743 s, full gate 2173 s):
-
-  FAST_TIER_UNITS = 1270   # pytest tests -m "not tier2"
-  FULL_GATE_UNITS = 3720   # pytest tests/
+The unit constants below are the SINGLE SOURCE of the budget numbers
+(pytest.ini points here instead of restating them — ADVICE r13);
+measured at the r12 close (scan_calibration 0.584 s, fast tier 743 s,
+full gate 2173 s).
 
 This script measures the CURRENT host's scan calibration (same workload
 and repeat discipline as bench.py) and prints the budgets converted to
@@ -42,30 +41,30 @@ FULL_GATE_UNITS = 3720.0
 TOLERANCE = 1.25
 
 
-def measure_scan_calibration(sf_dir: str = "/root/testdata/sf0.1") -> float:
-    """bench.py's _calibrate_scan, verbatim discipline (best of 2)."""
-    import time
+def measure_scan_calibration(sf_dir: str | None = None) -> float:
+    """Measure the current host's scan calibration.
 
+    IMPORTS bench.py's ``_calibrate_scan`` (the single definition of
+    the yardstick workload — ADVICE r13: a manual copy here could
+    drift silently) and runs it on a session it creates AND stops.
+    """
+    from bench import _calibrate_scan
     from ser_etl_spark.session import get_spark
     from ser_etl_spark.sources.parquet import load_table
 
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     spark = get_spark(
         app_name="tier-budget",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         conf={"spark.ui.enabled": "false"},
     )
-    load_table(spark, sf_dir, "lineitem").limit(1).collect()  # warmup
-    best = float("inf")
-    for _ in range(2):
-        start = time.time()
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .groupBy("l_suppkey")
-            .agg({"l_extendedprice": "sum", "l_quantity": "avg"})
-            .collect()
-        )
-        best = min(best, time.time() - start)
-    return round(best, 3)
+    try:
+        load_table(spark, sf_dir, "lineitem").limit(1).collect()  # warmup
+        return _calibrate_scan(spark, sf_dir)
+    finally:
+        spark.stop()
 
 
 def main() -> None:

@@ -132,11 +132,14 @@ def main() -> None:
         f"{len(pending)} pending (window {DRIVER_WINDOW})",
         file=sys.stderr,
     )
-    assert len(pending) <= DRIVER_WINDOW, (
-        f"pending set {len(pending)} overflows the driver's "
-        f"{DRIVER_WINDOW}-row verification window: "
-        f"{sorted(pending)}"
-    )
+    # RuntimeError, not assert: this invariant gates regeneration and must
+    # survive `python -O` (ADVICE r13).
+    if len(pending) > DRIVER_WINDOW:
+        raise RuntimeError(
+            f"pending set {len(pending)} overflows the driver's "
+            f"{DRIVER_WINDOW}-row verification window: "
+            f"{sorted(pending)}"
+        )
 
     block = generated_block(verified, pending, dropped, paths, args.round)
     reg_path = os.path.join(
@@ -150,7 +153,10 @@ def main() -> None:
         pat = re.compile(
             re.escape(BEGIN) + r".*?" + re.escape(END), flags=re.DOTALL
         )
-        assert pat.search(src), "generated-block markers missing in registry.py"
+        if not pat.search(src):
+            raise RuntimeError(
+                "generated-block markers missing in registry.py"
+            )
         with open(reg_path, "w") as fh:
             fh.write(pat.sub(block.replace("\\", "\\\\"), src, count=1))
         print(f"# rewrote generated block in {reg_path}", file=sys.stderr)

@@ -3098,8 +3098,10 @@ def segment_dedup_profile(
     least one OTHER source (template leakage).
 
     One corpus scan; the segment explosion is position-driven (explode
-    a 0..n_segs-1 index, slice the token array per row — no
-    higher-order lambdas, stays in codegen) and reduces immediately to
+    of ``transform(sequence(0, n_segs-1), i -> slice(...))`` — a
+    higher-order lambda, but ``transform``/``slice`` are codegen'd
+    array expressions and the registry-wide codegen gate pins that this
+    plan compiles clean) and reduces immediately to
     (source, seg_hash) counts with map-side partials, so the shuffle
     carries 8-byte hashes, never text. The global per-segment rollup is
     a WINDOW over that reduced table (≤ |sources| rows per hash

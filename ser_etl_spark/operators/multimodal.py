@@ -773,9 +773,6 @@ def media_chunk_rollup(
     chunk 0 — no second scan, no join back).
     """
     plan = media_chunk_plan(media_df, chunk, overlap)
-    src = F.when(
-        F.col("chunk_idx") == 0, F.col("end_frame") - F.col("start_frame")
-    )
     # chunk 0 alone may undercount the asset (truncated window) — carry
     # the asset total instead: end of the LAST chunk == n_frames, so
     # max(end_frame) per asset is exact; two-level agg keeps it one pass

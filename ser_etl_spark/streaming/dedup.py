@@ -114,23 +114,31 @@ def stream_delta_dedup_replay(
             s = batch_df.sparkSession
             from pyspark.sql import functions as F
 
-            # The micro-batch session is an isolated clone — tune ITS
-            # shuffle width to the batch scale without touching the
-            # caller's session (the replay_to_batch discipline): a sync
-            # batch is delta-sized, and scheduling 32 tasks per tiny
-            # shuffle stage dominates the replay cost at test SF.
+            # Keep the per-batch shuffle narrow (a sync batch is
+            # delta-sized; scheduling 32 tasks per tiny shuffle stage
+            # dominates replay cost at test SF), then restore — the
+            # package-wide foreachBatch conf discipline (quality.py /
+            # media.py): empirically the handler gets an isolated
+            # streaming clone, but save/restore removes any dependence
+            # on that implementation detail.
+            prev = s.conf.get("spark.sql.shuffle.partitions")
             s.conf.set("spark.sql.shuffle.partitions", "8")
-            corpus = load_table(s, sf_dir, "documents").filter(
-                ~delta_pred(F)
-            )
-            corpus_bands = s.read.parquet(bands_dir).filter(~delta_pred(F))
-            out = delta_dedup_pairs(
-                corpus, batch_df, threshold, corpus_bands=corpus_bands
-            )
-            # one output-sized file per batch, overwrite = idempotent
-            out.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(sink, f"b{batch_id}")
-            )
+            try:
+                corpus = load_table(s, sf_dir, "documents").filter(
+                    ~delta_pred(F)
+                )
+                corpus_bands = s.read.parquet(bands_dir).filter(
+                    ~delta_pred(F)
+                )
+                out = delta_dedup_pairs(
+                    corpus, batch_df, threshold, corpus_bands=corpus_bands
+                )
+                # one output-sized file per batch, overwrite = idempotent
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(sink, f"b{batch_id}")
+                )
+            finally:
+                s.conf.set("spark.sql.shuffle.partitions", prev)
 
         stream = (
             spark.readStream.schema(delta.schema)
