@@ -11,8 +11,10 @@ the reference architecture (it *is* the reference's executor,
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import inspect
+import re
 import textwrap
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -67,18 +69,21 @@ def register(
 #: row is rotated back automatically via ``VERIFIED_SOURCE_HASHES``
 #: (see ``all_queries``).
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
-# Round-13 curation: regenerated from
-# CORRECTNESS_r01.json..CORRECTNESS_r12.json (251 kept). Recomputed
-# pending set (registered - verified): 22 <= window 50.
+# Round-14 curation: regenerated from
+# CORRECTNESS_r01.json..CORRECTNESS_r13.json (273 kept). Recomputed
+# pending set (registered - verified): 0 <= window 50.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
     "ann_index_layout",
+    "ann_probe_depth_sweep",
     "ann_quantized_rescore",
     "ann_recall_eval",
+    "ann_recall_vs_k",
     "approx_sketches",
     "approx_sketches_twin",
     "basket_lift",
+    "benchmark_leakage_by_split",
     "benford_leading_digit",
     "bigram_rare_ratio",
     "bloom_fpr_eval",
@@ -94,6 +99,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "cluster_balanced_sample",
     "code_switch_share",
     "cohort_retention",
+    "contamination_by_source",
     "contamination_span_profile",
     "context_fit_histogram",
     "conversion_funnel",
@@ -102,6 +108,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "corr_matrix",
     "count_min_tokens",
     "count_star",
+    "cross_split_neardup_leakage",
     "cumulative_distinct_users",
     "curriculum_stage_histogram",
     "customer_order_distribution",
@@ -116,14 +123,17 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "dedup_clusters",
     "dedup_exact",
     "dedup_fingerprint",
+    "dedup_quality_shift",
     "dedup_rate_by_source",
     "dedup_threshold_sweep",
     "dim_variance_screen",
     "disjunctive_revenue",
     "doc_chunks",
     "doc_embedding_alignment",
+    "doc_prefix_cluster_profile",
     "doc_rarity_topk",
     "doc_repetition",
+    "domain_dedup_profile",
     "dominant_lang_share",
     "dup_source_matrix",
     "embedding_centroids",
@@ -133,6 +143,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "embedding_pca_step",
     "embedding_project",
     "embedding_quantize",
+    "epoch_plan",
     "event_funnel",
     "event_heatmap",
     "event_path_topk",
@@ -178,6 +189,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "langid_confusion",
     "large_orders",
     "latest_event_per_user",
+    "leakage_safe_split",
     "length_drift",
     "lexical_diversity",
     "local_supplier_volume",
@@ -189,6 +201,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "matched_order_counts",
     "max_watermark",
     "measures_unpivot",
+    "media_aspect_buckets",
+    "media_chunk_plan",
     "media_decode_budget",
     "media_frame_features",
     "media_phash_neardup",
@@ -196,7 +210,9 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "min_cost_supplier",
     "minhash_error_eval",
     "minhash_lsh_pairs",
+    "minhash_pr_eval",
     "mixture_rebalance",
+    "mixture_temperature_profile",
     "mmr_rerank_topk",
     "moving_spend_90d",
     "multimodal_features",
@@ -217,6 +233,8 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pack_efficiency",
     "pack_sequences",
     "pattern_match_topk",
+    "pii_by_split",
+    "pii_cooccurrence_matrix",
     "pii_redact",
     "pii_scan",
     "pii_scrub",
@@ -226,12 +244,14 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "priority_shipping",
     "product_type_profit",
     "promo_revenue",
+    "prototypicality_profile",
     "purchase_attribution",
     "quality_by_lang",
     "quality_canonical_dedup",
     "quality_filter_funnel",
     "quality_quantile_normalize",
     "quality_score",
+    "quality_vs_dup_correlation",
     "quantization_error_profile",
     "range_partition_boundaries",
     "rate_limit_audit",
@@ -250,6 +270,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "sales_rollup",
     "salted_segment_sales",
     "scd2_state_history",
+    "segment_dedup_profile",
     "select_all",
     "select_columns",
     "semdedup_canonical",
@@ -274,6 +295,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "source_signature_terms",
     "span_removal",
     "spend_gini",
+    "split_mixture_audit",
     "stats_moments",
     "stickiness_ratio",
     "stocked_parts_promotion",
@@ -282,6 +304,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_enriched_counts",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
+    "streaming_media_chunks",
     "streaming_pii_gate",
     "streaming_quality_gate",
     "streaming_sessions",
@@ -314,6 +337,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "value_outliers_mad",
     "vector_quality_audit",
     "view_click_interval",
+    "vocab_coverage_curve",
     "vocab_gini",
     "vocab_growth",
     "weighted_sample",
@@ -326,23 +350,270 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 # --- END GENERATED VERIFIED ROTATION ---
 
 
-def spec_source_hash(spec: QuerySpec) -> str | None:
-    """sha256[:12] over the builder's (dedented) source + the oracle SQL.
+def _stable_repr(value: object) -> str:
+    """Deterministic repr for helper constants: set/frozenset iteration
+    order depends on PYTHONHASHSEED, so render them sorted — an unstable
+    repr would hash differently per process and spuriously rotate every
+    consumer."""
+    if isinstance(value, (set, frozenset)):
+        return "{" + ", ".join(sorted(_stable_repr(v) for v in value)) + "}"
+    if isinstance(value, (list, tuple)):
+        inner = ", ".join(_stable_repr(v) for v in value)
+        return ("[%s]" if isinstance(value, list) else "(%s)") % inner
+    if isinstance(value, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{_stable_repr(k)}: {_stable_repr(v)}"
+                for k, v in value.items()
+            )
+            + "}"
+        )
+    return repr(value)
+
+
+@functools.lru_cache(maxsize=1)
+def _answer_helper_sources() -> tuple[tuple[str, str], ...]:
+    """Declared ANSWER-AFFECTING shared helpers: (trigger name, source).
+
+    VERDICT r13 #1: ``spec_source_hash`` hashing only the builder's own
+    source left a blind spot — an edit to a shared helper (split
+    hashing, quality scoring, fingerprinting, the decimal-sum bridge,
+    the XXH64 oracle stack) changed the SEMANTICS of dozens of pinned
+    queries without rotating any of them back into the driver's
+    verification window. This table declares those helpers; any builder
+    whose source references a trigger name folds that helper's source
+    into its pin (transitively — a helper referencing another declared
+    helper folds it too, so ``split_bucket``'s consumers rotate when
+    the ``_FOLD``/``_KNUTH`` constants it reads change).
+
+    Deliberately NOT declared:
+    - plan-only helpers (``functions/broadcast.py``): broadcast hints
+      are answer-neutral by construction (r13's ceiling change re-greened
+      untouched under spillover), and declaring them would rotate the
+      whole join family on every tuning pass;
+    - universal infrastructure (``sources/parquet.load_table``,
+      ``session.py``): every query uses them, so a change can never fit
+      the ~50-row driver window — the local all-query differential gate
+      (``tests/test_oracle_parity.py``) is the guard there, not rotation.
+    """
+    from ser_etl_spark import artifacts, oracle_hash
+    from ser_etl_spark.functions import numeric
+    from ser_etl_spark.operators import (
+        curation,
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
+
+    helpers: dict[str, str] = {}
+
+    def fn(*fns: Callable) -> None:
+        for f in fns:
+            helpers[f.__name__] = textwrap.dedent(inspect.getsource(f))
+
+    def const(mod: object, *names: str) -> None:
+        for n in names:
+            helpers[n] = _stable_repr(getattr(mod, n))
+
+    def module(mod: object) -> None:
+        """Whole-module helper: any name DEFINED at the module's top
+        level triggers a fold of the full module source."""
+        src = inspect.getsource(mod)
+        for n, v in vars(mod).items():
+            if n.startswith("__") or n == "annotations" or inspect.ismodule(v):
+                continue
+            owner = getattr(v, "__module__", None)
+            if owner is not None and owner != mod.__name__:
+                continue  # imported function/class, not defined here
+            helpers[n] = src
+
+    # cross-engine numeric bridge + Spark-compatible XXH64 oracle stack +
+    # artifact staleness/resolution plumbing: whole-module triggers
+    module(numeric)
+    module(oracle_hash)
+    module(artifacts)
+
+    # split / sampling hash family
+    fn(
+        sampling.split_bucket,
+        sampling.sql_split_bucket,
+        sampling.hash_u32,
+        sampling.sql_hash_u32,
+        sampling.assign_split,
+    )
+    const(sampling, "DEFAULT_SPLITS", "_KNUTH", "_MOD", "_FOLD")
+
+    # text quality / fingerprint / tokenization family
+    fn(
+        text.quality_score,
+        text.quality_cols,
+        text.fingerprint,
+        text.funnel_stage_flags,
+        text.bm25_search,
+        text._bm25_oracle,
+    )
+    const(
+        text,
+        "QUALITY_ORACLE_SQL",
+        "TOKEN_REGEX",
+        "PII_PATTERNS",
+        "_STOPWORDS",
+        "FUNNEL_MIN_TOKENS",
+        "FUNNEL_WLEN_LO",
+        "FUNNEL_WLEN_HI",
+        "FUNNEL_DISTINCT_X10",
+    )
+
+    # dedup shingle/band/cluster family
+    fn(
+        dedup.shingle_rows,
+        dedup.duplicate_clusters,
+        dedup.delta_dedup_pairs,
+        dedup.ensure_minhash_bands,
+        curation.shingle_rows_counted,
+    )
+    const(dedup, "_DELTA_MOD", "_DELTA_REM")
+
+    # embedding / ANN family (shared cosine + trained-quantizer helpers)
+    fn(
+        similarity.cosine_topk,
+        similarity.ivf_assign,
+        similarity._trained_cents,
+        similarity._ivf_assign_oracle,
+        similarity._dim,
+        similarity._dot_cols_sql,
+        similarity._dot_lit_sql,
+        similarity._duck_cos4,
+        similarity._duck_dot,
+        similarity._duck_f,
+        similarity._duck_norm,
+    )
+    const(similarity, "EMB_DIM", "IVF_CENTROIDS")
+
+    # multimodal chunk-plan helpers shared with the streaming twin
+    fn(
+        multimodal.media_chunk_rollup,
+        multimodal.with_fake_payload,
+    )
+
+    return tuple(sorted(helpers.items()))
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def spec_source_hash(
+    spec: QuerySpec,
+    helper_sources: dict[str, str] | None = None,
+) -> str | None:
+    """Cached front door for :func:`_spec_source_hash_uncached` (the
+    closure walk costs ~10 ms per spec and ``all_queries`` hashes every
+    registered spec on each call — uncached, that is seconds per call
+    across the test suite). Source text is stable within a process, so
+    the cache is sound; the ``helper_sources`` test seam bypasses it.
+    """
+    if helper_sources is not None:
+        return _spec_source_hash_uncached(spec, helper_sources)
+    return _spec_source_hash_cached(spec)
+
+
+@functools.lru_cache(maxsize=4096)
+def _spec_source_hash_cached(spec: QuerySpec) -> str | None:
+    return _spec_source_hash_uncached(spec, None)
+
+
+def _spec_source_hash_uncached(
+    spec: QuerySpec,
+    helper_sources: dict[str, str] | None = None,
+) -> str | None:
+    """sha256[:12] over the builder's (dedented) source, the oracle SQL,
+    and the source of everything the builder transitively references:
+    declared answer-affecting helpers (see ``_answer_helper_sources``)
+    plus every function/class/constant defined in the builder's own
+    module that its closure reaches — so editing a module-level
+    implementation function (the thin-wrapper pattern) or a constant it
+    reads rotates the query even though the wrapper text is untouched.
 
     Used to detect "implementation changed since its green CORRECTNESS
     row": ``scripts/update_verified.py`` records the hash at regeneration
     time and ``all_queries`` rotates any mismatching query back into the
     driver's verification window. Hashing the oracle text too catches
-    SQL-side fixes whose builder is untouched. A heuristic, not a proof —
-    a builder that delegates to a helper whose body changed hashes the
-    same — so manual curation of ``VERIFIED_PRIOR_ROUNDS`` still applies
-    for deep rewrites.
+    SQL-side fixes whose builder is untouched. Helper matching is by
+    identifier token, so an aliased import (``import x as y``) inside a
+    builder escapes it — the repo convention is to import helpers under
+    their real names; manual curation of ``VERIFIED_PRIOR_ROUNDS``
+    (``update_verified.py --exclude``) still applies for rewrites the
+    token scan cannot see.
+
+    ``helper_sources`` overrides the declared helper table — test
+    seam for proving that mutating a helper rotates its consumers.
     """
+    import sys
+
     try:
         src = textwrap.dedent(inspect.getsource(spec.builder))
     except (OSError, TypeError):
         return None
+    helpers = (
+        dict(_answer_helper_sources())
+        if helper_sources is None
+        else helper_sources
+    )
+    # The builder's own defining module: most registered builders are
+    # thin wrappers over a module-level implementation function
+    # (``leakage_safe_split_query`` -> ``leakage_safe_split``), so the
+    # closure must reach same-module functions/classes/constants too —
+    # otherwise an impl-function edit never rotates its query.
+    mod_name = getattr(spec.builder, "__module__", None)
+    mod = sys.modules.get(mod_name) if mod_name else None
+    local = vars(mod) if mod is not None else {}
+
+    # Fixpoint: scan the builder source (and each folded FUNCTION
+    # source) for identifier tokens; fold every transitively reached
+    # declared helper and same-module definition. Constant reprs are
+    # folded but not re-scanned (values cannot reference code; their
+    # string contents would only produce spurious tokens).
+    matched: dict[str, str] = {}
+    seen_tokens: set[str] = set()
+    frontier = [src]
+    while frontier:
+        tokens: set[str] = set()
+        for t in frontier:
+            tokens.update(_IDENT.findall(t))
+        tokens -= seen_tokens
+        seen_tokens |= tokens
+        frontier = []
+        for name in tokens:
+            if name in matched or name.startswith("__"):
+                continue
+            if name in helpers:
+                matched[name] = helpers[name]
+                frontier.append(helpers[name])
+                continue
+            if name == "annotations" or name not in local:
+                continue
+            v = local[name]
+            if inspect.ismodule(v):
+                continue
+            if inspect.isfunction(v) or inspect.isclass(v):
+                if getattr(v, "__module__", None) != mod_name:
+                    continue  # imported from elsewhere (universal infra
+                    # like load_table stays out by design — see
+                    # _answer_helper_sources)
+                try:
+                    hsrc = textwrap.dedent(inspect.getsource(v))
+                except (OSError, TypeError):
+                    continue
+                matched[name] = hsrc
+                frontier.append(hsrc)
+            elif not callable(v):
+                matched[name] = _stable_repr(v)
     blob = src + "\x00" + (spec.oracle or "")
+    for name in sorted(matched):
+        blob += f"\x00helper:{name}\x00{matched[name]}"
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 

@@ -274,6 +274,74 @@ class TestVerificationRotation:
         changed = dataclasses.replace(spec, oracle=spec.oracle + " -- edited")
         assert spec_source_hash(spec) != spec_source_hash(changed)
 
+    def test_helper_mutation_rotates_consumers(self):
+        """VERDICT r13 #1: an edit to a declared answer-affecting shared
+        helper must change the pin of every query whose builder
+        (transitively) references it — and of NO query that doesn't."""
+        from ser_etl_spark.registry import (
+            _answer_helper_sources,
+            all_queries,
+            spec_source_hash,
+        )
+
+        qs = all_queries()
+        helpers = dict(_answer_helper_sources())
+        # the r13 verdict's minimum declared set is present
+        for name in (
+            "split_bucket", "quality_score", "fingerprint",
+            "dsum", "xxh64_long",
+        ):
+            assert name in helpers, f"undeclared answer helper: {name}"
+
+        base = {n: spec_source_hash(s) for n, s in qs.items()}
+        mutated = dict(helpers)
+        mutated["split_bucket"] += "\n# scratch-copy mutation"
+        changed = {
+            n
+            for n, s in qs.items()
+            if spec_source_hash(s, helper_sources=mutated) != base[n]
+        }
+        assert "dataset_split" in changed  # direct split consumer
+        assert "leakage_safe_split" in changed  # r13 consumer
+        assert "count_star" not in changed  # references no split helper
+        # targeted rotation, not a blanket one: the churn must fit the
+        # driver window semantics (only actual consumers move)
+        assert 0 < len(changed) < len(qs) // 2
+
+    def test_helper_fold_is_transitive(self):
+        """Builders never name `_FOLD` — they reach it only through
+        split_bucket/hash_u32 — yet mutating it must rotate the split
+        consumers (helper-of-helper closure)."""
+        from ser_etl_spark.registry import (
+            _answer_helper_sources,
+            all_queries,
+            spec_source_hash,
+        )
+
+        qs = all_queries()
+        helpers = dict(_answer_helper_sources())
+        spec = qs["dataset_split"]
+        import inspect
+        import textwrap
+
+        src = textwrap.dedent(inspect.getsource(spec.builder))
+        assert "_FOLD" not in src  # reached only transitively
+        mutated = dict(helpers)
+        mutated["_FOLD"] = "mutated-constant"
+        assert spec_source_hash(spec, helper_sources=mutated) != (
+            spec_source_hash(spec)
+        )
+
+    def test_helper_constant_repr_is_hashseed_stable(self):
+        """Set-typed helper constants must render sorted: a
+        PYTHONHASHSEED-dependent repr would rotate consumers spuriously
+        on every fresh interpreter."""
+        from ser_etl_spark.registry import _stable_repr
+
+        assert _stable_repr(frozenset({"b", "a"})) == "{'a', 'b'}"
+        assert _stable_repr({"k": {2, 1}}) == "{'k': {1, 2}}"
+        assert _stable_repr(("x", [1, 2])) == "('x', [1, 2])"
+
 
 # ---------------------------------------------------------------------------
 # r8c: the exact-analytics batch vs brute-force Python models
