@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: see operators/dedup.py).
 PARITY_ONLY = frozenset({"ngram_jaccard_pairs"})
 
+#: run one single-rep scan-calibration probe after this many timed query
+#: executions (VERDICT r13 #2: start/end-only calibration cannot see
+#: mid-run host-speed shifts; per-query normalization needs a probe
+#: near every query in TIME, not just at the run's edges).
+PROBE_EVERY = 25
+
 
 def _calibrate(spark) -> float:
     """Fixed synthetic workload (data-independent, plan-stable): a
@@ -48,26 +54,31 @@ def _calibrate(spark) -> float:
     return round(best, 3)
 
 
-def _calibrate_scan(spark, sf_dir: str) -> float:
-    """Second yardstick: a fixed parquet-scan + shuffle workload over the
-    benchmark's own data. The round-5 run showed the two yardsticks can
-    DIVERGE — the pure-JVM calibration came out 1.6x FASTER than round 4
-    while carried, untouched queries ran a uniform ~1.2x SLOWER (host
-    IO/steal drift the compute yardstick cannot see). Read cross-round
-    deltas against whichever yardstick matches the query's bottleneck."""
+def _scan_workload(spark, sf_dir: str) -> float:
+    """ONE rep of the scan yardstick workload (fixed parquet scan +
+    shuffle over the benchmark's own data); seconds. The single
+    definition — `_calibrate_scan`, the interleaved probes below, and
+    scripts/tier_budget.py all run exactly this."""
     from ser_etl_spark.sources.parquet import load_table
 
-    best = float("inf")
-    for _ in range(2):
-        start = time.time()
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .groupBy("l_suppkey")
-            .agg({"l_extendedprice": "sum", "l_quantity": "avg"})
-            .collect()
-        )
-        best = min(best, time.time() - start)
-    return round(best, 3)
+    start = time.time()
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg({"l_extendedprice": "sum", "l_quantity": "avg"})
+        .collect()
+    )
+    return time.time() - start
+
+
+def _calibrate_scan(spark, sf_dir: str) -> float:
+    """Second yardstick: best-of-2 of `_scan_workload`. The round-5 run
+    showed the two yardsticks can DIVERGE — the pure-JVM calibration
+    came out 1.6x FASTER than round 4 while carried, untouched queries
+    ran a uniform ~1.2x SLOWER (host IO/steal drift the compute
+    yardstick cannot see). Read cross-round deltas against whichever
+    yardstick matches the query's bottleneck."""
+    return round(min(_scan_workload(spark, sf_dir) for _ in range(2)), 3)
 
 
 def _isolate(spark) -> None:
@@ -127,7 +138,19 @@ def main() -> None:
     # change was the tie-safe fround conversion): min-of-5 at sf0.1 =
     # 1.261s with a 10.6s cold first run — in band with r9; the r10
     # reading was host noise, per the VERDICT r10 #6 expectation.
+    # r14 (VERDICT r13 #2): start/end-only calibration cannot see
+    # MID-RUN host-speed shifts (r13 measured a ~1.7x yardstick move
+    # against a flat 1.04x carried-query median — unreadable either
+    # way). Interleave a single-rep scan probe every PROBE_EVERY query
+    # executions and normalize each query by the probe NEAREST IN TIME
+    # to the run its min came from; cross-round comparison then happens
+    # in per-query units (scripts/bench_compare.py), robust to drift at
+    # any point of the run. ~22 probes x ~0.4 s ≈ 9 s of overhead.
+    t_run0 = time.time()
+    probes: list[dict] = [{"t": 0.0, "scan_s": scan_calibration_s}]
     timings: dict[str, float] = {}
+    best_at: dict[str, float] = {}
+    ran = 0
     for _pass in range(2):
         for entries in by_module.values():
             _isolate(spark)
@@ -137,6 +160,15 @@ def main() -> None:
                 elapsed = round(time.time() - start, 3)
                 if name not in timings or elapsed < timings[name]:
                     timings[name] = elapsed
+                    best_at[name] = time.time() - t_run0
+                ran += 1
+                if ran % PROBE_EVERY == 0:
+                    probes.append(
+                        {
+                            "t": round(time.time() - t_run0, 1),
+                            "scan_s": round(_scan_workload(spark, sf_dir), 3),
+                        }
+                    )
 
     _isolate(spark)
     etl_cycle_s = _bench_etl_cycle(spark, sf_dir)
@@ -145,6 +177,20 @@ def main() -> None:
     # windows) — per-query numbers from such a run are suspect even
     # against their own start-of-run calibration.
     scan_calibration_end_s = _calibrate_scan(spark, sf_dir)
+    probes.append(
+        {"t": round(time.time() - t_run0, 1), "scan_s": scan_calibration_end_s}
+    )
+
+    # Per-query normalized units: seconds / nearest-in-time probe value.
+    # A unit is "how many scan-yardstick workloads this query costs on
+    # the host AS IT WAS at that moment" — host drift mid-run divides
+    # out per query instead of by one global start-of-run factor.
+    def _nearest_probe(t: float) -> float:
+        return min(probes, key=lambda p: abs(p["t"] - t))["scan_s"]
+
+    query_units = {
+        n: round(timings[n] / _nearest_probe(best_at[n]), 3) for n in timings
+    }
 
     sf_raw = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -155,6 +201,8 @@ def main() -> None:
 
     detail = {
         "queries": timings,
+        "query_units": query_units,
+        "calibration_probes": probes,
         "sf": sf,
         "parity_only_queries": sorted(PARITY_ONLY),
         "calibration_seconds": calibration_s,
@@ -196,7 +244,13 @@ def main() -> None:
                 "calibration_seconds": calibration_s,
                 "scan_calibration_seconds": scan_calibration_s,
                 "scan_calibration_end_seconds": scan_calibration_end_s,
-                "primary_yardstick": "scan_calibration_seconds",
+                # r14: per-query units (seconds / nearest interleaved
+                # probe) are the cross-round comparison currency —
+                # scripts/bench_compare.py reads query_units from
+                # BENCH_DETAIL.json when both rounds carry them.
+                "n_calibration_probes": len(probes),
+                "total_query_units": round(sum(query_units.values()), 1),
+                "primary_yardstick": "query_units",
                 "queries_file": "BENCH_DETAIL.json",
             }
         )

@@ -40,14 +40,29 @@ def main() -> None:
     args = ap.parse_args()
     old, new = load(args.old), load(args.new)
 
+    # r14 (VERDICT r13 #2): when BOTH sides carry per-query units
+    # (seconds / nearest interleaved calibration probe — bench.py's
+    # query_units), compare in units directly; a single global drift
+    # factor cannot represent a host whose speed shifted MID-run.
+    ou, nu = old.get("query_units"), new.get("query_units")
+    per_query_units = bool(ou) and bool(nu)
+
     yard = "scan_calibration_seconds"
     if yard not in old or yard not in new:
         yard = "calibration_seconds"
     drift = new.get(yard, 1.0) / old.get(yard, 1.0)
-    print(
-        f"yardstick: {yard}  old={old.get(yard)}  new={new.get(yard)}  "
-        f"host drift x{drift:.3f} (normalizing by this)"
-    )
+    if per_query_units:
+        print(
+            "comparing in per-query normalized units (interleaved "
+            f"probes: old={len(old.get('calibration_probes', []))} "
+            f"new={len(new.get('calibration_probes', []))}); start-of-run "
+            f"{yard} drift x{drift:.3f} shown for reference only"
+        )
+    else:
+        print(
+            f"yardstick: {yard}  old={old.get(yard)}  new={new.get(yard)}  "
+            f"host drift x{drift:.3f} (normalizing by this)"
+        )
 
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
@@ -57,8 +72,22 @@ def main() -> None:
     tot_n = sum(nq[n] for n in shared)
     print(
         f"shared {len(shared)} queries: {tot_o:.1f}s -> {tot_n:.1f}s raw "
-        f"(x{tot_n / tot_o:.3f} raw, x{tot_n / tot_o / drift:.3f} normalized)"
+        f"(x{tot_n / tot_o:.3f} raw, x{tot_n / tot_o / drift:.3f} "
+        "start-drift-normalized)"
     )
+    if per_query_units:
+        ut_o = sum(ou[n] for n in shared if n in ou)
+        ut_n = sum(nu[n] for n in shared if n in nu)
+        ratios = sorted(
+            nu[n] / ou[n]
+            for n in shared
+            if n in ou and n in nu and ou[n] > 0
+        )
+        med = ratios[len(ratios) // 2] if ratios else float("nan")
+        print(
+            f"shared units: {ut_o:.1f} -> {ut_n:.1f} "
+            f"(x{ut_n / ut_o:.3f} total, x{med:.3f} median per-query)"
+        )
     if added:
         print(f"added ({len(added)}): "
               + ", ".join(f"{n}={nq[n]}" for n in added))
@@ -69,7 +98,10 @@ def main() -> None:
     for n in shared:
         if oq[n] <= 0:
             continue
-        norm = nq[n] / oq[n] / drift
+        if per_query_units and n in ou and n in nu and ou[n] > 0:
+            norm = nu[n] / ou[n]
+        else:
+            norm = nq[n] / oq[n] / drift
         if norm >= args.band or norm <= 1 / args.band:
             flagged.append((norm, n))
     for norm, n in sorted(flagged, reverse=True):
