@@ -61,6 +61,8 @@ OFF_PLAN: dict[str, tuple[str, str]] = {
     "quality_quantile_normalize": (
         "ser_etl_spark.operators.curation", "quantile_rank"
     ),
+    # r14: one adjacent-pair top-1 collect per BPE merge iteration
+    "bpe_merge_step": ("ser_etl_spark.operators.text", "bpe_pairs"),
 }
 
 
@@ -78,6 +80,7 @@ COUNTER_MODULES: tuple[str, ...] = (
     "ser_etl_spark.operators.retrieval",
     "ser_etl_spark.operators.sampling",
     "ser_etl_spark.operators.similarity",
+    "ser_etl_spark.operators.text",
 )
 
 

@@ -3216,3 +3216,120 @@ def segment_dedup_profile_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return segment_dedup_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cluster source purity (r14)
+# ---------------------------------------------------------------------------
+
+
+def cluster_source_purity(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate clusters banded by size and split by source
+    purity: how much of the dup mass is same-source re-crawl (pure —
+    usually dropped wholesale) vs cross-source syndication (mixed —
+    the canonical-choice policy matters there, and it is also the
+    template-leakage signal the split audits care about).
+
+    Per normalized-fingerprint cluster: doc count and distinct-source
+    count, reduced FIRST to (fp, source) counts (map-side partials;
+    the shuffle carries one row per (cluster, source), never per doc),
+    then one row per cluster, then a |bands|x2-row rollup. Size bands
+    are powers-of-two-ish (1, 2-3, 4-7, 8+) — fixed labels so the
+    output schema is scale-independent.
+
+    The fingerprint is ``text.fingerprint``'s normalized-md5 expression
+    INLINED (one scan, stateless projection) — joining the fingerprint
+    back by doc_id would be a corpus-sized sort-merge join for a
+    column derivable in place.
+    """
+    fp_expr = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    )
+    pairs = (
+        docs.select("source", fp_expr.alias("fp"))
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_fp = pairs.groupBy("fp").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    band = (
+        F.when(F.col("n_docs") == 1, "1")
+        .when(F.col("n_docs") <= 3, "2-3")
+        .when(F.col("n_docs") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return (
+        per_fp.select(
+            band.alias("size_band"),
+            "n_docs",
+            (F.col("n_sources") == 1).cast("int").alias("pure"),
+        )
+        .groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("pure"), F.lit(0))
+            .cast("bigint")
+            .alias("pure_clusters"),
+        )
+        .select(
+            "size_band",
+            "n_clusters",
+            "n_docs",
+            "pure_clusters",
+            (F.col("n_clusters") - F.col("pure_clusters"))
+            .cast("bigint")
+            .alias("mixed_clusters"),
+            F.expr("(10000 * (n_clusters - pure_clusters)) div n_clusters")
+            .cast("bigint")
+            .alias("mixed_bp"),
+        )
+        .orderBy("size_band")
+    )
+
+
+@register(
+    "cluster_source_purity",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fp
+      FROM documents
+    ), pairs AS (
+      SELECT fp, source, COUNT(*) AS cnt FROM fp GROUP BY 1, 2
+    ), per_fp AS (
+      SELECT fp, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM pairs GROUP BY fp
+    ), banded AS (
+      SELECT CASE WHEN n_docs = 1 THEN '1'
+                  WHEN n_docs <= 3 THEN '2-3'
+                  WHEN n_docs <= 7 THEN '4-7'
+                  ELSE '8+' END AS size_band,
+             n_docs,
+             CASE WHEN n_sources = 1 THEN 1 ELSE 0 END AS pure
+      FROM per_fp
+    )
+    SELECT size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(pure), 0) AS BIGINT) AS pure_clusters,
+           CAST(COUNT(*) - COALESCE(SUM(pure), 0) AS BIGINT)
+             AS mixed_clusters,
+           CAST((10000 * (COUNT(*) - COALESCE(SUM(pure), 0))) // COUNT(*)
+             AS BIGINT) AS mixed_bp
+    FROM banded GROUP BY size_band ORDER BY size_band
+    """,
+    description="dup-cluster size-band x source-purity rollup (same-"
+    "source re-crawl vs cross-source syndication): (fp, source) "
+    "reduction -> per-cluster row -> fixed-band rollup; shuffle "
+    "carries one row per (cluster, source), never per doc",
+    covers=("N-dedup",),
+)
+def cluster_source_purity_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cluster_source_purity(load_table(spark, sf_dir, "documents"))

@@ -400,3 +400,117 @@ def _pack_efficiency_oracle() -> str:
 )
 def pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_efficiency(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# shard skew audit (r14)
+# ---------------------------------------------------------------------------
+
+
+def _shard_assigned_sql() -> str:
+    """The manifest's CTE prefix (base -> totals -> offsets ->
+    assigned), shared by the shard_manifest oracle's shape and the skew
+    audit so the policy exists in one place SQL-side too."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(n_chars, 0) AS chars,
+             {_floordiv_sql('doc_id', _SHARD_BUCKET_W)} AS bucket
+      FROM documents WHERE doc_id IS NOT NULL
+    ), totals AS (
+      SELECT bucket, SUM(chars) AS bucket_chars FROM base GROUP BY 1
+    ), offsets AS (
+      SELECT bucket,
+             COALESCE(SUM(bucket_chars) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+      FROM totals
+    ), assigned AS (
+      SELECT b.doc_id, b.chars,
+             o.bucket_offset + COALESCE(SUM(b.chars) OVER (
+               PARTITION BY b.bucket ORDER BY b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM base b JOIN offsets o USING (bucket)
+    ), shards AS (
+      SELECT CAST(start_off // {_SHARD_CHARS} AS BIGINT) AS shard_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(chars) AS BIGINT) AS shard_chars
+      FROM assigned GROUP BY 1
+    )"""
+
+
+def shard_skew_audit(docs: DataFrame) -> DataFrame:
+    """One-row balance readout over :func:`shard_manifest`'s cuts: the
+    number the shard writer checks before committing a layout — with
+    byte-balanced cuts the imbalance should be bounded by one document
+    (a doc straddling a boundary belongs to its START shard), so a
+    large value means the cut policy or the doc-size distribution needs
+    attention (pathological giant docs).
+
+    ``imbalance_bp`` is integer ``10000 * (max - min) / max`` over
+    FULL shards' char payloads; the LAST shard is excluded from min
+    (it is legitimately short — the corpus tail), unless it is the
+    only one. Derived from the manifest lineage (same two-level exact
+    prefix sum), one extra tiny aggregate over |shards| rows.
+    """
+    m = shard_manifest(docs)
+    last = m.agg(F.max("shard_id").alias("_last"))
+    full = m.join(F.broadcast(last), F.col("shard_id") != F.col("_last"))
+    # all-shards row stats come from m; min over full shards only
+    stats = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.coalesce(F.sum("shard_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.coalesce(F.max("shard_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("max_chars"),
+    )
+    fmin = full.agg(
+        F.min("shard_chars").cast("bigint").alias("min_full_chars")
+    )
+    return stats.crossJoin(F.broadcast(fmin)).select(
+        "n_shards",
+        "total_chars",
+        "max_chars",
+        F.coalesce(F.col("min_full_chars"), F.col("max_chars"))
+        .cast("bigint")
+        .alias("min_full_chars"),
+        F.expr(
+            "coalesce((10000 * (max_chars - coalesce(min_full_chars, "
+            "max_chars))) div nullif(max_chars, 0), 0)"
+        )
+        .cast("bigint")
+        .alias("imbalance_bp"),
+    )
+
+
+@register(
+    "shard_skew_audit",
+    oracle=f"""{_shard_assigned_sql()}
+    , stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+             CAST(COALESCE(SUM(shard_chars), 0) AS BIGINT) AS total_chars,
+             CAST(COALESCE(MAX(shard_chars), 0) AS BIGINT) AS max_chars
+      FROM shards
+    ), fmin AS (
+      SELECT CAST(MIN(shard_chars) AS BIGINT) AS min_full_chars
+      FROM shards WHERE shard_id <> (SELECT MAX(shard_id) FROM shards)
+    )
+    SELECT n_shards, total_chars, max_chars,
+           CAST(COALESCE(min_full_chars, max_chars) AS BIGINT)
+             AS min_full_chars,
+           CAST(COALESCE((10000 * (max_chars
+                  - COALESCE(min_full_chars, max_chars)))
+                // NULLIF(max_chars, 0), 0) AS BIGINT) AS imbalance_bp
+    FROM stats CROSS JOIN fmin
+    """,
+    description="shard-balance readout over the byte-balanced manifest "
+    "cuts: shard count, payload totals, and max-vs-min-full-shard "
+    "imbalance in bp (last shard excluded from min — the corpus tail "
+    "is legitimately short); one tiny aggregate over the manifest",
+    covers=("X-split", "X-window"),
+)
+def shard_skew_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_skew_audit(load_table(spark, sf_dir, "documents"))

@@ -1085,3 +1085,100 @@ def split_mixture_audit_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return split_mixture_audit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# split language-balance audit (r14)
+# ---------------------------------------------------------------------------
+
+
+def split_lang_balance_audit(docs: DataFrame) -> DataFrame:
+    """Is each split LANGUAGE-representative of the corpus? Per
+    (split, lang): the language's share inside the split vs its share
+    of the whole corpus, both in integer basis points, and the signed
+    deviation — the per-language companion of the per-source
+    :func:`split_mixture_audit` (a split whose language mixture drifts
+    from the corpus biases every per-language eval run on it).
+
+    One corpus scan into a |splits|x|langs| aggregate; the three
+    marginals (split total, language total, grand total) are windows
+    over that TINY table, so nothing corpus-sized moves twice. Shares
+    are integer ``(10000 * n) div total`` — engine-exact, no doubles.
+    """
+    from pyspark.sql import Window
+
+    split_expr = F.lit(None).cast("string")
+    bucket = split_bucket("doc_id")
+    for name, lo, hi in reversed(DEFAULT_SPLITS):
+        split_expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(
+            split_expr
+        )
+    cell = (
+        docs.select(split_expr.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    ws = Window.partitionBy("split")
+    wl = Window.partitionBy("lang")
+    wg = Window.partitionBy()
+    return (
+        cell.withColumn("split_total", F.sum("n_docs").over(ws))
+        .withColumn("lang_total", F.sum("n_docs").over(wl))
+        .withColumn("grand_total", F.sum("n_docs").over(wg))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.expr("(10000 * n_docs) div split_total")
+            .cast("bigint")
+            .alias("split_share_bp"),
+            F.expr("(10000 * lang_total) div grand_total")
+            .cast("bigint")
+            .alias("corpus_share_bp"),
+            F.expr(
+                "(10000 * n_docs) div split_total "
+                "- (10000 * lang_total) div grand_total"
+            )
+            .cast("bigint")
+            .alias("deviation_bp"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "split_lang_balance_audit",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CASE WHEN {sql_split_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {sql_split_bucket('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT split, lang, n_docs,
+             SUM(n_docs) OVER (PARTITION BY split) AS split_total,
+             SUM(n_docs) OVER (PARTITION BY lang) AS lang_total,
+             SUM(n_docs) OVER () AS grand_total
+      FROM cell
+    )
+    SELECT split, lang, n_docs,
+           CAST((10000 * n_docs) // split_total AS BIGINT)
+             AS split_share_bp,
+           CAST((10000 * lang_total) // grand_total AS BIGINT)
+             AS corpus_share_bp,
+           CAST((10000 * n_docs) // split_total
+                - (10000 * lang_total) // grand_total AS BIGINT)
+             AS deviation_bp
+    FROM m ORDER BY split, lang
+    """,
+    description="per-(split, lang) representativeness: in-split share "
+    "vs corpus share in bp + signed deviation — one scan into a "
+    "|splits|x|langs| cell table, marginals as windows over that tiny "
+    "table, all-integer shares",
+    covers=("X-sample", "N-curation"),
+)
+def split_lang_balance_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return split_lang_balance_audit(load_table(spark, sf_dir, "documents"))

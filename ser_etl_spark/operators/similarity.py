@@ -5704,3 +5704,197 @@ def _recall_vs_k_oracle(
 )
 def ann_recall_vs_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_vs_k(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# IVF probe cost profile (r14) — the COST axis of the nprobe tuning pair
+# ---------------------------------------------------------------------------
+
+
+def ivf_probe_cost_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_anchors: int = SWEEP_ANCHORS,
+    depths: tuple[int, ...] = PROBE_DEPTH_LADDER,
+    num_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Candidates TOUCHED per probe depth under the trained quantizer —
+    the cost curve next to :func:`ann_probe_depth_sweep`'s recall
+    curve (together they ARE the nprobe knob: recall bought vs
+    candidates paid). Per depth: total candidate vectors the anchors'
+    depth-bounded probe sets cover, the per-anchor average, and the
+    scanned share of the assigned corpus in basis points.
+
+    ONE corpus scan: the E-step assignment reduces to K list sizes
+    (map-side partials); the anchor->centroid probe ranks are the
+    driver's O(K)-per-anchor preference order (``_ivf_probe_ids``,
+    bit-exact twin of the oracle's ROW_NUMBER) shipped as an A x K
+    literal frame and broadcast onto the sizes. The whole depth ladder
+    is conditional sums over that A x K table — adding a depth adds a
+    column, never a scan. Degenerate rows (NULL/zero-norm embeddings)
+    sit in no list and are excluded from both the sizes and the
+    denominator, like the oracle's NULL-cid filter.
+    """
+    anchors = [
+        (a_id, vec)
+        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
+        if vec is not None
+    ]
+    schema = (
+        "nprobe bigint, n_anchors bigint, total_candidates bigint, "
+        "avg_candidates bigint, scanned_bp bigint"
+    )
+    if not anchors:
+        return spark.createDataFrame([], schema)
+    cents = _trained_cents(spark, sf_dir, num_centroids)
+    rank_rows = [
+        (a_id, cid, r)
+        for a_id, q in anchors
+        for r, cid in enumerate(_ivf_probe_ids(q, cents, len(cents)), 1)
+    ]
+    ranks = spark.createDataFrame(
+        rank_rows, "a_id bigint, cid int, probe_rank int"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(anchors[0][1])
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    p0 = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
+    )
+    sizes = (
+        _with_nearest_centroid(p0, "embedding", "_nv", cents, "_cid")
+        .filter(F.col("_cid").isNotNull())
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    joined = ranks.join(
+        F.broadcast(sizes), ranks["cid"] == sizes["_cid"], "left"
+    ).select(
+        "a_id",
+        "probe_rank",
+        F.coalesce(F.col("sz"), F.lit(0)).alias("sz"),
+    )
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("probe_rank") == 1, F.col("sz"))),
+                   F.lit(0)).cast("bigint").alias("_assigned_probe")
+    ]
+    for d in depths:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("probe_rank") <= d, F.col("sz"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"c{d}")
+        )
+    total_assigned = sizes.agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_assigned")
+    )
+    n_a = len(anchors)
+    stack = ", ".join(
+        f"{d}L, c{d}, c{d} div {n_a}L, "
+        f"coalesce((10000 * c{d}) div nullif({n_a}L * n_assigned, 0), 0)"
+        for d in depths
+    )
+    return (
+        joined.agg(*aggs)
+        .crossJoin(F.broadcast(total_assigned))
+        .selectExpr(
+            f"stack({len(depths)}, {stack}) "
+            "AS (nprobe, total_candidates, avg_candidates, scanned_bp)"
+        )
+        .select(
+            "nprobe",
+            F.lit(n_a).cast("bigint").alias("n_anchors"),
+            "total_candidates",
+            "avg_candidates",
+            F.col("scanned_bp").cast("bigint"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _probe_cost_oracle(
+    n_anchors: int = SWEEP_ANCHORS,
+    depths: tuple[int, ...] = PROBE_DEPTH_LADDER,
+    num_centroids: int = IVF_CENTROIDS,
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin: trained chain, per-anchor probe rank (the sweep
+    oracle's prk CTE), NULL-safe assignment sizes, conditional sums
+    over the A x K (rank, size) table."""
+    dim = EMB_DIM if dim is None else dim
+    probe_cos = (
+        f"{_duck_dot('c.cv', 'q.qv', dim)} / nullif({_duck_norm('c.cv', dim)}"
+        f" * {_duck_norm('q.qv', dim)}, 0.0)"
+    )
+    csums = ",\n           ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN probe_rank <= {d} THEN sz END), 0) "
+        f"AS BIGINT) AS c{d}"
+        for d in depths
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({d} AS BIGINT) AS nprobe,
+           (SELECT COUNT(*) FROM q) AS n_anchors,
+           c{d} AS total_candidates,
+           CAST(c{d} // (SELECT COUNT(*) FROM q) AS BIGINT)
+             AS avg_candidates,
+           CAST(COALESCE((10000 * c{d}) // NULLIF(
+             (SELECT COUNT(*) FROM q) * (SELECT n_assigned FROM tot), 0),
+             0) AS BIGINT) AS scanned_bp
+    FROM agg WHERE EXISTS (SELECT 1 FROM q)"""
+        for d in depths
+    )
+    return f"""
+    WITH {_trained_c_cte(num_centroids=num_centroids, dim=dim)},
+    q AS (
+      SELECT vec_id AS a_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_anchors} AND embedding IS NOT NULL
+    ), prk AS (
+      SELECT q.a_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.a_id
+                                ORDER BY {probe_cos} DESC, c.cid ASC)
+               AS probe_rank
+      FROM c CROSS JOIN q
+    ), assign AS (
+      SELECT vec_id, CASE WHEN cs IS NULL THEN NULL ELSE cid END AS cid
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos4("e.embedding", "c.cv", dim)} AS cs
+        FROM embeddings e CROSS JOIN c
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid ASC) = 1
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM assign WHERE cid IS NOT NULL GROUP BY cid
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_assigned FROM sizes
+    ), j AS (
+      SELECT p.a_id, p.probe_rank, COALESCE(s.sz, 0) AS sz
+      FROM prk p LEFT JOIN sizes s ON s.cid = p.cid
+    ), agg AS (
+      SELECT {csums}
+      FROM j
+    )
+{rows}
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "ivf_probe_cost_profile",
+    oracle=_probe_cost_oracle(),
+    description="candidates touched per probe depth under the trained "
+    "quantizer (total / per-anchor avg / scanned share in bp) — the "
+    "cost axis paired with ann_probe_depth_sweep's recall axis; one "
+    "E-step scan reduced to K list sizes, depth ladder as conditional "
+    "sums over the A x K rank table",
+    covers=("N-sim",),
+)
+def ivf_probe_cost_profile_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return ivf_probe_cost_profile(spark, sf_dir)

@@ -3218,3 +3218,526 @@ def _pii_by_split_oracle() -> str:
 )
 def pii_by_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_by_split(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (r14, VERDICT r13 #7) — the tokenizer-induction step
+# ---------------------------------------------------------------------------
+
+#: build-time driver passes (one pair-count collect per BPE iteration);
+#: pinned by the scan-budget gate's all-counter snapshot.
+DRIVER_PASSES = {"bpe_pairs": 0}
+
+#: merge iterations for the registered readout. Each is one vocab-sized
+#: grouped aggregate + a top-1 collect — the kmeans_train pattern.
+BPE_ITERS = 3
+
+
+def _bpe_rep0_expr() -> str:
+    """SQL expr: word -> space-joined character symbols ('hello' ->
+    'h e l l o'). transform(sequence(...)) rather than split(word, '')
+    so the expression shape has no empty-regex edge semantics."""
+    return (
+        "concat_ws(' ', transform(sequence(1, length(word)), "
+        "i -> substr(word, i, 1)))"
+    )
+
+
+def _bpe_fold_expr(prev: str, a: str, b: str) -> str:
+    """SQL expr: greedy left-to-right merge of adjacent symbol pair
+    (a, b) in the space-joined representation ``prev``.
+
+    The fold carries the partially merged string; a symbol x merges
+    when the accumulator's LAST complete token equals ``a`` (exactly,
+    or preceded by a space) and x equals ``b``. Greedy non-overlap is
+    free: after a merge the last token is ``ab`` != ``a``, so 'a a a'
+    under pair (a, a) yields 'aa a' — the classic BPE scan order.
+    Pair literals are [a-z]+ only (the word filter), so inlining is
+    injection-safe.
+    """
+    la = len(a)
+    return (
+        f"aggregate(split({prev}, ' '), '', (acc, x) -> "
+        f"CASE WHEN acc = '' THEN x "
+        f"WHEN (acc = '{a}' OR right(acc, {la + 1}) = ' {a}') "
+        f"AND x = '{b}' "
+        f"THEN CASE WHEN acc = '{a}' THEN '{a}{b}' "
+        f"ELSE substr(acc, 1, length(acc) - {la}) || '{a}{b}' END "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def bpe_word_counts(docs: DataFrame) -> DataFrame:
+    """(word, cnt) over lowercase alphabetic whitespace tokens — the
+    vocab-sized table every BPE iteration rides (the classic trainer
+    never re-touches the corpus after this aggregate)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
+    """``iters`` iterations of the classic BPE pair-merge trainer, one
+    readout row per iteration: the merged pair, its weighted adjacent-
+    pair count, and the corpus symbol totals before/after the merge.
+
+    Shape per iteration (the ``kmeans_train_readout`` pattern —
+    bounded driver loop, distributed everything):
+    - adjacent-pair counts over the CURRENT symbolization of the
+      (word, cnt) vocab table — explode of an index sequence, grouped
+      aggregate with map-side partials, weighted by word count;
+    - top-1 merge pair via weight-DESC limit 1 (TakeOrdered, ties
+      broken lexicographically so the answer is engine-exact);
+    - O(1) driver state: ONE collected row per iteration
+      (``DRIVER_PASSES['bpe_pairs']``);
+    - the next symbolization is an array-local fold expression
+      (:func:`_bpe_fold_expr`) composed onto the vocab lineage — no
+      shuffle, no UDF, stays in codegen.
+
+    Scale: the corpus is touched once per iteration lineage for the
+    word-count aggregate (vocab-sized shuffle); every merge operates on
+    the vocab table, never the corpus — the reason BPE trainers run on
+    word-count tables. Early-stops when no adjacent pair remains (the
+    oracle's per-iteration CTE chain goes empty at the same point).
+    """
+    words = bpe_word_counts(docs)
+    rep = _bpe_rep0_expr()
+    out: DataFrame | None = None
+    for it in range(1, iters + 1):
+        s = f"split({rep}, ' ')"
+        pairs = (
+            words.select(
+                "cnt",
+                F.expr(s).alias("_s"),
+            )
+            .filter(F.size("_s") >= 2)
+            .select(
+                "cnt",
+                "_s",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("_s") - 1)
+                ).alias("_j"),
+            )
+            .select(
+                F.element_at("_s", F.col("_j")).alias("pair_a"),
+                F.element_at("_s", F.col("_j") + 1).alias("pair_b"),
+                "cnt",
+            )
+            .groupBy("pair_a", "pair_b")
+            .agg(F.sum("cnt").cast("bigint").alias("weight"))
+            .orderBy(F.desc("weight"), "pair_a", "pair_b")
+            .limit(1)
+        )
+        DRIVER_PASSES["bpe_pairs"] += 1
+        top = pairs.collect()
+        if not top:
+            break
+        a, b, weight = top[0]["pair_a"], top[0]["pair_b"], top[0]["weight"]
+        rep_next = _bpe_fold_expr(rep, a, b)
+        row = words.agg(
+            F.coalesce(
+                F.sum(F.col("cnt") * F.expr(f"size(split({rep}, ' '))")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("symbols_before"),
+            F.coalesce(
+                F.sum(F.col("cnt") * F.expr(f"size(split({rep_next}, ' '))")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("symbols_after"),
+        ).select(
+            F.lit(it).alias("iteration"),
+            F.lit(a).alias("pair_a"),
+            F.lit(b).alias("pair_b"),
+            F.lit(int(weight)).cast("bigint").alias("merge_weight"),
+            "symbols_before",
+            "symbols_after",
+        )
+        out = row if out is None else out.unionAll(row)
+        rep = rep_next
+    if out is None:  # empty vocab: 0 rows, stable schema
+        return docs.sparkSession.createDataFrame(
+            [],
+            "iteration int, pair_a string, pair_b string, "
+            "merge_weight bigint, symbols_before bigint, "
+            "symbols_after bigint",
+        )
+    return out.orderBy("iteration")
+
+
+def _bpe_oracle(iters: int = BPE_ITERS) -> str:
+    toks = "string_split_regex(trim(lower(text)), ' +')"
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({toks}) AS word FROM documents)
+      WHERE regexp_full_match(word, '[a-z]+')
+      GROUP BY word
+    ), r0 AS (
+      SELECT cnt,
+             array_to_string(string_split_regex(word, ''), ' ') AS rep
+      FROM w
+    )"""
+    ]
+    selects = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , p{i} AS (
+      SELECT s[j] AS a, s[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS weight
+      FROM (SELECT cnt, s, unnest(generate_series(1, len(s)-1)) AS j
+            FROM (SELECT cnt, string_split(rep, ' ') AS s FROM r{i - 1})
+            WHERE len(s) >= 2)
+      GROUP BY 1, 2
+    ), t{i} AS (
+      SELECT a, b, weight FROM p{i} ORDER BY weight DESC, a, b LIMIT 1
+    ), r{i} AS (
+      SELECT r.cnt,
+             list_reduce(string_split(r.rep, ' '), (acc, x) ->
+               CASE WHEN (acc = t.a
+                          OR right(acc, length(t.a) + 1) = ' ' || t.a)
+                         AND x = t.b
+                    THEN CASE WHEN acc = t.a THEN t.a || t.b
+                         ELSE substr(acc, 1, length(acc) - length(t.a))
+                              || t.a || t.b END
+                    ELSE acc || ' ' || x END) AS rep
+      FROM r{i - 1} r CROSS JOIN t{i} t
+    )""")
+        selects.append(f"""
+    SELECT {i} AS iteration, t.a AS pair_a, t.b AS pair_b,
+           t.weight AS merge_weight,
+           (SELECT CAST(COALESCE(SUM(cnt * len(string_split(rep, ' '))), 0)
+                   AS BIGINT) FROM r{i - 1}) AS symbols_before,
+           (SELECT CAST(COALESCE(SUM(cnt * len(string_split(rep, ' '))), 0)
+                   AS BIGINT) FROM r{i}) AS symbols_after
+    FROM t{i} t""")
+    return (
+        "".join(parts)
+        + "\n    UNION ALL".join(selects)
+        + "\n    ORDER BY iteration"
+    )
+
+
+@register(
+    "bpe_merge_step",
+    oracle=_bpe_oracle(),
+    description=f"{BPE_ITERS} iterations of the classic BPE pair-merge "
+    "trainer over the (word, cnt) vocab table: weighted adjacent-pair "
+    "counts -> deterministic top merge -> array-local re-symbolization; "
+    "one vocab aggregate + one O(1) collect per iteration "
+    "(kmeans_train pattern)",
+    covers=("N-text",),
+)
+def bpe_merge_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_steps(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language (r14)
+# ---------------------------------------------------------------------------
+
+
+def token_fertility_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word and characters per token — the numbers a tokenizer review
+    publishes per language (high fertility = the vocab under-serves
+    that language, inflating sequence lengths and training cost).
+
+    One corpus scan into a |langs|-row aggregate with map-side
+    partials; all counts exact BIGINT, each ratio ONE double division
+    of exact integers (IEEE-identical cross-engine), NULL when the
+    denominator is zero on both engines via nullif.
+    """
+    text = F.col("text")
+    ws = F.size(F.split(F.trim(text), " +")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast(
+        "bigint"
+    )
+    chars = F.length(text).cast("bigint")
+    agg = docs.select(
+        "lang", ws.alias("_ws"), bpe.alias("_bpe"), chars.alias("_chars")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("_chars").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (
+            F.col("bpe_tokens").cast("double")
+            / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0))
+        ).alias("fertility"),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif(F.col("bpe_tokens").cast("double"), F.lit(0.0))
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+@register(
+    "token_fertility_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS ws,
+             CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+               AS BIGINT) AS bpe,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) AS DOUBLE)
+             / NULLIF(CAST(SUM(ws) AS DOUBLE), 0.0) AS fertility,
+           CAST(SUM(chars) AS DOUBLE)
+             / NULLIF(CAST(SUM(bpe) AS DOUBLE), 0.0) AS chars_per_token
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    description="per-language tokenizer fertility (BPE-ish tokens per "
+    "whitespace word, chars per token) — one scan, |langs|-row "
+    "aggregate, exact-int sums with one double division per ratio",
+    covers=("N-text",),
+)
+def token_fertility_by_lang_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return token_fertility_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction impact (r14)
+# ---------------------------------------------------------------------------
+
+
+def pii_redaction_impact(docs: DataFrame) -> DataFrame:
+    """Per-source accounting of what redaction would REMOVE: matched
+    span characters per detector and the total removed share in basis
+    points — the cost side of the `pii_scan` exposure readout (how much
+    text the release loses to scrubbing, and from which sources).
+
+    Per-detector span chars are independent counts; a span matched by
+    two detectors (an IPv4 inside a digit run) is counted under each —
+    `removed_chars` sums detectors and is therefore an upper bound on
+    the actual loss. Stateless per-row expressions (regexp_extract_all
+    + a fold over match lengths, both codegen'd), one corpus scan into
+    a |sources|-row aggregate with map-side partials.
+    """
+    span_cols = []
+    for name, pat in PII_PATTERNS:
+        span_cols.append(
+            F.coalesce(
+                F.aggregate(
+                    F.regexp_extract_all(F.col("text"), F.lit(pat), 0),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + F.length(x).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias(f"_c_{name}")
+        )
+    per_doc = docs.select(
+        "source",
+        F.coalesce(F.length("text"), F.lit(0)).cast("bigint").alias("_chars"),
+        *span_cols,
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_chars").cast("bigint").alias("total_chars"),
+        *[
+            F.sum(f"_c_{name}").cast("bigint").alias(f"chars_{name}")
+            for name, _ in PII_PATTERNS
+        ],
+    )
+    removed = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"chars_{name}")
+        removed = c if removed is None else removed + c
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        *[f"chars_{name}" for name, _ in PII_PATTERNS],
+        removed.cast("bigint").alias("removed_chars"),
+        F.expr(
+            "coalesce((10000 * ("
+            + " + ".join(f"chars_{n}" for n, _ in PII_PATTERNS)
+            + ")) div nullif(total_chars, 0), 0)"
+        )
+        .cast("bigint")
+        .alias("removed_bp"),
+    ).orderBy("source")
+
+
+def _pii_redaction_impact_oracle() -> str:
+    spans = ",\n             ".join(
+        f"COALESCE(list_sum(list_transform(regexp_extract_all(text, "
+        f"'{pat}'), x -> length(x))), 0) AS c_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    sums = ",\n           ".join(
+        f"CAST(SUM(c_{name}) AS BIGINT) AS chars_{name}"
+        for name, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"SUM(c_{name})" for name, _ in PII_PATTERNS)
+    return f"""
+    WITH d AS (
+      SELECT source,
+             CAST(COALESCE(length(text), 0) AS BIGINT) AS chars,
+             {spans}
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           {sums},
+           CAST({total} AS BIGINT) AS removed_chars,
+           CAST(COALESCE((10000 * ({total})) // NULLIF(SUM(chars), 0), 0)
+             AS BIGINT) AS removed_bp
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "pii_redaction_impact",
+    oracle=_pii_redaction_impact_oracle(),
+    description="per-source redaction cost: matched PII span chars per "
+    "detector + total removed share in bp (upper bound — overlapping "
+    "detectors count independently); stateless span-length folds, one "
+    "scan, |sources|-row aggregate",
+    covers=("N-quality", "N-text"),
+)
+def pii_redaction_impact_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return pii_redaction_impact(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# context-window truncation loss (r14)
+# ---------------------------------------------------------------------------
+
+#: candidate context budgets for the truncation sweep (tokens).
+TRUNCATION_BUDGETS = (512, 1024, 2048, 4096)
+
+
+def context_truncation_loss(
+    docs: DataFrame, budgets: tuple[int, ...] = TRUNCATION_BUDGETS
+) -> DataFrame:
+    """What does hard truncation at context length L cost? One row per
+    candidate budget: documents that overflow, tokens lost to the
+    truncation, and the lost share in basis points — the sweep a
+    pipeline runs to pick max_seq_len before committing to a packing
+    layout (the per-budget companion of ``context_fit_histogram``).
+
+    ONE corpus scan: every budget's (docs_over, tokens_lost) pair is a
+    conditional sum over the same per-doc token count, so the whole
+    sweep is a single aggregate row stacked into |budgets| rows —
+    adding a budget adds two columns, never a scan. Exact BIGINT
+    throughout.
+    """
+    n = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    ).cast("bigint")
+    aggs = [
+        F.coalesce(F.sum(F.lit(1)), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(n), F.lit(0)).cast("bigint").alias("total_tokens"),
+    ]
+    for b in budgets:
+        aggs.append(
+            F.coalesce(F.sum(F.when(n > b, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"over_{b}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(n > b, n - b).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"lost_{b}")
+        )
+    stack = ", ".join(
+        f"{b}L, over_{b}, lost_{b}, "
+        f"coalesce((10000 * lost_{b}) div nullif(total_tokens, 0), 0)"
+        for b in budgets
+    )
+    return (
+        docs.agg(*aggs)
+        .selectExpr(
+            "n_docs",
+            "total_tokens",
+            f"stack({len(budgets)}, {stack}) "
+            "AS (budget, docs_over, tokens_lost, lost_bp)",
+        )
+        .select(
+            F.col("budget").cast("bigint"),
+            "n_docs",
+            "total_tokens",
+            "docs_over",
+            "tokens_lost",
+            F.col("lost_bp").cast("bigint"),
+        )
+        .orderBy("budget")
+    )
+
+
+def _truncation_oracle(budgets: tuple[int, ...] = TRUNCATION_BUDGETS) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT CAST({b} AS BIGINT) AS budget, n_docs, total_tokens,
+           over_{b} AS docs_over, lost_{b} AS tokens_lost,
+           CAST(COALESCE((10000 * lost_{b}) // NULLIF(total_tokens, 0), 0)
+             AS BIGINT) AS lost_bp FROM a"""
+        for b in budgets
+    )
+    conds = ",\n             ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN n > {b} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS over_{b},\n             "
+        f"CAST(COALESCE(SUM(CASE WHEN n > {b} THEN n - {b} ELSE 0 END), 0) "
+        f"AS BIGINT) AS lost_{b}"
+        for b in budgets
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+               AS BIGINT) AS n
+      FROM documents
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_tokens,
+             {conds}
+      FROM d
+    )
+    {rows}
+    ORDER BY budget
+    """
+
+
+@register(
+    "context_truncation_loss",
+    oracle=_truncation_oracle(),
+    description="context-length sweep: per candidate budget (512..4096) "
+    "the docs that overflow, tokens lost to hard truncation, and the "
+    "lost share in bp — ONE aggregate row over one scan, stacked to "
+    "|budgets| rows; exact BIGINT",
+    covers=("N-text", "N-curation"),
+)
+def context_truncation_loss_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return context_truncation_loss(load_table(spark, sf_dir, "documents"))

@@ -280,6 +280,23 @@ CLIQUE_QUERIES = [
     # split cell; the mixture audit sees the id-hash's natural spread
     "contamination_by_source",
     "split_mixture_audit",
+    # r14: ONE 40-doc cross-source cluster — purity must report a
+    # single mixed '8+' band; the composed release gate drops the
+    # ENTIRE pool at decontamination (doc 0 is the bench slice and
+    # every doc shares its 5-grams), so every later stage must read 0
+    # on both engines; the BPE trainer sees one giant pair tie per
+    # iteration (pure lexicographic tie-break seam); truncation loss
+    # is zero at every budget (7-token docs); redaction finds no PII;
+    # the lang-balance audit sees the id-hash's natural spread over a
+    # single-lang corpus (deviation 0 everywhere)
+    "cluster_source_purity",
+    "corpus_release",
+    "bpe_merge_step",
+    "context_truncation_loss",
+    "token_fertility_by_lang",
+    "pii_redaction_impact",
+    "split_lang_balance_audit",
+    "shard_skew_audit",
 ]
 
 
