@@ -71,7 +71,7 @@ def register(
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
 # Round-14 curation: regenerated from
 # CORRECTNESS_r01.json..CORRECTNESS_r13.json (273 kept). Recomputed
-# pending set (registered - verified): 0 <= window 50.
+# pending set (registered - verified): 9 <= window 50.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -350,6 +350,21 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 # --- END GENERATED VERIFIED ROTATION ---
 
 
+def _is_stable_const(value: object) -> bool:
+    """True only for deeply-immutable values whose repr is a pure
+    function of the SOURCE. Mutable module globals (lazy caches,
+    DRIVER_PASSES counters) and identity objects (``object()``
+    sentinels — repr carries a memory address) are runtime state, not
+    code: folding them would rotate consumers on every process or
+    every counter tick. Answer-affecting mutable constants, if one
+    ever exists, must be declared in ``_answer_helper_sources``."""
+    if value is None or isinstance(value, (str, int, float, bool, bytes)):
+        return True
+    if isinstance(value, (tuple, frozenset)):
+        return all(_is_stable_const(v) for v in value)
+    return False
+
+
 def _stable_repr(value: object) -> str:
     """Deterministic repr for helper constants: set/frozenset iteration
     order depends on PYTHONHASHSEED, so render them sorted — an unstable
@@ -609,7 +624,7 @@ def _spec_source_hash_uncached(
                     continue
                 matched[name] = hsrc
                 frontier.append(hsrc)
-            elif not callable(v):
+            elif not callable(v) and _is_stable_const(v):
                 matched[name] = _stable_repr(v)
     blob = src + "\x00" + (spec.oracle or "")
     for name in sorted(matched):

@@ -332,6 +332,35 @@ class TestVerificationRotation:
             spec_source_hash(spec)
         )
 
+    def test_volatile_module_state_stays_out_of_the_pin(self):
+        """Mutable module globals (DRIVER_PASSES counters, lazy caches)
+        and object() sentinels are runtime state, not code: the pin
+        must not move when they do (the r14 first-cut closure folded
+        similarity._NULL_QUERY's memory-address repr and rotated the
+        whole ANN family on every process)."""
+        from ser_etl_spark.operators import similarity
+        from ser_etl_spark.registry import (
+            _is_stable_const,
+            _spec_source_hash_uncached,
+            all_queries,
+        )
+
+        assert not _is_stable_const(object())
+        assert not _is_stable_const({"lloyd": 0})
+        assert not _is_stable_const([1, 2])
+        assert not _is_stable_const(("x", [1]))  # nested mutability
+        assert _is_stable_const(("a", 1, frozenset({"b"})))
+
+        spec = all_queries()["kmeans_train_readout"]
+        before = _spec_source_hash_uncached(spec)
+        saved = dict(similarity.DRIVER_PASSES)
+        try:
+            similarity.DRIVER_PASSES["lloyd"] += 17
+            assert _spec_source_hash_uncached(spec) == before
+        finally:
+            similarity.DRIVER_PASSES.clear()
+            similarity.DRIVER_PASSES.update(saved)
+
     def test_helper_constant_repr_is_hashseed_stable(self):
         """Set-typed helper constants must render sorted: a
         PYTHONHASHSEED-dependent repr would rotate consumers spuriously
