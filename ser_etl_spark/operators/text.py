@@ -3309,8 +3309,9 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
     """
     words = bpe_word_counts(docs)
     rep = _bpe_rep0_expr()
-    out: DataFrame | None = None
-    for it in range(1, iters + 1):
+    reps = [rep]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(iters):
         s = f"split({rep}, ' ')"
         pairs = (
             words.select(
@@ -3340,38 +3341,42 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
         if not top:
             break
         a, b, weight = top[0]["pair_a"], top[0]["pair_b"], top[0]["weight"]
-        rep_next = _bpe_fold_expr(rep, a, b)
-        row = words.agg(
-            F.coalesce(
-                F.sum(F.col("cnt") * F.expr(f"size(split({rep}, ' '))")),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("symbols_before"),
-            F.coalesce(
-                F.sum(F.col("cnt") * F.expr(f"size(split({rep_next}, ' '))")),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("symbols_after"),
-        ).select(
-            F.lit(it).alias("iteration"),
-            F.lit(a).alias("pair_a"),
-            F.lit(b).alias("pair_b"),
-            F.lit(int(weight)).cast("bigint").alias("merge_weight"),
-            "symbols_before",
-            "symbols_after",
-        )
-        out = row if out is None else out.unionAll(row)
-        rep = rep_next
-    if out is None:  # empty vocab: 0 rows, stable schema
+        merges.append((a, b, int(weight)))
+        rep = _bpe_fold_expr(rep, a, b)
+        reps.append(rep)
+    if not merges:  # empty vocab: 0 rows, stable schema
         return docs.sparkSession.createDataFrame(
             [],
             "iteration int, pair_a string, pair_b string, "
             "merge_weight bigint, symbols_before bigint, "
             "symbols_after bigint",
         )
-    return out.orderBy("iteration")
+    # ONE stats pass for every iteration: all |merges|+1 symbol totals
+    # are conditional sums over the same vocab lineage, so the RETURNED
+    # plan scans the corpus once regardless of iteration count (the
+    # per-iteration pair-count jobs above remain the only other passes,
+    # pinned by the bpe_pairs driver counter).
+    sums = [
+        F.coalesce(
+            F.sum(F.col("cnt") * F.expr(f"size(split({r}, ' '))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"s{i}")
+        for i, r in enumerate(reps)
+    ]
+    stack = ", ".join(
+        f"{i + 1}, '{a}', '{b}', {w}L, s{i}, s{i + 1}"
+        for i, (a, b, w) in enumerate(merges)
+    )
+    return (
+        words.agg(*sums)
+        .selectExpr(
+            f"stack({len(merges)}, {stack}) AS (iteration, pair_a, "
+            "pair_b, merge_weight, symbols_before, symbols_after)"
+        )
+        .orderBy("iteration")
+    )
 
 
 def _bpe_oracle(iters: int = BPE_ITERS) -> str:
