@@ -2023,3 +2023,102 @@ def test_frame_features_invariant_to_arrow_batch_size(spark, sf_small):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+class TestReleaseGateComposition:
+    """Semantic invariants of the r14 composed/audit operators — the
+    cross-engine differential proves Spark == DuckDB; these prove the
+    SHARED answer is internally consistent."""
+
+    def test_corpus_release_funnel_is_monotone(self, spark, sf_small):
+        from ser_etl_spark.registry import all_queries
+
+        rows = {
+            (r["stage"], r["detail"]): (r["n_docs"], r["n_chars"])
+            for r in all_queries()["corpus_release"]
+            .builder(spark, sf_small)
+            .collect()
+        }
+        raw = rows[("0_raw", "all")]
+        decon = rows[("1_decontaminated", "all")]
+        gated = rows[("2_quality_gated", "all")]
+        dedup = rows[("3_deduped", "all")]
+        assert raw >= decon >= gated >= dedup  # both docs and chars
+        # split rows partition the survivors exactly
+        split_docs = sum(
+            v[0] for (s, _), v in rows.items() if s == "4_split"
+        )
+        split_chars = sum(
+            v[1] for (s, _), v in rows.items() if s == "4_split"
+        )
+        assert (split_docs, split_chars) == dedup
+        # pii-flagged is a subset of each split
+        for (stage, det), (nd, nc) in rows.items():
+            if stage == "5_pii_flagged":
+                assert (nd, nc) <= rows[("4_split", det)]
+        # shards cover every split that has documents
+        for (stage, det), (nd, _) in rows.items():
+            if stage == "4_split" and nd > 0:
+                assert rows[("6_shards", det)][0] >= 1
+
+    def test_bpe_iterations_chain_and_compress(self, spark, sf_small):
+        from ser_etl_spark.registry import all_queries
+
+        rows = (
+            all_queries()["bpe_merge_step"]
+            .builder(spark, sf_small)
+            .orderBy("iteration")
+            .collect()
+        )
+        assert [r["iteration"] for r in rows] == [1, 2, 3]
+        weights = []
+        for i, r in enumerate(rows):
+            # each merge removes exactly `merge_weight` symbols: every
+            # merged occurrence collapses two symbols into one
+            assert (
+                r["symbols_before"] - r["symbols_after"]
+                == r["merge_weight"]
+            )
+            assert r["merge_weight"] > 0
+            weights.append(r["merge_weight"])
+            if i:
+                # iterations chain: before(i) == after(i-1)
+                assert r["symbols_before"] == rows[i - 1]["symbols_after"]
+
+    def test_shard_imbalance_bounded_by_one_doc(self, spark, sf_small):
+        from ser_etl_spark.operators.packing import _SHARD_CHARS
+        from ser_etl_spark.registry import all_queries
+
+        docs = load_table(spark, sf_small, "documents")
+        max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+        row = (
+            all_queries()["shard_skew_audit"]
+            .builder(spark, sf_small)
+            .collect()[0]
+        )
+        # a doc straddling a boundary overshoots its shard by at most
+        # one doc; a full shard can't be shorter than the target minus
+        # the largest doc that got pulled forward
+        assert row["max_chars"] <= _SHARD_CHARS + max_doc
+        if row["n_shards"] > 1:
+            assert row["min_full_chars"] >= _SHARD_CHARS - max_doc
+        assert 0 <= row["imbalance_bp"] <= 10000
+
+    def test_split_lang_deviations_sum_to_zeroish(self, spark, sf_small):
+        """Within a split, in-split shares sum to ~10000 (floor-div
+        slack < |langs|), and corpus shares are split-independent."""
+        from ser_etl_spark.registry import all_queries
+
+        rows = (
+            all_queries()["split_lang_balance_audit"]
+            .builder(spark, sf_small)
+            .collect()
+        )
+        by_split: dict[str, list] = {}
+        corpus_share: dict[str, int] = {}
+        for r in rows:
+            by_split.setdefault(r["split"], []).append(r["split_share_bp"])
+            prev = corpus_share.setdefault(r["lang"], r["corpus_share_bp"])
+            assert prev == r["corpus_share_bp"]
+        for split, shares in by_split.items():
+            assert 10000 - len(shares) < sum(shares) <= 10000
