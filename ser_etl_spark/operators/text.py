@@ -3301,20 +3301,28 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
       (:func:`_bpe_fold_expr`) composed onto the vocab lineage — no
       shuffle, no UDF, stays in codegen.
 
-    Scale: the corpus is touched once per iteration lineage for the
-    word-count aggregate (vocab-sized shuffle); every merge operates on
-    the vocab table, never the corpus — the reason BPE trainers run on
-    word-count tables. Early-stops when no adjacent pair remains (the
+    Scale: the corpus is touched ONCE — the (word, cnt) aggregate plus
+    the initial symbolization are materialized via ``localCheckpoint``
+    (vocab-sized, the duplicate_clusters discipline) before the merge
+    loop, so every iteration's pair-count job and the final stats pass
+    ride the bounded vocab table, never the corpus — the reason BPE
+    trainers run on word-count tables. (r14 optimization: the previous
+    form re-derived the word counts from the corpus lineage in every
+    iteration's job — iters+1 corpus scans and shuffles for a table
+    that never changes.) Early-stops when no adjacent pair remains (the
     oracle's per-iteration CTE chain goes empty at the same point).
     """
     words = bpe_word_counts(docs)
-    rep = _bpe_rep0_expr()
+    vocab = words.select(
+        "cnt", F.expr(_bpe_rep0_expr()).alias("rep0")
+    ).localCheckpoint(eager=True)
+    rep = "rep0"
     reps = [rep]
     merges: list[tuple[str, str, int]] = []
     for _ in range(iters):
         s = f"split({rep}, ' ')"
         pairs = (
-            words.select(
+            vocab.select(
                 "cnt",
                 F.expr(s).alias("_s"),
             )
@@ -3352,10 +3360,10 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
             "symbols_after bigint",
         )
     # ONE stats pass for every iteration: all |merges|+1 symbol totals
-    # are conditional sums over the same vocab lineage, so the RETURNED
-    # plan scans the corpus once regardless of iteration count (the
-    # per-iteration pair-count jobs above remain the only other passes,
-    # pinned by the bpe_pairs driver counter).
+    # are conditional sums over the same CHECKPOINTED vocab (no corpus
+    # scan at all in the returned plan; the per-iteration pair-count
+    # jobs above remain the only other passes, pinned by the bpe_pairs
+    # driver counter).
     sums = [
         F.coalesce(
             F.sum(F.col("cnt") * F.expr(f"size(split({r}, ' '))")),
@@ -3370,7 +3378,7 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
         for i, (a, b, w) in enumerate(merges)
     )
     return (
-        words.agg(*sums)
+        vocab.agg(*sums)
         .selectExpr(
             f"stack({len(merges)}, {stack}) AS (iteration, pair_a, "
             "pair_b, merge_weight, symbols_before, symbols_after)"
