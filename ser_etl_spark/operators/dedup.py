@@ -96,6 +96,17 @@ def shingle_rows(
     (doc_id, sh), which the downstream inverted-index join needs
     partitioned that way regardless.
     """
+    rows = _shingle_projection(docs, n, text_col, id_col)
+    return rows.distinct()
+
+
+def _shingle_projection(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw (NOT deduplicated) ``(id, sh)`` shingle rows: the shared
+    narrow projection under :func:`shingle_rows` (which dedupes via
+    ``distinct``) and :func:`sized_shingle_rows` (which dedupes inside a
+    per-doc ``collect_set``)."""
     toks = docs.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), " +").alias("_t"),
@@ -112,7 +123,46 @@ def shingle_rows(
         F.element_at(t, i),
         *[F.element_at(t, i + k) for k in range(1, n)],
     )
-    return idx.select(id_col, sh.alias("sh")).distinct()
+    return idx.select(id_col, sh.alias("sh"))
+
+
+def sized_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct ``(doc_id, nsh, sh)`` shingle rows carrying each doc's
+    distinct-shingle-set size in-row — ONE doc_id shuffle.
+
+    The (r14) shared base of the inverted-index similarity joins. Two
+    structural wins over rebuilding :func:`shingle_rows` per consumer:
+
+    - ``nsh`` rides every row, so Jaccard/containment denominators need
+      NO size join-back after pair aggregation (two sort-merge joins +
+      two corpus-sized size aggregates gone; ``min(nsh)`` per pair
+      group is exact — nsh is functionally dependent on the doc id);
+    - every consumer (the DF guard aggregate and both self-join sides)
+      derives the IDENTICAL subtree ending in this one doc_id exchange,
+      so AQE's runtime ReusedExchange computes it once — one corpus
+      scan at runtime where the before-plan ran 12 (pinned by
+      ``tests/test_plans.py::test_runtime_exchange_reuse_...``). An
+      eager ``localCheckpoint`` here was measured SLOWER (+0.3-0.9 s/
+      query at sf0.1: materialization I/O without a second job to
+      amortize it) and blinds the static plan; runtime reuse gives the
+      same single scan for free.
+
+    The per-doc ``collect_set`` row is the doc's own shingle set —
+    bounded by document length (the :func:`shingle_sets` shape), never
+    corpus-sized; dedup within ``collect_set`` replaces
+    :func:`shingle_rows`'s ``distinct`` shuffle, so sizing costs no
+    extra pass.
+    """
+    rows = _shingle_projection(docs, n)
+    return (
+        rows.groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("_ss"))
+        .select(
+            "doc_id",
+            F.size("_ss").alias("nsh"),
+            F.explode("_ss").alias("sh"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -131,9 +181,16 @@ def ngram_jaccard_pairs(
     stop-word shingle appears in millions of docs, and therefore the
     PRODUCTION default. Pass ``None`` only for exact-Jaccard oracle
     parity on bounded corpora (candidate fan-out is then unbounded).
+
+    r14 shape: rides :func:`sized_shingle_rows` — ONE corpus scan + ONE
+    doc_id shuffle at runtime (AQE ReusedExchange across the guard
+    aggregate and both self-join sides); set sizes travel in-row through
+    the self-join, so there is no size join-back (``min(nsh)`` per pair
+    group is exact: nsh is functionally dependent on the doc id). The
+    denominators remain the PRE-guard set sizes, identically to the
+    oracle's ``len(s)``.
     """
-    exploded = shingle_rows(docs, n)
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exploded = sized_shingle_rows(docs, n)
     if max_shingle_df is not None:
         # Drop OVER-frequent shingles via a broadcast ANTI-join: the
         # frequent set is the heavy-hitter tail (tiny by definition), so
@@ -153,19 +210,18 @@ def ngram_jaccard_pairs(
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.nsh").alias("na"),
+            F.min("b.nsh").alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     )
-    return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return shared.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1592,14 +1648,15 @@ def ngram_containment_pairs(
     copy detection between differently-sized documents.
 
     Same inverted-index plan as :func:`ngram_jaccard_pairs` (one
-    shingle equi-join, shared counts, set sizes joined back; the
+    shingle equi-join over the shared :func:`sized_shingle_rows`
+    subtree — one runtime corpus scan via AQE ReusedExchange — shared
+    counts, set sizes carried in-row, no size join-back; the
     ``max_shingle_df`` guard bounds candidate fan-out) — only the
     denominator differs, so BOTH directed pairs are emitted from the
     one undirected join: (a contained-in b) and (b contained-in a) each
     test against their own size.
     """
-    exploded = shingle_rows(docs, n)
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exploded = sized_shingle_rows(docs, n)
     if max_shingle_df is not None:
         frequent = (
             exploded.groupBy("sh")
@@ -1609,7 +1666,7 @@ def ngram_containment_pairs(
         )
         exploded = exploded.join(F.broadcast(frequent), "sh", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
+    joined = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -1618,11 +1675,12 @@ def ngram_containment_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("a.nsh").alias("na"),
+            F.min("b.nsh").alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    joined = shared.join(na, "doc_a").join(nb, "doc_b")
     # Both directed pairs from ONE pass over the undirected join: an
     # in-row 2-struct explode, not a union of two projections — the
     # union form re-evaluated the whole inverted-index DAG per branch

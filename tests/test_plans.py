@@ -1159,7 +1159,8 @@ def test_scan_budget_multiset(spark, sf_small, name):
 
 @pytest.mark.parametrize(
     "name", ["doc_rarity_topk", "token_budget_selection",
-             "cluster_balanced_sample"]
+             "cluster_balanced_sample", "ngram_jaccard_pairs",
+             "ngram_jaccard_guarded", "ngram_containment"]
 )
 def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small, name):
     """Queries whose two consumers share one shuffled subtree rely on
@@ -1169,7 +1170,10 @@ def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small, name):
     sum derives band totals from the SAME (source, priority) window
     output the selection consumes, and the non-nullable priority key
     keeps the two exchange subtrees canonical-identical (a one-sided
-    inferred isnotnull(priority) used to block the reuse)."""
+    inferred isnotnull(priority) used to block the reuse). The shingle
+    similarity joins joined in r14: the DF-guard aggregate and both
+    self-join sides all end in sized_shingle_rows' one doc_id exchange
+    (the r14 rewrite that replaced the 12-scan static plan)."""
     df = QUERIES[name].builder(spark, sf_small)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
