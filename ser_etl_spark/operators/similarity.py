@@ -147,6 +147,20 @@ def _present_round(raw: Column, d: int = 4) -> Column:
     )
 
 
+def _present_round_sql(x: str, d: int = 4) -> str:
+    """SQL-text twin of :func:`_present_round` — identical expression
+    (floor form, NaN/Inf passthrough, double literals), emitted as a
+    string so batched ``selectExpr`` callers pay one parse round-trip
+    for many rounded columns instead of a py4j call chain per column.
+    ``x`` must be a cheap column reference (same caller contract)."""
+    s = f"{float(10 ** d)!r}D"
+    return (
+        f"CASE WHEN (isnan({x}) OR (abs({x}) = CAST('Infinity' AS DOUBLE)))"
+        f" THEN {x}"
+        f" ELSE CAST(floor(({x} * {s}) + 0.5D) AS DOUBLE) / {s} END"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays via higher-order functions
     (dimension-agnostic API form; the registered operators use the
@@ -565,18 +579,22 @@ def _with_nearest_centroid(
         # one 620 KB filter expression (14k element references) and the
         # query ran 6x SLOWER than the form this replaced.
         exprs.append(
-            (F.expr(cs) + F.monotonically_increasing_id() * F.lit(0)).alias(
-                f"_csr{cid}"
-            )
+            f"({cs}) + monotonically_increasing_id() * 0 AS _csr{cid}"
         )
     # Raw expanded cosines land first (one barrier-protected column per
     # centroid), THEN the tie-safe 4-decimal presentation reads the cheap
     # refs — the 64-term trees appear once each no matter how many times
-    # the argmax below references the quantized columns.
-    scored = df.select("*", *exprs).select(
+    # the argmax below references the quantized columns. Both projections
+    # are assembled as ONE selectExpr string each (r14): the K expanded
+    # trees cost a py4j round-trip + an analyzer re-walk PER CALL in the
+    # per-centroid Column form — measured ~0.4 s of driver time per
+    # E-step build at K=8, dim=64 — while the server parses one batched
+    # string in a single call (the minhash_signatures discipline).
+    # Expressions are unchanged: same barrier, same floor-rounding.
+    scored = df.selectExpr("*", *exprs).selectExpr(
         "*",
         *[
-            _present_round(F.col(f"_csr{cid}"), 4).alias(name)
+            _present_round_sql(f"_csr{cid}", 4) + f" AS {name}"
             for cid, name in cs_cols
         ],
     ).drop(*[f"_csr{cid}" for cid, _ in cs_cols])
@@ -4106,7 +4124,6 @@ def _lloyd_pass(
     driver only ever sums exact integers — Python's banker's rounding
     never touches a value."""
     DRIVER_PASSES["lloyd"] += 1
-    spark = vectors.sparkSession
     dim0 = next(len(v) for _, v in cents if v is not None)
     p = vectors.select(
         F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
@@ -4126,22 +4143,30 @@ def _lloyd_pass(
         ).alias("mu"),
         F.count(F.lit(1)).alias("_nrows"),
     )
-    seed_rows = [
-        (cid, d, float(v[d]))
+    # Previous positions as a LITERAL map lookup instead of a per-pass
+    # createDataFrame + broadcast join (r14): `o` is already driver data
+    # (this pass's input centroids), so shipping it back through a seeds
+    # DataFrame bought nothing but an extra exchange + join stage per
+    # iteration. element_at(map(...)) yields the identical doubles (the
+    # map values ARE the floats the seeds rows were built from), and the
+    # d2q arithmetic/rounding below is byte-for-byte the same engine
+    # expression. A centroid absent from the map (NULL-vector seed)
+    # cannot appear in `means` — a NULL centroid scores NULL against
+    # every row, never wins the argmax, and was dropped by the filter
+    # above — so the inner-join restriction is preserved vacuously.
+    olits = ", ".join(
+        f"{cid}, array({', '.join(f'{float(x)!r}D' for x in v)})"
         for cid, v in cents
         if v is not None
-        for d in range(len(v))
-    ]
-    seeds = spark.createDataFrame(seed_rows, "centroid_id int, dim int, o double")
+    )
+    o = f"element_at(element_at(map({olits}), centroid_id), dim + 1)"
     d2q = F.expr(
-        "try_cast(round((mu - o) * (mu - o) * "
+        f"try_cast(round((mu - {o}) * (mu - {o}) * "
         f"{_Q_SCALE!r}) AS bigint)"
     )
-    return (
-        means.join(F.broadcast(seeds), ["centroid_id", "dim"])
-        .select("centroid_id", "dim", "mu", d2q.alias("_d2q"), "_nrows")
-        .collect()
-    )
+    return means.select(
+        "centroid_id", "dim", "mu", d2q.alias("_d2q"), "_nrows"
+    ).collect()
 
 
 def kmeans_train(
