@@ -56,6 +56,27 @@ def docs_with_dups(spark, docs):
 
 
 class TestFuzzyDedup:
+    def test_sized_shingle_rows_matches_shingle_rows(self, docs):
+        """The r14 in-row-size base of the similarity joins: row set
+        identical to shingle_rows (collect_set's in-group dedup replaces
+        distinct), and nsh equals the doc's distinct-shingle count on
+        every row (the Jaccard/containment denominators ride these, so
+        any drift here is a wrong-answer bug, not a perf bug)."""
+        from ser_etl_spark.operators.dedup import (
+            shingle_rows,
+            sized_shingle_rows,
+        )
+
+        plain = {
+            (r["doc_id"], r["sh"]) for r in shingle_rows(docs).collect()
+        }
+        sized = sized_shingle_rows(docs).collect()
+        assert {(r["doc_id"], r["sh"]) for r in sized} == plain
+        counts: dict[int, int] = {}
+        for d, _ in plain:
+            counts[d] = counts.get(d, 0) + 1
+        assert all(r["nsh"] == counts[r["doc_id"]] for r in sized)
+
     def test_minhash_subset_of_exact_join(self, docs):
         exact = {
             (r["doc_a"], r["doc_b"])
