@@ -4443,7 +4443,7 @@ def ivf_ann_topk_trained(
     ``tests/test_plans.py::test_registry_codegen_compiles_clean`` on
     its first run): fusing the 16-centroid argmax with the query-cosine
     top-k projection in one stage exceeds janino's 64 KB method limit
-    and silently ran interpreted. Same fix as ``_ivf_recall_one`` — a
+    and silently ran interpreted. Same fix as ``_ivf_recall_fused`` — a
     zero-shuffle ``observe`` node (CollectMetricsExec does not
     participate in whole-stage codegen) splits the stage into two
     compiled ones — with one extra subtlety: the observe must sit
@@ -4541,21 +4541,37 @@ def ivf_ann_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _list_balance(
+def _list_balance_fused(
     vectors: DataFrame,
-    cents: list[tuple[int, list[float] | None]],
-    tag: str,
+    quantizers: list[tuple[str, list[tuple[int, list[float] | None]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """One-row inverted-list balance summary for a quantizer: assign
-    every vector (one E-step scan), count list sizes (K rows), and
-    report max/min list plus the imbalance in basis points —
-    ``max_list * n_lists * 10000 div n_assigned`` (perfect balance =
-    10000; the factor by which the hottest list exceeds fair share, in
-    exact integers). The hottest list bounds IVF probe latency at
-    100 TB, which is the number a quantizer is trained to shrink."""
-    dim0 = next((len(v) for _, v in cents if v is not None), None)
+    """Per-quantizer inverted-list balance summary: assign every vector
+    under EVERY quantizer in one E-step scan (r15, VERDICT r14 #6 —
+    the per-quantizer form paid one corpus scan each; the two argmax
+    projections now ride the same row, stage-split by an ``observe``
+    like every fused E-step), explode to (quantizer, cid) entries,
+    count list sizes, and report per quantizer the max/min list plus
+    the imbalance in basis points — ``max_list * n_lists * 10000 div
+    n_assigned`` (perfect balance = 10000; the factor by which the
+    hottest list exceeds fair share, in exact integers). The hottest
+    list bounds IVF probe latency at 100 TB, which is the number a
+    quantizer is trained to shrink.
+
+    A quantizer under which nothing assigns (every cosine NULL)
+    contributes no (quantizer, cid) entries, so it reports NO row —
+    exactly the old per-quantizer ``filter(n_lists > 0)`` semantics,
+    now falling out of the GROUP BY."""
+    dim0 = next(
+        (
+            len(v)
+            for _, cents in quantizers
+            for _, v in cents
+            if v is not None
+        ),
+        None,
+    )
     spark = vectors.sparkSession
     schema = (
         "quantizer string, n_assigned bigint, n_lists bigint, "
@@ -4563,19 +4579,31 @@ def _list_balance(
     )
     if dim0 is None:
         return spark.createDataFrame([], schema)
-    p = vectors.select(
+    assigned = vectors.select(
         F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
     )
-    assigned = _with_nearest_centroid(
-        p, vec_col, "_nv", cents, "_cid"
-    ).filter(F.col("_cid").isNotNull())
-    cnts = assigned.groupBy("_cid").agg(F.count(F.lit(1)).alias("c"))
-    # n_lists > 0: a corpus where nothing assigns (empty, or all
-    # zero-norm) reports NO row for this quantizer rather than a
-    # 0/NULL row — mirrored by the oracle's HAVING (and NULL in the
-    # BIGINT imbalance column would float the driver's pandas path)
-    summary = cnts.agg(
-        F.lit(tag).alias("quantizer"),
+    for tag, cents in quantizers:
+        assigned = _with_nearest_centroid(
+            assigned, vec_col, "_nv", cents, f"_cid_{tag}"
+        ).observe(f"_cgsplit_lb_{tag}", F.count(F.lit(1)).alias("rows"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(tag).alias("quantizer"),
+                F.col(f"_cid_{tag}").alias("cid"),
+            )
+            for tag, _ in quantizers
+        ]
+    )
+    stacked = (
+        assigned.select(F.explode(entries).alias("s"))
+        .select("s.quantizer", "s.cid")
+        .filter(F.col("cid").isNotNull())
+    )
+    cnts = stacked.groupBy("quantizer", "cid").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cnts.groupBy("quantizer").agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_assigned"),
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("max_list"),
@@ -4585,7 +4613,6 @@ def _list_balance(
             "nullif(coalesce(sum(c), 0), 0) AS BIGINT)"
         ).alias("imbalance_bp"),
     )
-    return summary.filter(F.col("n_lists") > 0)
 
 
 def ivf_list_balance_trained(
@@ -4599,10 +4626,9 @@ def ivf_list_balance_trained(
     to the list-size profile. (On clustered corpora training shrinks
     the hottest list; on this synthetic near-uniform fixture it mainly
     lifts the coldest list — the readout reports either, which is the
-    point of publishing it next to the index.) Two E-step corpus scans
-    by construction
-    (one per quantizer — this is a comparison, both assignments must be
-    computed); each is the proven shuffle-free expanded-literal shape."""
+    point of publishing it next to the index.) Both assignments must be
+    computed (a comparison), but they ride ONE fused E-step corpus scan
+    since r15 (:func:`_list_balance_fused`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = ivf_centroids(emb, num_centroids)
     if not seeds or all(v is None for _, v in seeds):
@@ -4613,11 +4639,9 @@ def ivf_list_balance_trained(
         )
     qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
     trained = trained_quantizer_centroids(spark, qdir)
-    return (
-        _list_balance(emb, seeds, "seed")
-        .unionByName(_list_balance(emb, trained, "trained"))
-        .orderBy("quantizer")
-    )
+    return _list_balance_fused(
+        emb, [("seed", seeds), ("trained", trained)]
+    ).orderBy("quantizer")
 
 
 def _list_balance_oracle(
@@ -4701,47 +4725,47 @@ def ivf_list_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivf_recall_one(
+def _ivf_recall_fused(
     vectors: DataFrame,
     anchors: list[tuple[int, list[float]]],
-    cents: list[tuple[int, list[float] | None]],
-    tag: str,
+    quantizers: list[tuple[str, list[tuple[int, list[float] | None]]]],
     k: int = RECALL_K,
     nprobe: int = 2,
 ) -> DataFrame:
-    """Recall@k of ``nprobe``-list IVF probing under ONE quantizer, per
-    anchor — the :func:`ann_recall_eval` harness with the SRP bucket
-    swapped for the IVF membership test: one fused corpus scan computes
-    every anchor's exact cosine AND the row's nearest-centroid list,
-    ``in_probe`` marks rows landing in the anchor's ``nprobe`` nearest
-    lists (driver-side :func:`_ivf_probe_ids`, O(K) per anchor), and
-    the single sorted window per anchor yields both the exact rank and
-    the running in-probe count.
+    """Recall@k of ``nprobe``-list IVF probing under EVERY quantizer in
+    one corpus scan, per (quantizer, anchor) — the
+    :func:`ann_recall_eval` harness with the SRP bucket swapped for the
+    IVF membership test. r15 (VERDICT r14 #6): the old per-quantizer
+    form built one full pipeline per quantizer and unioned them — two
+    corpus scans, two anchor-sim projections computing the IDENTICAL
+    five exact cosines, two window shuffles whose exchanges could never
+    reuse (the baked centroid literals differ between the subtrees).
+    Fusing assigns BOTH quantizers' nearest lists on the same row (the
+    anchor cosines are quantizer-independent and now computed once),
+    explodes to (quantizer, anchor) entries, and runs ONE window
+    partitioned by (quantizer, a_id) — same rows per partition as the
+    per-quantizer windows, so every rank/running-count below is
+    unchanged row for row.
 
-    Codegen (r11 accepted-fallback CLOSED in r12, VERDICT r11 #5): the
-    fused assign+5-anchor-sims+explode stage used to exceed janino's
-    64 KB method limit and ran interpreted (the registry's only
-    fallback). The fix is a zero-shuffle stage split: an ``observe``
-    node (CollectMetricsExec, which does not participate in whole-stage
-    codegen) between the argmax projection and the anchor-sim
-    projection cuts the one oversized stage into two compiled ones —
-    same single corpus scan, one row-count accumulator of overhead.
-    Measured at sf0.1: min-of-5 4.43 s split vs 4.66 s interpreted
-    (and no failed multi-second compile per job); pinned by
+    Codegen (r11 accepted-fallback CLOSED in r12, VERDICT r11 #5): an
+    ``observe`` node (CollectMetricsExec, which does not participate in
+    whole-stage codegen) after EACH argmax projection keeps every stage
+    under janino's 64 KB method limit — same zero-shuffle stage-split
+    as before, now one per quantizer; pinned by
     ``tests/test_plans.py::test_expanded_vector_stages_compile``."""
     from pyspark.sql.window import Window
 
-    spark = vectors.sparkSession
     dim = len(anchors[0][1])
     barrier = F.monotonically_increasing_id() * F.lit(0)
-    p0 = vectors.select(
+    assigned = vectors.select(
         F.col("vec_id"),
         F.col("embedding"),
         (F.expr(_norm_sql("embedding", dim)) + barrier).alias("_nv"),
     )
-    assigned = _with_nearest_centroid(
-        p0, "embedding", "_nv", cents, "_cid"
-    ).observe(f"_cgsplit_recall_{tag}", F.count(F.lit(1)).alias("rows"))
+    for tag, cents in quantizers:
+        assigned = _with_nearest_centroid(
+            assigned, "embedding", "_nv", cents, f"_cid_{tag}"
+        ).observe(f"_cgsplit_recall_{tag}", F.count(F.lit(1)).alias("rows"))
     sim_cols = []
     for a_id, q in anchors:
         sim = F.expr(
@@ -4749,9 +4773,10 @@ def _ivf_recall_one(
             f" / nullif(_nv * ({_pynorm(q)!r}), 0.0D)"
         )
         sim_cols.append((sim + barrier).alias(f"_rsim{a_id}"))
-    p1 = assigned.select(F.col("vec_id"), F.col("_cid"), *sim_cols).select(
+    cid_cols = [F.col(f"_cid_{tag}") for tag, _ in quantizers]
+    p1 = assigned.select(F.col("vec_id"), *cid_cols, *sim_cols).select(
         F.col("vec_id"),
-        F.col("_cid"),
+        *cid_cols,
         *[
             _present_round(F.col(f"_rsim{a_id}"), 4).alias(f"_sim{a_id}")
             for a_id, _ in anchors
@@ -4760,29 +4785,32 @@ def _ivf_recall_one(
     entries = F.array(
         *[
             F.struct(
+                F.lit(tag).alias("quantizer"),
                 F.lit(a_id).cast("bigint").alias("a_id"),
                 F.col(f"_sim{a_id}").alias("cos_sim"),
                 # NULL _cid (degenerate row) is in no list: coalesce the
                 # three-valued isin to false, like the oracle's LEFT
                 # JOIN miss
                 F.coalesce(
-                    F.col("_cid").isin(
+                    F.col(f"_cid_{tag}").isin(
                         _ivf_probe_ids(q, cents, nprobe)
                     ),
                     F.lit(False),
                 ).alias("in_probe"),
             )
+            for tag, cents in quantizers
             for a_id, q in anchors
         ]
     )
     stacked = p1.select(F.col("vec_id"), F.explode(entries).alias("s")).select(
-        "vec_id", "s.a_id", "s.cos_sim", "s.in_probe"
+        "vec_id", "s.quantizer", "s.a_id", "s.cos_sim", "s.in_probe"
     )
-    w_rank = Window.partitionBy("a_id").orderBy(
+    w_rank = Window.partitionBy("quantizer", "a_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = stacked.select(
+        "quantizer",
         "a_id",
         "in_probe",
         F.row_number().over(w_rank).cast("bigint").alias("_er"),
@@ -4790,13 +4818,13 @@ def _ivf_recall_one(
     )
     in_exact = F.col("_er") <= k
     in_approx = F.col("in_probe") & (F.col("_pc") <= k)
-    agg = ranked.groupBy("a_id").agg(
+    agg = ranked.groupBy("quantizer", "a_id").agg(
         F.sum(in_exact.cast("bigint")).alias("n_exact"),
         F.max("_pc").alias("n_probe"),
         F.sum((in_exact & in_approx).cast("bigint")).alias("n_hit"),
     )
     return agg.select(
-        F.lit(tag).alias("quantizer"),
+        "quantizer",
         F.col("a_id").alias("anchor_id"),
         "n_exact",
         "n_probe",
@@ -4821,14 +4849,27 @@ def ivf_recall_trained_vs_seed(
     vs the trained one, per anchor — the number that justifies serving
     the index from the trained artifact (VERDICT r10 #3): training is
     worth shipping exactly when, list for list, the same probe budget
-    recovers at least as much of the exact top-k. Two E-step corpus
-    scans by construction (a comparison — both assignments must be
-    computed), each the proven shuffle-free expanded-literal shape;
-    everything after the scans is anchor-sized."""
+    recovers at least as much of the exact top-k. Both assignments must
+    be computed (a comparison), but they ride ONE corpus scan since r15
+    — both E-steps and the shared anchor cosines on the same row
+    (:func:`_ivf_recall_fused`); everything after the scan is
+    anchor-sized."""
+    # anchors ⊂ seed rows (vec_id < 5 ⊂ vec_id < 8): ONE head collect
+    # serves both driver fetches (r15 — the separate _query_points +
+    # ivf_centroids collects were two jobs over the same head rows);
+    # list-building mirrors each exactly (float widening, None vectors
+    # kept as NULL centroids / dropped anchors, vec_id order).
+    head = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < max(n_anchors, num_centroids))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
     anchors = [
-        (a_id, vec)
-        for a_id, _, vec in _query_points(spark, sf_dir, n_anchors)
-        if vec is not None
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in head
+        if r["vec_id"] < n_anchors and r["embedding"] is not None
     ]
     schema = (
         "quantizer string, anchor_id bigint, n_exact bigint, "
@@ -4837,19 +4878,23 @@ def ivf_recall_trained_vs_seed(
     if not anchors:
         return spark.createDataFrame([], schema)
     emb = load_table(spark, sf_dir, "embeddings")
-    # anchors ⊂ seed rows (vec_id < 5 ⊂ vec_id < 8), so a non-empty
-    # anchor set guarantees at least one real seed vector; vector-less
-    # centroids in either quantizer score NULL and attract nothing —
-    # the generic path already replays the oracle's algebra for them
-    seeds = ivf_centroids(emb, num_centroids)
-    trained = _trained_cents(spark, sf_dir, num_centroids)
-    return (
-        _ivf_recall_one(emb, anchors, seeds, "seed", k, nprobe)
-        .unionByName(
-            _ivf_recall_one(emb, anchors, trained, "trained", k, nprobe)
+    # a non-empty anchor set guarantees at least one real seed vector;
+    # vector-less centroids in either quantizer score NULL and attract
+    # nothing — the generic path already replays the oracle's algebra
+    seeds = [
+        (
+            int(r["vec_id"]),
+            None
+            if r["embedding"] is None
+            else [float(x) for x in r["embedding"]],
         )
-        .orderBy("quantizer", "anchor_id")
-    )
+        for r in head
+        if r["vec_id"] < num_centroids
+    ]
+    trained = _trained_cents(spark, sf_dir, num_centroids)
+    return _ivf_recall_fused(
+        emb, anchors, [("seed", seeds), ("trained", trained)], k, nprobe
+    ).orderBy("quantizer", "anchor_id")
 
 
 def _ivf_recall_cmp_oracle(
@@ -4938,9 +4983,10 @@ def _ivf_recall_cmp_oracle(
     "the TRAINED artifact, per anchor, with the probed candidate-set "
     "size as the cost evidence — the readout that gates serving the "
     "persisted index from the trained quantizer (equal probe budget, "
-    "list-for-list comparison); two E-step corpus scans (one per "
-    "quantizer), anchor-sized everything after; the oracle re-derives "
-    "the trained centroids and replays both probe choices",
+    "list-for-list comparison); ONE fused E-step corpus scan carrying "
+    "both quantizers' assignments and the shared anchor cosines, "
+    "anchor-sized everything after; the oracle re-derives the trained "
+    "centroids and replays both probe choices",
     covers=("N-sim",),
 )
 def ivf_recall_cmp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
