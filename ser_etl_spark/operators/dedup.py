@@ -546,6 +546,25 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.key")
     a, b = keyed.alias("a"), keyed.alias("b")
+    # A pair agreeing on m chunks comes out of the block join m times;
+    # keep the copy from the LOWEST agreeing chunk instead of a
+    # DISTINCT over the whole candidate set (r15, VERDICT r14 #7) —
+    # chunk c agrees iff chunk c of the fingerprint XOR is zero, so the
+    # canonical copy is decidable per row from columns already on it,
+    # and the pairs-sized dedup exchange disappears. The join predicate
+    # guarantees at least one agreeing chunk, so the when-chain is
+    # total over emitted rows.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_agree = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, c * width).bitwiseAND(F.lit(mask))
+                == 0,
+                F.lit(c),
+            )
+            for c in range(chunks)
+        ]
+    )
     pairs = (
         a.join(
             b,
@@ -553,6 +572,7 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.chunk") == first_agree)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -560,7 +580,6 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
