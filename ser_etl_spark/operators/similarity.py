@@ -5898,18 +5898,23 @@ def ivf_probe_cost_profile(
             .cast("bigint")
             .alias(f"c{d}")
         )
-    total_assigned = sizes.agg(
-        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_assigned")
-    )
+    # n_anchors * n_assigned — the only use of the assigned total — IS
+    # the unconditional sz sum of this same A x K table (every anchor's
+    # rank list covers every centroid exactly once, and unassigned
+    # lists ride in as coalesced zeros), so it rides THIS aggregate
+    # instead of a second derivation of the E-step subtree (r15: scans
+    # 2 -> 1, and the crossJoin against it disappears).
     n_a = len(anchors)
+    aggs.append(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("_sz_all")
+    )
     stack = ", ".join(
         f"{d}L, c{d}, c{d} div {n_a}L, "
-        f"coalesce((10000 * c{d}) div nullif({n_a}L * n_assigned, 0), 0)"
+        f"coalesce((10000 * c{d}) div nullif(_sz_all, 0), 0)"
         for d in depths
     )
     return (
         joined.agg(*aggs)
-        .crossJoin(F.broadcast(total_assigned))
         .selectExpr(
             f"stack({len(depths)}, {stack}) "
             "AS (nprobe, total_candidates, avg_candidates, scanned_bp)"
