@@ -36,8 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: tier budgets in scan-calibration units (see module docstring); the
 #: +25% tolerance absorbs run-to-run noise and collection overhead.
-FAST_TIER_UNITS = 1270.0
-FULL_GATE_UNITS = 3720.0
+#: Re-measured at r15 (VERDICT r14 #1 — the r12-era constants had gone
+#: stale while the suite grew through the r13/r14 build waves, so the
+#: budget check was failing silently as a tripwire): fast tier 748
+#: tests in 816 s at scan-calibration 0.343 s = 2,380 units. The fast
+#: tier is now also the DRIVER-FACING DEFAULT (`pytest tests/` selects
+#: it via pytest.ini addopts): at the r14 driver host's measured
+#: 1.6-1.9x slow factor this budget predicts ~22-26 min, inside the
+#: window that truncated the ~52 min full gate at ~61 %.
+FAST_TIER_UNITS = 2400.0
+#: full gate = fast tier + tier2; re-measured at the r15 close.
+FULL_GATE_UNITS = 7200.0
 TOLERANCE = 1.25
 
 

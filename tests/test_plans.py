@@ -1096,8 +1096,9 @@ def test_r9_text_quality_plan_shapes(spark, sf_small):
 
 def test_r9_vector_and_analytics_plan_shapes(spark, sf_small):
     """r9 waves 2-9: broadcast/scan/top-k claims pinned on the plan."""
-    # Lloyd step: seeds join broadcasts; no data-sized cartesian (the
-    # E-step is projection-based, not a join)
+    # Lloyd step: the only join left is the K-row spine/movement
+    # broadcast (r15 — seeds ride a literal map, not a join); no
+    # data-sized cartesian (the E-step is projection-based, not a join)
     plan = _plan(spark, sf_small, "kmeans_lloyd_step")
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
     # PCA step: ONE embeddings scan feeds the quantized aggregate
@@ -1229,10 +1230,11 @@ def test_r10_new_query_plan_shapes(spark, sf_small):
     plan = _plan(spark, sf_small, "decayed_activity_topk")
     assert "struct<ts:timestamp_ntz>" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan
-    # list balance: exactly the two E-step scans the comparison needs,
-    # embedding-only pruned, no cartesian
+    # list balance: ONE fused E-step scan carrying both quantizers'
+    # assignments (r15 — the comparison no longer pays a scan per
+    # quantizer), embedding-only pruned, no cartesian
     plan = _plan(spark, sf_small, "ivf_list_balance_trained")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "CartesianProduct" not in plan
 
 
