@@ -4541,37 +4541,21 @@ def ivf_ann_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _list_balance_fused(
+def _list_balance(
     vectors: DataFrame,
-    quantizers: list[tuple[str, list[tuple[int, list[float] | None]]]],
+    cents: list[tuple[int, list[float] | None]],
+    tag: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-quantizer inverted-list balance summary: assign every vector
-    under EVERY quantizer in one E-step scan (r15, VERDICT r14 #6 —
-    the per-quantizer form paid one corpus scan each; the two argmax
-    projections now ride the same row, stage-split by an ``observe``
-    like every fused E-step), explode to (quantizer, cid) entries,
-    count list sizes, and report per quantizer the max/min list plus
-    the imbalance in basis points — ``max_list * n_lists * 10000 div
-    n_assigned`` (perfect balance = 10000; the factor by which the
-    hottest list exceeds fair share, in exact integers). The hottest
-    list bounds IVF probe latency at 100 TB, which is the number a
-    quantizer is trained to shrink.
-
-    A quantizer under which nothing assigns (every cosine NULL)
-    contributes no (quantizer, cid) entries, so it reports NO row —
-    exactly the old per-quantizer ``filter(n_lists > 0)`` semantics,
-    now falling out of the GROUP BY."""
-    dim0 = next(
-        (
-            len(v)
-            for _, cents in quantizers
-            for _, v in cents
-            if v is not None
-        ),
-        None,
-    )
+    """One-row inverted-list balance summary for a quantizer: assign
+    every vector (one E-step scan), count list sizes (K rows), and
+    report max/min list plus the imbalance in basis points —
+    ``max_list * n_lists * 10000 div n_assigned`` (perfect balance =
+    10000; the factor by which the hottest list exceeds fair share, in
+    exact integers). The hottest list bounds IVF probe latency at
+    100 TB, which is the number a quantizer is trained to shrink."""
+    dim0 = next((len(v) for _, v in cents if v is not None), None)
     spark = vectors.sparkSession
     schema = (
         "quantizer string, n_assigned bigint, n_lists bigint, "
@@ -4579,31 +4563,19 @@ def _list_balance_fused(
     )
     if dim0 is None:
         return spark.createDataFrame([], schema)
-    assigned = vectors.select(
+    p = vectors.select(
         F.col(id_col), F.col(vec_col), _norm_col(vec_col, dim0).alias("_nv")
     )
-    for tag, cents in quantizers:
-        assigned = _with_nearest_centroid(
-            assigned, vec_col, "_nv", cents, f"_cid_{tag}"
-        ).observe(f"_cgsplit_lb_{tag}", F.count(F.lit(1)).alias("rows"))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(tag).alias("quantizer"),
-                F.col(f"_cid_{tag}").alias("cid"),
-            )
-            for tag, _ in quantizers
-        ]
-    )
-    stacked = (
-        assigned.select(F.explode(entries).alias("s"))
-        .select("s.quantizer", "s.cid")
-        .filter(F.col("cid").isNotNull())
-    )
-    cnts = stacked.groupBy("quantizer", "cid").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return cnts.groupBy("quantizer").agg(
+    assigned = _with_nearest_centroid(
+        p, vec_col, "_nv", cents, "_cid"
+    ).filter(F.col("_cid").isNotNull())
+    cnts = assigned.groupBy("_cid").agg(F.count(F.lit(1)).alias("c"))
+    # n_lists > 0: a corpus where nothing assigns (empty, or all
+    # zero-norm) reports NO row for this quantizer rather than a
+    # 0/NULL row — mirrored by the oracle's HAVING (and NULL in the
+    # BIGINT imbalance column would float the driver's pandas path)
+    summary = cnts.agg(
+        F.lit(tag).alias("quantizer"),
         F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_assigned"),
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("max_list"),
@@ -4613,6 +4585,7 @@ def _list_balance_fused(
             "nullif(coalesce(sum(c), 0), 0) AS BIGINT)"
         ).alias("imbalance_bp"),
     )
+    return summary.filter(F.col("n_lists") > 0)
 
 
 def ivf_list_balance_trained(
@@ -4626,9 +4599,10 @@ def ivf_list_balance_trained(
     to the list-size profile. (On clustered corpora training shrinks
     the hottest list; on this synthetic near-uniform fixture it mainly
     lifts the coldest list — the readout reports either, which is the
-    point of publishing it next to the index.) Both assignments must be
-    computed (a comparison), but they ride ONE fused E-step corpus scan
-    since r15 (:func:`_list_balance_fused`)."""
+    point of publishing it next to the index.) Two E-step corpus scans
+    by construction
+    (one per quantizer — this is a comparison, both assignments must be
+    computed); each is the proven shuffle-free expanded-literal shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = ivf_centroids(emb, num_centroids)
     if not seeds or all(v is None for _, v in seeds):
@@ -4639,9 +4613,11 @@ def ivf_list_balance_trained(
         )
     qdir = ensure_trained_quantizer(spark, sf_dir, num_centroids)
     trained = trained_quantizer_centroids(spark, qdir)
-    return _list_balance_fused(
-        emb, [("seed", seeds), ("trained", trained)]
-    ).orderBy("quantizer")
+    return (
+        _list_balance(emb, seeds, "seed")
+        .unionByName(_list_balance(emb, trained, "trained"))
+        .orderBy("quantizer")
+    )
 
 
 def _list_balance_oracle(

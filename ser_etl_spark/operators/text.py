@@ -3226,7 +3226,7 @@ def pii_by_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: build-time driver passes (one pair-count collect per BPE iteration);
 #: pinned by the scan-budget gate's all-counter snapshot.
-DRIVER_PASSES = {"bpe_pairs": 0}
+DRIVER_PASSES = {"bpe_pairs": 0, "bpe_vocab_ckpt": 0}
 
 #: merge iterations for the registered readout. Each is one vocab-sized
 #: grouped aggregate + a top-1 collect — the kmeans_train pattern.
@@ -3313,6 +3313,11 @@ def bpe_merge_steps(docs: DataFrame, iters: int = BPE_ITERS) -> DataFrame:
     oracle's per-iteration CTE chain goes empty at the same point).
     """
     words = bpe_word_counts(docs)
+    # the eager checkpoint moves the corpus scan into a BUILD-time job
+    # no static plan gate can see — record it so the scan-budget gate
+    # pins it and a regression adding build-time corpus jobs here fails
+    # loudly (ADVICE r14 #1, the mixture_rebalance hidden-pass class)
+    DRIVER_PASSES["bpe_vocab_ckpt"] += 1
     vocab = words.select(
         "cnt", F.expr(_bpe_rep0_expr()).alias("rep0")
     ).localCheckpoint(eager=True)

@@ -300,3 +300,87 @@ def test_adversarial_cosine_corpus(spark, tmp_path):
     # just below the decimal tie — fl(q*1e4 + 0.5) stays under 713) on
     # BOTH engines: the answer is deterministic, not split
     assert got[0][1] == duck[0][1] == 0.0712
+
+
+def test_present_round_sql_twin_matches_column_form(spark, tmp_path):
+    """_present_round_sql is a hand-maintained SQL-text twin of
+    _present_round (the batched-selectExpr E-step discipline); silent
+    drift in one form would diverge the E-step rounding from every
+    other call site without a targeted failure (ADVICE r14 #3). Run
+    BOTH forms over the adversarial tie corpus (the exact-tie row, a
+    NaN cosine, a zero-norm NULL and a control) plus explicit NaN/Inf/
+    NULL operand probes, and assert the results are bit-identical row
+    for row."""
+    from ser_etl_spark.operators.similarity import (
+        _dot_lit_sql,
+        _norm_sql,
+        _present_round,
+        _present_round_sql,
+        _pynorm,
+    )
+
+    rows = [
+        (0, _ADV_B, 0),                     # the exact decimal tie
+        (1, [float("nan"), 1.0, 0.0], 0),   # NaN cosine passthrough
+        (2, [0.0, 0.0, 0.0], 0),            # zero norm -> NULL
+        (3, [0.25, -0.5, 1.0], 0),          # plain control
+    ]
+    from tests.test_edge_vectors_parity import _write_embeddings
+
+    path = str(tmp_path / "twin.parquet")
+    _write_embeddings(path, rows)
+    raw = (
+        f"{_dot_lit_sql('embedding', _ADV_Q)}"
+        f" / nullif(({_norm_sql('embedding', 3)})"
+        f" * ({_pynorm(_ADV_Q)!r}), 0.0D)"
+    )
+    barrier = F.monotonically_increasing_id() * F.lit(0)
+    base = spark.read.parquet(path).select(
+        "vec_id", (F.expr(raw) + barrier).alias("_rcs")
+    )
+    got = base.select(
+        "vec_id",
+        _present_round(F.col("_rcs"), 4).alias("col_form"),
+        F.expr(_present_round_sql("_rcs", 4)).alias("sql_form"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        a, b = r["col_form"], r["sql_form"]
+        if a is None or b is None:
+            assert a is None and b is None, r
+        elif math.isnan(a) or math.isnan(b):
+            assert math.isnan(a) and math.isnan(b), r
+        else:
+            assert a == b, r
+
+    # operand probes the corpus can't produce: literal Inf/-Inf pass
+    # through unrounded in BOTH forms
+    probe = spark.range(1).select(
+        F.expr("CAST('Infinity' AS DOUBLE)").alias("p"),
+        F.expr("CAST('-Infinity' AS DOUBLE)").alias("n"),
+    )
+    row = probe.select(
+        _present_round(F.col("p"), 4).alias("cp"),
+        F.expr(_present_round_sql("p", 4)).alias("sp"),
+        _present_round(F.col("n"), 4).alias("cn"),
+        F.expr(_present_round_sql("n", 4)).alias("sn"),
+    ).collect()[0]
+    assert row["cp"] == row["sp"] == float("inf"), row
+    assert row["cn"] == row["sn"] == float("-inf"), row
+
+    # and the OPTIMIZED expression trees themselves must match (catches
+    # a drift that happens to agree on these probes; optimized, not
+    # analyzed — constant folding normalizes the SQL form's
+    # CAST('Infinity' AS DOUBLE) to the Column form's double literal)
+    col_plan = base.select(
+        _present_round(F.col("_rcs"), 4).alias("x")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    sql_plan = base.select(
+        F.expr(_present_round_sql("_rcs", 4)).alias("x")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    def _norm(p):
+        return _re.sub(r"#\d+", "#", p)
+
+    assert _norm(col_plan) == _norm(sql_plan), (col_plan, sql_plan)
