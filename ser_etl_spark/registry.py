@@ -69,9 +69,13 @@ def register(
 #: row is rotated back automatically via ``VERIFIED_SOURCE_HASHES``
 #: (see ``all_queries``).
 # --- BEGIN GENERATED VERIFIED ROTATION (scripts/update_verified.py) ---
-# Round-14 curation: regenerated from
-# CORRECTNESS_r01.json..CORRECTNESS_r13.json (273 kept). Recomputed
-# pending set (registered - verified): 9 <= window 50.
+# Round-15 curation: regenerated from
+# CORRECTNESS_r01.json..CORRECTNESS_r14.json (271 kept). Recomputed
+# pending set (registered - verified): 11 <= window 50. Held out (deep
+# rewrites the wrapper hash cannot see): bpe_merge_step,
+# incremental_dedup, ivf_probe_cost_profile, ivf_recall_trained_vs_seed,
+# kmeans_lloyd_step, kmeans_train_readout, simhash_pairs,
+# streaming_incremental_dedup.
 VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ann_blocked_neardup",
     "ann_cosine_topk",
@@ -102,6 +106,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "contamination_by_source",
     "contamination_span_profile",
     "context_fit_histogram",
+    "context_truncation_loss",
     "conversion_funnel",
     "corpus_curation",
     "corpus_rollup",
@@ -161,7 +166,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "heavy_hitters",
     "idle_customers",
     "important_stock",
-    "incremental_dedup",
     "incremental_scan",
     "intra_doc_repetition",
     "inventory_turnover_topk",
@@ -169,13 +173,10 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "ivf_ann_topk_trained",
     "ivf_assign",
     "ivf_list_balance_trained",
-    "ivf_recall_trained_vs_seed",
     "join_broadcast_dims",
     "join_fact_dim",
     "json_props_stats",
     "key_skew_histogram",
-    "kmeans_lloyd_step",
-    "kmeans_train_readout",
     "kmv_distinct",
     "kmv_distinct_by_source",
     "kmv_overlap",
@@ -236,6 +237,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pii_by_split",
     "pii_cooccurrence_matrix",
     "pii_redact",
+    "pii_redaction_impact",
     "pii_scan",
     "pii_scrub",
     "postings_layout",
@@ -284,7 +286,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "shingle_df_histogram",
     "shingle_size_sensitivity",
     "shipping_priority",
-    "simhash_pairs",
     "small_order_revenue",
     "snapshot_diff_audit",
     "sole_returning_supplier",
@@ -295,6 +296,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "source_signature_terms",
     "span_removal",
     "spend_gini",
+    "split_lang_balance_audit",
     "split_mixture_audit",
     "stats_moments",
     "stickiness_ratio",
@@ -303,7 +305,6 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "streaming_burst_flags",
     "streaming_enriched_counts",
     "streaming_exact_dedup",
-    "streaming_incremental_dedup",
     "streaming_media_chunks",
     "streaming_pii_gate",
     "streaming_quality_gate",
@@ -323,6 +324,7 @@ VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "time_weighted_value",
     "token_budget_selection",
     "token_cooccurrence",
+    "token_fertility_by_lang",
     "token_frequencies",
     "tokenizer_compression",
     "top_k",
