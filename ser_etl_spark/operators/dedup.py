@@ -1243,6 +1243,7 @@ def delta_dedup_pairs(
     bands: int = 16,
     n: int = 3,
     corpus_bands: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW document batch against an
     EXISTING corpus: ``(corpus_doc, delta_doc, jaccard)`` for every
@@ -1276,6 +1277,10 @@ def delta_dedup_pairs(
     build-time job is recorded in ``DRIVER_PASSES['delta_candidates']``
     and pinned by the scan-budget gate so a hidden extra pass — or
     this one silently growing — fails loudly (ADVICE r14 #1).
+    ``checkpoint=False`` preserves the full lineage (no build-time job)
+    for callers composing this into a larger plan — and for the plan
+    test that asserts the corpus side reads the band artifact, which
+    the checkpoint otherwise hides from the returned plan.
     """
     cb = (
         corpus_bands
@@ -1283,7 +1288,6 @@ def delta_dedup_pairs(
         else minhash_band_entries(corpus, num_perm, bands, n)
     )
     db = minhash_band_entries(delta, num_perm, bands, n)
-    DRIVER_PASSES["delta_candidates"] += 1
     candidates = (
         db.alias("d")
         .join(
@@ -1296,8 +1300,10 @@ def delta_dedup_pairs(
             F.col("d.doc_id").alias("delta_doc"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        DRIVER_PASSES["delta_candidates"] += 1
+        candidates = candidates.localCheckpoint(eager=True)
     corpus_hit = corpus.join(
         candidates.select(F.col("corpus_doc").alias("doc_id")).distinct(),
         "doc_id",

@@ -656,9 +656,42 @@ def test_snapshot_ann_layout_prunes(spark, sf_small, tmp_path):
 def test_incremental_dedup_reads_persisted_bands(spark, sf_small):
     """The corpus side of incremental dedup must READ the materialized
     band artifact (a parquet scan of the *_minhash_bands layout), not
-    re-derive corpus signatures — the wired form of the A2 story."""
-    plan = _plan(spark, sf_small, "incremental_dedup")
+    re-derive corpus signatures — the wired form of the A2 story.
+
+    Since the r15 candidate checkpoint, the registered query's returned
+    plan rides the checkpointed sliver, which hides the build-time
+    artifact read — so the assertion runs on the SAME topology with
+    ``checkpoint=False`` (full lineage). The registered query's own
+    shape stays pinned by its scan-budget row ({documents: 2} + the
+    delta_candidates driver pass): re-deriving corpus signatures inline
+    would surface as a third documents scan there."""
+    from pyspark.sql import functions as F
+
+    from ser_etl_spark.operators.dedup import (
+        delta_dedup_pairs,
+        ensure_minhash_bands,
+        _DELTA_MOD,
+        _DELTA_REM,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+    bands_dir = ensure_minhash_bands(spark, sf_small)
+    lineage = delta_dedup_pairs(
+        docs.filter(~is_delta),
+        docs.filter(is_delta),
+        corpus_bands=spark.read.parquet(bands_dir).filter(~is_delta),
+        checkpoint=False,
+    )
+    plan = explain_string(lineage)
     assert re.search(r"minhash_bands", plan), plan[:2000]
+    # and the checkpointed (registered) form must NOT grow extra
+    # build-time jobs: exactly one recorded candidates pass per call
+    from ser_etl_spark.operators.dedup import DRIVER_PASSES
+
+    before = DRIVER_PASSES["delta_candidates"]
+    _plan(spark, sf_small, "incremental_dedup")
+    assert DRIVER_PASSES["delta_candidates"] == before + 1
 
 
 def test_series_anomalies_two_exchange_shape(spark, sf_small):
